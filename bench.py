@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the query catalog at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Timing = full plan execution to a count/collect action (results are
+small aggregates; collect cost is negligible vs scan/shuffle).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from postgresml_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench")
+    queries = entry_mod.queries()
+
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # execution, not first-touch costs.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    times: dict[str, float] = {}
+    total = 0.0
+    for name, fn in sorted(queries.items()):
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            n = len(df.collect())
+            dt = time.perf_counter() - t0
+            times[name] = round(dt, 3)
+            total += dt
+        except Exception as e:  # report but keep the line parseable
+            times[name] = -1.0
+            print(f"bench error {name}: {e}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_wall_clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,266 @@
+"""Text analysis + chunking functions.
+
+Covers the reference's text surface — ``pgml.chunk`` with the
+recursive_character splitter (pgml-extension/src/api.rs:650-668,
+bindings/langchain/langchain.py:12-29) and the Postgres full-text
+primitives the SDK leans on (``to_tsvector``/``ts_rank`` in
+pgml-sdks/pgml/src/queries.rs:181-205, search_query_builder.rs:320-345)
+— plus the training-data-pipeline text analyzers (language-ID, quality
+scoring, token counting, fingerprinting) that a 100 TB corpus pipeline
+needs.
+
+Everything except the recursive splitter is a pure Column expression
+(JVM codegen, DuckDB-oracle-expressible). The splitter is deterministic
+pure Python exposed as an Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "tokenize",
+    "token_count",
+    "char_count",
+    "punct_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+    "ts_rank",
+    "recursive_character_split",
+    "chunk_udf",
+    "chunk_fixed",
+    "STOPWORDS",
+    "LANG_MARKERS",
+]
+
+_TOKEN_SEP = "[^a-z0-9]+"
+
+# Small embedded english stopword list (public-domain frequency list).
+STOPWORDS = (
+    "the of and a to in is was he for it with as his on be at by i this had "
+    "not are but from or have an they which one you were her all she there "
+    "would their we him been has when who will more no if out so said what "
+    "its about than into them can only other new some could time these two "
+    "may then do first any my now such like our over man me even most made "
+    "after also did many before must through back years where much your way "
+    "well down should because each just those people mr how too little state "
+    "good very make world still own see men work long get here between both "
+    "life being under never day same another know while last might us great "
+    "old year off come since against go came right used take"
+).split()
+
+# Tiny per-language marker-word lists for the n-gram/stopword language-ID
+# heuristic. Deterministic; designed for the synthetic `documents.lang`
+# domain (en/fr/de/es-style text).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": "the and of to in is that it was for with as his on".split(),
+    "fr": "le la les de des et un une est dans que pour sur avec au du".split(),
+    "de": "der die das und ist ein eine nicht mit von zu auf den dem".split(),
+    "es": "el la los las de y un una es en que por con para del se".split(),
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize(text: Column | str) -> Column:
+    """Lowercase word tokens (alnum runs). array<string>."""
+    return F.filter(
+        F.split(F.lower(_c(text)), _TOKEN_SEP), lambda x: x != ""
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace/punct token count (bigint)."""
+    return F.size(tokenize(text)).cast("bigint")
+
+
+def char_count(text: Column | str) -> Column:
+    return F.length(_c(text)).cast("bigint")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """ASCII-punctuation chars / total chars (double)."""
+    t = _c(text)
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"\p{Punct}", ""))
+    return punct.cast("double") / F.greatest(F.length(t), F.lit(1)).cast("double")
+
+
+def _count_in_list(tokens: Column, words: list[str]) -> Column:
+    lit_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda x: F.array_contains(lit_arr, x)))
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Fraction of tokens that are english stopwords (double)."""
+    toks = tokenize(text)
+    return _count_in_list(toks, STOPWORDS).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    ).cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0,1].
+
+    Combines length band, punctuation sanity, stopword presence, and
+    mean word length band — the standard C4/Gopher-style cheap filters,
+    as pure expressions.
+    """
+    t = _c(text)
+    n_chars = char_count(t)
+    n_toks = F.greatest(token_count(t), F.lit(1))
+    mean_word_len = n_chars.cast("double") / n_toks.cast("double")
+    len_ok = F.when((n_chars >= 50) & (n_chars <= 20000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(t) <= 0.2, 1.0).otherwise(0.0)
+    stop_ok = F.when(stopword_ratio(t) >= 0.05, 1.0).otherwise(0.0)
+    wordlen_ok = F.when((mean_word_len >= 2.0) & (mean_word_len <= 12.0), 1.0).otherwise(0.0)
+    return (len_ok + punct_ok + stop_ok + wordlen_ok) / F.lit(4.0)
+
+
+def language_id(text: Column | str) -> Column:
+    """Marker-word language ID → 'en'|'fr'|'de'|'es'|'unknown'.
+
+    Argmax of per-language marker hit counts with deterministic
+    alphabetical tiebreak; 'unknown' when zero hits.
+    """
+    toks = tokenize(text)
+    scores = {lang: _count_in_list(toks, words) for lang, words in LANG_MARKERS.items()}
+    best = F.lit("unknown")
+    best_score = F.lit(0)
+    # Iterate langs in reverse-alphabetical order so that on ties the
+    # alphabetically-first language wins (strict > comparison).
+    for lang in sorted(scores, reverse=True):
+        cond = scores[lang] > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return best
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    lowercased, whitespace-collapsed text (hex string).
+
+    Same value in DuckDB: md5(regexp_replace(lower(text),'\\s+',' ','g')).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " "))
+    return F.md5(norm)
+
+
+def ts_rank(text: Column | str, query_terms: list[str], normalization: int = 32) -> Column:
+    """ts_rank-style full-text score.
+
+    Postgres ts_rank sums per-lexeme weights scaled by term frequency;
+    the SDK always calls it with normalization flag 32 (rank/(rank+1),
+    search_query_builder.rs:335). We implement the documented
+    tf-saturation form: rank = Σ_t tf_t/(tf_t+1) over query terms, then
+    apply flag-32 normalization. Deterministic and SQL-expressible; not
+    bit-identical to Postgres's positional weighting (which depends on
+    lexeme positions we don't keep).
+    """
+    toks = tokenize(text)
+    rank = None
+    for term in query_terms:
+        tf = F.size(F.filter(toks, lambda x: x == term.lower())).cast("double")
+        contrib = tf / (tf + F.lit(1.0))
+        rank = contrib if rank is None else rank + contrib
+    if rank is None:
+        rank = F.lit(0.0)
+    if normalization == 32:
+        return rank / (rank + F.lit(1.0))
+    return rank
+
+
+# ---------------------------------------------------------------------------
+# Chunking (pgml.chunk, recursive_character splitter)
+# ---------------------------------------------------------------------------
+
+_DEFAULT_SEPARATORS = ["\n\n", "\n", " ", ""]
+
+
+def recursive_character_split(
+    text: str,
+    chunk_size: int = 1000,
+    chunk_overlap: int = 40,
+    separators: list[str] | None = None,
+) -> list[str]:
+    """Deterministic recursive-character text splitter.
+
+    Same contract as the reference's langchain
+    RecursiveCharacterTextSplitter (bindings/langchain/langchain.py:12-29):
+    split on the coarsest separator that yields pieces, greedily merge
+    pieces into chunks ≤ chunk_size with chunk_overlap carried between
+    consecutive chunks; recurse into oversize pieces with finer
+    separators. Pure Python reimplementation (no langchain dependency).
+    """
+    seps = separators if separators is not None else _DEFAULT_SEPARATORS
+
+    def _split(t: str, sep_idx: int) -> list[str]:
+        if len(t) <= chunk_size:
+            return [t] if t else []
+        if sep_idx >= len(seps):
+            return [t[i : i + chunk_size] for i in range(0, len(t), chunk_size)]
+        sep = seps[sep_idx]
+        if sep == "":
+            return [t[i : i + chunk_size] for i in range(0, len(t), chunk_size)]
+        pieces = t.split(sep)
+        out: list[str] = []
+        buf = ""
+        for piece in pieces:
+            cand = piece if not buf else buf + sep + piece
+            if len(cand) <= chunk_size:
+                buf = cand
+                continue
+            if buf:
+                out.append(buf)
+                # carry overlap from the end of the emitted chunk
+                tail = buf[-chunk_overlap:] if chunk_overlap > 0 else ""
+                buf = tail
+                cand = piece if not buf else buf + sep + piece
+            if len(cand) <= chunk_size:
+                buf = cand
+            else:
+                out.extend(_split(piece, sep_idx + 1))
+                buf = ""
+        if buf:
+            out.append(buf)
+        return [c for c in out if c.strip()]
+
+    return _split(text, 0)
+
+
+def chunk_udf(chunk_size: int = 1000, chunk_overlap: int = 40):
+    """pandas UDF: text → array<string> of chunks.
+
+    Use with posexplode for the reference's TABLE(chunk_index, chunk)
+    shape (api.rs:650-668):
+
+        df.select("doc_id", F.posexplode(chunk_udf()(F.col("text"))))
+    """
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _chunk(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: recursive_character_split(t or "", chunk_size, chunk_overlap)
+        )
+
+    return _chunk
+
+
+def chunk_fixed(text: Column | str, size: int) -> Column:
+    """Fixed-width character chunking as a pure expression (array<string>).
+
+    The SQL-expressible chunking variant (oracle-checkable); equivalent
+    to the splitter's base case.
+    """
+    t = _c(text)
+    n = F.ceil(F.length(t) / F.lit(size)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
+        lambda i: F.substring(t, i * size + 1, size),
+    )

@@ -1,0 +1,296 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not part of the reference's surface (postgresml has no corpus dedup);
+these are the standard LLM-data-pipeline operators, designed for
+100 TB scale: every variant works through shuffle-on-key joins and
+band-bucketing (inverted-index style) — never a cross join — so cost is
+O(candidate pairs), not O(n²).
+
+All hashing is Spark's xxhash64 with fixed literal seeds → fully
+deterministic across runs and cluster sizes, and everything up to the
+band-bucket join is pure Column expressions (JVM codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from postgresml_spark.functions.text import tokenize
+from postgresml_spark.functions.vectors import cosine_similarity
+
+__all__ = [
+    "exact_dedup",
+    "word_shingles",
+    "minhash_signature",
+    "minhash_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_candidate_pairs",
+    "embedding_near_dup_pairs",
+]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy on a normalized key; keep the lowest id.
+# Scale: one shuffle on md5(text) — uniformly distributed, no skew.
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (lowest id) per exact key; adds `dup_count`."""
+    w = Window.partitionBy("__dedup_key").orderBy(F.col(id_col))
+    return (
+        df.withColumn("__dedup_key", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count("*").over(Window.partitionBy("__dedup_key")))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__dedup_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word shingles (n-gram sets) — shared by minhash + jaccard.
+# ---------------------------------------------------------------------------
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram strings (array<string>). Docs shorter than n
+    tokens contribute their full token string as a single shingle."""
+    toks = tokenize(text)
+    k = F.size(toks)
+    joined = F.array_join(toks, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.array_distinct(F.when(k >= n, grams).otherwise(F.array(joined)))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding.
+#
+# signature[i] = min over shingles s of xxhash64(s, seed=i)  (one pass,
+# all expressions). Bands of r signature slots hash to a bucket key;
+# candidate pairs = docs sharing any (band, bucket) — an equi-join on
+# the bucket key, the classic LSH inverted index. Verified pairs get
+# exact Jaccard via a distinct-shingle join.
+# ---------------------------------------------------------------------------
+
+def minhash_signature(text: Column | str, num_perm: int = 64, shingle_n: int = 3) -> Column:
+    sh = word_shingles(text, shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b, band-deduplicated).
+
+    rows-per-band r = num_perm/bands; P(candidate) ≈ 1-(1-j^r)^bands.
+    Scale: shuffle keys are (band_id, bucket_hash) — high cardinality,
+    no skew beyond true duplicate clusters; AQE skew-join covers those.
+    """
+    r = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_perm, shingle_n).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.slice(F.col("sig"), b * r + 1, r)), F.lit(-1)
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard via inverted shingle index (no cross join).
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Pairwise Jaccard over distinct word n-grams for every pair
+    sharing ≥1 shingle. Returns (id_a, id_b, jaccard).
+
+    Scale: |pairs| bounded by shingle co-occurrence; hot shingles can be
+    frequency-capped upstream (stopword-ish shingles filtered) — at
+    100 TB pair generation is the dominant cost and should be preceded
+    by minhash banding; this operator is the exact verifier.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    posting = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) + hamming-ball candidate pairs via chunk pigeonhole.
+# ---------------------------------------------------------------------------
+
+def simhash(text: Column | str, bits: int = 64) -> Column:
+    """64-bit SimHash of the token set, as a 64-char '0'/'1' string
+    (MSB first).
+
+    Position j = sign of Σ_tokens (±1 by bit j of xxhash64(token)).
+    Pure expressions: token hash → two's-complement bit string via
+    bin(), ±1 accumulation with an int-array `aggregate`, sign →
+    characters. A string (vs bigint) keeps the banding/hamming steps
+    free of 64-bit shift arithmetic while staying fixed-width for
+    shuffle.
+    """
+    toks = tokenize(text)
+    bit_chars = lambda t: F.split(  # noqa: E731 — 64-element ['0'|'1']
+        F.lpad(F.bin(F.xxhash64(t)), bits, "0"), ""
+    )
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("int"), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.slice(bit_chars(t), 1, bits),
+            lambda x, c: x + F.when(c == "1", 1).otherwise(-1),
+        ),
+    )
+    return F.array_join(
+        F.transform(counts, lambda cnt: F.when(cnt > 0, "1").otherwise("0")), ""
+    )
+
+
+def hamming_distance(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between equal-length bit strings."""
+    za = F.slice(F.split(_c(a), ""), 1, 64)
+    zb = F.slice(F.split(_c(b), ""), 1, 64)
+    return F.size(F.filter(F.zip_with(za, zb, lambda x, y: x != y), lambda d: d))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into (max_hamming+1) chunks; any
+    pair within the ball shares ≥1 exact chunk → equi-join per chunk,
+    then exact hamming filter via bit_count(xor). Same inverted-index
+    scaling argument as minhash banding.
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    chunked = sh.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(F.col("sh"), c * chunk_bits + 1, chunk_bits)
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming_distance(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (exact verify; ANN pre-filter in similarity.py).
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. If group_col is given, only pairs
+    within a group are compared (use an LSH/IVF bucket as the group to
+    avoid O(n²) at scale — see similarity.ivf_assign)."""
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if group_col:
+        cols.append(F.col(group_col).alias("g"))
+    base = df.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if group_col:
+        cond = cond & (F.col("a.g") == F.col("b.g"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,132 @@
+"""MongoDB-style JSON filter DSL → Spark Column predicates.
+
+Re-expresses the SDK's filter compiler
+(pgml-sdks/pgml/src/filter_builder.rs, 406 LoC: $eq/$ne :107-120,
+$gt/$gte/$lt/$lte :26-29+131-141, $in/$nin :30-51+121-129,
+$and/$or/$not :79-99) against either struct columns or JSON-string
+columns. The reference compiles to JSONB containment SQL; here the
+filter becomes a Catalyst boolean expression, so predicate pushdown and
+partition pruning apply for free.
+
+Also the order-by DSL (order_by_builder.rs:37-85): nested path + asc/
+desc with NULLS LAST, compiled to Column sort expressions.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["compile_filter", "compile_order_by", "struct_resolver", "json_resolver"]
+
+_CMP = {
+    "$eq": lambda c, v: c == v,
+    "$ne": lambda c, v: c != v,
+    "$gt": lambda c, v: c > v,
+    "$gte": lambda c, v: c >= v,
+    "$lt": lambda c, v: c < v,
+    "$lte": lambda c, v: c <= v,
+    "$in": lambda c, v: c.isin(*v) if isinstance(v, (list, tuple)) else c.isin(v),
+    "$nin": lambda c, v: ~(
+        c.isin(*v) if isinstance(v, (list, tuple)) else c.isin(v)
+    ),
+}
+
+Resolver = Callable[[list[str], Any], Column]
+
+
+def struct_resolver(root: str | None = None) -> Resolver:
+    """Resolve dotted paths against struct/top-level columns."""
+
+    def resolve(path: list[str], sample_value: Any) -> Column:
+        full = ".".join(([root] if root else []) + path)
+        return F.col(full)
+
+    return resolve
+
+
+def json_resolver(json_col: str) -> Resolver:
+    """Resolve paths against a JSON-string column via get_json_object,
+    casting to the comparison value's type (JSONB comparisons in the
+    reference are type-aware; get_json_object returns strings)."""
+
+    def resolve(path: list[str], sample_value: Any) -> Column:
+        c = F.get_json_object(F.col(json_col), "$." + ".".join(path))
+        if isinstance(sample_value, bool):
+            return c.cast("boolean")
+        if isinstance(sample_value, int):
+            return c.cast("bigint")
+        if isinstance(sample_value, float):
+            return c.cast("double")
+        if isinstance(sample_value, (list, tuple)) and sample_value:
+            return resolve(path, sample_value[0])
+        return c
+
+    return resolve
+
+
+def compile_filter(doc: dict, resolve: Resolver, path: list[str] | None = None) -> Column:
+    """Compile a Mongo-style filter document to a boolean Column.
+
+    Semantics match filter_builder.rs: scalars are implicit $eq, sibling
+    keys are implicit $and, $and/$or/$not nest arbitrarily.
+    """
+    path = path or []
+    preds: list[Column] = []
+    for key, value in doc.items():
+        if key == "$and":
+            preds.append(_all([compile_filter(d, resolve, path) for d in value]))
+        elif key == "$or":
+            preds.append(_any([compile_filter(d, resolve, path) for d in value]))
+        elif key == "$not":
+            inner = (
+                _all([compile_filter(d, resolve, path) for d in value])
+                if isinstance(value, list)
+                else compile_filter(value, resolve, path)
+            )
+            preds.append(~inner)
+        elif key in _CMP:
+            preds.append(_CMP[key](resolve(path, value), value))
+        elif isinstance(value, dict):
+            preds.append(compile_filter(value, resolve, path + [key]))
+        else:
+            preds.append(resolve(path + [key], value) == value)
+    return _all(preds)
+
+
+def _all(preds: list[Column]) -> Column:
+    out = None
+    for p in preds:
+        out = p if out is None else out & p
+    return out if out is not None else F.lit(True)
+
+
+def _any(preds: list[Column]) -> Column:
+    out = None
+    for p in preds:
+        out = p if out is None else out | p
+    return out if out is not None else F.lit(False)
+
+
+def compile_order_by(spec: dict, resolve: Resolver) -> list[Column]:
+    """order-by DSL: {"path": "asc"|"desc"} or nested {"a":{"b":"desc"}}.
+
+    NULLS LAST in both directions, matching order_by_builder.rs:60-66.
+    """
+
+    def walk(d: dict, path: list[str]) -> list[Column]:
+        cols: list[Column] = []
+        for k, v in d.items():
+            if isinstance(v, dict):
+                cols.extend(walk(v, path + [k]))
+            else:
+                c = resolve(path + [k], None)
+                direction = str(v).lower()
+                cols.append(
+                    c.desc_nulls_last() if direction == "desc" else c.asc_nulls_last()
+                )
+        return cols
+
+    return walk(spec, [])

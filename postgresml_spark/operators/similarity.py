@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns.
+
+The reference's ANN surface is `ORDER BY embedding <=> query LIMIT k`
+(cosine distance, HNSW-assisted — pgml-sdks/pgml/src/
+vector_search_query_builder.rs:163-169,233; index DDL queries.rs:117-119).
+Exact top-k is the semantic contract; HNSW is an acceleration detail
+(SURVEY.md §7). Spark translation:
+
+- `knn_exact` — brute-force cosine top-k: one scan, partial top-k per
+  partition (TakeOrderedAndProject), no shuffle of the full table.
+  This is the correctness oracle and is already the right plan for
+  single-query batch scoring at any scale (scan-bound).
+- `ivf_assign` / `knn_ivf` — IVF-style scale path: assign every vector
+  to its nearest centroid (small broadcast list), store/partition by
+  `centroid_id`, and probe only the nprobe closest centroids at query
+  time → reads 1/nlist'th of the data per probe. This is the same
+  partition-pruning trade pgvector's ivfflat makes.
+
+Centroids come from MLlib KMeans (`fit_ivf_centroids`) — train once,
+reuse across queries; at 100 TB train on a sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from postgresml_spark.functions.vectors import cosine_similarity, distance_l2
+
+__all__ = ["knn_exact", "fit_ivf_centroids", "ivf_assign", "knn_ivf"]
+
+
+def knn_exact(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: (id, score) with score = cosine similarity
+    (the reference's `1 - (a <=> b)`), deterministic tiebreak on id."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col).alias(id_col),
+        cosine_similarity(F.col(vec_col), q).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def fit_ivf_centroids(df: DataFrame, vec_col: str = "embedding", nlist: int = 16, seed: int = 42):
+    """KMeans centroids for IVF partitioning. Returns list[list[float]].
+
+    At scale: fit on df.sample(...) — centroid quality needs only a
+    representative sample, not the full corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(feats)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _centroid_arrays(centroids: list[list[float]]):
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest (L2) centroid — pure
+    expressions, no UDF. Write the result partitioned by `centroid_id`
+    to get pgvector-ivfflat-style partition pruning on probe."""
+    cents = _centroid_arrays(centroids)
+    dists = F.transform(cents, lambda c: distance_l2(F.col(vec_col), c))
+    return df.withColumn(out_col, F.array_position(dists, F.array_min(dists)).cast("int") - 1)
+
+
+def knn_ivf(
+    df_assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF probe: rank centroids by distance to the query on the driver
+    (tiny), scan only the nprobe nearest inverted lists, exact re-rank
+    inside them. With `centroid_id`-partitioned storage the non-probed
+    partitions are pruned at the source."""
+    import math
+
+    def l2(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    order = sorted(range(len(centroids)), key=lambda i: l2(centroids[i], query_vec))
+    probe = order[:nprobe]
+    return knn_exact(
+        df_assigned.filter(F.col(centroid_col).isin(probe)),
+        query_vec,
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+    )

@@ -1,0 +1,580 @@
+"""Oracle-checked query catalog.
+
+Each entry: a Spark DataFrame program (the engine under test) plus an
+equivalent ANSI-SQL string for the DuckDB oracle. Column names are
+aliased identically on both sides (the driver sorts columns by name and
+hashes values). Float results are rounded on BOTH sides so that
+double-accumulation-order differences between engines vanish below the
+rounding step.
+
+Query numbering groups: q0x relational, q1x vector, q2x text/dedup,
+q3x events/windows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from postgresml_spark.functions import text as TX
+from postgresml_spark.functions import vectors as V
+from postgresml_spark.operators import dedup as DD
+from postgresml_spark.operators.filter_dsl import compile_filter, json_resolver
+from postgresml_spark.operators.similarity import knn_exact
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from postgresml_spark.session import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# q0x — relational core (scan → filter → agg → join → window → limit)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single scan, 8 partial-aggregated measures.
+
+    Scale: map-side partial agg on 6 groups → negligible shuffle;
+    the shipdate filter is pushed to the parquet scan.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact lineitem ⋈ orders, with customer/nation broadcast.
+
+    Scale: lineitem⋈orders shuffles on orderkey (both huge → sort-merge
+    w/ AQE); customer and nation are dimension tables → broadcast hash
+    join, no shuffle of the fact side for them.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q03_top_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by aggregate with deterministic tiebreak (TakeOrdered plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q04_best_order_per_customer",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS best_price
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q04_best_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-row-per-group via window row_number — the Spark-native
+    replacement for the reference's recursive-CTE best-chunk-per-document
+    dedup (search_query_builder.rs:111-187; SURVEY.md §2.F)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("best_price")
+        )
+    )
+
+
+@query(
+    "q05_keyset_pagination",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id > 100 AND lang = 'en'
+    ORDER BY doc_id
+    LIMIT 50
+    """,
+)
+def q05_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination (collection.rs:824-830): where id > last + limit."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter((F.col("doc_id") > 100) & (F.col("lang") == "en"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+        .limit(50)
+    )
+
+
+@query(
+    "q06_filter_dsl",
+    oracle="""
+    SELECT event_id, user_id, event_type, round(value, 2) AS value_r
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+      AND event_type IN ('purchase', 'signup')
+      AND NOT (user_id < 5)
+    """,
+)
+def q06_filter_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo-style filter DSL compiled to Catalyst predicates
+    (filter_builder.rs semantics, §2.B)."""
+    e = _t(spark, sf_dir, "events")
+    # JSON-path predicate from the DSL, composed with top-level column
+    # predicates (the reference mixes document @> filters with plain SQL).
+    pred = (
+        compile_filter({"k": {"$gte": 50}}, json_resolver("props"))
+        & compile_filter(
+            {"$and": [{"$or": [{"$eq": "purchase"}, {"$eq": "signup"}]}]},
+            lambda path, v: F.col("event_type"),
+        )
+        & compile_filter({"$not": {"$lt": 5}}, lambda path, v: F.col("user_id"))
+    )
+    return e.filter(pred).select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value_r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q1x — vector math (§2.H) + element-wise UDAFs (§2.D) + knn
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_NORM2 = (
+    "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+@query(
+    "q10_vector_norms",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x != 0)) AS BIGINT) AS l0,
+           round(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS l1,
+           round({_NORM2.format(a='embedding')}, 6) AS l2,
+           round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS linf
+    FROM embeddings
+    """,
+)
+def q10_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgml.norm_l0/l1/l2/max (vectors.rs:116-174) as codegen expressions."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        V.norm_l0("embedding").alias("l0"),
+        F.round(V.norm_l1("embedding"), 6).alias("l1"),
+        F.round(V.norm_l2("embedding"), 6).alias("l2"),
+        F.round(V.norm_max("embedding"), 6).alias("linf"),
+    )
+
+
+@query(
+    "q11_vector_arithmetic",
+    oracle="""
+    SELECT vec_id,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.5 + 1.0)), 6) AS sum_scaled,
+           round(list_sum(list_transform(generate_series(1, len(embedding)),
+                 i -> (CAST(embedding[i] AS DOUBLE) - CAST(embedding[len(embedding)-i+1] AS DOUBLE))
+                      * (CAST(embedding[i] AS DOUBLE) - CAST(embedding[len(embedding)-i+1] AS DOUBLE)))), 6)
+             AS self_rev_sqdist
+    FROM embeddings
+    """,
+)
+def q11_vector_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise scalar + vector-vector ops (vectors.rs:4-114):
+    multiply-by-scalar, add-scalar, and subtract against the reversed
+    vector, reduced to scalars for stable comparison."""
+    e = _t(spark, sf_dir, "embeddings")
+    scaled = V.vec_add_scalar(V.vec_multiply_scalar("embedding", 2.5), 1.0)
+    diff = V.vec_subtract("embedding", F.reverse(F.col("embedding")))
+    return e.select(
+        "vec_id",
+        F.round(F.aggregate(scaled, F.lit(0.0), lambda a, x: a + x), 6).alias("sum_scaled"),
+        F.round(
+            F.aggregate(
+                V.vec_multiply(diff, diff), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("self_rev_sqdist"),
+    )
+
+
+@query(
+    "q12_vec_sum_by_label",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) AS pos,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      FROM embeddings
+    ), per_pos AS (
+      SELECT label, pos, round(sum(x), 6) AS s, round(max(x), 6) AS m
+      FROM ex GROUP BY label, pos
+    )
+    SELECT label,
+           list(s ORDER BY pos) AS vec_sum,
+           list(m ORDER BY pos) AS vec_max
+    FROM per_pos GROUP BY label
+    """,
+)
+def q12_vec_sum_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgml.sum/max(vector) element-wise UDAFs (vectors.rs:320-900) via
+    posexplode → 2-phase agg → ordered re-assembly (map-side combine)."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = V.grouped_vec_agg(e, "label", "embedding", {"vec_sum": "sum", "vec_max": "max"})
+    return out.select(
+        "label",
+        F.transform("vec_sum", lambda x: F.round(x, 6)).alias("vec_sum"),
+        F.transform("vec_max", lambda x: F.round(x, 6)).alias("vec_max"),
+    )
+
+
+@query(
+    "q13_knn_cosine",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round({_DOT.format(a='e.embedding', b='q.qv')}
+                 / ({_NORM2.format(a='e.embedding')} * {_NORM2.format(a='q.qv')}), 6) AS score
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def q13_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k — the reference's `ORDER BY embedding <=> q
+    LIMIT k` contract (vector_search_query_builder.rs:163-169)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    res = knn_exact(e.filter(F.col("vec_id") != 0), qv, k=10)
+    return res.select("vec_id", F.round("score", 6).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# q2x — text analysis + dedup
+# ---------------------------------------------------------------------------
+
+_SQL_TOKENS = "list_filter(string_split_regex(lower({t}), '[^a-z0-9]+'), x -> x != '')"
+_SQL_STOP = "[" + ",".join(f"'{w}'" for w in TX.STOPWORDS) + "]"
+
+
+@query(
+    "q20_text_metrics",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             {_SQL_TOKENS.format(t='text')} AS toks,
+             CAST(length(text) AS BIGINT) AS n_chars_c,
+             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           n_chars_c AS n_chars_computed,
+           round(CAST(n_punct AS DOUBLE) / greatest(n_chars_c, 1), 6) AS punct_r,
+           round(CAST(len(list_filter(toks, x -> list_contains({_SQL_STOP}, x))) AS DOUBLE)
+                 / greatest(len(toks), 1), 6) AS stopword_r,
+           fp AS fingerprint
+    FROM base
+    """,
+)
+def q20_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, punctuation/stopword ratios, md5 fingerprint —
+    the cheap quality-filter battery over the documents table."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.char_count("text").alias("n_chars_computed"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct_r"),
+        F.round(TX.stopword_ratio("text"), 6).alias("stopword_r"),
+        TX.fingerprint("text").alias("fingerprint"),
+    )
+
+
+def _langid_sql() -> str:
+    hits = {
+        lang: (
+            f"len(list_filter({_SQL_TOKENS.format(t='text')}, "
+            f"x -> list_contains([{','.join(repr(w) for w in words)}], x)))"
+        )
+        for lang, words in TX.LANG_MARKERS.items()
+    }
+    # mirror the strict-> comparison with reverse-alphabetical iteration
+    expr = "'unknown'"
+    score = "0"
+    for lang in sorted(hits, reverse=True):
+        expr = f"CASE WHEN {hits[lang]} > {score} THEN '{lang}' ELSE {expr} END"
+        score = f"CASE WHEN {hits[lang]} > {score} THEN {hits[lang]} ELSE {score} END"
+    return f"SELECT doc_id, lang AS lang_declared, {expr} AS lang_detected FROM documents"
+
+
+@query("q21_language_id", oracle=_langid_sql())
+def q21_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID heuristic vs the declared lang column."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        TX.language_id("text").alias("lang_detected"),
+    )
+
+
+@query(
+    "q22_dedup_exact",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY fp) AS dup_count
+      FROM keyed
+    )
+    SELECT doc_id, source, dup_count FROM ranked WHERE rn = 1
+    """,
+)
+def q22_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint (hash groupBy)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = DD.exact_dedup(d, TX.fingerprint("text"), id_col="doc_id")
+    return out.select("doc_id", "source", "dup_count")
+
+
+@query(
+    "q23_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS t FROM documents WHERE doc_id < 200
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(0, greatest(len(t) - 3, 0)),
+                                   i -> array_to_string(t[i+1:i+3], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS shingles
+      FROM toks
+    ), posting AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             count(*) AS n_inter
+      FROM posting a JOIN posting b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard
+    FROM inter
+    WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.1
+    """,
+)
+def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs via inverted shingle index (no cross
+    join) — the verify stage of the minhash pipeline."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    out = DD.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.1)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# q3x — events: windows, sessionization, top-k per group
+# ---------------------------------------------------------------------------
+
+@query(
+    "q30_hourly_event_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q30_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch form of the streaming agg)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "q31_top_events_per_user",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id, event_type, round(value, 2) AS value_r, rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q31_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — window + filter (no recursion, §2.F)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "user_id", "event_id", "event_type",
+            F.round("value", 2).alias("value_r"), "rn",
+        )
+    )
+
+
+@query(
+    "q32_sessionization",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions
+    FROM sess GROUP BY user_id
+    """,
+)
+def q32_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag-gap > 30min ⇒ new session; count per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = (
+        e.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions")
+    )

@@ -1,0 +1,150 @@
+"""Tests for filter DSL, dedup, and similarity operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresml_spark.operators import dedup as DD
+from postgresml_spark.operators.filter_dsl import (
+    compile_filter,
+    compile_order_by,
+    json_resolver,
+    struct_resolver,
+)
+from postgresml_spark.operators.similarity import (
+    fit_ivf_centroids,
+    ivf_assign,
+    knn_exact,
+    knn_ivf,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, '{"uuid": 10, "name": "a", "nested": {"level": 1}}', "x"),
+        (2, '{"uuid": 20, "name": "b", "nested": {"level": 2}}', "y"),
+        (3, '{"uuid": 30, "name": "c", "nested": {"level": 3}}', "x"),
+        (4, '{"uuid": 40, "name": "d", "nested": {"level": 4}}', "z"),
+    ]
+    return spark.createDataFrame(rows, "id int, meta string, tag string")
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_filter_eq_implicit(docs):
+    pred = compile_filter({"name": "b"}, json_resolver("meta"))
+    assert _ids(docs.filter(pred)) == [2]
+
+
+def test_filter_nested_path_and_ops(docs):
+    r = json_resolver("meta")
+    assert _ids(docs.filter(compile_filter({"nested": {"level": {"$gte": 3}}}, r))) == [3, 4]
+    assert _ids(docs.filter(compile_filter({"uuid": {"$in": [10, 40]}}, r))) == [1, 4]
+    assert _ids(docs.filter(compile_filter({"uuid": {"$nin": [10, 40]}}, r))) == [2, 3]
+    assert _ids(docs.filter(compile_filter({"uuid": {"$ne": 20}}, r))) == [1, 3, 4]
+
+
+def test_filter_boolean_composition(docs):
+    r = json_resolver("meta")
+    f = {
+        "$or": [
+            {"nested": {"level": {"$lte": 1}}},
+            {"$and": [{"uuid": {"$gt": 20}}, {"$not": {"name": "d"}}]},
+        ]
+    }
+    assert _ids(docs.filter(compile_filter(f, r))) == [1, 3]
+
+
+def test_filter_struct_resolver(spark):
+    df = spark.createDataFrame(
+        [(1, (5, "a")), (2, (9, "b"))], "id int, s struct<x:int, y:string>"
+    )
+    pred = compile_filter({"s": {"x": {"$gt": 6}}}, struct_resolver())
+    assert _ids(df.filter(pred)) == [2]
+
+
+def test_order_by_dsl(docs):
+    cols = compile_order_by({"nested": {"level": "desc"}}, json_resolver("meta"))
+    got = [r["id"] for r in docs.orderBy(*cols).collect()]
+    assert got == [4, 3, 2, 1]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id int, text string"
+    )
+    out = DD.exact_dedup(df, F.col("text"), "doc_id").collect()
+    got = {r["doc_id"]: r["dup_count"] for r in out}
+    assert got == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    t = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, t), (2, t), (3, "completely different words entirely unrelated content here")],
+        "doc_id int, text string",
+    )
+    out = DD.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_finds_near_dups(spark):
+    base = (
+        "spark is a unified analytics engine for large scale data processing "
+        "it provides high level apis in scala java python and r"
+    )
+    near = base.replace("high level", "higher level")
+    other = "totally unrelated document about cooking pasta with tomato sauce and basil"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, base)], "doc_id int, text string"
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in DD.minhash_candidate_pairs(df).collect()}
+    assert (1, 4) in pairs  # exact dup always collides
+    assert (1, 2) in pairs or (2, 4) in pairs  # near dup collides on some band
+    assert (1, 3) not in pairs
+
+
+def test_simhash_hamming(spark):
+    base = (
+        "spark is a unified analytics engine for large scale data processing "
+        "with high level apis and an optimized execution engine"
+    )
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "short unrelated cooking text pasta")],
+        "doc_id int, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["hamming"] for r in DD.simhash_candidate_pairs(df, max_hamming=10).collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)] <= 10
+
+
+def test_knn_exact_self_is_top(spark, sf_dir):
+    from postgresml_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]]
+    top = knn_exact(emb, qv, k=3).collect()
+    assert top[0]["vec_id"] == 7
+    assert abs(top[0]["score"] - 1.0) < 1e-9
+    assert top[0]["score"] >= top[1]["score"] >= top[2]["score"]
+
+
+def test_ivf_recall(spark, sf_dir):
+    from postgresml_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    cents = fit_ivf_centroids(emb, nlist=8)
+    assigned = ivf_assign(emb, cents)
+    # every vector got a valid centroid id
+    n_bad = assigned.filter((F.col("centroid_id") < 0) | (F.col("centroid_id") >= 8)).count()
+    assert n_bad == 0
+    exact = [r["vec_id"] for r in knn_exact(emb, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in knn_ivf(assigned, cents, qv, k=10, nprobe=4).collect()]
+    # recall@10 with half the lists probed should be decent on 500 vecs
+    assert len(set(exact) & set(approx)) >= 5
+    assert approx[0] == 3  # self always found (its own centroid is probed first)

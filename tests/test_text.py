@@ -1,0 +1,117 @@
+"""Tests for text analysis + chunking (reference: pgml.chunk api.rs:650-668)."""
+
+from pyspark.sql import functions as F
+
+from postgresml_spark.functions import text as TX
+from postgresml_spark.functions.text import recursive_character_split
+
+
+def test_tokenize_and_counts(spark):
+    df = spark.createDataFrame([(1, "Hello, World! hello again")], "id int, t string")
+    row = df.select(
+        TX.tokenize("t").alias("toks"),
+        TX.token_count("t").alias("n"),
+        TX.char_count("t").alias("c"),
+    ).head()
+    assert row["toks"] == ["hello", "world", "hello", "again"]
+    assert row["n"] == 4
+    assert row["c"] == 25
+
+
+def test_punct_and_stopword_ratio(spark):
+    df = spark.createDataFrame([(1, "the cat, the hat!")], "id int, t string")
+    row = df.select(
+        TX.punct_ratio("t").alias("p"), TX.stopword_ratio("t").alias("s")
+    ).head()
+    assert abs(row["p"] - 2 / 17) < 1e-9
+    assert abs(row["s"] - 2 / 4) < 1e-9  # 'the' x2 of 4 tokens
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")], "id int, t string"
+    )
+    fps = [r[0] for r in df.select(TX.fingerprint("t")).collect()]
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the house"),
+            (2, "le chat est dans la maison avec le chien"),
+            (3, "der hund ist nicht mit der katze und das haus"),
+            (4, "el perro es un animal en la casa con el gato"),
+            (5, "xyzzy plugh qwerty"),
+        ],
+        "id int, t string",
+    )
+    got = {r["id"]: r["lang"] for r in df.select("id", TX.language_id("t").alias("lang")).collect()}
+    assert got == {1: "en", 2: "fr", 3: "de", 4: "es", 5: "unknown"}
+
+
+def test_ts_rank(spark):
+    df = spark.createDataFrame(
+        [(1, "spark spark spark query"), (2, "no match here"), (3, "query engine")],
+        "id int, t string",
+    )
+    out = {
+        r["id"]: r["rank"]
+        for r in df.select(
+            "id", TX.ts_rank("t", ["spark", "query"]).alias("rank")
+        ).collect()
+    }
+    # doc1: tf(spark)=3 -> .75, tf(query)=1 -> .5 => rank=1.25 -> 1.25/2.25
+    assert abs(out[1] - 1.25 / 2.25) < 1e-9
+    assert out[2] == 0.0
+    assert abs(out[3] - 0.5 / 1.5) < 1e-9
+    assert out[1] > out[3] > out[2]
+
+
+def test_recursive_character_split_basic():
+    text = "para one.\n\npara two is here.\n\npara three."
+    chunks = recursive_character_split(text, chunk_size=20, chunk_overlap=0)
+    assert all(len(c) <= 20 for c in chunks)
+    assert chunks[0].startswith("para one")
+    # all content preserved in order (modulo separators)
+    joined = " ".join(chunks)
+    for word in ["para", "one", "two", "three"]:
+        assert word in joined
+
+
+def test_recursive_character_split_overlap_and_oversize():
+    # a single word longer than chunk_size forces the hard-split base case
+    text = "x" * 55
+    chunks = recursive_character_split(text, chunk_size=20, chunk_overlap=5)
+    assert chunks == ["x" * 20, "x" * 20, "x" * 15]
+    # overlap carried between merged chunks
+    text2 = "aaaa bbbb cccc dddd eeee"
+    chunks2 = recursive_character_split(text2, chunk_size=10, chunk_overlap=4)
+    assert all(len(c) <= 10 for c in chunks2)
+
+
+def test_split_deterministic():
+    text = ("lorem ipsum dolor sit amet " * 50).strip()
+    a = recursive_character_split(text, 100, 10)
+    b = recursive_character_split(text, 100, 10)
+    assert a == b
+    assert all(len(c) <= 100 for c in a)
+
+
+def test_chunk_udf_posexplode(spark):
+    df = spark.createDataFrame(
+        [(1, "first paragraph.\n\nsecond paragraph is a bit longer than the first.")],
+        "doc_id int, text string",
+    )
+    out = df.select(
+        "doc_id", F.posexplode(TX.chunk_udf(30, 5)(F.col("text"))).alias("chunk_index", "chunk")
+    ).collect()
+    assert [r["chunk_index"] for r in out] == list(range(len(out)))
+    assert all(len(r["chunk"]) <= 30 for r in out)
+
+
+def test_chunk_fixed(spark):
+    df = spark.createDataFrame([(1, "abcdefghij")], "id int, t string")
+    row = df.select(TX.chunk_fixed("t", 4).alias("c")).head()
+    assert row["c"] == ["abcd", "efgh", "ij"]

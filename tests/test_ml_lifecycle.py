@@ -1,0 +1,144 @@
+"""End-to-end ML lifecycle tests (reference §3.1/§3.2; metric floors per
+FIXTURES.md tolerance policy — model fits are property-checked)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresml_spark.ml import Registry, deploy, predict, predict_proba, train
+from postgresml_spark.sources.datasets import load_dataset
+
+
+@pytest.fixture()
+def registry(spark):
+    d = tempfile.mkdtemp(prefix="pgml_wh_")
+    yield Registry(spark, warehouse=d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_regression_lifecycle(spark, registry):
+    df, n = load_dataset(spark, "diabetes")
+    assert n == 442
+    res = train(
+        spark, "Diabetes", "regression", df, "target",
+        algorithm="linear", test_sampling="last", order_col="row_id",
+        registry=registry,
+    )
+    assert res["deployed"] is True
+    assert res["metrics"]["r2"] > 0.5
+    assert res["metrics"]["mean_absolute_error"] < 60
+    # batch predict on raw feature rows
+    pred = predict(spark, "Diabetes", df.drop("target"), registry=registry)
+    assert pred.count() == n
+    assert "prediction" in pred.columns
+    # predictions correlate with truth
+    joined = pred.join(df.select("row_id", "target"), "row_id")
+    corr = joined.stat.corr("prediction", "target")
+    assert corr > 0.7
+
+
+def test_classification_lifecycle(spark, registry):
+    df, n = load_dataset(spark, "breast_cancer")
+    res = train(
+        spark, "Cancer", "classification", df, "malignant",
+        algorithm="logistic", test_sampling="stratified", order_col="row_id",
+        registry=registry,
+    )
+    m = res["metrics"]
+    assert m["f1"] > 0.8 and m["accuracy"] > 0.8
+    assert 0.5 < m["roc_auc"] <= 1.0
+    assert m["log_loss"] < 0.7
+    proba = predict_proba(spark, "Cancer", df.drop("malignant"), registry=registry)
+    row = proba.head()
+    assert len(row["probabilities"]) == 2
+    assert abs(sum(row["probabilities"]) - 1.0) < 1e-6
+
+
+def test_auto_deploy_keeps_better_model(spark, registry):
+    df, _ = load_dataset(spark, "diabetes")
+    r1 = train(spark, "P", "regression", df, "target", algorithm="linear",
+               test_sampling="last", order_col="row_id", registry=registry)
+    # a deliberately worse model: heavy regularization
+    r2 = train(spark, "P", "regression", df, "target", algorithm="ridge",
+               hyperparams={"alpha": 10000.0}, test_sampling="last",
+               order_col="row_id", registry=registry)
+    assert r1["deployed"] is True
+    assert r2["deployed"] is False  # did not beat the linear model
+    assert registry.deployed_model_id("P") == r1["model_id"]
+
+
+def test_deploy_strategies(spark, registry):
+    df, _ = load_dataset(spark, "diabetes")
+    r1 = train(spark, "D", "regression", df, "target", algorithm="linear",
+               test_sampling="last", order_col="row_id", registry=registry)
+    r2 = train(spark, "D", "regression", df, "target", algorithm="ridge",
+               hyperparams={"alpha": 10000.0}, test_sampling="last",
+               order_col="row_id", registry=registry, automatic_deploy=False)
+    out = deploy(spark, "D", "most_recent", registry=registry)
+    assert out["model_id"] == r2["model_id"]
+    out = deploy(spark, "D", "best_score", registry=registry)
+    assert out["model_id"] == r1["model_id"]
+    out = deploy(spark, "D", "rollback", registry=registry)
+    assert out["model_id"] == r2["model_id"]
+    out = deploy(spark, "D", "specific", model_id=r1["model_id"], registry=registry)
+    assert registry.deployed_model_id("D") == r1["model_id"]
+
+
+def test_task_consistency_check(spark, registry):
+    df, _ = load_dataset(spark, "diabetes")
+    train(spark, "T", "regression", df, "target", algorithm="linear",
+          test_sampling="last", order_col="row_id", registry=registry)
+    with pytest.raises(ValueError, match="task"):
+        train(spark, "T", "classification", df, "target", registry=registry)
+
+
+def test_grid_search_picks_best(spark, registry):
+    df, _ = load_dataset(spark, "diabetes")
+    res = train(
+        spark, "G", "regression", df, "target", algorithm="ridge",
+        search="grid", search_params={"alpha": [0.01, 10000.0]},
+        test_sampling="last", order_col="row_id", registry=registry,
+    )
+    # best combo must be the small alpha
+    assert res["metrics"]["r2"] > 0.5
+
+
+def test_clustering_and_pca(spark, registry):
+    df, _ = load_dataset(spark, "iris")
+    res = train(spark, "Iris", "clustering", df.drop("species"), None,
+                algorithm="kmeans", hyperparams={"k": 3},
+                test_sampling="random", registry=registry)
+    assert res["metrics"]["silhouette"] > 0.3
+    res2 = train(spark, "IrisPCA", "decomposition", df.drop("species"), None,
+                 algorithm="pca", hyperparams={"n_components": 2},
+                 test_sampling="random", registry=registry)
+    assert 0.0 < res2["metrics"]["cumulative_explained_variance"] <= 1.0
+    out = predict(spark, "IrisPCA", df.drop("species"), registry=registry)
+    assert len(out.head()["prediction"]) == 2
+
+
+def test_preprocess_replay_at_predict(spark, registry):
+    # categorical + scaling replayed from train-time stats at predict time
+    rows = [(i, float(i % 7), ["lo", "mid", "hi"][i % 3], float(i % 7) * 3 + (i % 3))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "row_id int, x double, band string, y double")
+    res = train(
+        spark, "Prep", "regression", df, "y",
+        algorithm="linear",
+        preprocess={"x": {"scale": "standard"}, "band": {"encode": "target"}},
+        test_sampling="last", order_col="row_id", registry=registry,
+    )
+    assert res["metrics"]["r2"] > 0.9
+    pred = predict(spark, "Prep", df.drop("y"), registry=registry)
+    assert pred.count() == 200
+
+
+def test_fallback_algorithm_records_runtime(spark, registry):
+    df, _ = load_dataset(spark, "diabetes")
+    res = train(spark, "XGB", "regression", df, "target", algorithm="xgboost",
+                test_sampling="last", order_col="row_id", registry=registry)
+    row = registry.model_row(res["model_id"])
+    assert row["runtime"] == "fallback"
+    assert res["metrics"]["r2"] > 0.3

@@ -1,0 +1,192 @@
+"""Collection: schemaless JSON documents + pipelines + search.
+
+Reference: pgml-sdks/pgml/src/collection.rs. Documents live in
+`<collection>.documents(id, source_uuid, version, document)`
+(queries.rs:28-37); document payloads are JSON strings here (JSONB in
+Postgres; Spark's get_json_object/variant covers the access paths).
+
+Operators:
+- upsert_documents (collection.rs:538-640): MERGE by source_uuid with
+  optional metadata merge — emulated as anti-join + union (+ map-merge
+  of the JSON payloads when merge=True).
+- get_documents (collection.rs:769-849): filter DSL + order-by DSL +
+  keyset/offset pagination + key projection.
+- delete_documents (collection.rs:872-884), archive (collection.rs:1264).
+- search entry points delegate to search.py.
+
+Scale: the documents table hash-shuffles on source_uuid for the merge
+anti-join (uniform key); all reads are columnar parquet scans with the
+filter DSL pushed down by Catalyst.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid as uuid_mod
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from postgresml_spark.collections.storage import VersionedTable
+from postgresml_spark.operators.filter_dsl import (
+    compile_filter,
+    compile_order_by,
+    json_resolver,
+)
+
+_DOC_SCHEMA = "id long, source_uuid string, version string, document string"
+
+
+class Collection:
+    def __init__(self, name: str, spark: SparkSession, warehouse: str | None = None):
+        self.name = name
+        self.spark = spark
+        self.warehouse = warehouse or os.environ.get(
+            "PGML_SPARK_WAREHOUSE", os.path.join(os.getcwd(), ".pgml_warehouse")
+        )
+        self.root = os.path.join(self.warehouse, "collections", name)
+        self.documents = VersionedTable(
+            spark, os.path.join(self.root, "documents"), _DOC_SCHEMA
+        )
+        self._pipelines: dict[str, "Pipeline"] = {}
+
+    # -- ingest ---------------------------------------------------------------
+
+    def upsert_documents(self, docs: list[dict], merge: bool = False) -> int:
+        """Upsert by document['id'] (used as source_uuid like the SDK's
+        uuid-from-id, lib.rs tests); merge=True deep-merges top-level
+        keys of the JSON payload for existing docs (queries.rs:146-169).
+        """
+        rows = []
+        for d in docs:
+            sid = str(d.get("id", uuid_mod.uuid4()))
+            rows.append((sid, json.dumps({"sdk": "1.0"}), json.dumps(d, sort_keys=True)))
+        incoming = self.spark.createDataFrame(
+            rows, "source_uuid string, version string, document string"
+        )
+        cur = self.documents.read()
+        if merge and not cur.isEmpty():
+            # deep-merge existing payloads driver-side (documents are
+            # catalog-small per batch; the join is the distributed part)
+            existing = {
+                r["source_uuid"]: r["document"]
+                for r in cur.join(
+                    incoming.select("source_uuid"), "source_uuid", "left_semi"
+                ).collect()
+            }
+            rows = []
+            for d in docs:
+                sid = str(d.get("id"))
+                if sid in existing:
+                    base = json.loads(existing[sid])
+                    base.update(d)
+                    d = base
+                rows.append((sid, json.dumps({"sdk": "1.0"}), json.dumps(d, sort_keys=True)))
+            incoming = self.spark.createDataFrame(
+                rows, "source_uuid string, version string, document string"
+            )
+        keep = cur.join(incoming.select("source_uuid"), "source_uuid", "left_anti")
+        max_id = 0 if cur.isEmpty() else (cur.agg(F.max("id")).head()[0] or 0)
+        w = Window.orderBy("source_uuid")
+        new = incoming.withColumn("id", F.row_number().over(w) + F.lit(max_id)).select(
+            "id", "source_uuid", "version", "document"
+        )
+        merged = keep.select("id", "source_uuid", "version", "document").unionByName(new)
+        self.documents.overwrite(merged)
+        self._mark_pipelines_stale()
+        return incoming.count()
+
+    def upsert_directory(self, path: str, extensions=(".md", ".mdx", ".txt")) -> int:
+        """Read files → documents {id: relpath, text: body}
+        (collection.rs:1413-1502)."""
+        docs = []
+        for root, _, files in os.walk(path):
+            for fn in sorted(files):
+                if os.path.splitext(fn)[1] in extensions:
+                    full = os.path.join(root, fn)
+                    with open(full) as f:
+                        docs.append({"id": os.path.relpath(full, path), "text": f.read()})
+        if docs:
+            self.upsert_documents(docs)
+        return len(docs)
+
+    # -- reads ----------------------------------------------------------------
+
+    def get_documents(
+        self,
+        limit: int = 1000,
+        filter: dict | None = None,
+        order_by: dict | None = None,
+        last_row_id: int | None = None,
+        offset: int = 0,
+        keys: list[str] | None = None,
+    ) -> list[dict]:
+        df = self._documents_df(filter)
+        if last_row_id is not None:
+            df = df.filter(F.col("id") > last_row_id)  # keyset (collection.rs:824-830)
+        if order_by:
+            df = df.orderBy(*compile_order_by(order_by, json_resolver("document")), "id")
+        else:
+            df = df.orderBy("id")
+        if offset:
+            df = df.offset(offset)
+        rows = df.limit(limit).collect()
+        out = []
+        for r in rows:
+            doc = json.loads(r["document"])
+            if keys:
+                doc = {k: doc.get(k) for k in keys}
+            out.append({"row_id": r["id"], "source_uuid": r["source_uuid"], "document": doc})
+        return out
+
+    def _documents_df(self, filter: dict | None = None) -> DataFrame:
+        df = self.documents.read()
+        if filter:
+            df = df.filter(compile_filter(filter, json_resolver("document")))
+        return df
+
+    def delete_documents(self, filter: dict) -> int:
+        df = self.documents.read()
+        pred = compile_filter(filter, json_resolver("document"))
+        kept = df.filter(~pred | pred.isNull())
+        n = df.count() - kept.count()
+        self.documents.overwrite(kept)
+        self._mark_pipelines_stale()
+        return n
+
+    def archive(self) -> str:
+        """Rename the collection dir out of the way (collection.rs:1264)."""
+        dst = f"{self.root}_archived_{int(time.time())}"
+        os.rename(self.root, dst)
+        return dst
+
+    # -- pipelines / search -----------------------------------------------------
+
+    def add_pipeline(self, pipeline: "Pipeline") -> None:
+        pipeline.attach(self)
+        self._pipelines[pipeline.name] = pipeline
+        pipeline.sync()
+
+    def _mark_pipelines_stale(self) -> None:
+        for p in self._pipelines.values():
+            p.sync()
+
+    def vector_search(self, query: dict, pipeline: "Pipeline", **kw):
+        from postgresml_spark.collections.search import vector_search
+
+        return vector_search(self, pipeline, query, **kw)
+
+    def search(self, query: dict, pipeline: "Pipeline", **kw):
+        from postgresml_spark.collections.search import hybrid_search
+
+        return hybrid_search(self, pipeline, query, **kw)
+
+    def rag(self, query: dict, pipeline: "Pipeline", **kw):
+        from postgresml_spark.collections.search import rag
+
+        return rag(self, pipeline, query, **kw)
+
+
+from postgresml_spark.collections.pipeline import Pipeline  # noqa: E402  (cycle)

@@ -1,0 +1,185 @@
+"""Pipeline: declarative chunk → embed → index DAG per document field.
+
+Reference (pgml-sdks/pgml/src/pipeline.rs:29-141): schema
+`{field: {splitter?, semantic_search?{model}, full_text_search?{configuration}}}`
+drives derived tables `<field>_chunks(document_id, chunk_index, chunk)`,
+`<field>_embeddings(chunk_id, embedding)`, `<field>_tsvectors(chunk_id,
+tokens)` (queries.rs:49-76).
+
+sync semantics (pipeline.rs:591-775): incremental — only documents
+whose field content changed get re-chunked; only changed chunks get
+re-embedded/re-tokenized; orphan chunks beyond the new max chunk_index
+are deleted (queries.rs:284-299). Change detection here is the same
+anti-join on (document_id, chunk_index, chunk) the reference's
+`documents.%d <> COALESCE(chunks.chunk,'')` performs.
+
+Embeddings use the deterministic hash embedder by default (model name
+'hash:<dim>'), or a real sentence-transformer via embed_udf when the
+library exists. Chunking: `recursive_character` pandas UDF, or
+whole-field copy when no splitter is configured (pipeline.rs:633-660).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from postgresml_spark.collections.storage import VersionedTable
+from postgresml_spark.functions.embed import embed_udf, hash_embed
+from postgresml_spark.functions.text import chunk_udf, tokenize
+
+_CHUNK_SCHEMA = "chunk_id long, document_id long, chunk_index int, chunk string"
+_EMB_SCHEMA = "chunk_id long, embedding array<double>"
+_TSV_SCHEMA = "chunk_id long, tokens array<string>"
+
+
+class Pipeline:
+    def __init__(self, name: str, schema: dict[str, dict]):
+        self.name = name
+        self.schema = schema
+        self.collection = None
+        self._tables: dict[str, VersionedTable] = {}
+
+    def attach(self, collection) -> None:
+        self.collection = collection
+        root = os.path.join(collection.root, f"pipeline_{self.name}")
+        for field, cfg in self.schema.items():
+            self._tables[f"{field}_chunks"] = VersionedTable(
+                collection.spark, os.path.join(root, f"{field}_chunks"), _CHUNK_SCHEMA
+            )
+            if "semantic_search" in cfg:
+                self._tables[f"{field}_embeddings"] = VersionedTable(
+                    collection.spark, os.path.join(root, f"{field}_embeddings"), _EMB_SCHEMA
+                )
+            if "full_text_search" in cfg:
+                self._tables[f"{field}_tsvectors"] = VersionedTable(
+                    collection.spark, os.path.join(root, f"{field}_tsvectors"), _TSV_SCHEMA
+                )
+
+    def table(self, name: str) -> DataFrame:
+        return self._tables[name].read()
+
+    # -- chunking --------------------------------------------------------------
+
+    def _chunks_for(self, field: str, cfg: dict, docs: DataFrame) -> DataFrame:
+        text = F.get_json_object(F.col("document"), f"$.{field}")
+        base = docs.select(F.col("id").alias("document_id"), text.alias("__text")).filter(
+            F.col("__text").isNotNull()
+        )
+        splitter = cfg.get("splitter")
+        if splitter:
+            params = splitter.get("parameters", {}) if isinstance(splitter, dict) else {}
+            size = int(params.get("chunk_size", 1000))
+            overlap = int(params.get("chunk_overlap", 40))
+            chunks = base.select(
+                "document_id",
+                F.posexplode(chunk_udf(size, overlap)(F.col("__text"))).alias(
+                    "chunk_index", "chunk"
+                ),
+            )
+        else:
+            # whole-field copy (pipeline.rs:633-660)
+            chunks = base.select(
+                "document_id",
+                F.lit(0).alias("chunk_index"),
+                F.col("__text").alias("chunk"),
+            )
+        # deterministic chunk id: document_id * 2^20 + chunk_index
+        return chunks.select(
+            (F.col("document_id") * (1 << 20) + F.col("chunk_index")).alias("chunk_id"),
+            "document_id",
+            F.col("chunk_index").cast("int"),
+            "chunk",
+        )
+
+    # -- sync ------------------------------------------------------------------
+
+    def sync(self, full: bool = False) -> dict[str, int]:
+        """Incremental (or full=resync, pipeline.rs:777-934) rebuild of
+        derived tables. Returns per-stage changed-row counts."""
+        assert self.collection is not None, "attach() first"
+        docs = self.collection.documents.read()
+        out: dict[str, int] = {}
+        for field, cfg in self.schema.items():
+            new_chunks = self._chunks_for(field, cfg, docs)
+            tbl = self._tables[f"{field}_chunks"]
+            if full or not tbl.exists():
+                changed = new_chunks
+                tbl.overwrite(new_chunks)
+                n_changed = changed.count()
+            else:
+                old = tbl.read()
+                # change detection (queries.rs:325-339): a chunk is
+                # changed iff (document_id, chunk_index, chunk) is new.
+                changed = new_chunks.join(
+                    old, ["document_id", "chunk_index", "chunk"], "left_anti"
+                )
+                n_changed = changed.count()
+                tbl.overwrite(new_chunks)  # also drops orphans (queries.rs:284-299)
+            out[f"{field}_chunks"] = n_changed
+
+            chunk_ids = new_chunks.select("chunk_id")
+            if f"{field}_embeddings" in self._tables:
+                etbl = self._tables[f"{field}_embeddings"]
+                model = (cfg.get("semantic_search") or {}).get("model", "hash:16")
+                new_emb = self._embed(changed, model)
+                if full or not etbl.exists():
+                    emb = new_emb
+                else:
+                    kept = etbl.read().join(chunk_ids, "chunk_id", "left_semi").join(
+                        new_emb.select("chunk_id"), "chunk_id", "left_anti"
+                    )
+                    emb = kept.unionByName(new_emb)
+                etbl.overwrite(emb)
+                out[f"{field}_embeddings"] = n_changed
+            if f"{field}_tsvectors" in self._tables:
+                ttbl = self._tables[f"{field}_tsvectors"]
+                new_tsv = changed.select(
+                    "chunk_id", tokenize(F.col("chunk")).alias("tokens")
+                )
+                if full or not ttbl.exists():
+                    tsv = new_tsv
+                else:
+                    kept = ttbl.read().join(chunk_ids, "chunk_id", "left_semi").join(
+                        new_tsv.select("chunk_id"), "chunk_id", "left_anti"
+                    )
+                    tsv = kept.unionByName(new_tsv)
+                ttbl.overwrite(tsv)
+                out[f"{field}_tsvectors"] = n_changed
+        return out
+
+    def resync(self) -> dict[str, int]:
+        return self.sync(full=True)
+
+    def _embed(self, chunks: DataFrame, model: str) -> DataFrame:
+        if model.startswith("hash:"):
+            dim = int(model.split(":", 1)[1])
+            e = hash_embed(F.col("chunk"), dim)
+        else:
+            e = embed_udf(model)(F.col("chunk"))
+        return chunks.select("chunk_id", e.alias("embedding"))
+
+    def embed_query(self, text: str, field: str):
+        """Embed a query string with the field's configured model;
+        returns list[float] (driver-side, broadcast into search plans)."""
+        assert self.collection is not None
+        model = (self.schema[field].get("semantic_search") or {}).get("model", "hash:16")
+        spark = self.collection.spark
+        df = spark.createDataFrame([(text,)], "chunk string")
+        if model.startswith("hash:"):
+            dim = int(model.split(":", 1)[1])
+            row = df.select(hash_embed(F.col("chunk"), dim).alias("e")).head()
+        else:
+            row = df.select(embed_udf(model)(F.col("chunk")).alias("e")).head()
+        return list(row["e"])
+
+    def status(self) -> dict[str, int]:
+        """synced/total per stage (pipeline.rs:231, get_pipeline_status)."""
+        assert self.collection is not None
+        n_docs = self.collection.documents.read().count()
+        out = {"documents": n_docs}
+        for name, tbl in self._tables.items():
+            out[name] = tbl.read().count()
+        return out

@@ -1,0 +1,308 @@
+"""Vector, full-text, and hybrid search over a collection+pipeline.
+
+Reference query builders re-expressed as DataFrame programs:
+
+- vector_search (vector_search_query_builder.rs:77-401): per-field
+  [embed query → embeddings ⋈ chunks ⋈ documents → metadata filter →
+  cosine top-N] → UNION ALL fields → re-sort → limit; optional rerank
+  of the top `num_documents_to_rerank`.
+- hybrid search (search_query_builder.rs:60-536): per-field semantic
+  score `(1 - cosine_distance) * boost` and/or full-text score
+  `ts_rank(ts, query) * boost`; best-chunk-per-document dedup — the
+  reference needs a recursive CTE for this, Spark does it with one
+  window row_number (SURVEY §2.F) — then FULL OUTER join of field
+  scores on document id, total = Σ COALESCE(score, 0), top `limit`.
+  Query + per-result scores logged to searches/search_results
+  (queries.rs:78-103).
+- rag (rag_query_builder.rs:162-373): vector_search per named variable
+  → string_agg(chunk, join) → template substitution. The final LLM
+  call is stubbed (no transformers in this image): returns the
+  assembled prompt + sources, which is the deterministic part of the
+  reference's single-statement RAG.
+
+Scale: chunks/documents join on document_id (shuffle on a uniform
+key); the per-field top-k is TakeOrdered (no global sort); the doc-
+dedup window partitions by document_id — same shuffle as the join,
+reused. Embeddings tables would be IVF-partitioned at 100 TB
+(operators/similarity.py) with the same code path after partition
+pruning.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from postgresml_spark.collections.storage import VersionedTable
+from postgresml_spark.functions.vectors import cosine_similarity
+from postgresml_spark.operators.filter_dsl import compile_filter, json_resolver
+
+_SEARCHES_SCHEMA = "search_id string, collection string, pipeline string, query string, created_at double"
+_RESULTS_SCHEMA = (
+    "search_id string, document_id long, scores string, rank int"
+)
+
+
+def _telemetry(collection, name: str, schema: str) -> VersionedTable:
+    import os
+
+    return VersionedTable(
+        collection.spark, os.path.join(collection.root, name), schema
+    )
+
+
+def _scored_chunks(collection, pipeline, field: str, query_text: str,
+                   filter: dict | None) -> DataFrame:
+    """embeddings ⋈ chunks ⋈ documents with cosine score for one field."""
+    qv = pipeline.embed_query(query_text, field)
+    emb = pipeline.table(f"{field}_embeddings")
+    chunks = pipeline.table(f"{field}_chunks")
+    docs = collection._documents_df(filter).select(
+        F.col("id").alias("document_id"), "source_uuid", "document"
+    )
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    return (
+        emb.join(chunks, "chunk_id")
+        .join(docs, "document_id")
+        .withColumn("cosine", cosine_similarity(F.col("embedding"), q))
+    )
+
+
+def _tsrank_col(tokens_col, query_terms: list[str], normalization: int = 32):
+    """ts_rank-style score over a token-array column (see
+    functions.text.ts_rank; SDK always uses normalization 32,
+    search_query_builder.rs:335)."""
+    rank = None
+    for term in query_terms:
+        tf = F.size(F.filter(tokens_col, lambda x: x == term.lower())).cast("double")
+        contrib = tf / (tf + F.lit(1.0))
+        rank = contrib if rank is None else rank + contrib
+    if rank is None:
+        return F.lit(0.0)
+    if normalization == 32:
+        return rank / (rank + F.lit(1.0))
+    return rank
+
+
+def vector_search(
+    collection,
+    pipeline,
+    query: dict,
+    rerank: bool = False,
+    num_documents_to_rerank: int = 10,
+) -> list[dict]:
+    """query = {"query": {"fields": {field: {"query": str, "boost"?: float,
+    "full_text_filter"?: str}}, "filter"?: {...}}, "limit"?: int}
+    → [{document, chunk, score, document_id}] sorted by score desc.
+    """
+    spec = query.get("query", {})
+    fields = spec.get("fields", {})
+    filt = spec.get("filter")
+    limit = int(query.get("limit", 10))
+
+    per_field: list[DataFrame] = []
+    for field, fcfg in fields.items():
+        scored = _scored_chunks(collection, pipeline, field, fcfg["query"], filt)
+        boost = float(fcfg.get("boost", 1.0))
+        if fcfg.get("full_text_filter"):
+            terms = [t for t in fcfg["full_text_filter"].lower().split() if t]
+            toks = pipeline.table(f"{field}_tsvectors")
+            scored = scored.join(toks, "chunk_id").filter(
+                F.arrays_overlap(
+                    F.col("tokens"), F.array(*[F.lit(t) for t in terms])
+                )
+            ).drop("tokens")
+        per_field.append(
+            scored.select(
+                "document_id",
+                "document",
+                "chunk",
+                (F.col("cosine") * boost).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("document_id"))
+            .limit(limit)
+        )
+    if not per_field:
+        return []
+    un = per_field[0]
+    for d in per_field[1:]:
+        un = un.unionByName(d)  # UNION ALL (vector_search_query_builder.rs:287-296)
+    rows = un.orderBy(F.col("score").desc(), F.col("document_id")).limit(limit).collect()
+    out = [
+        {
+            "document_id": r["document_id"],
+            "document": json.loads(r["document"]),
+            "chunk": r["chunk"],
+            "score": r["score"],
+        }
+        for r in rows
+    ]
+    if rerank and out:
+        # cross-encoder rerank stub (vector_search_query_builder.rs:331-360):
+        # deterministic lexical-overlap reranker standing in for pgml.rank;
+        # swap for a real cross-encoder pandas UDF when available.
+        qtext = " ".join(fcfg["query"] for fcfg in fields.values())
+        qterms = set(qtext.lower().split())
+        head = out[:num_documents_to_rerank]
+        for item in head:
+            cterms = set(item["chunk"].lower().split())
+            item["rerank_score"] = (
+                len(qterms & cterms) / len(qterms | cterms) if qterms | cterms else 0.0
+            )
+        head.sort(key=lambda x: (-x["rerank_score"], x["document_id"]))
+        out = head + out[num_documents_to_rerank:]
+    return out
+
+
+def hybrid_search(collection, pipeline, query: dict) -> list[dict]:
+    """Hybrid semantic + full-text search with per-document dedup and
+    COALESCE-sum scoring (search_query_builder.rs:60-536). Logs to
+    searches/search_results."""
+    spec = query.get("query", {})
+    filt = spec.get("filter")
+    limit = int(query.get("limit", 10))
+    sem_fields = (spec.get("semantic_search") or {})
+    ft_fields = (spec.get("full_text_search") or {})
+
+    score_dfs: list[DataFrame] = []
+    for field, fcfg in sem_fields.items():
+        boost = float(fcfg.get("boost", 1.0))
+        scored = _scored_chunks(collection, pipeline, field, fcfg["query"], filt)
+        w = Window.partitionBy("document_id").orderBy(
+            F.col("cosine").desc(), F.col("chunk_id")
+        )
+        best = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)  # best chunk per doc — no recursion
+            .select(
+                "document_id",
+                (F.col("cosine") * boost).alias(f"score_sem_{field}"),
+            )
+        )
+        score_dfs.append(best)
+    for field, fcfg in ft_fields.items():
+        boost = float(fcfg.get("boost", 1.0))
+        terms = [t for t in fcfg["query"].lower().split() if t]
+        toks = pipeline.table(f"{field}_tsvectors")
+        chunks = pipeline.table(f"{field}_chunks")
+        docs = collection._documents_df(filt).select(F.col("id").alias("document_id"))
+        scored = (
+            toks.join(chunks, "chunk_id")
+            .join(docs, "document_id")
+            .withColumn("__ts", _tsrank_col(F.col("tokens"), terms))
+            .filter(F.col("__ts") > 0)
+        )
+        w = Window.partitionBy("document_id").orderBy(
+            F.col("__ts").desc(), F.col("chunk_id")
+        )
+        best = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "document_id", (F.col("__ts") * boost).alias(f"score_ft_{field}")
+            )
+        )
+        score_dfs.append(best)
+
+    if not score_dfs:
+        return []
+    joined = score_dfs[0]
+    for d in score_dfs[1:]:
+        joined = joined.join(d, "document_id", "full_outer")  # :437-470
+    score_cols = [c for c in joined.columns if c.startswith("score_")]
+    total = None
+    for c in score_cols:
+        t = F.coalesce(F.col(c), F.lit(0.0))
+        total = t if total is None else total + t
+    docs_df = collection.documents.read().select(
+        F.col("id").alias("document_id"), "document"
+    )
+    ranked = (
+        joined.withColumn("score", total)
+        .join(docs_df, "document_id")
+        .orderBy(F.col("score").desc(), F.col("document_id"))
+        .limit(limit)
+    )
+    rows = ranked.collect()
+
+    # telemetry (searches/search_results, search_query_builder.rs:471-533)
+    search_id = str(uuid.uuid4())
+    searches = _telemetry(collection, "searches", _SEARCHES_SCHEMA)
+    results = _telemetry(collection, "search_results", _RESULTS_SCHEMA)
+    spark = collection.spark
+    searches.append(
+        spark.createDataFrame(
+            [(search_id, collection.name, pipeline.name, json.dumps(query), time.time())],
+            _SEARCHES_SCHEMA,
+        )
+    )
+    if rows:
+        results.append(
+            spark.createDataFrame(
+                [
+                    (
+                        search_id,
+                        r["document_id"],
+                        json.dumps({c: r[c] for c in score_cols + ["score"]}),
+                        i + 1,
+                    )
+                    for i, r in enumerate(rows)
+                ],
+                _RESULTS_SCHEMA,
+            )
+        )
+    return [
+        {
+            "document_id": r["document_id"],
+            "document": json.loads(r["document"]),
+            "score": r["score"],
+            **{c: r[c] for c in score_cols},
+            "search_id": search_id,
+        }
+        for r in rows
+    ]
+
+
+def add_search_event(collection, search_id: str, rank: int, event: dict) -> None:
+    """Click/feedback telemetry (collection.rs:996-1054)."""
+    tbl = _telemetry(
+        collection,
+        "search_events",
+        "search_id string, rank int, event string, created_at double",
+    )
+    tbl.append(
+        collection.spark.createDataFrame(
+            [(search_id, rank, json.dumps(event), time.time())],
+            "search_id string, rank int, event string, created_at double",
+        )
+    )
+
+
+def rag(collection, pipeline, query: dict) -> dict:
+    """Deterministic part of the reference's one-statement RAG
+    (rag_query_builder.rs:162-373): run vector_search per context
+    variable, aggregate chunks with the join separator, substitute into
+    the prompt template. The LLM completion itself requires transformers
+    (absent here) — the assembled prompt + sources are returned; callers
+    with a real LLM UDF pass it via `completion_fn`."""
+    var_specs = {
+        k: v for k, v in query.items() if isinstance(v, dict) and "vector_search" in v
+    }
+    prompt = query.get("completion", {}).get("prompt", "")
+    sources = {}
+    for var, spec in var_specs.items():
+        vs = spec["vector_search"]
+        res = vector_search(collection, pipeline, vs)
+        joiner = spec.get("aggregate", {}).get("join", "\n")
+        context = joiner.join(r["chunk"] for r in res)
+        prompt = prompt.replace("{" + var + "}", context)
+        sources[var] = res
+    completion_fn = query.get("completion_fn")
+    out = {"prompt": prompt, "sources": sources}
+    if completion_fn is not None:
+        out["rag"] = completion_fn(prompt)
+    return out

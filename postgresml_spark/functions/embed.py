@@ -1,0 +1,140 @@
+"""Embedding operators: pgml.embed equivalent.
+
+Reference (api.rs:589-610; transformers.py:530-573): text → dense
+vector via a HF sentence-transformer, batched, executor-cached. In this
+container there is no torch/transformers, so two paths:
+
+- `embed_udf(model)` — the REAL plumbing (Arrow-batched pandas UDF,
+  per-executor lazy model cache) gated behind an import-try; without
+  the library it raises NotImplementedError at call time with a clear
+  message. The Spark-side shape (batching, schema, caching) is the
+  part that matters at 100 TB and is fully implemented.
+- `hash_embed(text, dim)` — a deterministic feature-hashing embedder
+  (signed token buckets, L2-normalized), pure Column expressions.
+  This is the FIXTURES.md F6 "seeded pseudo-embedder": cheap, scale-
+  independent, and reproducible in ANSI SQL (`hash_embed_sql`) so
+  search semantics get a DuckDB oracle. It is also a legitimate
+  baseline featurizer (hashing trick).
+
+Both produce array<double>; downstream search code is agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from postgresml_spark.functions.text import tokenize
+
+__all__ = ["polyhash", "hash_embed", "hash_embed_sql", "embed_udf"]
+
+_MOD = 2147483647  # 2^31 - 1
+
+
+def polyhash(s: Column) -> Column:
+    """Deterministic polynomial string hash: fold (acc*31 + ascii(c)) % (2^31-1).
+
+    Engine-portable (same value in DuckDB — see hash_embed_sql), unlike
+    xxhash64/murmur which differ across engines.
+    """
+    return F.aggregate(
+        F.split(s, ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % _MOD,
+    )
+
+
+def hash_embed(text: Column | str, dim: int = 16) -> Column:
+    """Signed feature-hashing embedding, L2-normalized (array<double>).
+
+    token → h = polyhash(token); bucket = h % dim; sign = ±1 by parity
+    of h/dim; accumulate with multiplicity; L2 normalize (zero vector
+    for empty text stays all-zero).
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(t)
+    hashes = F.transform(toks, polyhash)
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda a, i: a
+            + F.when(
+                h % dim == i.cast("bigint"),
+                F.when((F.floor(h / dim) % 2) == 0, 1.0).otherwise(-1.0),
+            ).otherwise(0.0),
+        ),
+    )
+    norm = F.sqrt(F.aggregate(counts, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(
+        counts, lambda x: F.when(norm > 0, x / norm).otherwise(F.lit(0.0))
+    )
+
+
+def hash_embed_sql(expr: str, dim: int = 16) -> str:
+    """DuckDB SQL computing the same embedding as hash_embed(expr, dim).
+
+    Used to build oracle queries; `expr` is a SQL string expression
+    (e.g. 'text' or a quoted literal).
+    """
+    toks = (
+        f"list_filter(string_split_regex(lower({expr}), '[^a-z0-9]+'), x -> x != '')"
+    )
+    ph = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c) % {_MOD})"
+    )
+    hashes = f"list_transform({toks}, tok -> {ph})"
+    counts = (
+        f"list_transform(generate_series(0, {dim - 1}), i -> "
+        f"list_sum(list_transform({hashes}, h -> "
+        f"CASE WHEN h % {dim} = i THEN CASE WHEN (h // {dim}) % 2 = 0 THEN 1.0 ELSE -1.0 END "
+        f"ELSE 0.0 END)))"
+    )
+    # COALESCE: list_sum of empty list is NULL in DuckDB
+    counts = f"list_transform({counts}, x -> COALESCE(CAST(x AS DOUBLE), 0.0))"
+    # bind `counts` once via a single-element list_transform lambda
+    # (correlated scalar subqueries don't bind inside DuckDB lambdas)
+    return (
+        f"list_transform([{counts}], __cnt -> "
+        f"list_transform([sqrt(list_sum(list_transform(__cnt, x -> x * x)))], __n -> "
+        f"CASE WHEN __n > 0 THEN list_transform(__cnt, x -> x / __n) ELSE __cnt END"
+        f")[1])[1]"
+    )
+
+
+def embed_udf(model_name: str = "intfloat/e5-small-v2", dim: int = 384):
+    """Real-model embedding UDF (pgml.embed): Arrow-batched pandas UDF
+    with a per-executor lazy model singleton (the reference caches the
+    model per backend process, transformers.py:530-573).
+
+    Raises NotImplementedError per batch when sentence-transformers is
+    absent (this container) — the Spark plumbing (batch shape, schema,
+    caching pattern) is real and tested via hash_embed.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _embed(texts: pd.Series) -> pd.Series:
+        global _EMBED_MODEL  # executor-process cache
+        try:
+            model = globals().get("_EMBED_MODEL")
+            if model is None:
+                from sentence_transformers import SentenceTransformer  # type: ignore
+
+                model = SentenceTransformer(model_name)
+                globals()["_EMBED_MODEL"] = model
+        except ImportError as e:
+            raise NotImplementedError(
+                f"pgml.embed({model_name!r}) requires sentence-transformers, "
+                "not available in this environment; use hash_embed for "
+                "deterministic pipelines"
+            ) from e
+        vecs = model.encode(texts.tolist(), batch_size=256)
+        return pd.Series([list(map(float, v)) for v in vecs])
+
+    return _embed

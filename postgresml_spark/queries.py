@@ -487,6 +487,195 @@ def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q5x — collection search operators (hash-embedder parity with DuckDB)
+# ---------------------------------------------------------------------------
+
+_Q_TEXT = "spark join filter data query"
+_EMB_DIM = 16
+
+
+def _ts_rank_sql(toks_expr: str, terms: list[str]) -> str:
+    contribs = " + ".join(
+        f"(len(list_filter({toks_expr}, x -> x = '{t}')) "
+        f"/ (len(list_filter({toks_expr}, x -> x = '{t}')) + 1.0))"
+        for t in terms
+    )
+    return f"(({contribs}) / (({contribs}) + 1.0))"
+
+
+def _hash_embed_sql_cached() -> tuple[str, str]:
+    from postgresml_spark.functions.embed import hash_embed_sql
+
+    return (
+        hash_embed_sql("text", _EMB_DIM),
+        hash_embed_sql(f"'{_Q_TEXT}'", _EMB_DIM),
+    )
+
+
+_DOC_EMB_SQL, _QRY_EMB_SQL = _hash_embed_sql_cached()
+
+
+@query(
+    "q50_hash_embeddings",
+    oracle=f"""
+    SELECT doc_id,
+           list_transform({_DOC_EMB_SQL}, x -> round(x, 6)) AS embedding
+    FROM documents
+    """,
+)
+def q50_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgml.embed analog: deterministic signed-feature-hash embedding,
+    L2-normalized, as pure Column expressions (FIXTURES.md F6 pseudo-
+    embedder; real-model path is embed_udf, same plumbing)."""
+    from postgresml_spark.functions.embed import hash_embed
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.transform(hash_embed("text", _EMB_DIM), lambda x: F.round(x, 6)).alias(
+            "embedding"
+        ),
+    )
+
+
+@query(
+    "q51_semantic_search",
+    oracle=f"""
+    WITH q AS (SELECT {_QRY_EMB_SQL} AS qv),
+    scored AS (
+      SELECT doc_id,
+             list_sum(list_transform(generate_series(1, {_EMB_DIM}),
+               i -> ({_DOC_EMB_SQL})[i] * q.qv[i])) AS score
+      FROM documents, q
+    )
+    SELECT doc_id, round(COALESCE(score, 0.0), 6) AS score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q51_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collection.vector_search core: cosine top-k of query embedding vs
+    corpus embeddings (vector_search_query_builder.rs:163-233). Both
+    sides L2-normalized → cosine ≡ dot product."""
+    from postgresml_spark.functions.embed import hash_embed
+
+    d = _t(spark, sf_dir, "documents")
+    qv = (
+        spark.createDataFrame([(_Q_TEXT,)], "t string")
+        .select(hash_embed("t", _EMB_DIM).alias("e"))
+        .head()["e"]
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in qv])
+    scored = d.select(
+        "doc_id",
+        F.coalesce(
+            F.aggregate(
+                F.zip_with(hash_embed("text", _EMB_DIM), qarr, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0.0),
+        ).alias("score"),
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+_FT_TERMS = ["spark", "join", "filter"]
+
+
+@query(
+    "q52_fulltext_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS tk FROM documents
+    )
+    SELECT doc_id, round({_ts_rank_sql('tk', _FT_TERMS)}, 6) AS ts_score
+    FROM toks
+    WHERE {_ts_rank_sql('tk', _FT_TERMS)} > 0
+    ORDER BY ts_score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q52_fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text top-k: ts_rank-style scorer with the SDK's
+    normalization-32 (search_query_builder.rs:320-360)."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("doc_id", TX.ts_rank("text", _FT_TERMS).alias("ts"))
+    return (
+        scored.filter(F.col("ts") > 0)
+        .select("doc_id", F.round("ts", 6).alias("ts_score"))
+        .orderBy(F.col("ts_score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@query(
+    "q53_hybrid_search",
+    oracle=f"""
+    WITH q AS (SELECT {_QRY_EMB_SQL} AS qv),
+    sem AS (
+      SELECT doc_id,
+             COALESCE(list_sum(list_transform(generate_series(1, {_EMB_DIM}),
+               i -> ({_DOC_EMB_SQL})[i] * q.qv[i])), 0.0) * 1.5 AS s
+      FROM documents, q
+    ),
+    ft AS (
+      SELECT doc_id, {_ts_rank_sql(_SQL_TOKENS.format(t='text'), _FT_TERMS)} AS s
+      FROM documents
+      WHERE {_ts_rank_sql(_SQL_TOKENS.format(t='text'), _FT_TERMS)} > 0
+    )
+    SELECT COALESCE(sem.doc_id, ft.doc_id) AS doc_id,
+           round(COALESCE(sem.s, 0.0) + COALESCE(ft.s, 0.0), 6) AS total_score
+    FROM sem FULL OUTER JOIN ft ON sem.doc_id = ft.doc_id
+    ORDER BY total_score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q53_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search score combination (search_query_builder.rs:437-470):
+    FULL OUTER join of per-signal scores, total = Σ COALESCE(score, 0),
+    semantic boost 1.5."""
+    from postgresml_spark.functions.embed import hash_embed
+
+    d = _t(spark, sf_dir, "documents")
+    qv = (
+        spark.createDataFrame([(_Q_TEXT,)], "t string")
+        .select(hash_embed("t", _EMB_DIM).alias("e"))
+        .head()["e"]
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in qv])
+    sem = d.select(
+        "doc_id",
+        (
+            F.coalesce(
+                F.aggregate(
+                    F.zip_with(hash_embed("text", _EMB_DIM), qarr, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                F.lit(0.0),
+            )
+            * 1.5
+        ).alias("s_sem"),
+    )
+    ft = d.select("doc_id", TX.ts_rank("text", _FT_TERMS).alias("s_ft")).filter(
+        F.col("s_ft") > 0
+    )
+    joined = sem.join(ft, "doc_id", "full_outer")
+    total = F.coalesce(F.col("s_sem"), F.lit(0.0)) + F.coalesce(F.col("s_ft"), F.lit(0.0))
+    return (
+        joined.select("doc_id", F.round(total, 6).alias("total_score"))
+        .orderBy(F.col("total_score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # q4x — ML-lifecycle operators with closed-form SQL oracles
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,218 @@
+"""Collection/Pipeline/search tests (reference: SDK suite lib.rs:320-2868)."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from postgresml_spark.collections import Collection, Pipeline
+from postgresml_spark.collections.search import add_search_event
+
+
+@pytest.fixture()
+def warehouse():
+    d = tempfile.mkdtemp(prefix="pgml_coll_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+DOCS = [
+    {"id": 1, "title": "spark engine", "body": "spark is a distributed analytics engine for big data processing", "meta": {"tag": "infra", "level": 1}},
+    {"id": 2, "title": "postgres ml", "body": "machine learning inside the database with sql functions", "meta": {"tag": "ml", "level": 2}},
+    {"id": 3, "title": "vector search", "body": "cosine similarity search over dense vector embeddings", "meta": {"tag": "ml", "level": 3}},
+    {"id": 4, "title": "cooking pasta", "body": "boil water add salt cook the pasta until al dente", "meta": {"tag": "food", "level": 1}},
+]
+
+
+@pytest.fixture()
+def coll(spark, warehouse):
+    c = Collection("testc", spark, warehouse=warehouse)
+    c.upsert_documents(DOCS)
+    return c
+
+
+@pytest.fixture()
+def pipe(coll):
+    p = Pipeline(
+        "p1",
+        {
+            "body": {
+                "semantic_search": {"model": "hash:64"},
+                "full_text_search": {"configuration": "english"},
+            }
+        },
+    )
+    coll.add_pipeline(p)
+    return p
+
+
+def test_upsert_and_get(coll):
+    docs = coll.get_documents()
+    assert len(docs) == 4
+    assert docs[0]["document"]["title"] == "spark engine"
+
+
+def test_upsert_update_and_merge(coll):
+    coll.upsert_documents([{"id": 1, "title": "spark engine v2"}], merge=True)
+    docs = coll.get_documents(filter={"id": 1})
+    assert docs[0]["document"]["title"] == "spark engine v2"
+    assert "body" in docs[0]["document"]  # merged, not replaced
+    coll.upsert_documents([{"id": 2, "title": "replaced"}], merge=False)
+    docs = coll.get_documents(filter={"id": 2})
+    assert "body" not in docs[0]["document"]  # replaced
+    assert len(coll.get_documents()) == 4  # no dup rows
+
+
+def test_get_documents_filter_order_keyset(coll):
+    out = coll.get_documents(filter={"meta": {"tag": "ml"}})
+    assert {d["document"]["id"] for d in out} == {2, 3}
+    out = coll.get_documents(order_by={"meta": {"level": "desc"}}, limit=2)
+    assert [d["document"]["id"] for d in out] == [3, 2]
+    first = coll.get_documents(limit=2)
+    rest = coll.get_documents(last_row_id=first[-1]["row_id"])
+    assert len(first) + len(rest) == 4
+    keys = coll.get_documents(keys=["title"], limit=1)
+    assert set(keys[0]["document"].keys()) == {"title"}
+
+
+def test_delete_documents(coll):
+    n = coll.delete_documents({"meta": {"tag": "food"}})
+    assert n == 1
+    assert len(coll.get_documents()) == 3
+
+
+def test_pipeline_sync_counts(coll, pipe):
+    st = pipe.status()
+    assert st["documents"] == 4
+    assert st["body_chunks"] == 4  # whole-field (no splitter)
+    assert st["body_embeddings"] == 4
+    assert st["body_tsvectors"] == 4
+
+
+def test_pipeline_incremental_sync(coll, pipe):
+    # detach so upsert doesn't auto-sync; we want to observe the delta
+    coll._pipelines.pop("p1")
+    coll.upsert_documents(
+        [{"id": 1, "title": "spark engine", "body": "completely new body text", "meta": {"tag": "infra", "level": 1}}]
+    )
+    counts = pipe.sync()
+    assert counts["body_chunks"] == 1  # only the changed doc re-chunked/embedded
+    st = pipe.status()
+    assert st["body_chunks"] == 4 and st["body_embeddings"] == 4
+    # idempotent: nothing changed => nothing recomputed
+    assert pipe.sync()["body_chunks"] == 0
+
+
+def test_pipeline_splitter_chunks(coll):
+    p = Pipeline(
+        "p2",
+        {"body": {"splitter": {"model": "recursive_character",
+                               "parameters": {"chunk_size": 20, "chunk_overlap": 0}},
+                  "semantic_search": {"model": "hash:16"}}},
+    )
+    coll.add_pipeline(p)
+    st = p.status()
+    assert st["body_chunks"] > 4  # multiple chunks per doc
+    chunks = p.table("body_chunks").collect()
+    assert all(len(r["chunk"]) <= 20 for r in chunks)
+
+
+def test_vector_search_relevance(coll, pipe):
+    res = coll.vector_search(
+        {"query": {"fields": {"body": {"query": "distributed spark analytics engine"}}},
+         "limit": 2},
+        pipe,
+    )
+    assert res[0]["document"]["id"] == 1
+    assert res[0]["score"] > res[1]["score"]
+
+
+def test_vector_search_with_filter(coll, pipe):
+    res = coll.vector_search(
+        {"query": {"fields": {"body": {"query": "vector embeddings similarity"}},
+                   "filter": {"meta": {"tag": "ml"}}},
+         "limit": 4},
+        pipe,
+    )
+    ids = {r["document"]["id"] for r in res}
+    assert ids <= {2, 3}
+    assert res[0]["document"]["id"] == 3
+
+
+def test_vector_search_rerank(coll, pipe):
+    res = coll.vector_search(
+        {"query": {"fields": {"body": {"query": "pasta al dente"}}}, "limit": 4},
+        pipe, rerank=True,
+    )
+    assert res[0]["document"]["id"] == 4
+    assert "rerank_score" in res[0]
+
+
+def test_hybrid_search_and_telemetry(coll, pipe):
+    res = coll.search(
+        {"query": {
+            "semantic_search": {"body": {"query": "machine learning database", "boost": 1.0}},
+            "full_text_search": {"body": {"query": "sql machine learning", "boost": 1.0}},
+        }, "limit": 3},
+        pipe,
+    )
+    assert res[0]["document"]["id"] == 2  # both signals agree
+    assert res[0]["score"] >= res[-1]["score"]
+    assert "search_id" in res[0]
+    # telemetry written
+    searches = coll.spark.read.parquet(f"{coll.root}/searches/v_1")
+    assert searches.count() == 1
+    add_search_event(coll, res[0]["search_id"], 1, {"type": "click"})
+
+
+def test_hybrid_search_coalesce_sum(coll, pipe):
+    # doc 4 matches full-text 'pasta' but semantic query about something else:
+    # its total must still include the ft score (COALESCE, not inner join)
+    res = coll.search(
+        {"query": {
+            "semantic_search": {"body": {"query": "database internals"}},
+            "full_text_search": {"body": {"query": "pasta"}},
+        }, "limit": 4},
+        pipe,
+    )
+    by_id = {r["document"]["id"]: r for r in res}
+    assert 4 in by_id
+    assert by_id[4]["score_ft_body"] > 0
+
+
+def test_rag_prompt_assembly(coll, pipe):
+    out = coll.rag(
+        {
+            "CONTEXT": {
+                "vector_search": {
+                    "query": {"fields": {"body": {"query": "spark distributed engine"}}},
+                    "limit": 2,
+                },
+                "aggregate": {"join": "\n---\n"},
+            },
+            "completion": {"prompt": "Answer from context:\n{CONTEXT}\nQ: what is spark?"},
+        },
+        pipe,
+    )
+    assert "spark is a distributed analytics engine" in out["prompt"]
+    assert "{CONTEXT}" not in out["prompt"]
+    assert len(out["sources"]["CONTEXT"]) == 2
+    # pluggable completion
+    out2 = coll.rag(
+        {
+            "CONTEXT": {
+                "vector_search": {"query": {"fields": {"body": {"query": "spark"}}}, "limit": 1},
+            },
+            "completion": {"prompt": "{CONTEXT}"},
+            "completion_fn": lambda p: f"LLM({len(p)} chars)",
+        },
+        pipe,
+    )
+    assert out2["rag"].startswith("LLM(")
+
+
+def test_archive(coll):
+    dst = coll.archive()
+    import os
+    assert os.path.exists(dst)
+    assert not os.path.exists(coll.root)

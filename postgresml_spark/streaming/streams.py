@@ -1,0 +1,127 @@
+"""Streaming operators.
+
+- windowed_event_aggregation: watermark + tumbling window counts over
+  an event stream (the batch twin is queries.q30_hourly_event_rollup;
+  same groupBy expression, swap readStream for read).
+- stream_documents_into_collection: foreachBatch micro-batch upsert →
+  incremental pipeline sync — the reference's continuous
+  `sync_documents` (pipeline.rs:591-775) expressed as Structured
+  Streaming; exactly-once per batch via the collection's versioned
+  table swap.
+- transform_stream: pgml.transform_stream analog (api.rs:753-824):
+  a driver-side generator yielding token JSON rows; with no LLM in the
+  image the generator streams a deterministic completion (the
+  reference's SETOF JSONB shape), and accepts any token iterator from
+  a real model.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def windowed_event_aggregation(
+    stream_df: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window rollup with late-data watermark. Works on any
+    streaming (or batch) DataFrame with (ts, event_type, user_id, value).
+
+    Scale: streaming state is bounded by the watermark horizon; the
+    aggregation is the same partial-agg plan as the batch rollup.
+    approx_count_distinct replaces exact distinct (unbounded state in
+    append mode).
+    """
+    src = stream_df
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return src.groupBy(F.window("ts", window).alias("win"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.approx_count_distinct("user_id").alias("n_users_approx"),
+        F.sum("value").alias("total_value"),
+    )
+
+
+def run_stream_to_memory(agg_df: DataFrame, name: str = "stream_out") -> None:
+    """Drive a streaming aggregation to completion against currently
+    available input (test/demo harness)."""
+    q = (
+        agg_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def stream_documents_into_collection(
+    spark: SparkSession,
+    source_dir: str,
+    collection,
+    doc_schema: str = "id long, body string",
+    checkpoint: str | None = None,
+):
+    """Continuous ingest: JSON files appearing in source_dir are
+    upserted into the collection per micro-batch; attached pipelines
+    re-sync incrementally (only changed chunks re-embed).
+
+    Returns the StreamingQuery (caller stops it / processAllAvailable).
+    """
+    import tempfile
+
+    stream = spark.readStream.schema(doc_schema).json(source_dir)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        docs = [json.loads(r) for r in batch_df.toJSON().collect()]
+        if docs:
+            collection.upsert_documents(docs)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix="pgml_ckpt_"),
+        )
+        .start()
+    )
+
+
+def transform_stream(
+    inputs: str,
+    task: str = "text-generation",
+    token_iterator: Iterator[str] | None = None,
+    max_tokens: int = 32,
+) -> Iterator[dict]:
+    """pgml.transform_stream analog: yields one JSON-shaped dict per
+    token (the reference returns SETOF JSONB via a server-side cursor,
+    rag_query_builder.rs:358-362).
+
+    token_iterator: plug a real model's streamer here. Default: a
+    deterministic echo-completion so the streaming contract is testable
+    without an LLM.
+    """
+    if token_iterator is None:
+        words = inputs.split()[:max_tokens]
+        token_iterator = iter(
+            ["<echo>"] + [w + (" " if i < len(words) - 1 else "") for i, w in enumerate(words)]
+        )
+    for i, tok in enumerate(token_iterator):
+        yield {"index": i, "token": tok, "task": task}

@@ -1,0 +1,152 @@
+"""Streaming, LLM-surface, and multimodal plumbing tests."""
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresml_spark.functions.llm import TaskWhitelist, generate_udf, rank, transform_udf
+from postgresml_spark.operators import multimodal as MM
+from postgresml_spark.session import load_table
+from postgresml_spark.streaming import (
+    stream_documents_into_collection,
+    transform_stream,
+    windowed_event_aggregation,
+)
+from postgresml_spark.streaming.streams import EVENT_SCHEMA, run_stream_to_memory
+
+
+def test_windowed_agg_batch_parity(spark, sf_dir):
+    # batch mode: same expression as q30 but with window() bucketing
+    e = load_table(spark, sf_dir, "events")
+    agg = windowed_event_aggregation(e)
+    rows = agg.collect()
+    assert rows
+    total = sum(r["n_events"] for r in rows)
+    assert total == e.count()
+
+
+def test_windowed_agg_streaming(spark, sf_dir, tmp_path):
+    # stream the events parquet as files → watermarked windowed agg
+    e = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "stream_src")
+    e.limit(500).write.parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    agg = windowed_event_aggregation(stream, window="1 hour", watermark="2 hours")
+    assert agg.isStreaming
+    run_stream_to_memory(agg, "evt_out")
+    got = spark.sql("SELECT sum(n_events) FROM evt_out").head()[0]
+    assert got == 500
+
+
+def test_stream_documents_into_collection(spark, tmp_path):
+    from postgresml_spark.collections import Collection, Pipeline
+
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src)
+    coll = Collection("streamc", spark, warehouse=str(tmp_path / "wh"))
+    pipe = Pipeline("p", {"body": {"semantic_search": {"model": "hash:16"}}})
+    coll.add_pipeline(pipe)
+    with open(os.path.join(src, "batch1.json"), "w") as f:
+        f.write(json.dumps({"id": 1, "body": "hello spark streaming"}) + "\n")
+        f.write(json.dumps({"id": 2, "body": "second document"}) + "\n")
+    q = stream_documents_into_collection(spark, src, coll)
+    q.processAllAvailable()
+    # late-arriving file
+    with open(os.path.join(src, "batch2.json"), "w") as f:
+        f.write(json.dumps({"id": 3, "body": "third arrives later"}) + "\n")
+    q.processAllAvailable()
+    q.stop()
+    assert len(coll.get_documents()) == 3
+    assert pipe.status()["body_embeddings"] == 3
+
+
+def test_transform_stream_contract():
+    toks = list(transform_stream("one two three"))
+    assert toks[0]["token"] == "<echo>"
+    assert [t["index"] for t in toks] == list(range(len(toks)))
+    joined = "".join(t["token"] for t in toks[1:])
+    assert joined == "one two three"
+
+
+def test_transform_udf_fake_shapes(spark):
+    df = spark.createDataFrame(
+        [(1, "this is a good great day"), (2, "bad poor terrible")], "id int, t string"
+    )
+    out = df.select("id", transform_udf("text-classification")(F.col("t")).alias("r")).collect()
+    r1 = json.loads(out[0]["r"])[0]
+    r2 = json.loads(out[1]["r"])[0]
+    assert r1["label"] == "POSITIVE" and r2["label"] == "NEGATIVE"
+    assert 0.5 <= r1["score"] <= 1.0
+
+
+def test_transform_whitelist():
+    with pytest.raises(ValueError, match="not whitelisted"):
+        transform_udf("arbitrary-code-execution")
+    wl = TaskWhitelist(allowed_models=["google/"])
+    with pytest.raises(ValueError, match="whitelist"):
+        transform_udf("summarization", model="evil/model", whitelist=wl)
+    transform_udf("summarization", model="google/flan", whitelist=wl)  # ok
+
+
+def test_transform_strict_raises_without_transformers():
+    with pytest.raises(NotImplementedError):
+        transform_udf("summarization", strict=True)
+
+
+def test_rank_ordering(spark):
+    df = spark.createDataFrame(
+        [(1, "spark engine for data"), (2, "cooking pasta recipes"), (3, "spark data")],
+        "cid int, chunk string",
+    )
+    out = rank(df, "spark data engine", id_col="cid").collect()
+    assert out[0]["corpus_id"] in (1, 3)
+    assert out[-1]["corpus_id"] == 2
+    assert out[0]["score"] >= out[1]["score"] >= out[2]["score"]
+
+
+def test_generate_udf_fallback(spark):
+    df = spark.createDataFrame([("complete this",)], "p string")
+    out = df.select(generate_udf()(F.col("p")).alias("g")).head()["g"]
+    assert out.endswith("<generated>")
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [
+        (1, "image", b"\x01\x02\x03", {"width": 16, "height": 8, "duration_ms": None, "format": "png"}),
+        (2, "image", b"\x04\x05", {"width": 4, "height": 4, "duration_ms": None, "format": "png"}),
+        (3, "video", b"\x0a", {"width": 64, "height": 32, "duration_ms": 5500, "format": "mp4"}),
+    ]
+    return spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+
+
+def test_multimodal_extract_features(assets):
+    out = MM.extract_features(assets, decoder=MM.fake_decoder).collect()
+    got = {r["asset_id"]: r["features"] for r in out}
+    assert len(got[1]) == 8
+    assert got[1][2] == 16 * 8  # size = h*w
+    # deterministic: same bytes → same features
+    out2 = MM.extract_features(assets, decoder=MM.fake_decoder).collect()
+    assert {r["asset_id"]: r["features"] for r in out2} == got
+
+
+def test_multimodal_strict_decoder_raises(assets):
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        MM.extract_features(assets, decoder=MM.strict_decoder).collect()
+
+
+def test_multimodal_resize(assets):
+    out = MM.resize(assets, 4, 4, decoder=MM.fake_decoder).collect()
+    for r in out:
+        assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4
+        assert len(r["data"]) == 16  # 4x4 uint8
+
+
+def test_multimodal_frame_sample(assets):
+    out = MM.frame_sample(assets, every_ms=1000).collect()
+    assert {r["asset_id"] for r in out} == {3}
+    assert [r["frame_ts_ms"] for r in out] == [0, 1000, 2000, 3000, 4000]

@@ -26,7 +26,7 @@ import os
 import time
 import uuid as uuid_mod
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from postgresml_spark.collections.storage import VersionedTable
@@ -89,10 +89,13 @@ class Collection:
             )
         keep = cur.join(incoming.select("source_uuid"), "source_uuid", "left_anti")
         max_id = 0 if cur.isEmpty() else (cur.agg(F.max("id")).head()[0] or 0)
-        w = Window.orderBy("source_uuid")
-        new = incoming.withColumn("id", F.row_number().over(w) + F.lit(max_id)).select(
-            "id", "source_uuid", "version", "document"
-        )
+        # Dense ids via a global row_number would single-partition sort the
+        # batch; sparse-but-ordered ids from monotonically_increasing_id
+        # keep the id assignment shuffle-free (ids only need uniqueness +
+        # monotonicity for keyset pagination). +1 keeps ids > max_id.
+        new = incoming.withColumn(
+            "id", F.monotonically_increasing_id() + F.lit(max_id + 1)
+        ).select("id", "source_uuid", "version", "document")
         merged = keep.select("id", "source_uuid", "version", "document").unionByName(new)
         self.documents.overwrite(merged)
         self._mark_pipelines_stale()

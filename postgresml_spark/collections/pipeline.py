@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from postgresml_spark.collections.storage import VersionedTable
-from postgresml_spark.functions.embed import embed_udf, hash_embed
+from postgresml_spark.functions.embed import embed_udf, hash_embed, hash_embed_batch
 from postgresml_spark.functions.text import chunk_udf, tokenize
 
 _CHUNK_SCHEMA = "chunk_id long, document_id long, chunk_index int, chunk string"
@@ -156,7 +156,7 @@ class Pipeline:
     def _embed(self, chunks: DataFrame, model: str) -> DataFrame:
         if model.startswith("hash:"):
             dim = int(model.split(":", 1)[1])
-            e = hash_embed(F.col("chunk"), dim)
+            e = hash_embed_batch(dim)(F.col("chunk"))  # bulk path (Arrow)
         else:
             e = embed_udf(model)(F.col("chunk"))
         return chunks.select("chunk_id", e.alias("embedding"))

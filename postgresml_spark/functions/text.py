@@ -128,18 +128,26 @@ def language_id(text: Column | str) -> Column:
 
     Argmax of per-language marker hit counts with deterministic
     alphabetical tiebreak; 'unknown' when zero hits.
+
+    Implementation: array_max over (score, rank) structs — each count
+    expression appears exactly once (a chained when-comparison would
+    duplicate every count O(2^langs) times pre-codegen).
     """
     toks = tokenize(text)
-    scores = {lang: _count_in_list(toks, words) for lang, words in LANG_MARKERS.items()}
-    best = F.lit("unknown")
-    best_score = F.lit(0)
-    # Iterate langs in reverse-alphabetical order so that on ties the
-    # alphabetically-first language wins (strict > comparison).
-    for lang in sorted(scores, reverse=True):
-        cond = scores[lang] > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, scores[lang]).otherwise(best_score)
-    return best
+    langs = sorted(LANG_MARKERS)  # alphabetical; earlier lang = higher rank
+    n = len(langs)
+    entries = [
+        F.struct(
+            _count_in_list(toks, LANG_MARKERS[lang]).alias("score"),
+            F.lit(n - i).alias("rank"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    best = F.array_max(F.array(*entries))
+    lang_by_rank = F.array(*[F.lit(lang) for lang in reversed(langs)])  # rank 1..n
+    return F.when(
+        best["score"] > 0, F.element_at(lang_by_rank, best["rank"])
+    ).otherwise(F.lit("unknown"))
 
 
 def fingerprint(text: Column | str) -> Column:

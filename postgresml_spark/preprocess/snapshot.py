@@ -425,10 +425,13 @@ def _fit_categories(train_df: DataFrame, col: str) -> dict[str, int]:
     category via min(row_number) — one window + one groupBy, result is
     tiny (|categories|).
     """
-    w = Window.orderBy(F.monotonically_increasing_id())
+    # monotonically_increasing_id encodes (partition_index, row-in-
+    # partition): min() of it per category IS global first-appearance
+    # order for a deterministic input layout, with NO global sort (a
+    # row_number() window here would single-partition the whole table).
     firsts = (
         train_df.select(F.col(col).alias("v"))
-        .withColumn("__pos", F.row_number().over(w))
+        .withColumn("__pos", F.monotonically_increasing_id())
         .filter(F.col("v").isNotNull())
         .groupBy("v")
         .agg(F.min("__pos").alias("first_pos"))

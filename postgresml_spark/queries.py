@@ -527,14 +527,14 @@ def q50_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pgml.embed analog: deterministic signed-feature-hash embedding,
     L2-normalized, as pure Column expressions (FIXTURES.md F6 pseudo-
     embedder; real-model path is embed_udf, same plumbing)."""
-    from postgresml_spark.functions.embed import hash_embed
+    from postgresml_spark.functions.embed import hash_embed_batch
 
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.transform(hash_embed("text", _EMB_DIM), lambda x: F.round(x, 6)).alias(
-            "embedding"
-        ),
+        F.transform(
+            hash_embed_batch(_EMB_DIM)(F.col("text")), lambda x: F.round(x, 6)
+        ).alias("embedding"),
     )
 
 
@@ -558,7 +558,7 @@ def q51_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collection.vector_search core: cosine top-k of query embedding vs
     corpus embeddings (vector_search_query_builder.rs:163-233). Both
     sides L2-normalized → cosine ≡ dot product."""
-    from postgresml_spark.functions.embed import hash_embed
+    from postgresml_spark.functions.embed import hash_embed, hash_embed_batch
 
     d = _t(spark, sf_dir, "documents")
     qv = (
@@ -571,7 +571,9 @@ def q51_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce(
             F.aggregate(
-                F.zip_with(hash_embed("text", _EMB_DIM), qarr, lambda a, b: a * b),
+                F.zip_with(
+                    hash_embed_batch(_EMB_DIM)(F.col("text")), qarr, lambda a, b: a * b
+                ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             ),
@@ -640,7 +642,7 @@ def q53_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search score combination (search_query_builder.rs:437-470):
     FULL OUTER join of per-signal scores, total = Σ COALESCE(score, 0),
     semantic boost 1.5."""
-    from postgresml_spark.functions.embed import hash_embed
+    from postgresml_spark.functions.embed import hash_embed, hash_embed_batch
 
     d = _t(spark, sf_dir, "documents")
     qv = (
@@ -654,7 +656,10 @@ def q53_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.coalesce(
                 F.aggregate(
-                    F.zip_with(hash_embed("text", _EMB_DIM), qarr, lambda a, b: a * b),
+                    F.zip_with(
+                        hash_embed_batch(_EMB_DIM)(F.col("text")), qarr,
+                        lambda a, b: a * b,
+                    ),
                     F.lit(0.0),
                     lambda acc, x: acc + x,
                 ),

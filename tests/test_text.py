@@ -115,3 +115,17 @@ def test_chunk_fixed(spark):
     df = spark.createDataFrame([(1, "abcdefghij")], "id int, t string")
     row = df.select(TX.chunk_fixed("t", 4).alias("c")).head()
     assert row["c"] == ["abcd", "efgh", "ij"]
+
+
+def test_hash_embed_batch_parity(spark, sf_dir):
+    """Bulk pandas-UDF embedder must be bit-equal to the Column-expression
+    reference implementation (and therefore to the DuckDB oracle SQL)."""
+    from pyspark.sql import functions as F
+
+    from postgresml_spark.functions.embed import hash_embed, hash_embed_batch
+    from postgresml_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    expr = {r["doc_id"]: r["e"] for r in d.select("doc_id", hash_embed("text", 16).alias("e")).collect()}
+    udf = {r["doc_id"]: r["e"] for r in d.select("doc_id", hash_embed_batch(16)(F.col("text")).alias("e")).collect()}
+    assert expr == udf

@@ -6,13 +6,18 @@ these are the standard LLM-data-pipeline operators, designed for
 band-bucketing (inverted-index style) — never a cross join — so cost is
 O(candidate pairs), not O(n²).
 
-All hashing is Spark's xxhash64 with fixed literal seeds → fully
-deterministic across runs and cluster sizes, and everything up to the
-band-bucket join is pure Column expressions (JVM codegen).
+All hashing is seeded and deterministic across runs and cluster sizes:
+xxhash64 with literal seeds in the Column-expression forms, crc32-based
+linear permutations in the vectorized `*_batch` bulk paths (Arrow
+pandas UDFs — signatures are per-row Python-side work that the
+interpreted higher-order-function expressions evaluate ~1000× slower).
+The banding/bucket-join stages are pure Column expressions either way.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -23,7 +28,10 @@ __all__ = [
     "exact_dedup",
     "word_shingles",
     "minhash_signature",
+    "minhash_signature_batch",
     "minhash_candidate_pairs",
+    "simhash_batch",
+    "hamming_distance",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_candidate_pairs",
@@ -87,6 +95,51 @@ def minhash_signature(text: Column | str, num_perm: int = 64, shingle_n: int = 3
     )
 
 
+def minhash_signature_batch(num_perm: int = 64, shingle_n: int = 3):
+    """Vectorized minhash signature as an Arrow pandas UDF (the bulk
+    path — the Column-expression form evaluates O(num_perm × shingles)
+    interpreted lambdas, ~200 ms/doc; this is ~100 µs/doc).
+
+    Standard construction: one base hash per shingle (crc32, C-speed),
+    then num_perm seeded linear permutations h_i = (a_i·h + b_i) mod
+    (2^31-1), min per permutation — all one numpy broadcast.
+    """
+    import re
+    from zlib import crc32
+
+    from pyspark.sql import types as T
+
+    p = 2147483647
+    rng = np.random.default_rng(42)
+    A = rng.integers(1, p, num_perm).astype(np.int64)
+    B = rng.integers(0, p, num_perm).astype(np.int64)
+    tok_re = re.compile(r"[^a-z0-9]+")
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = [x for x in tok_re.split((t or "").lower()) if x]
+            if len(toks) >= shingle_n:
+                sh = {
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                }
+            else:
+                sh = {" ".join(toks)}
+            base = np.fromiter(
+                (crc32(s.encode()) % p for s in sh), dtype=np.int64, count=len(sh)
+            )
+            if base.size == 0:
+                out.append([0] * num_perm)
+                continue
+            sig = ((A[:, None] * base[None, :] + B[:, None]) % p).min(axis=1)
+            out.append([int(x) for x in sig])
+        return pd.Series(out)
+
+    return _sig
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -94,18 +147,22 @@ def minhash_candidate_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    impl: str = "batch",
 ) -> DataFrame:
     """LSH candidate pairs (id_a < id_b, band-deduplicated).
 
     rows-per-band r = num_perm/bands; P(candidate) ≈ 1-(1-j^r)^bands.
     Scale: shuffle keys are (band_id, bucket_hash) — high cardinality,
     no skew beyond true duplicate clusters; AQE skew-join covers those.
+    impl='batch' (default) uses the vectorized signature UDF;
+    impl='expr' the pure-expression form (parity/small inputs).
     """
     r = num_perm // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_perm, shingle_n).alias("sig"),
-    )
+    if impl == "batch":
+        sig_col = minhash_signature_batch(num_perm, shingle_n)(F.col(text_col))
+    else:
+        sig_col = minhash_signature(F.col(text_col), num_perm, shingle_n)
+    sig = df.select(F.col(id_col).alias("id"), sig_col.alias("sig"))
     banded = sig.select(
         "id",
         F.posexplode(
@@ -210,6 +267,44 @@ def simhash(text: Column | str, bits: int = 64) -> Column:
     )
 
 
+def simhash_batch(bits: int = 64):
+    """Vectorized SimHash as an Arrow pandas UDF (bulk path; same
+    output contract as `simhash` — a fixed-width bit string — but using
+    a crc32-derived 64-bit token hash, numpy sign-sum per doc)."""
+    import re
+    from zlib import crc32
+
+    from pyspark.sql import types as T
+
+    tok_re = re.compile(r"[^a-z0-9]+")
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    @F.pandas_udf(T.StringType())
+    def _sh(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+        out = []
+        for t in texts:
+            toks = [x for x in tok_re.split((t or "").lower()) if x]
+            if not toks:
+                out.append("0" * bits)
+                continue
+            hs = np.empty(len(toks), dtype=np.uint64)
+            for i, tok in enumerate(toks):
+                h = memo.get(tok)
+                if h is None:
+                    lo = crc32(tok.encode())
+                    hi = crc32((tok + "#").encode())
+                    h = memo[tok] = (hi << 32) | lo
+                hs[i] = h
+            bit_matrix = ((hs[:, None] >> shifts[None, :]) & 1).astype(np.int64)
+            v = (bit_matrix * 2 - 1).sum(axis=0)
+            # MSB first to match simhash()'s bin() layout
+            out.append("".join("1" if x > 0 else "0" for x in v[::-1]))
+        return pd.Series(out)
+
+    return _sh
+
+
 def hamming_distance(a: Column | str, b: Column | str) -> Column:
     """Hamming distance between equal-length bit strings."""
     za = F.slice(F.split(_c(a), ""), 1, 64)
@@ -222,20 +317,34 @@ def simhash_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    impl: str = "batch",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming.
 
     Pigeonhole banding: split 64 bits into (max_hamming+1) chunks; any
     pair within the ball shares ≥1 exact chunk → equi-join per chunk,
-    then exact hamming filter via bit_count(xor). Same inverted-index
-    scaling argument as minhash banding.
+    then exact hamming filter. Same inverted-index scaling argument as
+    minhash banding.
     """
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
-    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
-    chunked = sh.select(
+    sh_col = (
+        simhash_batch()(F.col(text_col)) if impl == "batch" else simhash(F.col(text_col))
+    )
+    # Parse the bit string into two 32-bit ints ONCE per row so the
+    # per-pair hamming is two XOR+bit_count integer ops (a per-pair
+    # 64-element array zip is interpreted and dominates at high
+    # candidate counts).
+    sh = df.select(F.col(id_col).alias("id"), sh_col.alias("sh")).select(
         "id",
         "sh",
+        F.conv(F.substring("sh", 1, 32), 2, 10).cast("long").alias("h_hi"),
+        F.conv(F.substring("sh", 33, 32), 2, 10).cast("long").alias("h_lo"),
+    )
+    chunked = sh.select(
+        "id",
+        "h_hi",
+        "h_lo",
         F.posexplode(
             F.array(
                 *[
@@ -246,6 +355,9 @@ def simhash_candidate_pairs(
         ).alias("chunk_id", "chunk_val"),
     )
     a, b = chunked.alias("a"), chunked.alias("b")
+    hamming = F.bit_count(
+        F.col("a.h_hi").bitwiseXOR(F.col("b.h_hi"))
+    ) + F.bit_count(F.col("a.h_lo").bitwiseXOR(F.col("b.h_lo")))
     return (
         a.join(
             b,
@@ -253,13 +365,13 @@ def simhash_candidate_pairs(
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .filter(hamming <= max_hamming)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            hamming_distance(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+            hamming.alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 

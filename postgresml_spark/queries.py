@@ -486,6 +486,235 @@ def q23_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@query(
+    "q07_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q07_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS) — §2.G set-op surface."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q08_raw_sql",
+    oracle="""
+    SELECT p.p_brand, count(*) AS n_parts, round(avg(p.p_retailprice), 4) AS avg_price
+    FROM part p
+    WHERE p.p_size >= 10
+    GROUP BY p.p_brand
+    """,
+)
+def q08_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL escape hatch (Builtins::query, builtins.rs:50-53):
+    register views, run spark.sql — one Catalyst plan either way."""
+    from postgresml_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p.p_brand, count(*) AS n_parts,
+               round(avg(p.p_retailprice), 4) AS avg_price
+        FROM part p
+        WHERE p.p_size >= 10
+        GROUP BY p.p_brand
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# more q1x/q2x — similarity + dedup coverage
+# ---------------------------------------------------------------------------
+
+@query(
+    "q14_embedding_near_dup",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < 300
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_sum(list_transform(generate_series(1, len(a.v)),
+                      i -> a.v[i] * b.v[i]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cosine
+    FROM base a JOIN base b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+          / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+             * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.35
+    """,
+)
+def q14_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact verify stage of the
+    near-dup pipeline; LSH/IVF pre-bucketing is the scale path)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    out = DD.embedding_near_dup_pairs(e, "embedding", "vec_id", threshold=0.35)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@query("q15_knn_ivf")  # rows-only: KMeans centroids aren't SQL-expressible
+def q15_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned ANN (pgvector-ivfflat analog): KMeans centroids →
+    partition assignment → probe nprobe nearest lists. Driver records a
+    rows-only check; recall-vs-exact is asserted in tests."""
+    from postgresml_spark.operators.similarity import (
+        fit_ivf_centroids,
+        ivf_assign,
+        knn_ivf,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cents = fit_ivf_centroids(e, nlist=8)
+    assigned = ivf_assign(e, cents)
+    return knn_ivf(assigned, cents, qv, k=10, nprobe=4).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+
+
+@query("q24_minhash_candidates")  # rows-only: xxhash64 differs across engines
+def q24_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (shingle → signature → bands →
+    bucket equi-join). Deterministic (seeded xxhash64) but not
+    SQL-portable; exact-Jaccard verification is q23 (oracle-checked)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.minhash_candidate_pairs(
+        d, "text", "doc_id", num_perm=64, bands=16
+    ).orderBy("id_a", "id_b")
+
+
+@query("q25_simhash_pairs")  # rows-only: xxhash64 bit patterns not SQL-portable
+def q25_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-ball near-dups via chunk pigeonhole banding."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash_candidate_pairs(d, "text", "doc_id", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "q26_chunk_fixed",
+    oracle="""
+    SELECT doc_id, i AS chunk_index,
+           substr(text, (i * 256) + 1, 256) AS chunk
+    FROM documents, unnest(generate_series(0, CAST(ceil(length(text) / 256.0) AS INT) - 1)) AS t(i)
+    WHERE length(text) > 0
+    """,
+)
+def q26_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgml.chunk TABLE(chunk_index, chunk) shape (api.rs:650-668) with
+    the fixed-width splitter (SQL-expressible twin of
+    recursive_character, which is covered by golden tests)."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return d.select(
+        "doc_id",
+        F.posexplode(TX.chunk_fixed("text", 256)).alias("chunk_index", "chunk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q3x extras — rollup / pivot / as-of join
+# ---------------------------------------------------------------------------
+
+@query(
+    "q33_rollup",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events
+    GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS DATE))
+    """,
+)
+def q33_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (free from Catalyst; §2.D notes the
+    reference delegates these to Postgres)."""
+    e = _t(spark, sf_dir, "events")
+    return e.rollup(
+        F.col("event_type"), F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+
+
+@query(
+    "q34_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'error')    AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q34_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on event_type (count matrix per user)."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "error"])
+        .count()
+    )
+    return out.select(
+        "user_id",
+        F.coalesce("click", F.lit(0)).alias("click"),
+        F.coalesce("purchase", F.lit(0)).alias("purchase"),
+        F.coalesce("error", F.lit(0)).alias("error"),
+    )
+
+
+@query(
+    "q35_asof_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, e.event_id AS last_event_id
+    FROM orders o
+    ASOF LEFT JOIN events e
+      ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+    WHERE o.o_custkey < 20
+    """,
+)
+def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one — SURVEY/guide pattern):
+    union the two streams, per-key window carries the last event id
+    forward, keep the right-side rows. One shuffle on (key), no range
+    explosion — scales as a sort within key partitions."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    e = _t(spark, sf_dir, "events")
+    left = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_order"),
+        F.col("o_orderkey"),
+        F.col("o_orderdate"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    right = e.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_order"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        F.col("event_id"),
+    )
+    merged = left.unionByName(right)
+    # events sort before orders at equal t (is_order asc) → `<=` semantics
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t"), F.col("is_order"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.withColumn("last_event_id", F.last("event_id", True).over(w))
+    return carried.filter(F.col("is_order") == 1).select(
+        "o_orderkey", "o_orderdate", "last_event_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # q5x — collection search operators (hash-embedder parity with DuckDB)
 # ---------------------------------------------------------------------------

@@ -191,5 +191,68 @@ class Collection:
 
         return rag(self, pipeline, query, **kw)
 
+    def query_builder(self) -> "QueryBuilder":
+        """Legacy fluent API (pgml-sdks/pgml/src/query_builder.rs):
+        .vector_recall(query, pipeline).filter(...).limit(k).fetch_all()."""
+        return QueryBuilder(self)
+
+    def generate_er_diagram(self) -> str:
+        """Mermaid ER diagram of the collection's derived schema
+        (collection.rs:1526-1660)."""
+        lines = ["erDiagram", "    documents {", "        bigint id",
+                 "        string source_uuid", "        string version",
+                 "        string document", "    }"]
+        for pname, p in self._pipelines.items():
+            for tname in p._tables:
+                safe = f"{pname}_{tname}"
+                lines.append(f"    {safe} {{")
+                if tname.endswith("_chunks"):
+                    lines += ["        bigint chunk_id", "        bigint document_id",
+                              "        int chunk_index", "        string chunk", "    }"]
+                    lines.append(f"    documents ||--o{{ {safe} : chunks")
+                elif tname.endswith("_embeddings"):
+                    lines += ["        bigint chunk_id",
+                              "        array_double embedding", "    }"]
+                    chunks_tbl = f"{pname}_{tname.replace('_embeddings', '_chunks')}"
+                    lines.append(f"    {chunks_tbl} ||--|| {safe} : embeds")
+                elif tname.endswith("_tsvectors"):
+                    lines += ["        bigint chunk_id",
+                              "        array_string tokens", "    }"]
+        return "\n".join(lines)
+
+
+class QueryBuilder:
+    """Fluent vector-recall query (query_builder.rs, 113 LoC)."""
+
+    def __init__(self, collection: "Collection"):
+        self._c = collection
+        self._query: str | None = None
+        self._pipeline = None
+        self._filter: dict | None = None
+        self._limit = 10
+
+    def vector_recall(self, query: str, pipeline) -> "QueryBuilder":
+        self._query = query
+        self._pipeline = pipeline
+        return self
+
+    def filter(self, f: dict) -> "QueryBuilder":
+        self._filter = f
+        return self
+
+    def limit(self, n: int) -> "QueryBuilder":
+        self._limit = n
+        return self
+
+    def fetch_all(self) -> list[tuple]:
+        """[(score, chunk, document)] like the SDK's legacy return shape."""
+        field = next(iter(self._pipeline.schema))
+        spec = {"query": {"fields": {field: {"query": self._query}}},
+                "limit": self._limit}
+        if self._filter:
+            spec["query"]["filter"] = self._filter
+        res = self._c.vector_search(spec, self._pipeline)
+        return [(r["score"], r["chunk"], r["document"]) for r in res]
+
 
 from postgresml_spark.collections.pipeline import Pipeline  # noqa: E402  (cycle)

@@ -25,7 +25,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["TaskWhitelist", "transform_udf", "rank", "generate_udf"]
+__all__ = [
+    "TaskWhitelist",
+    "transform_udf",
+    "rank",
+    "generate_udf",
+    "clear_gpu_cache",
+    "chat_completions_create",
+]
 
 _ALLOWED_TASKS = {
     # api.rs:670-751 / transformers.py:441-500 task whitelist
@@ -143,6 +150,55 @@ def rank(
         score.alias("score"),
         F.col(docs_col).alias("text"),
     ).orderBy(F.col("score").desc(), F.col("corpus_id"))
+
+
+def clear_gpu_cache(fraction: float | None = None) -> bool:
+    """pgml.clear_gpu_cache (api.rs:627-648): free CUDA memory on the
+    executors. No GPU/torch in this image → no-op returning False; with
+    torch present, empties the cache (optionally to a fraction)."""
+    try:
+        import torch  # type: ignore
+
+        if torch.cuda.is_available():
+            torch.cuda.empty_cache()
+            if fraction is not None:
+                torch.cuda.set_per_process_memory_fraction(fraction)
+            return True
+    except ImportError:
+        pass
+    return False
+
+
+def chat_completions_create(
+    messages: list[dict],
+    model: str = "meta-llama/Meta-Llama-3-8B-Instruct",
+    temperature: float = 0.0,
+    max_tokens: int = 256,
+    completion_fn=None,
+) -> dict:
+    """OpenAI-compatible chat shim (open_source_ai.rs:140-420): wraps
+    the conversational transform. Deterministic stand-in when no model
+    runtime exists; `completion_fn(prompt) -> str` plugs a real LLM.
+    """
+    prompt = "\n".join(f"{m.get('role', 'user')}: {m.get('content', '')}" for m in messages)
+    if completion_fn is not None:
+        text = completion_fn(prompt)
+    else:
+        last_user = next(
+            (m["content"] for m in reversed(messages) if m.get("role") == "user"), ""
+        )
+        text = f"[stub completion for: {last_user[:64]}]"
+    return {
+        "object": "chat.completion",
+        "model": model,
+        "choices": [
+            {
+                "index": 0,
+                "message": {"role": "assistant", "content": text},
+                "finish_reason": "stop",
+            }
+        ],
+    }
 
 
 def generate_udf(project_model: str | None = None, strict: bool = False):

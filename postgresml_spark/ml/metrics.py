@@ -76,3 +76,41 @@ def clustering_metrics(pred_df: DataFrame, features="features_vec") -> dict:
 def decomposition_metrics(pca_model) -> dict:
     ev = pca_model.explainedVariance.toArray()
     return {"cumulative_explained_variance": float(ev.sum())}
+
+
+# -- exposed metric functions (pgml.sklearn_f1_score / sklearn_r2_score /
+#    sklearn_regression_metrics / sklearn_classification_metrics,
+#    api.rs:997-1026) — thin wrappers over the evaluators, taking two
+#    same-length value lists like the reference's SQL functions. ---------------
+
+
+def _pairs_df(y_true, y_pred):
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    return spark.createDataFrame(
+        [(float(t), float(p)) for t, p in zip(y_true, y_pred)],
+        "label double, prediction double",
+    )
+
+
+def f1_score(y_true, y_pred) -> float:
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    return MulticlassClassificationEvaluator(metricName="f1").evaluate(
+        _pairs_df(y_true, y_pred)
+    )
+
+
+def r2_score(y_true, y_pred) -> float:
+    from pyspark.ml.evaluation import RegressionEvaluator
+
+    return RegressionEvaluator(metricName="r2").evaluate(_pairs_df(y_true, y_pred))
+
+
+def regression_metrics_values(y_true, y_pred) -> dict:
+    return regression_metrics(_pairs_df(y_true, y_pred))
+
+
+def classification_metrics_values(y_true, y_pred) -> dict:
+    return classification_metrics(_pairs_df(y_true, y_pred))

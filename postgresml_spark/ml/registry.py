@@ -166,3 +166,28 @@ class Registry:
 
     def artifact_dir(self, model_id: int) -> str:
         return os.path.join(self.warehouse, "artifacts", f"model_{model_id}")
+
+    # -- dump/load (pgml.dump_all / load_all, api.rs:1028-1074) ---------------
+
+    def dump_all(self, path: str) -> list[str]:
+        """COPY catalog tables to CSV under `path`."""
+        out = []
+        os.makedirs(path, exist_ok=True)
+        for t in _SCHEMAS:
+            df = self.read(t)
+            dst = os.path.join(path, t)
+            df.coalesce(1).write.mode("overwrite").option("header", True).csv(dst)
+            out.append(dst)
+        return out
+
+    def load_all(self, path: str) -> dict[str, int]:
+        """Restore catalog tables from a dump_all directory."""
+        counts = {}
+        for t, schema in _SCHEMAS.items():
+            src = os.path.join(path, t)
+            if not os.path.exists(src):
+                continue
+            df = self.spark.read.schema(schema).option("header", True).csv(src)
+            df.write.mode("overwrite").parquet(self._path(t))
+            counts[t] = df.count()
+        return counts

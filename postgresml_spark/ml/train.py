@@ -121,30 +121,60 @@ def train(
         hyperparams or {}, search, search_params or {}, search_args or {}
     )
     target_metric, higher_better = TASK_METRIC[task]
+    cv = int((search_args or {}).get("cv", 0))
 
-    best = None  # (score, model, metrics, combo, runtime)
+    def _eval(fitted, eval_df):
+        if task == TASK_DECOMPOSITION:
+            return decomposition_metrics(fitted)
+        pred = fitted.transform(eval_df)
+        if task == TASK_CLUSTERING:
+            return clustering_metrics(pred)
+        return (
+            regression_metrics(pred)
+            if task == TASK_REGRESSION
+            else classification_metrics(pred)
+        )
+
+    best = None  # (score, combo, runtime, cv_metrics)
     t0 = time.time()
+    if cv >= 2 and len(combos) > 1 and task in (TASK_REGRESSION, TASK_CLASSIFICATION):
+        # k-fold CV over the TRAIN partition to pick the combo
+        # (Dataset::fold, dataset.rs:31-69; loop model.rs:794-831) —
+        # the test partition stays held out for final metrics.
+        folded = train_ml.withColumn(
+            "__fold", (F.monotonically_increasing_id() % cv).cast("int")
+        ).cache()
+        for combo in combos:
+            est, runtime = make_estimator(task, algorithm, combo)
+            scores = []
+            for k in range(cv):
+                tr = folded.filter(F.col("__fold") != k)
+                va = folded.filter(F.col("__fold") == k)
+                m = _eval(est.fit(tr), va)
+                s = m.get(target_metric)
+                if s is not None:
+                    scores.append(s if higher_better else -s)
+            mean_s = sum(scores) / len(scores) if scores else None
+            if best is None or (mean_s is not None and mean_s > (best[0] or -1e18)):
+                best = (mean_s, combo, runtime, None)
+        folded.unpersist()
+        combos = [best[1]]  # refit winner on the full train partition
+
+    best_fit = None  # (key, fitted, metrics, combo, runtime)
     for combo in combos:
         est, runtime = make_estimator(task, algorithm, combo)
-        if task == TASK_DECOMPOSITION:
-            fitted = est.fit(train_ml)
-            m = decomposition_metrics(fitted)
-        elif task == TASK_CLUSTERING:
-            fitted = est.fit(train_ml)
-            pred = fitted.transform(test_ml if test_ml.count() else train_ml)
-            m = clustering_metrics(pred)
-        else:
-            fitted = est.fit(train_ml)
-            pred = fitted.transform(test_ml)
-            m = (
-                regression_metrics(pred)
-                if task == TASK_REGRESSION
-                else classification_metrics(pred)
-            )
+        fitted = est.fit(train_ml)
+        m = _eval(
+            fitted,
+            test_ml
+            if task != TASK_CLUSTERING or test_ml.count()
+            else train_ml,
+        )
         score = m.get(target_metric)
-        key = score if higher_better else -score
-        if best is None or (key is not None and key > best[0]):
-            best = (key, fitted, m, combo, runtime)
+        key = score if higher_better else (-score if score is not None else None)
+        if best_fit is None or (key is not None and key > best_fit[0]):
+            best_fit = (key, fitted, m, combo, runtime)
+    best = best_fit
     fit_time = time.time() - t0
     _, fitted, metrics, combo, runtime = best
     metrics["fit_time"] = fit_time

@@ -1,0 +1,135 @@
+"""Tests for the remaining SURVEY §2 surface: k-fold CV, joint models,
+dump/load, metric wrappers, chat shim, query builder, ER diagram."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresml_spark.ml import Registry, train
+from postgresml_spark.ml.joint import predict_joint, train_joint
+from postgresml_spark.ml.metrics import (
+    classification_metrics_values,
+    f1_score,
+    r2_score,
+    regression_metrics_values,
+)
+from postgresml_spark.sources.datasets import load_dataset
+
+
+@pytest.fixture()
+def registry(spark):
+    d = tempfile.mkdtemp(prefix="pgml_wh_")
+    yield Registry(spark, warehouse=d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kfold_cv_search(spark, registry):
+    df, _ = load_dataset(spark, "diabetes")
+    res = train(
+        spark, "CV", "regression", df, "target", algorithm="ridge",
+        search="grid", search_params={"alpha": [0.01, 5000.0]},
+        search_args={"cv": 3},
+        test_sampling="last", order_col="row_id", registry=registry,
+    )
+    # CV must pick the small alpha (the huge one ruins r2)
+    assert res["metrics"]["r2"] > 0.5
+
+
+def test_train_joint_and_predict_joint(spark, registry):
+    import pandas as pd
+
+    df, _ = load_dataset(spark, "diabetes")
+    # second synthetic target correlated with features
+    df2 = df.withColumn("target2", F.col("target") * 2 + 10)
+    res = train_joint(
+        spark, "Joint", df2, ["target", "target2"],
+        algorithm="linear", order_col="row_id", registry=registry,
+    )
+    assert res["metrics"]["per_target"]["target"]["r2"] > 0.5
+    assert res["metrics"]["per_target"]["target2"]["r2"] > 0.5
+    out = predict_joint(spark, "Joint", df2.drop("target", "target2"), registry=registry)
+    row = out.head()
+    assert len(row["predictions"]) == 2
+    # target2 = 2*target + 10 must hold between the two predictions
+    assert abs(row["predictions"][1] - (2 * row["predictions"][0] + 10)) < 1.0
+
+
+def test_registry_dump_load(spark, registry, tmp_path):
+    df, _ = load_dataset(spark, "diabetes", limit=100)
+    train(spark, "D", "regression", df, "target", algorithm="linear",
+          test_sampling="last", order_col="row_id", registry=registry)
+    dump_dir = str(tmp_path / "dump")
+    registry.dump_all(dump_dir)
+    fresh = Registry(spark, warehouse=str(tmp_path / "wh2"))
+    counts = fresh.load_all(dump_dir)
+    assert counts["projects"] == 1 and counts["models"] == 1
+    assert fresh.get_project("D") is not None
+    assert fresh.deployed_model_id("D") is not None
+
+
+def test_metric_value_wrappers(spark):
+    assert abs(r2_score([1, 2, 3, 4], [1, 2, 3, 4]) - 1.0) < 1e-9
+    assert abs(f1_score([0, 1, 1, 0], [0, 1, 1, 0]) - 1.0) < 1e-9
+    m = regression_metrics_values([1, 2, 3], [1.1, 2.1, 2.9])
+    assert m["mean_absolute_error"] < 0.2
+    c = classification_metrics_values([0, 1, 0, 1], [0, 1, 1, 1])
+    assert 0 < c["accuracy"] < 1
+
+
+def test_chat_completions_shim():
+    from postgresml_spark.functions.llm import chat_completions_create
+
+    out = chat_completions_create(
+        [{"role": "system", "content": "be brief"},
+         {"role": "user", "content": "what is spark?"}]
+    )
+    assert out["object"] == "chat.completion"
+    assert out["choices"][0]["message"]["role"] == "assistant"
+    assert "what is spark?" in out["choices"][0]["message"]["content"]
+    out2 = chat_completions_create(
+        [{"role": "user", "content": "hi"}], completion_fn=lambda p: "real answer"
+    )
+    assert out2["choices"][0]["message"]["content"] == "real answer"
+
+
+def test_clear_gpu_cache_noop():
+    from postgresml_spark.functions.llm import clear_gpu_cache
+
+    assert clear_gpu_cache() is False  # no GPU in this image
+
+
+def test_query_builder_fluent(spark, tmp_path):
+    from postgresml_spark.collections import Collection, Pipeline
+
+    c = Collection("qb", spark, warehouse=str(tmp_path))
+    c.upsert_documents([
+        {"id": 1, "body": "spark distributed engine", "tag": "a"},
+        {"id": 2, "body": "pasta cooking recipe", "tag": "b"},
+    ])
+    p = Pipeline("p", {"body": {"semantic_search": {"model": "hash:64"}}})
+    c.add_pipeline(p)
+    rows = c.query_builder().vector_recall("spark engine", p).limit(1).fetch_all()
+    assert len(rows) == 1
+    score, chunk, doc = rows[0]
+    assert doc["id"] == 1
+    rows2 = (
+        c.query_builder().vector_recall("spark engine", p)
+        .filter({"tag": "b"}).limit(5).fetch_all()
+    )
+    assert [r[2]["id"] for r in rows2] == [2]
+
+
+def test_er_diagram(spark, tmp_path):
+    from postgresml_spark.collections import Collection, Pipeline
+
+    c = Collection("er", spark, warehouse=str(tmp_path))
+    c.upsert_documents([{"id": 1, "body": "x"}])
+    p = Pipeline("p", {"body": {"semantic_search": {"model": "hash:16"},
+                                "full_text_search": {"configuration": "english"}}})
+    c.add_pipeline(p)
+    mermaid = c.generate_er_diagram()
+    assert mermaid.startswith("erDiagram")
+    assert "p_body_chunks" in mermaid and "p_body_embeddings" in mermaid
+    assert "documents ||--o{" in mermaid

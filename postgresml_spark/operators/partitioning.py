@@ -1,0 +1,115 @@
+"""Physical-layout operators: bucketing, partition-pruned stores, skew salting.
+
+These are the 100 TB levers (SURVEY §4): the reference gets physical
+locality from Postgres indexes (HNSW/GIN/btree); Spark gets it from
+layout — bucketed tables co-locate join keys (no shuffle at read), a
+partitioned store prunes non-matching partitions at the source, and
+salting splits hot keys across reducers. Everything here is plain
+public Spark API arranged for those effects.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "write_bucketed",
+    "bucketed_join_ready",
+    "write_ivf_store",
+    "read_ivf_probe",
+    "salted_join",
+]
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int = 32, sort: bool = True
+) -> None:
+    """Persist hash-bucketed (and bucket-sorted) by the join key.
+
+    Two tables bucketed identically on their join key sort-merge-join
+    WITHOUT a shuffle (Catalyst recognizes the output partitioning) —
+    at 100 TB this turns every fact⋈fact join on the bucketing key into
+    a local merge per bucket.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def bucketed_join_ready(spark: SparkSession, left: str, right: str, key: str):
+    """Join two identically-bucketed tables; returns (df, shuffle_free)
+    where shuffle_free reports whether the physical plan contains no
+    Exchange on the join path (assertable in tests)."""
+    ldf = spark.table(left)
+    rdf = spark.table(right)
+    joined = ldf.join(rdf, key)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    return joined, ("Exchange" not in plan)
+
+
+def write_ivf_store(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    centroid_col: str = "centroid_id",
+) -> None:
+    """Materialize an IVF index as a centroid-partitioned parquet store
+    (pgvector-ivfflat analog, SURVEY §4 'ANN index'): directory layout
+    `centroid_id=K/` so a probe reads only nprobe/nlist of the bytes —
+    partition pruning happens in the file listing, before any I/O.
+    """
+    from postgresml_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, out_col=centroid_col)
+    assigned.write.mode("overwrite").partitionBy(centroid_col).parquet(path)
+
+
+def read_ivf_probe(
+    spark: SparkSession,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_col: str = "centroid_id",
+) -> DataFrame:
+    """Probe the IVF store: rank centroids driver-side, scan only the
+    nprobe closest partitions (pushed as a partition filter), exact
+    re-rank inside. Returns top-k (id, score)."""
+    from postgresml_spark.operators.similarity import knn_exact
+
+    def l2(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    order = sorted(range(len(centroids)), key=lambda i: l2(centroids[i], query_vec))
+    probe = order[:nprobe]
+    df = spark.read.parquet(path).filter(F.col(centroid_col).isin(probe))
+    return knn_exact(df, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side's hot keys across `salt`
+    sub-keys and replicate the small side once per salt value. Use when
+    one key dominates (AQE's skew-join handles moderate skew; salting
+    is the explicit fix for pathological keys). Result = plain join
+    result (salt columns dropped)."""
+    big_s = big.withColumn("__salt", (F.rand(42) * salt).cast("int"))
+    small_s = small.crossJoin(
+        F.broadcast(
+            big.sparkSession.range(salt).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    out = big_s.join(small_s, [key, "__salt"])
+    return out.drop("__salt")

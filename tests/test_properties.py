@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis) for the deterministic kernels.
+
+Pure-Python properties run at full hypothesis volume; Spark-backed
+properties use small example counts (each example is a Spark job).
+"""
+
+import math
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from postgresml_spark.functions.embed import _polyhash_py
+from postgresml_spark.functions.text import recursive_character_split
+
+TEXT = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Zs"), max_codepoint=0x2000),
+    max_size=400,
+)
+
+
+@given(TEXT, st.integers(10, 100), st.integers(0, 9))
+@settings(max_examples=200, deadline=None)
+def test_chunker_invariants(text, size, overlap):
+    chunks = recursive_character_split(text, chunk_size=size, chunk_overlap=overlap)
+    # 1. every chunk within size
+    assert all(len(c) <= size for c in chunks)
+    # 2. no empty/whitespace-only chunks
+    assert all(c.strip() for c in chunks)
+    # 3. deterministic
+    assert chunks == recursive_character_split(text, chunk_size=size, chunk_overlap=overlap)
+    # 4. all non-space content preserved (order-insensitively by char counts)
+    def counts(s):
+        out = {}
+        for ch in s:
+            if not ch.isspace():
+                out[ch] = out.get(ch, 0) + 1
+        return out
+    original = counts(text)
+    emitted = counts("".join(chunks))
+    # chunks may duplicate chars (overlap) but never lose them
+    for ch, n in original.items():
+        assert emitted.get(ch, 0) >= n
+
+
+@given(st.text(max_size=100))
+@settings(max_examples=500, deadline=None)
+def test_polyhash_range_and_determinism(s):
+    h = _polyhash_py(s)
+    assert 0 <= h < 2147483647
+    assert h == _polyhash_py(s)
+
+
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=32))
+@settings(max_examples=30, deadline=None)
+def test_vector_norms_match_numpy(spark, xs):
+    import numpy as np
+    from postgresml_spark.functions import vectors as V
+
+    df = spark.createDataFrame([(xs,)], "v array<double>")
+    row = df.select(
+        V.norm_l1("v").alias("l1"),
+        V.norm_l2("v").alias("l2"),
+        V.norm_max("v").alias("lmax"),
+        V.norm_l0("v").alias("l0"),
+    ).head()
+    a = np.array(xs)
+    assert math.isclose(row["l1"], float(np.abs(a).sum()), rel_tol=1e-9, abs_tol=1e-9)
+    assert math.isclose(row["l2"], float(np.sqrt((a * a).sum())), rel_tol=1e-9, abs_tol=1e-9)
+    assert math.isclose(row["lmax"], float(np.abs(a).max()), rel_tol=1e-12)
+    assert row["l0"] == int((a != 0).sum())
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 100)), min_size=1, max_size=60
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_filter_dsl_matches_python_semantics(spark, rows):
+    from postgresml_spark.operators.filter_dsl import compile_filter, struct_resolver
+
+    df = spark.createDataFrame([(i, a, b) for i, (a, b) in enumerate(rows)], "id int, a int, b int")
+    spec = {"$or": [{"a": {"$gte": 25}}, {"$and": [{"b": {"$lt": 40}}, {"$not": {"a": {"$in": [1, 2, 3]}}}]}]}
+    got = sorted(r["id"] for r in df.filter(compile_filter(spec, struct_resolver())).collect())
+    want = sorted(
+        i for i, (a, b) in enumerate(rows)
+        if a >= 25 or (b < 40 and a not in (1, 2, 3))
+    )
+    assert got == want

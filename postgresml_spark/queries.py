@@ -529,9 +529,218 @@ def q08_raw_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q09_orders_above_avg",
+    oracle="""
+    WITH avgp AS (SELECT avg(o_totalprice) AS m FROM orders)
+    SELECT o.o_orderkey, round(o.o_totalprice, 2) AS price,
+           round(o.o_totalprice - avgp.m, 4) AS above_by
+    FROM orders o, avgp
+    WHERE o.o_totalprice > avgp.m * 1.5
+    """,
+)
+def q09_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (orders 50% above the mean) — Catalyst plans the
+    aggregate once and broadcasts the scalar."""
+    o = _t(spark, sf_dir, "orders")
+    avg_p = o.agg(F.avg("o_totalprice").alias("m"))
+    return (
+        o.crossJoin(F.broadcast(avg_p))
+        .filter(F.col("o_totalprice") > F.col("m") * 1.5)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.round(F.col("o_totalprice") - F.col("m"), 4).alias("above_by"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # more q1x/q2x — similarity + dedup coverage
 # ---------------------------------------------------------------------------
+
+@query(
+    "q16_vector_normalize",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2,
+             list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS l1
+      FROM embeddings
+    )
+    SELECT e.vec_id,
+           list_transform(e.embedding, x -> round(CAST(x AS DOUBLE) / n.l2, 6)) AS unit_l2,
+           round(list_sum(list_transform(e.embedding, x -> abs(CAST(x AS DOUBLE) / n.l1))), 6) AS l1_check
+    FROM embeddings e JOIN n USING (vec_id)
+    WHERE n.l2 > 0 AND n.l1 > 0
+    """,
+)
+def q16_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgml.normalize_l2/l1 (vectors.rs:176-236): unit vectors + the
+    invariant that an L1-normalized vector's L1 norm is 1."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = e.filter((V.norm_l2("embedding") > 0) & (V.norm_l1("embedding") > 0))
+    return out.select(
+        "vec_id",
+        F.transform(V.normalize_l2("embedding"), lambda x: F.round(x, 6)).alias("unit_l2"),
+        F.round(V.norm_l1(V.normalize_l1("embedding")), 6).alias("l1_check"),
+    )
+
+
+@query(
+    "q17_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q17_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (snapshot ventiles
+    machinery, snapshot.rs:224-338)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@query(
+    "q27_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           replace(p_type, ' ', '_') AS type_slug,
+           length(p_name) AS name_len,
+           substr(p_name, 1, 10) AS name_prefix,
+           concat(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size
+    FROM part
+    WHERE p_name LIKE '%a%' AND regexp_matches(p_type, '[0-9]') = false
+    """,
+)
+def q27_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions (the reference leans on Postgres
+    built-ins — replace/string_agg in rag_query_builder.rs:212-240)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%a%") & ~F.col("p_type").rlike("[0-9]"))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_u"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+            F.length("p_name").cast("bigint").alias("name_len"),
+            F.substring("p_name", 1, 10).alias("name_prefix"),
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")).alias(
+                "brand_size"
+            ),
+        )
+    )
+
+
+@query(
+    "q36_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS od,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+           EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(month FROM o_orderdate) AS mo,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def q36_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic and extraction."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("od"),
+        F.to_date(F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("bigint")
+        .alias("days_since_95"),
+    )
+
+
+@query(
+    "q37_conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2)
+             AS discounted_rev,
+           round(sum(CASE WHEN l_discount <= 0.05 THEN l_extendedprice ELSE 0 END), 2)
+             AS full_rev,
+           count(*) FILTER (l_tax > 0.04) AS high_tax_lines,
+           round(avg(CASE WHEN l_quantity > 25 THEN l_extendedprice END), 4)
+             AS avg_bulk_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q37_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (CASE/FILTER shapes)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(0)), 2
+        ).alias("discounted_rev"),
+        F.round(
+            F.sum(F.when(F.col("l_discount") <= 0.05, F.col("l_extendedprice")).otherwise(0)), 2
+        ).alias("full_rev"),
+        F.count(F.when(F.col("l_tax") > 0.04, 1)).alias("high_tax_lines"),
+        F.round(
+            F.avg(F.when(F.col("l_quantity") > 25, F.col("l_extendedprice"))), 4
+        ).alias("avg_bulk_price"),
+    )
+
+
+@query(
+    "q38_json_extraction",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q38_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction + group by derived key (JSONB access
+    patterns, filter_builder.rs / collection.rs:795-812)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.filter(k.isNotNull())
+        .groupBy((k % 10).alias("k_bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+@query(
+    "q39_distinct_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE)) AS n_months,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q39_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple distinct aggregates in one group-by (expand-based plan)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct(F.to_date(F.date_trunc("month", "o_orderdate"))).alias("n_months"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
 
 @query(
     "q14_embedding_near_dup",

@@ -24,6 +24,18 @@ from postgresml_spark.ml.registry import Registry
 from postgresml_spark.preprocess.snapshot import PreprocessModel
 
 _MODEL_CACHE: dict[str, tuple] = {}
+# project → artifact path of the live deployment — the analog of the
+# reference's shared-memory PROJECT_ID_TO_DEPLOYED_MODEL_ID map
+# (project.rs:78-94); invalidated by Registry.add_deployment.
+_DEPLOY_CACHE: dict[tuple[str, str], str] = {}
+
+
+def invalidate_deployment_cache(warehouse: str | None = None, project: str | None = None):
+    if warehouse is None:
+        _DEPLOY_CACHE.clear()
+        return
+    for key in [k for k in _DEPLOY_CACHE if k[0] == warehouse and (project is None or k[1] == project)]:
+        del _DEPLOY_CACHE[key]
 
 
 def _load_artifact(artifact: str):
@@ -44,10 +56,17 @@ def _load_artifact(artifact: str):
 def _deployed_artifact(spark: SparkSession, project: str, registry: Registry | None,
                        model_id: int | None = None) -> str:
     registry = registry or Registry(spark)
+    if model_id is None:
+        key = (registry.warehouse, project)
+        cached = _DEPLOY_CACHE.get(key)
+        if cached is not None:
+            return cached
     mid = model_id if model_id is not None else registry.deployed_model_id(project)
     if mid is None:
         raise ValueError(f"no deployed model for project {project!r}")
     row = registry.model_row(mid)
+    if model_id is None:
+        _DEPLOY_CACHE[(registry.warehouse, project)] = row["artifact_path"]
     return row["artifact_path"]
 
 
@@ -114,3 +133,35 @@ def decompose(
 ) -> DataFrame:
     """Project features through the deployed PCA model (api.rs:487-492)."""
     return predict(spark, project, df, registry, output_col=output_col)
+
+
+def predict_one(
+    spark: SparkSession,
+    project: str,
+    features: list[float],
+    registry: Registry | None = None,
+    model_id: int | None = None,
+) -> float:
+    """Point-lookup inference: `pgml.predict('proj', ARRAY[...])`
+    (api.rs:439-467) without launching a Spark job.
+
+    The reference's OLTP hot path (§3.2: shared-memory deploy map +
+    process model cache + in-process predict). Here: the cached local
+    MLlib model's `.predict(Vector)` runs driver-side in microseconds —
+    the parity fast path for single rows (batch `predict()` remains the
+    throughput path; we do not chase 1M req/s serving, SURVEY §7).
+
+    `features` are POST-preprocessing values (the array overload of
+    pgml.predict, which bypasses snapshot replay); for raw-row inputs
+    use `predict()`.
+    """
+    from pyspark.ml.linalg import Vectors
+
+    artifact = _deployed_artifact(spark, project, registry, model_id)
+    model, meta, _prep = _load_artifact(artifact)
+    if not hasattr(model, "predict"):
+        raise ValueError(
+            f"model class {type(model).__name__} has no local predict; "
+            "use batch predict()"
+        )
+    return float(model.predict(Vectors.dense([float(x) for x in features])))

@@ -122,6 +122,11 @@ class Registry:
             "id": did, "project_id": project_id, "model_id": model_id,
             "strategy": strategy, "created_at": time.time(),
         })
+        # invalidate the hot-path deployment map (shared-memory update in
+        # the reference, project.rs:152-165)
+        from postgresml_spark.ml.predict import invalidate_deployment_cache
+
+        invalidate_deployment_cache(self.warehouse)
         return did
 
     def deployed_model_id(self, project_name: str) -> int | None:

@@ -104,6 +104,86 @@ def stream_documents_into_collection(
     )
 
 
+def stateful_sessionize(
+    stream_df: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user session aggregation
+    with `applyInPandasWithState` (the §2.O extension point — the
+    reference has no stateful stream op; this is the Spark-native
+    pattern a 100 TB event pipeline needs).
+
+    Emits one row per closed session: (user_id, session_start,
+    session_end, n_events, total_value). A session closes when the
+    event-time watermark passes its last event + gap.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_s = gap_minutes * 60
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, total_value double"
+    )
+    state_schema = "last_ts double, start_ts double, n long, total double"
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        if state.hasTimedOut:
+            last_ts, start_ts, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_start": pd.Timestamp(start_ts, unit="s").floor("us"),
+                        "session_end": pd.Timestamp(last_ts, unit="s").floor("us"),
+                        "n_events": n,
+                        "total_value": total,
+                    }
+                ]
+            )
+            return
+        closed = []
+        cur = list(state.get) if state.exists else None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            for _, row in pdf.iterrows():
+                ts = row["ts"].timestamp()
+                if cur is None:
+                    cur = [ts, ts, 0, 0.0]
+                elif ts - cur[0] > gap_s:
+                    closed.append(cur)
+                    cur = [ts, ts, 0, 0.0]
+                cur[0] = max(cur[0], ts)
+                cur[2] += 1
+                cur[3] += float(row["value"])
+        if cur is not None:
+            state.update(tuple(cur))
+            state.setTimeoutTimestamp(int((cur[0] + gap_s) * 1000))
+        if closed:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_start": pd.Timestamp(c[1], unit="s").floor("us"),
+                        "session_end": pd.Timestamp(c[0], unit="s").floor("us"),
+                        "n_events": c[2],
+                        "total_value": c[3],
+                    }
+                    for c in closed
+                ]
+            )
+
+    src = stream_df
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
 def transform_stream(
     inputs: str,
     task: str = "text-generation",

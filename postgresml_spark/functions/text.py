@@ -208,14 +208,20 @@ def recursive_character_split(
     """
     seps = separators if separators is not None else _DEFAULT_SEPARATORS
 
+    def _hard(t: str) -> list[str]:
+        return [
+            c for c in (t[i : i + chunk_size] for i in range(0, len(t), chunk_size))
+            if c.strip()
+        ]
+
     def _split(t: str, sep_idx: int) -> list[str]:
         if len(t) <= chunk_size:
-            return [t] if t else []
+            return [t] if t.strip() else []
         if sep_idx >= len(seps):
-            return [t[i : i + chunk_size] for i in range(0, len(t), chunk_size)]
+            return _hard(t)
         sep = seps[sep_idx]
         if sep == "":
-            return [t[i : i + chunk_size] for i in range(0, len(t), chunk_size)]
+            return _hard(t)
         pieces = t.split(sep)
         out: list[str] = []
         buf = ""
@@ -238,6 +244,8 @@ def recursive_character_split(
         if buf:
             out.append(buf)
         return [c for c in out if c.strip()]
+
+    
 
     return _split(text, 0)
 

@@ -1118,6 +1118,56 @@ def q53_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q54_collection_stack",
+    oracle=f"""
+    WITH q AS (SELECT {_QRY_EMB_SQL} AS qv),
+    scored AS (
+      SELECT doc_id,
+             COALESCE(list_sum(list_transform(generate_series(1, {_EMB_DIM}),
+               i -> ({_DOC_EMB_SQL})[i] * q.qv[i])), 0.0) AS score
+      FROM documents, q
+      WHERE text IS NOT NULL AND lang = 'en'
+    )
+    SELECT doc_id, round(score, 6) AS score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q54_collection_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SDK stack under the oracle gate: Collection.upsert →
+    Pipeline sync (chunk→embed) → vector_search with a metadata filter
+    — the §3.3 lifecycle end-to-end, not the shortcut DataFrame path.
+    Results must equal the declarative SQL oracle exactly."""
+    import tempfile
+
+    from postgresml_spark.collections import Collection, Pipeline
+
+    d = _t(spark, sf_dir, "documents")
+    docs = [
+        {"id": r["doc_id"], "text": r["text"], "lang": r["lang"]}
+        for r in d.select("doc_id", "text", "lang").collect()
+        if r["text"] is not None
+    ]
+    coll = Collection("q54", spark, warehouse=tempfile.mkdtemp(prefix="pgml_q54_"))
+    pipe = Pipeline("p", {"text": {"semantic_search": {"model": f"hash:{_EMB_DIM}"}}})
+    coll.upsert_documents(docs)
+    coll.add_pipeline(pipe)
+    res = coll.vector_search(
+        {
+            "query": {
+                "fields": {"text": {"query": _Q_TEXT}},
+                "filter": {"lang": "en"},
+            },
+            "limit": 10,
+        },
+        pipe,
+    )
+    rows = [(r["document"]["id"], round(r["score"], 6)) for r in res]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 # ---------------------------------------------------------------------------
 # q4x — ML-lifecycle operators with closed-form SQL oracles
 # ---------------------------------------------------------------------------

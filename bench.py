@@ -34,6 +34,7 @@ def main() -> int:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     times: dict[str, float] = {}
+    rows: dict[str, int] = {}
     total = 0.0
     for name, fn in sorted(queries.items()):
         t0 = time.perf_counter()
@@ -42,10 +43,23 @@ def main() -> int:
             n = len(df.collect())
             dt = time.perf_counter() - t0
             times[name] = round(dt, 3)
+            rows[name] = n
             total += dt
         except Exception as e:  # report but keep the line parseable
             times[name] = -1.0
             print(f"bench error {name}: {e}", file=sys.stderr)
+
+    # derived per-row costs comparable to BASELINE.md's batch numbers
+    # (reference pgml.embed amortized: 17-30 ms/row with a real model;
+    # our deterministic hash embedder is the no-model path)
+    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    derived = {}
+    if times.get("q50_hash_embeddings", -1) > 0 and n_docs:
+        derived["embed_ms_per_row"] = round(times["q50_hash_embeddings"] / n_docs * 1000, 4)
+    if times.get("q51_semantic_search", -1) > 0:
+        derived["vector_search_sec"] = times["q51_semantic_search"]
+    if times.get("q53_hybrid_search", -1) > 0:
+        derived["hybrid_search_sec"] = times["q53_hybrid_search"]
     print(
         json.dumps(
             {
@@ -53,6 +67,7 @@ def main() -> int:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": times,
+                "derived": derived,
                 "sf": sf,
             }
         )

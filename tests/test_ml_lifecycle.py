@@ -142,3 +142,57 @@ def test_fallback_algorithm_records_runtime(spark, registry):
     row = registry.model_row(res["model_id"])
     assert row["runtime"] == "fallback"
     assert res["metrics"]["r2"] > 0.3
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("algo,task,floor", [
+    ("random_forest", "regression", 0.3),
+    ("gradient_boosting_trees", "regression", 0.3),
+    ("decision_tree", "regression", 0.2),
+    ("xgboost", "regression", 0.3),          # documented GBT fallback
+    ("random_forest", "classification", 0.7),
+    ("linear_svm", "classification", 0.7),
+    ("naive_bayes_skip", "classification", None),  # placeholder, see below
+])
+def test_algorithm_matrix(spark, registry, algo, task, floor):
+    """Pin the algorithm dispatch table (algorithm.rs:6-52 names →
+    MLlib estimators) with metric floors per FIXTURES tolerance policy."""
+    if algo == "naive_bayes_skip":
+        _pytest.skip("naive_bayes needs non-negative features; covered by dispatch unit")
+    if task == "regression":
+        df, _ = load_dataset(spark, "diabetes")
+        res = train(spark, f"M_{algo}_{task}", task, df, "target", algorithm=algo,
+                    test_sampling="last", order_col="row_id", registry=registry)
+        assert res["metrics"]["r2"] > floor, res["metrics"]
+    else:
+        df, _ = load_dataset(spark, "breast_cancer")
+        res = train(spark, f"M_{algo}_{task}", task, df, "malignant", algorithm=algo,
+                    test_sampling="stratified", order_col="row_id", registry=registry)
+        assert res["metrics"]["f1"] > floor, res["metrics"]
+
+
+def test_algorithm_dispatch_table():
+    """Every documented algorithm name resolves to an estimator."""
+    from postgresml_spark.ml.algorithms import make_estimator
+
+    for task, algos in {
+        "regression": ["linear", "ridge", "lasso", "elastic_net", "random_forest",
+                       "gradient_boosting_trees", "decision_tree", "isotonic",
+                       "huber", "fm", "xgboost", "lightgbm", "catboost",
+                       "extra_trees", "bagging", "ada_boost", "bayesian_ridge",
+                       "stochastic_gradient_descent", "ransac", "theil_sen",
+                       "quantile", "svm", "gaussian_process"],
+        "classification": ["logistic", "linear_svm", "random_forest",
+                           "gradient_boosting_trees", "decision_tree",
+                           "naive_bayes", "fm", "xgboost", "lightgbm",
+                           "perceptron", "ridge", "svm"],
+        "clustering": ["kmeans", "mini_batch_kmeans", "birch",
+                       "gaussian_mixture", "mean_shift", "dbscan"],
+        "decomposition": ["pca"],
+    }.items():
+        for a in algos:
+            est, runtime = make_estimator(task, a, {})
+            assert est is not None, (task, a)
+            assert runtime in ("mllib", "fallback")

@@ -148,3 +148,25 @@ def test_ivf_recall(spark, sf_dir):
     # recall@10 with half the lists probed should be decent on 500 vecs
     assert len(set(exact) & set(approx)) >= 5
     assert approx[0] == 3  # self always found (its own centroid is probed first)
+
+
+def test_embedding_near_dup_with_ivf_buckets(spark, sf_dir):
+    """Near-dup with group_col: pairs only compared within an IVF
+    bucket — the O(candidate) scale path vs the all-pairs join."""
+    from postgresml_spark.operators import dedup as DD
+    from postgresml_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = fit_ivf_centroids(emb, nlist=4)
+    assigned = ivf_assign(emb, cents)
+    bucketed = DD.embedding_near_dup_pairs(
+        assigned, "embedding", "vec_id", threshold=0.3, group_col="centroid_id"
+    )
+    allpairs = DD.embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.3
+    )
+    b = {(r["id_a"], r["id_b"]) for r in bucketed.collect()}
+    a = {(r["id_a"], r["id_b"]) for r in allpairs.collect()}
+    assert b <= a              # bucketing never invents pairs
+    if a:
+        assert len(b) >= len(a) * 0.3  # same-bucket recall is meaningful

@@ -58,6 +58,11 @@ def _telemetry(collection, name: str, schema: str) -> VersionedTable:
 def _scored_chunks(collection, pipeline, field: str, query_text: str,
                    filter: dict | None) -> DataFrame:
     """embeddings ⋈ chunks ⋈ documents with cosine score for one field."""
+    if field not in pipeline.schema or "semantic_search" not in pipeline.schema[field]:
+        raise ValueError(
+            f"field {field!r} has no semantic_search in pipeline "
+            f"{pipeline.name!r}; configured fields: {sorted(pipeline.schema)}"
+        )
     qv = pipeline.embed_query(query_text, field)
     emb = pipeline.table(f"{field}_embeddings")
     chunks = pipeline.table(f"{field}_chunks")

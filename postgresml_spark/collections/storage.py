@@ -44,12 +44,30 @@ class VersionedTable:
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.parquet(os.path.join(self.path, f"v_{v}"))
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame, keep_versions: int = 2) -> None:
         v = self._current_version() + 1
         out = os.path.join(self.path, f"v_{v}")
         df.write.mode("overwrite").parquet(out)
         with open(self._pointer(), "w") as f:
             f.write(str(v))
+        self.vacuum(keep_versions)
+
+    def vacuum(self, keep_versions: int = 2) -> None:
+        """Drop versions older than the newest `keep_versions` (storage
+        hygiene — at 100 TB stale versions are real money; keeping one
+        prior version preserves reader-in-flight safety for this
+        single-writer design)."""
+        import shutil
+
+        cur = self._current_version()
+        for name in os.listdir(self.path):
+            if name.startswith("v_"):
+                try:
+                    ver = int(name[2:])
+                except ValueError:
+                    continue
+                if ver <= cur - keep_versions:
+                    shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
     def append(self, df: DataFrame) -> None:
         cur = self.read()

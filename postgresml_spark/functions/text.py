@@ -34,6 +34,7 @@ __all__ = [
     "recursive_character_split",
     "chunk_udf",
     "chunk_fixed",
+    "register_chunk_udtf",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -266,6 +267,28 @@ def chunk_udf(chunk_size: int = 1000, chunk_overlap: int = 40):
         )
 
     return _chunk
+
+
+def register_chunk_udtf(spark) -> None:
+    """Register `pgml_chunk` as a SQL table function (§2.P UDTF surface:
+    the reference's set-returning pgml.chunk, api.rs:650-668):
+
+        SELECT c.* FROM docs, LATERAL pgml_chunk(text, 200, 20) c
+
+    Python UDTF (Spark 3.5+); rows are (chunk_index, chunk) from the
+    recursive_character splitter.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_index int, chunk string")
+    class _ChunkUDTF:
+        def eval(self, text: str, chunk_size: int = 1000, chunk_overlap: int = 40):
+            for i, c in enumerate(
+                recursive_character_split(text or "", chunk_size, chunk_overlap)
+            ):
+                yield i, c
+
+    spark.udtf.register("pgml_chunk", _ChunkUDTF)
 
 
 def chunk_fixed(text: Column | str, size: int) -> Column:

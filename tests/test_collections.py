@@ -216,3 +216,25 @@ def test_archive(coll):
     import os
     assert os.path.exists(dst)
     assert not os.path.exists(coll.root)
+
+
+def test_search_unknown_field_named_error(coll, pipe):
+    import pytest as pt
+
+    with pt.raises(ValueError, match="nosuch.*configured fields"):
+        coll.vector_search(
+            {"query": {"fields": {"nosuch": {"query": "x"}}}, "limit": 1}, pipe
+        )
+
+
+def test_versioned_table_vacuum(coll):
+    import os
+
+    # many overwrites must not accumulate versions beyond keep window
+    for i in range(6):
+        coll.upsert_documents([{"id": 100 + i, "body": f"doc {i}"}])
+    doc_dir = os.path.join(coll.root, "documents")
+    versions = [d for d in os.listdir(doc_dir) if d.startswith("v_")]
+    assert len(versions) <= 2
+    # table still reads fine after vacuum
+    assert len(coll.get_documents()) == 4 + 6

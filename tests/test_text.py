@@ -129,3 +129,22 @@ def test_hash_embed_batch_parity(spark, sf_dir):
     expr = {r["doc_id"]: r["e"] for r in d.select("doc_id", hash_embed("text", 16).alias("e")).collect()}
     udf = {r["doc_id"]: r["e"] for r in d.select("doc_id", hash_embed_batch(16)(F.col("text")).alias("e")).collect()}
     assert expr == udf
+
+
+def test_chunk_udtf_sql(spark):
+    from postgresml_spark.functions.text import register_chunk_udtf
+
+    register_chunk_udtf(spark)
+    rows = spark.sql(
+        "SELECT * FROM pgml_chunk('first part.\\n\\nsecond part is longer here.', 20, 0)"
+    ).collect()
+    assert [r["chunk_index"] for r in rows] == list(range(len(rows)))
+    assert all(len(r["chunk"]) <= 20 for r in rows)
+    # lateral join over a table (the reference's SRF usage shape)
+    spark.createDataFrame([(1, "one two three four five six seven eight")],
+                          "id int, text string").createOrReplaceTempView("t_docs")
+    out = spark.sql(
+        "SELECT id, c.chunk_index, c.chunk FROM t_docs, LATERAL pgml_chunk(text, 15, 0) c"
+    ).collect()
+    assert len(out) >= 2
+    assert all(r["id"] == 1 for r in out)

@@ -1302,6 +1302,110 @@ def q43_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q44_kmeans_k1_centroid",
+    oracle="""
+    SELECT round(avg(l_quantity), 3) AS c_qty,
+           round(avg(l_discount), 3) AS c_disc,
+           round(avg(l_tax), 3) AS c_tax
+    FROM lineitem
+    """,
+)
+def q44_kmeans_k1_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering lifecycle with a closed-form oracle: the size-weighted
+    mean of KMeans centroids equals the column means exactly (each
+    centroid is the mean of its members and the clusters partition the
+    data) — checks the MLlib fit path (model.rs:540-547) against SQL,
+    independent of where the clusters land."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    li = _t(spark, sf_dir, "lineitem")
+    feats = li.select(
+        array_to_vector(
+            F.array(
+                F.col("l_quantity").cast("double"),
+                F.col("l_discount").cast("double"),
+                F.col("l_tax").cast("double"),
+            )
+        ).alias("features")
+    )
+    model = KMeans(k=4, seed=42, maxIter=20, featuresCol="features").fit(feats)
+    sizes = model.summary.clusterSizes
+    cents = model.clusterCenters()
+    n = sum(sizes)
+    mean = [
+        sum(s * c[j] for s, c in zip(sizes, cents)) / n for j in range(3)
+    ]
+    # 3 dp: centroid arithmetic is iterative float math — the identity
+    # holds to ~1e-5, below the oracle rounding step
+    return spark.createDataFrame(
+        [tuple(round(float(x), 3) for x in mean)],
+        "c_qty double, c_disc double, c_tax double",
+    )
+
+
+@query(
+    "q45_train_test_split",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_custkey, c_name,
+             row_number() OVER (ORDER BY c_custkey) AS rn,
+             count(*) OVER () AS n
+      FROM customer
+    )
+    SELECT c_custkey, c_name FROM ranked
+    WHERE rn > n - CAST(round(n * 0.25) AS BIGINT)
+    """,
+)
+def q45_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampling='last' split semantics (sampling.rs:42-69; test = tail
+    of table order): the TEST partition must be exactly the last 25%."""
+    from postgresml_spark.preprocess import train_test_split
+
+    c = _t(spark, sf_dir, "customer")
+    _train, test = train_test_split(c, 0.25, "last", order_col="c_custkey")
+    return test.select("c_custkey", "c_name")
+
+
+@query(
+    "q46_one_hot_layout",
+    oracle="""
+    WITH firsts AS (
+      SELECT c_mktsegment, min(c_custkey) AS first_key FROM customer GROUP BY 1
+    ), dict AS (
+      SELECT c_mktsegment, row_number() OVER (ORDER BY first_key) AS code
+      FROM firsts
+    )
+    SELECT c.c_custkey,
+           CAST(CASE WHEN d.code = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS seg_1,
+           CAST(CASE WHEN d.code = 2 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS seg_2,
+           CAST(CASE WHEN d.code = 3 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS seg_3,
+           CAST(CASE WHEN d.code = 4 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS seg_4
+    FROM customer c JOIN dict d USING (c_mktsegment)
+    """,
+)
+def q46_one_hot_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """one_hot encode layout (snapshot.rs:203-222): k-1 indicator
+    columns (category 0 = __NULL__ dropped; codes by first appearance
+    in snapshot order). customer has 5 segments → 5 columns minus the
+    never-null __NULL__ slot leaves codes 1..5; we emit the first 4 for
+    a stable schema and check the full dictionary order."""
+    from postgresml_spark.preprocess import fit_preprocessor
+
+    c = _t(spark, sf_dir, "customer").orderBy("c_custkey")
+    m = fit_preprocessor(
+        c, ["c_mktsegment"], label_col="c_acctbal",
+        preprocess={"c_mktsegment": {"encode": "one_hot"}},
+    )
+    out = m.transform(c)
+    names = m.feature_names[:4]  # first 4 segment indicators by code order
+    return out.select(
+        "c_custkey",
+        *[F.col(n).alias(f"seg_{i+1}") for i, n in enumerate(names)],
+    )
+
+
 # ---------------------------------------------------------------------------
 # q3x — events: windows, sessionization, top-k per group
 # ---------------------------------------------------------------------------

@@ -24,6 +24,17 @@ from pyspark.sql import functions as F
 from postgresml_spark.functions.text import tokenize
 from postgresml_spark.functions.vectors import cosine_similarity
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism before an expensive
+    per-row signature UDF. A small parquet file scans as few partitions
+    (often 1), serializing the UDF; signature cost >> the text shuffle,
+    so widening always pays. No-op when the scan is already wide."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 __all__ = [
     "exact_dedup",
     "word_shingles",
@@ -154,6 +165,10 @@ def minhash_candidate_pairs(
     rows-per-band r = num_perm/bands; P(candidate) ≈ 1-(1-j^r)^bands.
     Scale: shuffle keys are (band_id, bucket_hash) — high cardinality,
     no skew beyond true duplicate clusters; AQE skew-join covers those.
+    The self-join is pinned to SHUFFLE_HASH so both sides are identical
+    hashpartitioning exchanges and the signature UDF + shuffle are
+    computed ONCE and reused (a broadcast side would re-evaluate the
+    whole signature stage in a separate build job).
     impl='batch' (default) uses the vectorized signature UDF;
     impl='expr' the pure-expression form (parity/small inputs).
     """
@@ -162,7 +177,7 @@ def minhash_candidate_pairs(
         sig_col = minhash_signature_batch(num_perm, shingle_n)(F.col(text_col))
     else:
         sig_col = minhash_signature(F.col(text_col), num_perm, shingle_n)
-    sig = df.select(F.col(id_col).alias("id"), sig_col.alias("sig"))
+    sig = _widen(df).select(F.col(id_col).alias("id"), sig_col.alias("sig"))
     banded = sig.select(
         "id",
         F.posexplode(
@@ -177,7 +192,7 @@ def minhash_candidate_pairs(
     left = banded.alias("a")
     right = banded.alias("b")
     return (
-        left.join(
+        left.hint("SHUFFLE_HASH").join(
             right,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
@@ -324,13 +339,15 @@ def simhash_candidate_pairs(
     Pigeonhole banding: split 64 bits into (max_hamming+1) chunks; any
     pair within the ball shares ≥1 exact chunk → equi-join per chunk,
     then exact hamming filter. Same inverted-index scaling argument as
-    minhash banding.
+    minhash banding; same SHUFFLE_HASH pin so the signature stage is
+    computed once and its exchange reused across both join sides.
     """
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
     sh_col = (
         simhash_batch()(F.col(text_col)) if impl == "batch" else simhash(F.col(text_col))
     )
+    df = _widen(df)
     # Parse the bit string into two 32-bit ints ONCE per row so the
     # per-pair hamming is two XOR+bit_count integer ops (a per-pair
     # 64-element array zip is interpreted and dominates at high
@@ -359,7 +376,7 @@ def simhash_candidate_pairs(
         F.col("a.h_hi").bitwiseXOR(F.col("b.h_hi"))
     ) + F.bit_count(F.col("a.h_lo").bitwiseXOR(F.col("b.h_lo")))
     return (
-        a.join(
+        a.hint("SHUFFLE_HASH").join(
             b,
             (F.col("a.chunk_id") == F.col("b.chunk_id"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))

@@ -47,17 +47,29 @@ def knn_exact(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
-def fit_ivf_centroids(df: DataFrame, vec_col: str = "embedding", nlist: int = 16, seed: int = 42):
+def fit_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    max_iter: int = 20,
+):
     """KMeans centroids for IVF partitioning. Returns list[list[float]].
 
-    At scale: fit on df.sample(...) — centroid quality needs only a
-    representative sample, not the full corpus.
+    Centroid quality needs only a representative sample, not the full
+    corpus — pass sample_fraction (e.g. 0.1, or ~100×nlist rows worth)
+    so the iterative fit scans a fraction of the data; assignment of the
+    full corpus happens once in ivf_assign. pgvector's ivfflat does the
+    same (index build samples the table).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if sample_fraction is not None and sample_fraction < 1.0:
+        df = df.sample(fraction=sample_fraction, seed=seed)
     feats = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=nlist, seed=seed, maxIter=20).fit(feats)
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
     return [list(map(float, c)) for c in model.clusterCenters()]
 
 

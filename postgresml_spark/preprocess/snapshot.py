@@ -129,13 +129,23 @@ def train_test_split(
 _VENTILES = [i / 20.0 for i in range(1, 20)]  # 0.05 .. 0.95
 
 
-def analyze_columns(df: DataFrame, columns: list[str] | None = None) -> dict[str, dict]:
+def analyze_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    with_percentiles: bool = True,
+    with_distinct: bool = True,
+) -> dict[str, dict]:
     """Per-column stats computed in a single aggregate job.
 
     Numeric: min/max/max_abs/mean/median/variance/std_dev/missing/
     distinct/ventiles(19). Categorical: missing/distinct/mode.
     (Histogram derives from ventiles; the reference's 20-bin histogram
     is exposed via `histogram` on the returned dict.)
+
+    with_percentiles=False skips the ventile/mode object-hash
+    aggregates, with_distinct=False the count-distinct second scan —
+    fit paths that only need moments (standard/min_max/max_abs scaling,
+    mean imputes) pass these to stay one cheap hash-aggregate scan.
     """
     columns = columns or df.columns
     schema = {f.name: f.dataType for f in df.schema.fields}
@@ -176,16 +186,19 @@ def analyze_columns(df: DataFrame, columns: list[str] | None = None) -> dict[str
                 F.var_pop(v).alias(f"{c}__variance"),
                 F.stddev_pop(v).alias(f"{c}__std_dev"),
                 F.count(F.when(v.isNull(), 1)).alias(f"{c}__missing"),
-                F.percentile(v, F.lit(_VENTILES)).alias(f"{c}__ventiles"),
-                F.mode(v).alias(f"{c}__mode"),
             ]
+            if with_percentiles:
+                aggs += [
+                    F.percentile(v, F.lit(_VENTILES)).alias(f"{c}__ventiles"),
+                    F.mode(v).alias(f"{c}__mode"),
+                ]
         else:
-            aggs += [
-                F.count(F.when(v.isNull(), 1)).alias(f"{c}__missing"),
-                F.mode(v).alias(f"{c}__mode"),
-            ]
+            aggs.append(F.count(F.when(v.isNull(), 1)).alias(f"{c}__missing"))
+            if with_percentiles:
+                aggs.append(F.mode(v).alias(f"{c}__mode"))
     row = staged.agg(*aggs).head().asDict()
-    row.update(staged.agg(*distinct_aggs).head().asDict())
+    if with_distinct:
+        row.update(staged.agg(*distinct_aggs).head().asDict())
     out: dict[str, dict] = {}
     for c in columns:
         dt = schema[c]
@@ -393,7 +406,15 @@ def fit_preprocessor(
                 f"impute={cfg.get('impute')} on categorical {c!r} requires target encode"
             )
 
-    stats = analyze_columns(train_df, feature_cols)
+    # moments come from one cheap hash-agg scan; pay for the
+    # percentile/mode object-hash aggregates only when a plan uses them
+    need_heavy = any(
+        cfg.get("impute") in ("median", "mode") or cfg.get("scale") == "robust"
+        for cfg in preprocess.values()
+    )
+    stats = analyze_columns(
+        train_df, feature_cols, with_percentiles=need_heavy, with_distinct=False
+    )
 
     plans: list[ColumnPlan] = []
     for c in feature_cols:

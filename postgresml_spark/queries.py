@@ -782,7 +782,9 @@ def q15_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
-    cents = fit_ivf_centroids(e, nlist=8)
+    # fit on a 25% sample, 8 Lloyd iterations — list quality, not
+    # convergence, is what IVF needs (recall asserted in tests)
+    cents = fit_ivf_centroids(e, nlist=8, sample_fraction=0.25, max_iter=8)
     assigned = ivf_assign(e, cents)
     return knn_ivf(assigned, cents, qv, k=10, nprobe=4).select(
         "vec_id", F.round("score", 6).alias("score")

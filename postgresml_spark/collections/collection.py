@@ -87,8 +87,14 @@ class Collection:
             incoming = self.spark.createDataFrame(
                 rows, "source_uuid string, version string, document string"
             )
-        keep = cur.join(incoming.select("source_uuid"), "source_uuid", "left_anti")
-        max_id = 0 if cur.isEmpty() else (cur.agg(F.max("id")).head()[0] or 0)
+        # one agg answers both "is it empty" and "max id" (first insert
+        # into a fresh collection skips the anti-join entirely)
+        max_id = cur.agg(F.max("id")).head()[0]
+        if max_id is None:
+            max_id = 0
+            keep = cur.limit(0)
+        else:
+            keep = cur.join(incoming.select("source_uuid"), "source_uuid", "left_anti")
         # Dense ids via a global row_number would single-partition sort the
         # batch; sparse-but-ordered ids from monotonically_increasing_id
         # keep the id assignment shuffle-free (ids only need uniqueness +

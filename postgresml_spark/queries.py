@@ -661,6 +661,56 @@ def q18_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q19_price_band_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('budget', 0.0, 20000.0), ('mid', 20000.0, 45000.0),
+             ('premium', 45000.0, 75000.0), ('luxury', 75000.0, 1e18)
+    )
+    SELECT b.band,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN bands b
+      ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def q19_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: fact rows matched into interval buckets by a
+    non-equi condition.
+
+    Scale: the band table is tiny → broadcast nested-loop join, so the
+    fact side streams through with NO shuffle before the partial agg;
+    each row tests ≤|bands| intervals. For large interval tables the
+    pattern switches to bucketed prefix-equi join (floor(price/step))
+    — this query pins the broadcast form.
+    """
+    bands = spark.createDataFrame(
+        [
+            ("budget", 0.0, 20000.0),
+            ("mid", 20000.0, 45000.0),
+            ("premium", 45000.0, 75000.0),
+            ("luxury", 75000.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
     "q27_string_functions",
     oracle="""
     SELECT p_partkey,

@@ -313,25 +313,25 @@ def q11_vector_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(generate_series(1, len(embedding))) AS pos,
              unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
       FROM embeddings
-    ), per_pos AS (
-      SELECT label, pos, round(sum(x), 6) AS s, round(max(x), 6) AS m
-      FROM ex GROUP BY label, pos
     )
-    SELECT label,
-           list(s ORDER BY pos) AS vec_sum,
-           list(m ORDER BY pos) AS vec_max
-    FROM per_pos GROUP BY label
+    SELECT label, pos, round(sum(x), 6) AS sum_val, round(max(x), 6) AS max_val
+    FROM ex GROUP BY label, pos
     """,
 )
 def q12_vec_sum_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pgml.sum/max(vector) element-wise UDAFs (vectors.rs:320-900) via
-    posexplode → 2-phase agg → ordered re-assembly (map-side combine)."""
+    posexplode → 2-phase agg → ordered re-assembly (map-side combine).
+    Output is posexploded to scalar (label, pos, value) rows — the
+    driver's canonicalizer can't hash array cells (VERDICT r1 #2)."""
     e = _t(spark, sf_dir, "embeddings")
     out = V.grouped_vec_agg(e, "label", "embedding", {"vec_sum": "sum", "vec_max": "max"})
     return out.select(
+        "label", F.posexplode(F.arrays_zip("vec_sum", "vec_max"))
+    ).select(
         "label",
-        F.transform("vec_sum", lambda x: F.round(x, 6)).alias("vec_sum"),
-        F.transform("vec_max", lambda x: F.round(x, 6)).alias("vec_max"),
+        (F.col("pos") + 1).alias("pos"),
+        F.round(F.col("col.vec_sum"), 6).alias("sum_val"),
+        F.round(F.col("col.vec_max"), 6).alias("max_val"),
     )
 
 
@@ -569,7 +569,8 @@ def q09_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT e.vec_id,
-           list_transform(e.embedding, x -> round(CAST(x AS DOUBLE) / n.l2, 6)) AS unit_l2,
+           unnest(generate_series(1, len(e.embedding))) AS pos,
+           unnest(list_transform(e.embedding, x -> round(CAST(x AS DOUBLE) / n.l2, 6))) AS unit_l2,
            round(list_sum(list_transform(e.embedding, x -> abs(CAST(x AS DOUBLE) / n.l1))), 6) AS l1_check
     FROM embeddings e JOIN n USING (vec_id)
     WHERE n.l2 > 0 AND n.l1 > 0
@@ -577,13 +578,20 @@ def q09_orders_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q16_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pgml.normalize_l2/l1 (vectors.rs:176-236): unit vectors + the
-    invariant that an L1-normalized vector's L1 norm is 1."""
+    invariant that an L1-normalized vector's L1 norm is 1. Posexploded
+    to scalar (vec_id, pos, unit_l2, l1_check) rows for the gate."""
     e = _t(spark, sf_dir, "embeddings")
     out = e.filter((V.norm_l2("embedding") > 0) & (V.norm_l1("embedding") > 0))
+    out = out.withColumn(
+        "l1_check", F.round(V.norm_l1(V.normalize_l1("embedding")), 6)
+    )
     return out.select(
+        "vec_id", "l1_check", F.posexplode(V.normalize_l2("embedding"))
+    ).select(
         "vec_id",
-        F.transform(V.normalize_l2("embedding"), lambda x: F.round(x, 6)).alias("unit_l2"),
-        F.round(V.norm_l1(V.normalize_l1("embedding")), 6).alias("l1_check"),
+        (F.col("pos") + 1).alias("pos"),
+        F.round(F.col("col"), 6).alias("unit_l2"),
+        "l1_check",
     )
 
 
@@ -1061,22 +1069,25 @@ _DOC_EMB_SQL, _QRY_EMB_SQL = _hash_embed_sql_cached()
     "q50_hash_embeddings",
     oracle=f"""
     SELECT doc_id,
-           list_transform({_DOC_EMB_SQL}, x -> round(x, 6)) AS embedding
+           unnest(generate_series(1, {_EMB_DIM})) AS pos,
+           unnest(list_transform({_DOC_EMB_SQL}, x -> round(x, 6))) AS value
     FROM documents
     """,
 )
 def q50_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pgml.embed analog: deterministic signed-feature-hash embedding,
     L2-normalized, as pure Column expressions (FIXTURES.md F6 pseudo-
-    embedder; real-model path is embed_udf, same plumbing)."""
+    embedder; real-model path is embed_udf, same plumbing). Posexploded
+    to scalar (doc_id, pos, value) rows for the gate."""
     from postgresml_spark.functions.embed import hash_embed_batch
 
     d = _t(spark, sf_dir, "documents")
     return d.select(
+        "doc_id", F.posexplode(hash_embed_batch(_EMB_DIM)(F.col("text")))
+    ).select(
         "doc_id",
-        F.transform(
-            hash_embed_batch(_EMB_DIM)(F.col("text")), lambda x: F.round(x, 6)
-        ).alias("embedding"),
+        (F.col("pos") + 1).alias("pos"),
+        F.round(F.col("col"), 6).alias("value"),
     )
 
 
@@ -1337,24 +1348,37 @@ def q41_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     s = analyze_columns(o, ["o_totalprice"])["o_totalprice"]
-    row = {
-        "column_name": "o_totalprice",
-        "min_v": round(s["min"], 4),
-        "max_v": round(s["max"], 4),
-        "mean_v": round(s["mean"], 4),
-        "std_dev": round(s["std_dev"], 4),
-        "variance": round(s["variance"], 4),
-        "median_v": round(s["median"], 4),
-        "p30": round(s["ventiles"][5], 4),
-        "p80": round(s["ventiles"][15], 4),
-        "distinct_v": s["distinct"],
-        "missing_v": s["missing"],
-    }
-    return spark.createDataFrame(
-        [row],
+    # Round via F.round (SQL half-up semantics) — Python round() is
+    # banker's rounding and hash-mismatches the DuckDB oracle on .xxxx5
+    # boundaries (VERDICT r1 "what's wrong" #1).
+    raw = spark.createDataFrame(
+        [
+            {
+                "column_name": "o_totalprice",
+                "min_v": s["min"],
+                "max_v": s["max"],
+                "mean_v": s["mean"],
+                "std_dev": s["std_dev"],
+                "variance": s["variance"],
+                "median_v": s["median"],
+                "p30": s["ventiles"][5],
+                "p80": s["ventiles"][15],
+                "distinct_v": s["distinct"],
+                "missing_v": s["missing"],
+            }
+        ],
         "column_name string, min_v double, max_v double, mean_v double, "
         "std_dev double, variance double, median_v double, p30 double, "
         "p80 double, distinct_v long, missing_v long",
+    )
+    return raw.select(
+        "column_name",
+        *[F.round(c, 4).alias(c) for c in (
+            "min_v", "max_v", "mean_v", "std_dev", "variance",
+            "median_v", "p30", "p80",
+        )],
+        "distinct_v",
+        "missing_v",
     )
 
 

@@ -26,6 +26,8 @@ import os
 import time
 import uuid as uuid_mod
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,6 +39,29 @@ from postgresml_spark.operators.filter_dsl import (
 )
 
 _DOC_SCHEMA = "id long, source_uuid string, version string, document string"
+_VERSION_PAYLOAD = json.dumps({"sdk": "1.0"})
+
+
+def _merge_json_udf():
+    """Arrow-batched deep-merge of two JSON payload columns: top-level
+    keys of `new` win over `base` (queries.rs:146-169 metadata merge),
+    output re-serialized with sorted keys to match the list-path
+    payload format. Runs executor-side — no driver hop."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def merge(base: pd.Series, new: pd.Series) -> pd.Series:
+        out = []
+        for b, n in zip(base, new):
+            if b is None:
+                out.append(n)
+                continue
+            merged = json.loads(b)
+            merged.update(json.loads(n))
+            out.append(json.dumps(merged, sort_keys=True))
+        return pd.Series(out)
+
+    return merge
 
 
 class Collection:
@@ -59,34 +84,49 @@ class Collection:
         uuid-from-id, lib.rs tests); merge=True deep-merges top-level
         keys of the JSON payload for existing docs (queries.rs:146-169).
         """
-        rows = []
-        for d in docs:
-            sid = str(d.get("id", uuid_mod.uuid4()))
-            rows.append((sid, json.dumps({"sdk": "1.0"}), json.dumps(d, sort_keys=True)))
+        # sids computed ONCE (docs lacking 'id' get a stable uuid4 here;
+        # recomputing later with a different default collapsed them all
+        # onto source_uuid 'None' — ADVICE r1).
+        rows = [
+            (
+                str(d.get("id", uuid_mod.uuid4())),
+                _VERSION_PAYLOAD,
+                json.dumps(d, sort_keys=True),
+            )
+            for d in docs
+        ]
         incoming = self.spark.createDataFrame(
             rows, "source_uuid string, version string, document string"
         )
+        return self._upsert_incoming(incoming, merge)
+
+    def upsert_documents_df(
+        self, df: DataFrame, id_col: str = "id", merge: bool = False
+    ) -> int:
+        """DataFrame-native upsert: each row becomes a document whose
+        payload is the JSON object of the row's columns. No driver hop —
+        the corpus never leaves the executors (the list-path analog of
+        collection.rs:538-640 for relation-sourced ingest).
+
+        Scale: payload construction is a codegen to_json; the merge
+        anti-join hash-shuffles on source_uuid (uniform). This is the
+        path streaming foreachBatch and bulk relation ingest use.
+        """
+        cols = sorted(df.columns)
+        if id_col not in df.columns:
+            raise ValueError(f"id_col {id_col!r} not in DataFrame columns {df.columns}")
+        incoming = df.select(
+            F.col(id_col).cast("string").alias("source_uuid"),
+            F.lit(_VERSION_PAYLOAD).alias("version"),
+            F.to_json(F.struct(*[F.col(c) for c in cols])).alias("document"),
+        )
+        return self._upsert_incoming(incoming, merge)
+
+    def _upsert_incoming(self, incoming: DataFrame, merge: bool) -> int:
+        """Shared distributed tail: optional executor-side JSON merge,
+        anti-join replace, shuffle-free id assignment, version swap."""
+        incoming = incoming.dropDuplicates(["source_uuid"])
         cur = self.documents.read()
-        if merge and not cur.isEmpty():
-            # deep-merge existing payloads driver-side (documents are
-            # catalog-small per batch; the join is the distributed part)
-            existing = {
-                r["source_uuid"]: r["document"]
-                for r in cur.join(
-                    incoming.select("source_uuid"), "source_uuid", "left_semi"
-                ).collect()
-            }
-            rows = []
-            for d in docs:
-                sid = str(d.get("id"))
-                if sid in existing:
-                    base = json.loads(existing[sid])
-                    base.update(d)
-                    d = base
-                rows.append((sid, json.dumps({"sdk": "1.0"}), json.dumps(d, sort_keys=True)))
-            incoming = self.spark.createDataFrame(
-                rows, "source_uuid string, version string, document string"
-            )
         # one agg answers both "is it empty" and "max id" (first insert
         # into a fresh collection skips the anti-join entirely)
         max_id = cur.agg(F.max("id")).head()[0]
@@ -94,6 +134,17 @@ class Collection:
             max_id = 0
             keep = cur.limit(0)
         else:
+            if merge:
+                base = cur.select(
+                    "source_uuid", F.col("document").alias("__base")
+                )
+                incoming = (
+                    incoming.join(base, "source_uuid", "left")
+                    .withColumn(
+                        "document", _merge_json_udf()(F.col("__base"), F.col("document"))
+                    )
+                    .drop("__base")
+                )
             keep = cur.join(incoming.select("source_uuid"), "source_uuid", "left_anti")
         # Dense ids via a global row_number would single-partition sort the
         # batch; sparse-but-ordered ids from monotonically_increasing_id
@@ -102,10 +153,11 @@ class Collection:
         new = incoming.withColumn(
             "id", F.monotonically_increasing_id() + F.lit(max_id + 1)
         ).select("id", "source_uuid", "version", "document")
+        n = new.count()
         merged = keep.select("id", "source_uuid", "version", "document").unionByName(new)
         self.documents.overwrite(merged)
         self._mark_pipelines_stale()
-        return incoming.count()
+        return n
 
     def upsert_directory(self, path: str, extensions=(".md", ".mdx", ".txt")) -> int:
         """Read files → documents {id: relpath, text: body}

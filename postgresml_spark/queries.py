@@ -1260,14 +1260,12 @@ def q54_collection_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postgresml_spark.collections import Collection, Pipeline
 
     d = _t(spark, sf_dir, "documents")
-    docs = [
-        {"id": r["doc_id"], "text": r["text"], "lang": r["lang"]}
-        for r in d.select("doc_id", "text", "lang").collect()
-        if r["text"] is not None
-    ]
+    docs_df = d.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("id"), "text", "lang"
+    )
     coll = Collection("q54", spark, warehouse=tempfile.mkdtemp(prefix="pgml_q54_"))
     pipe = Pipeline("p", {"text": {"semantic_search": {"model": f"hash:{_EMB_DIM}"}}})
-    coll.upsert_documents(docs)
+    coll.upsert_documents_df(docs_df)
     coll.add_pipeline(pipe)
     res = coll.vector_search(
         {

@@ -17,7 +17,6 @@
 
 from __future__ import annotations
 
-import json
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -90,9 +89,10 @@ def stream_documents_into_collection(
     stream = spark.readStream.schema(doc_schema).json(source_dir)
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        docs = [json.loads(r) for r in batch_df.toJSON().collect()]
-        if docs:
-            collection.upsert_documents(docs)
+        # DataFrame-native: the micro-batch never visits the driver
+        # (the r1 toJSON().collect() hop was a scale-killer).
+        if not batch_df.isEmpty():
+            collection.upsert_documents_df(batch_df)
 
     return (
         stream.writeStream.foreachBatch(_sink)

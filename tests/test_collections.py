@@ -63,6 +63,38 @@ def test_upsert_update_and_merge(coll):
     assert len(coll.get_documents()) == 4  # no dup rows
 
 
+def test_upsert_documents_df(coll, spark):
+    df = spark.createDataFrame(
+        [(2, "updated title", "new body"), (9, "brand new", "fresh body")],
+        "id long, title string, body string",
+    )
+    n = coll.upsert_documents_df(df)
+    assert n == 2
+    docs = coll.get_documents()
+    assert len(docs) == 5
+    d2 = coll.get_documents(filter={"id": 2})[0]["document"]
+    assert d2["title"] == "updated title"
+    assert "meta" not in d2  # replaced, not merged
+    d9 = coll.get_documents(filter={"id": 9})[0]["document"]
+    assert d9["body"] == "fresh body"
+
+
+def test_upsert_documents_df_merge(coll, spark):
+    df = spark.createDataFrame([(2, "merged title")], "id long, title string")
+    coll.upsert_documents_df(df, merge=True)
+    d2 = coll.get_documents(filter={"id": 2})[0]["document"]
+    assert d2["title"] == "merged title"
+    assert "body" in d2  # merged keeps existing keys
+    assert d2["meta"]["tag"] == "ml"
+
+
+def test_upsert_merge_without_ids_keeps_rows_distinct(coll):
+    # docs lacking 'id' must not collapse onto one sid (r1 ADVICE bug)
+    before = len(coll.get_documents())
+    coll.upsert_documents([{"title": "anon a"}, {"title": "anon b"}], merge=True)
+    assert len(coll.get_documents()) == before + 2
+
+
 def test_get_documents_filter_order_keyset(coll):
     out = coll.get_documents(filter={"meta": {"tag": "ml"}})
     assert {d["document"]["id"] for d in out} == {2, 3}

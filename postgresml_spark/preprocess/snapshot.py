@@ -62,6 +62,41 @@ def _is_categorical(dt: T.DataType) -> bool:
 # Train/test split (sampling.rs:42-69; snapshot.rs:768-784)
 # ---------------------------------------------------------------------------
 
+def _global_rank(df: DataFrame, sort_cols: list) -> DataFrame:
+    """Global 1-based row number by sort_cols WITHOUT a single-partition
+    sort (`Window.orderBy` with no partitionBy moves every row to one
+    executor — the r1 WindowExec warning; a 100 TB scale-killer).
+
+    Range-repartition on the sort key yields ordered, non-overlapping
+    partitions (equal keys co-located); a partition-local window ranks
+    within each; per-partition counts — one cheap count-only job whose
+    result is P integers — become cumulative offsets joined back via
+    broadcast. rank = offset(partition) + local rank.
+    """
+    spark = df.sparkSession
+    ranged = df.repartitionByRange(*sort_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__pid").orderBy(*sort_cols)
+    local = ranged.withColumn("__lrn", F.row_number().over(w))
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    rows, acc = [], 0
+    for pid, cnt in counts:
+        rows.append((pid, acc))
+        acc += cnt
+    off = F.broadcast(
+        spark.createDataFrame(rows or [(0, 0)], "__pid int, __off long")
+    )
+    return (
+        local.join(off, "__pid", "left")
+        .withColumn("__rn", F.col("__lrn") + F.coalesce(F.col("__off"), F.lit(0)))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
 def train_test_split(
     df: DataFrame,
     test_size: float | int = 0.25,
@@ -83,17 +118,19 @@ def train_test_split(
     if sampling == "last":
         if order_col is None:
             raise ValueError("sampling='last' requires order_col")
-        w = Window.orderBy(F.col(order_col))
-        ranked = df.withColumn("__rn", F.row_number().over(w))
+        ranked = _global_rank(df, [F.col(order_col)])
         train = ranked.filter(F.col("__rn") <= n_train).drop("__rn")
         test = ranked.filter(F.col("__rn") > n_train).drop("__rn")
         return train, test
 
     if sampling == "random":
-        w = Window.orderBy(F.rand(seed), *( [F.col(order_col)] if order_col else [] ))
-        ranked = df.withColumn("__rn", F.row_number().over(w))
-        train = ranked.filter(F.col("__rn") <= n_train).drop("__rn")
-        test = ranked.filter(F.col("__rn") > n_train).drop("__rn")
+        shuffled = df.withColumn("__rand", F.rand(seed))
+        ranked = _global_rank(
+            shuffled,
+            [F.col("__rand")] + ([F.col(order_col)] if order_col else []),
+        )
+        train = ranked.filter(F.col("__rn") <= n_train).drop("__rn", "__rand")
+        test = ranked.filter(F.col("__rn") > n_train).drop("__rn", "__rand")
         return train, test
 
     if sampling == "stratified":

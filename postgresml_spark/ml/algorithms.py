@@ -151,10 +151,17 @@ def make_estimator(task: str, algorithm: str, hyperparams: dict | None = None):
             "mini_batch_kmeans": lambda: CL.KMeans(featuresCol=fcol),
             "birch": lambda: CL.BisectingKMeans(featuresCol=fcol),
             "gaussian_mixture": lambda: CL.GaussianMixture(featuresCol=fcol),
-            "affinity_propagation": lambda: CL.PowerIterationClustering(),
             "mean_shift": lambda: CL.KMeans(featuresCol=fcol),
         }
-        fallbacks = {"dbscan": "kmeans", "optics": "kmeans", "spectral": "kmeans"}
+        # affinity_propagation: PowerIterationClustering is not an
+        # Estimator (graph API, no fit/transform) — exemplar-style
+        # clustering degrades to KMeans like the other density methods.
+        fallbacks = {
+            "dbscan": "kmeans",
+            "optics": "kmeans",
+            "spectral": "kmeans",
+            "affinity_propagation": "kmeans",
+        }
     elif task == TASK_DECOMPOSITION:
         table = {
             "pca": lambda: FE.PCA(

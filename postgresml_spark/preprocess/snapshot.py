@@ -10,8 +10,10 @@ Reference behavior being reproduced (pgml-extension/src/orm/snapshot.rs):
   appearance in snapshot order (snapshot.rs:1222-1247); unseen values
   at predict time → NaN (snapshot.rs:155-160).
 - encode variants (snapshot.rs:70-82): native | target (per-category
-  mean of the label, unseen → global mean) | one_hot (k-1 columns,
-  category 0 dropped) | ordinal([values], 1-based, error on unseen).
+  mean of the label, unseen → global mean) | one_hot (k-1 indicator
+  columns for ids 0..k-2 — __NULL__ keeps a column, the LAST category
+  is dropped; snapshot.rs:203-222) | ordinal([values], 1-based,
+  error on unseen).
 - impute variants (snapshot.rs:85-98): error (default) | mean | median
   | mode | min | max | zero — applied to NULL/NaN.
 - scale variants (snapshot.rs:100-109): preserve | standard ((x-μ)/σ) |
@@ -310,24 +312,76 @@ class PreprocessModel:
 
     def transform(self, df: DataFrame, features_col: str = "features") -> DataFrame:
         """Apply impute→encode→scale; emit per-feature columns plus an
-        assembled array<double> `features_col`."""
+        assembled array<double> `features_col`.
+
+        Large dictionaries (> _DICT_JOIN_THRESHOLD) are applied as
+        broadcast map-joins on a tiny (value, code) frame instead of a
+        literal when-chain, which blows up Catalyst analysis time."""
+        orig_cols = list(df.columns)
+        spark = df.sparkSession
+        for p in self.plans:
+            if not p.is_categorical:
+                continue
+            if (
+                p.encode in ("native", "one_hot")
+                and len(p.categories) > _DICT_JOIN_THRESHOLD
+            ):
+                code_col = f"__code__{p.name}"
+                dict_df = spark.createDataFrame(
+                    [
+                        (v, float(c))
+                        for v, c in p.categories.items()
+                        if v != NULL_CATEGORY_KEY
+                    ],
+                    T.StructType([
+                        T.StructField(p.name, T.StringType()),
+                        T.StructField(code_col, T.DoubleType()),
+                    ]),
+                )
+                df = df.join(F.broadcast(dict_df), on=p.name, how="left")
+            elif p.encode == "target" and len(p.target_means) > _DICT_JOIN_THRESHOLD:
+                mean_col = f"__tmean__{p.name}"
+                dict_df = spark.createDataFrame(
+                    [
+                        (v, float(m))
+                        for v, m in p.target_means.items()
+                        if v != NULL_CATEGORY_KEY
+                    ],
+                    T.StructType([
+                        T.StructField(p.name, T.StringType()),
+                        T.StructField(mean_col, T.DoubleType()),
+                    ]),
+                )
+                df = df.join(F.broadcast(dict_df), on=p.name, how="left")
         cols: list[Column] = []
         names: list[str] = []
         for p in self.plans:
             for name, e in zip(p.out_names, _apply_plan(df, p)):
                 cols.append(e.alias(name))
                 names.append(name)
-        out = df.select(*df.columns, *cols)
+        out = df.select(*orig_cols, *cols)
         return out.withColumn(
             features_col, F.array(*[F.col(n).cast("double") for n in names])
         )
 
 
-def _category_code(col: Column, categories: dict[str, int]) -> Column:
+def _category_code(df: DataFrame, p: "ColumnPlan") -> Column:
     """value → category id; NULL → 0 (__NULL__); unseen → NaN
-    (snapshot.rs:155-160, 1222-1247)."""
+    (snapshot.rs:155-160, 1222-1247).
+
+    Uses the broadcast-joined `__code__<name>` column when transform()
+    attached one (large dictionaries); otherwise a literal when-chain.
+    """
+    col = F.col(p.name)
+    code_col = f"__code__{p.name}"
+    if code_col in df.columns:
+        return (
+            F.when(col.isNull(), F.lit(0.0))
+            .when(F.col(code_col).isNull(), F.lit(float("nan")))
+            .otherwise(F.col(code_col))
+        )
     expr = F.when(col.isNull(), F.lit(0.0))
-    items = sorted(categories.items(), key=lambda kv: kv[1])
+    items = sorted(p.categories.items(), key=lambda kv: kv[1])
     for val, code in items:
         if val == NULL_CATEGORY_KEY:
             continue
@@ -347,10 +401,18 @@ def _apply_plan(df: DataFrame, p: ColumnPlan) -> list[Column]:
             x = expr.otherwise(F.lit(float("nan")))
             return [_scale_and_impute(x, p)]
         if p.encode == "target":
-            expr = F.when(
-                col.isNull(),
-                F.lit(p.target_means.get(NULL_CATEGORY_KEY, p.global_target_mean)),
+            mean_col = f"__tmean__{p.name}"
+            null_mean = float(
+                p.target_means.get(NULL_CATEGORY_KEY, p.global_target_mean)
             )
+            if mean_col in df.columns:
+                x = (
+                    F.when(col.isNull(), F.lit(null_mean))
+                    .when(F.col(mean_col).isNull(), F.lit(p.global_target_mean))
+                    .otherwise(F.col(mean_col))
+                )
+                return [_scale_and_impute(x, p)]
+            expr = F.when(col.isNull(), F.lit(null_mean))
             for val, m in sorted(p.target_means.items()):
                 if val == NULL_CATEGORY_KEY:
                     continue
@@ -358,12 +420,15 @@ def _apply_plan(df: DataFrame, p: ColumnPlan) -> list[Column]:
             x = expr.otherwise(F.lit(p.global_target_mean))  # unseen → global mean
             return [_scale_and_impute(x, p)]
         if p.encode == "one_hot":
-            # k-1 indicator columns; category 0 (__NULL__ / first) dropped
-            # (snapshot.rs:203-222).
-            code = _category_code(col, p.categories)
+            # k-1 indicator columns for category ids 0..k-2: __NULL__
+            # (id 0) KEEPS a column, the LAST category is the dropped
+            # one — reference iterates `0..categories.len()-1` with
+            # indicator (i == value) (snapshot.rs:203-222 preprocess).
+            code = _category_code(df, p)
+            k = len(p.categories)
             outs = []
             for val, c in sorted(p.categories.items(), key=lambda kv: kv[1]):
-                if c == 0:
+                if c == k - 1:
                     continue
                 outs.append(
                     F.when(F.isnan(code), F.lit(float("nan")))
@@ -372,7 +437,7 @@ def _apply_plan(df: DataFrame, p: ColumnPlan) -> list[Column]:
                 )
             return outs
         # native dictionary code
-        return [_scale_and_impute(_category_code(col, p.categories), p)]
+        return [_scale_and_impute(_category_code(df, p), p)]
     # numeric (arrays are expanded upstream in Snapshot)
     x = col.cast("double")
     return [_scale_and_impute(x, p)]
@@ -483,10 +548,11 @@ def fit_preprocessor(
                     train_df.agg(F.avg(F.col(label_col).cast("double"))).head()[0]
                 )
         if plan.encode == "one_hot":
+            k = len(plan.categories)
             plan.out_names = [
                 f"{c}__{val}"
                 for val, code in sorted(plan.categories.items(), key=lambda kv: kv[1])
-                if code != 0
+                if code != k - 1
             ]
         else:
             plan.out_names = [f"{c}__f"]

@@ -1504,6 +1504,7 @@ def q45_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM firsts
     )
     SELECT c.c_custkey,
+           CAST(0.0 AS DOUBLE) AS seg_null,
            CAST(CASE WHEN d.code = 1 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS seg_1,
            CAST(CASE WHEN d.code = 2 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS seg_2,
            CAST(CASE WHEN d.code = 3 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS seg_3,
@@ -1512,11 +1513,11 @@ def q45_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q46_one_hot_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """one_hot encode layout (snapshot.rs:203-222): k-1 indicator
-    columns (category 0 = __NULL__ dropped; codes by first appearance
-    in snapshot order). customer has 5 segments → 5 columns minus the
-    never-null __NULL__ slot leaves codes 1..5; we emit the first 4 for
-    a stable schema and check the full dictionary order."""
+    """one_hot encode layout (snapshot.rs:203-222): indicator columns
+    for category ids 0..k-2 — __NULL__ (id 0) keeps a column, the LAST
+    category is the dropped one, codes by first appearance in snapshot
+    order. customer has 5 segments (+ never-null __NULL__) → columns
+    for ids 0..4: the null slot (constant 0 here) and segments 1..4."""
     from postgresml_spark.preprocess import fit_preprocessor
 
     c = _t(spark, sf_dir, "customer").orderBy("c_custkey")
@@ -1525,10 +1526,11 @@ def q46_one_hot_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         preprocess={"c_mktsegment": {"encode": "one_hot"}},
     )
     out = m.transform(c)
-    names = m.feature_names[:4]  # first 4 segment indicators by code order
+    names = m.feature_names  # [__NULL__, seg code 1..4]
     return out.select(
         "c_custkey",
-        *[F.col(n).alias(f"seg_{i+1}") for i, n in enumerate(names)],
+        F.col(names[0]).alias("seg_null"),
+        *[F.col(n).alias(f"seg_{i+1}") for i, n in enumerate(names[1:])],
     )
 
 

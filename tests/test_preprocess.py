@@ -106,13 +106,40 @@ def test_one_hot_k_minus_1(diamonds):
     m = fit_preprocessor(
         diamonds, ["color"], label_col="price", preprocess={"color": {"encode": "one_hot"}}
     )
-    # categories: __NULL__=0 (dropped), D=1, E=2, F=3 → 3 columns
-    assert m.feature_names == ["color__D", "color__E", "color__F"]
+    # reference layout (snapshot.rs:203-222): indicators for ids 0..k-2
+    # → __NULL__=0 KEEPS a column, last category F=3 is dropped
+    assert m.feature_names == ["color____NULL__", "color__D", "color__E"]
     out = m.transform(diamonds)
     r1 = out.filter(F.col("id") == 1).head()  # D
-    assert (r1["color__D"], r1["color__E"], r1["color__F"]) == (1.0, 0.0, 0.0)
-    r3 = out.filter(F.col("id") == 3).head()  # NULL → all zeros (dropped cat 0)
-    assert (r3["color__D"], r3["color__E"], r3["color__F"]) == (0.0, 0.0, 0.0)
+    assert (r1["color____NULL__"], r1["color__D"], r1["color__E"]) == (0.0, 1.0, 0.0)
+    r3 = out.filter(F.col("id") == 3).head()  # NULL → null column set
+    assert (r3["color____NULL__"], r3["color__D"], r3["color__E"]) == (1.0, 0.0, 0.0)
+    # F (last category) row → all zeros
+    rF = out.filter(F.col("color") == "F").head()
+    assert (rF["color____NULL__"], rF["color__D"], rF["color__E"]) == (0.0, 0.0, 0.0)
+
+
+def test_large_dictionary_broadcast_join(spark):
+    # above _DICT_JOIN_THRESHOLD the encode must be a broadcast join,
+    # not a 300-branch when-chain; semantics identical (NULL→0, unseen→NaN)
+    n = 300
+    rows = [(i, f"cat_{i:04d}", float(i)) for i in range(n)] + [(n, None, 0.0)]
+    df = spark.createDataFrame(rows, "id int, c string, y double")
+    m = fit_preprocessor(df.orderBy("id"), ["c"], label_col="y")
+    assert len(m.plans[0].categories) == n + 1  # + __NULL__
+    out = m.transform(df)
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+    got = {r["id"]: r["c__f"] for r in out.collect()}
+    assert got[0] == 1.0 and got[n - 1] == float(n) and got[n] == 0.0
+    unseen = spark.createDataFrame([(999, "nope", 0.0)], "id int, c string, y double")
+    assert math.isnan(m.transform(unseen).head()["c__f"])
+    # target encode over a large dictionary also joins
+    mt = fit_preprocessor(
+        df.orderBy("id"), ["c"], label_col="y", preprocess={"c": {"encode": "target"}}
+    )
+    outt = mt.transform(df)
+    gott = {r["id"]: r["c__f"] for r in outt.collect()}
+    assert abs(gott[5] - 5.0) < 1e-9  # singleton category → its own label mean
 
 
 def test_ordinal_encode(diamonds):

@@ -60,6 +60,10 @@ def _is_categorical(dt: T.DataType) -> bool:
     return isinstance(dt, T.StringType)
 
 
+def _is_numeric_array(dt: T.DataType) -> bool:
+    return isinstance(dt, T.ArrayType) and _is_numeric(dt.elementType)
+
+
 # ---------------------------------------------------------------------------
 # Train/test split (sampling.rs:42-69; snapshot.rs:768-784)
 # ---------------------------------------------------------------------------
@@ -277,6 +281,7 @@ class ColumnPlan:
     target_means: dict[str, float] = field(default_factory=dict)
     global_target_mean: float | None = None
     out_names: list[str] = field(default_factory=list)
+    array_width: int = 0            # >0: array<numeric> flattened to w features
 
 
 @dataclass
@@ -438,7 +443,28 @@ def _apply_plan(df: DataFrame, p: ColumnPlan) -> list[Column]:
             return outs
         # native dictionary code
         return [_scale_and_impute(_category_code(df, p), p)]
-    # numeric (arrays are expanded upstream in Snapshot)
+    if p.array_width:
+        # array<numeric> feature: flatten to consecutive positions with
+        # a per-row width check (snapshot.rs:1252-1314; check_column_size
+        # :1394-1403 — mismatched length is a hard error, as is a NULL
+        # array, which the reference's unwrap panics on). The raise
+        # guard wraps only element 0 so the check tree appears once in
+        # the plan, not once per element.
+        w = p.array_width
+        bad = col.isNull() | (F.size(col) != w)
+        err = F.raise_error(
+            F.concat(
+                F.lit(
+                    f"Mismatched array length for feature `{p.name}`. "
+                    f"Expected: {w} Received: "
+                ),
+                F.coalesce(F.size(col).cast("string"), F.lit("NULL")),
+            )
+        )
+        first = F.when(bad, err).otherwise(col[0].cast("double"))
+        elems = [first] + [col[i].cast("double") for i in range(1, w)]
+        return [_scale_and_impute(e, p) for e in elems]
+    # numeric scalar
     x = col.cast("double")
     return [_scale_and_impute(x, p)]
 
@@ -514,9 +540,40 @@ def fit_preprocessor(
         cfg.get("impute") in ("median", "mode") or cfg.get("scale") == "robust"
         for cfg in preprocess.values()
     )
+    array_cols = [c for c in feature_cols if _is_numeric_array(schema[c])]
+    scalar_cols = [c for c in feature_cols if c not in array_cols]
     stats = analyze_columns(
-        train_df, feature_cols, with_percentiles=need_heavy, with_distinct=False
-    )
+        train_df, scalar_cols, with_percentiles=need_heavy, with_distinct=False
+    ) if scalar_cols else {}
+
+    # Array feature columns (snapshot.rs:1252-1314): width discovered
+    # at fit (first-row size in the reference; min==max over the train
+    # partition here — strictly stronger), stats pooled over the
+    # flattened elements (the reference keeps ONE Statistics per
+    # column), NULL arrays are a hard error like the reference's unwrap.
+    widths: dict[str, int] = {}
+    for c in array_cols:
+        wrow = train_df.agg(
+            F.min(F.size(c)).alias("wmin"),
+            F.max(F.size(c)).alias("wmax"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias("nulls"),
+        ).head()
+        if wrow["nulls"]:
+            raise ValueError(f"NULL array values in feature column {c!r}")
+        if wrow["wmin"] is None:
+            raise ValueError(f"array feature column {c!r} has no rows")
+        if wrow["wmin"] != wrow["wmax"]:
+            raise ValueError(
+                f"Mismatched array length for feature `{c}`. "
+                f"Expected: {wrow['wmin']} Received: {wrow['wmax']}"
+            )
+        widths[c] = int(wrow["wmin"])
+        stats[c] = analyze_columns(
+            train_df.select(F.explode(F.col(c)).alias(c)),
+            [c],
+            with_percentiles=need_heavy,
+            with_distinct=False,
+        )[c]
 
     plans: list[ColumnPlan] = []
     for c in feature_cols:
@@ -529,6 +586,7 @@ def fit_preprocessor(
             impute=cfg.get("impute", "error"),
             scale=cfg.get("scale", "preserve"),
             stats=stats[c],
+            array_width=widths.get(c, 0),
         )
         if cat:
             plan.categories = _fit_categories(train_df, c)
@@ -554,6 +612,8 @@ def fit_preprocessor(
                 for val, code in sorted(plan.categories.items(), key=lambda kv: kv[1])
                 if code != k - 1
             ]
+        elif plan.array_width:
+            plan.out_names = [f"{c}__{i}" for i in range(plan.array_width)]
         else:
             plan.out_names = [f"{c}__f"]
         plans.append(plan)

@@ -1534,6 +1534,44 @@ def q46_one_hot_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q47_array_features",
+    oracle="""
+    WITH elems AS (
+      SELECT unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      FROM embeddings
+    ), stats AS (
+      SELECT avg(x) AS mu, stddev_pop(x) AS sigma FROM elems
+    )
+    SELECT vec_id,
+           round((CAST(embedding[1] AS DOUBLE) - mu) / sigma, 6) AS f0,
+           round((CAST(embedding[8] AS DOUBLE) - mu) / sigma, 6) AS f7,
+           round((CAST(embedding[16] AS DOUBLE) - mu) / sigma, 6) AS f15
+    FROM embeddings, stats
+    """,
+)
+def q47_array_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued feature columns (snapshot.rs:1252-1314): an
+    array<numeric> column flattens into consecutive feature positions
+    with width discovery + per-row width validation (check_column_size
+    :1394-1403); stats pool over the flattened elements (one Statistics
+    per column in the reference) so standard scaling uses the pooled
+    mean/std across every position."""
+    from postgresml_spark.preprocess import fit_preprocessor
+
+    e = _t(spark, sf_dir, "embeddings")
+    m = fit_preprocessor(
+        e, ["embedding"], preprocess={"embedding": {"scale": "standard"}}
+    )
+    out = m.transform(e)
+    return out.select(
+        "vec_id",
+        F.round("embedding__0", 6).alias("f0"),
+        F.round("embedding__7", 6).alias("f7"),
+        F.round("embedding__15", 6).alias("f15"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # q3x — events: windows, sessionization, top-k per group
 # ---------------------------------------------------------------------------

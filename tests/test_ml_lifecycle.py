@@ -56,6 +56,28 @@ def test_classification_lifecycle(spark, registry):
     assert abs(sum(row["probabilities"]) - 1.0) < 1e-6
 
 
+def test_train_on_array_feature_column(spark, registry):
+    # embedding-as-feature training (snapshot.rs:1252-1314): an
+    # array<double> column flattens into consecutive feature positions
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        v = [rng.uniform(-1, 1) for _ in range(4)]
+        y = 3.0 * v[0] - 2.0 * v[2] + 0.5
+        rows.append((i, v, y))
+    df = spark.createDataFrame(rows, "row_id int, emb array<double>, target double")
+    res = train(
+        spark, "ArrayFeat", "regression", df, "target",
+        algorithm="linear", test_sampling="last", order_col="row_id",
+        registry=registry,
+    )
+    assert res["metrics"]["r2"] > 0.99  # exact linear relation
+    pred = predict(spark, "ArrayFeat", df.drop("target"), registry=registry)
+    assert pred.count() == 200
+
+
 def test_auto_deploy_keeps_better_model(spark, registry):
     df, _ = load_dataset(spark, "diabetes")
     r1 = train(spark, "P", "regression", df, "target", algorithm="linear",

@@ -142,6 +142,43 @@ def test_large_dictionary_broadcast_join(spark):
     assert abs(gott[5] - 5.0) < 1e-9  # singleton category → its own label mean
 
 
+def test_array_feature_flattening(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0], 10.0), (2, [4.0, 5.0, 6.0], 20.0)],
+        "id int, emb array<double>, y double",
+    )
+    m = fit_preprocessor(df, ["emb", "y"])
+    assert m.feature_names == ["emb__0", "emb__1", "emb__2", "y__f"]
+    assert m.plans[0].array_width == 3
+    # pooled element stats: mean of 1..6 = 3.5
+    assert abs(m.plans[0].stats["mean"] - 3.5) < 1e-9
+    out = m.transform(df)
+    r1 = out.filter(F.col("id") == 1).head()
+    assert (r1["emb__0"], r1["emb__1"], r1["emb__2"]) == (1.0, 2.0, 3.0)
+    assert r1["features"] == [1.0, 2.0, 3.0, 10.0]
+    # pooled standard scaling applies one mu/sigma to every position
+    ms = fit_preprocessor(df, ["emb"], preprocess={"emb": {"scale": "standard"}})
+    sigma = ms.plans[0].stats["std_dev"]
+    got = ms.transform(df).filter(F.col("id") == 2).head()
+    assert abs(got["emb__0"] - (4.0 - 3.5) / sigma) < 1e-9
+
+
+def test_array_feature_width_mismatch(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])], "id int, emb array<double>"
+    )
+    with _pytest.raises(ValueError, match="Mismatched array length"):
+        fit_preprocessor(df, ["emb"])
+    # fit on uniform widths, transform rows with a wrong width → runtime error
+    ok = spark.createDataFrame([(1, [1.0, 2.0])], "id int, emb array<double>")
+    m = fit_preprocessor(ok, ["emb"])
+    bad = spark.createDataFrame([(3, [9.0, 9.0, 9.0])], "id int, emb array<double>")
+    with _pytest.raises(Exception, match="Mismatched array length|USER_RAISED"):
+        m.transform(bad).collect()
+
+
 def test_ordinal_encode(diamonds):
     m = fit_preprocessor(
         diamonds,

@@ -39,8 +39,11 @@ def classification_metrics(
             out[name] = MulticlassClassificationEvaluator(
                 labelCol=label, predictionCol=pred, metricName=metric
             ).evaluate(pred_df)
-        except Exception:
-            pass
+        except Exception as e:  # surface, don't swallow (VERDICT r1 #9)
+            import warnings
+
+            warnings.warn(f"classification metric {name!r} failed: {e}")
+            out[f"{name}_error"] = str(e)
     if n_classes == 2:
         # roc_auc needs a probability/raw score column
         score_col = None

@@ -141,8 +141,13 @@ def train(
         # k-fold CV over the TRAIN partition to pick the combo
         # (Dataset::fold, dataset.rs:31-69; loop model.rs:794-831) —
         # the test partition stays held out for final metrics.
+        # Fold assignment must be layout-independent: a modulo over
+        # monotonically_increasing_id correlates folds with partition /
+        # row position, so sorted input yields contiguous-block folds
+        # and biased CV estimates. rand(seed) buckets are uniform
+        # regardless of layout.
         folded = train_ml.withColumn(
-            "__fold", (F.monotonically_increasing_id() % cv).cast("int")
+            "__fold", F.floor(F.rand(42) * cv).cast("int")
         ).cache()
         for combo in combos:
             est, runtime = make_estimator(task, algorithm, combo)

@@ -56,6 +56,23 @@ def test_classification_lifecycle(spark, registry):
     assert abs(sum(row["probabilities"]) - 1.0) < 1e-6
 
 
+def test_cv_folds_layout_independent(spark):
+    # sorted-by-label input must still produce label-mixed folds
+    # (monotonic-id % cv gave contiguous blocks — VERDICT r1 #7)
+    rows = [(i, 0.0 if i < 500 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id int, label double").orderBy("id")
+    cv = 4
+    folded = df.withColumn("__fold", F.floor(F.rand(42) * cv).cast("int"))
+    dist = {
+        (r["__fold"], r["label"]): r["cnt"]
+        for r in folded.groupBy("__fold", "label").agg(F.count("*").alias("cnt")).collect()
+    }
+    for k in range(cv):
+        n0, n1 = dist.get((k, 0.0), 0), dist.get((k, 1.0), 0)
+        assert n0 > 50 and n1 > 50  # every fold sees both label blocks
+        assert 0.5 < n0 / max(n1, 1) < 2.0
+
+
 def test_train_on_array_feature_column(spark, registry):
     # embedding-as-feature training (snapshot.rs:1252-1314): an
     # array<double> column flattens into consecutive feature positions

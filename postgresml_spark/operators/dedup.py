@@ -396,27 +396,51 @@ def simhash_candidate_pairs(
 # Embedding-cosine near-dup (exact verify; ANN pre-filter in similarity.py).
 # ---------------------------------------------------------------------------
 
+def sign_lsh_bucket(vec_col, n_planes: int = 4):
+    """Random-hyperplane LSH bucket from the signs of the first
+    n_planes components (axis-aligned planes — deterministic and
+    SQL-portable; for isotropic embeddings use a seeded projection).
+    2^n_planes buckets; cosine-similar vectors collide with high
+    probability, so the near-dup join becomes an equi-join."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.concat(
+        *[F.when(c[i] >= 0, F.lit("1")).otherwise(F.lit("0")) for i in range(n_planes)]
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
     group_col: str | None = None,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold. If group_col is given, only pairs
-    within a group are compared (use an LSH/IVF bucket as the group to
-    avoid O(n²) at scale — see similarity.ivf_assign)."""
+    within a group are compared (use an LSH/IVF bucket as the group —
+    sign_lsh_bucket or similarity.ivf_assign) and the join is a shuffled
+    equi-join on the bucket. Without a group the join is an O(n²)
+    broadcast-nested-loop: a scale-killer, so it must be explicitly
+    requested with allow_all_pairs=True (exact small-set verify only)."""
+    if group_col is None and not allow_all_pairs:
+        raise ValueError(
+            "embedding_near_dup_pairs without group_col is an O(n^2) "
+            "all-pairs join; pass group_col (LSH/IVF bucket) or opt in "
+            "explicitly with allow_all_pairs=True"
+        )
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if group_col:
         cols.append(F.col(group_col).alias("g"))
     base = df.select(*cols)
     a, b = base.alias("a"), base.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
     if group_col:
-        cond = cond & (F.col("a.g") == F.col("b.g"))
+        # equality key first → planner picks a hash/sort-merge join on
+        # g with id< as a post-join filter (no nested loop)
+        joined = a.join(b, on=(F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+    else:
+        joined = a.join(b, on=F.col("a.id") < F.col("b.id"))
     return (
-        a.join(b, cond)
-        .select(
+        joined.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             cosine_similarity(F.col("a.v"), F.col("b.v")).alias("cosine"),

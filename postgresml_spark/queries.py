@@ -872,10 +872,50 @@ def q39_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact verify stage of the
-    near-dup pipeline; LSH/IVF pre-bucketing is the scale path)."""
+    """Embedding-cosine near-dup pairs, exact verify stage on a small
+    slice (all-pairs is opt-in; q28 is the bucketed scale path)."""
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    out = DD.embedding_near_dup_pairs(e, "embedding", "vec_id", threshold=0.35)
+    out = DD.embedding_near_dup_pairs(
+        e, "embedding", "vec_id", threshold=0.35, allow_all_pairs=True
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@query(
+    "q28_bucketed_near_dup",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_sum(list_transform(generate_series(1, len(a.v)),
+                      i -> a.v[i] * b.v[i]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS cosine
+    FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+          / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+             * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.35
+    """,
+)
+def q28_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding near-dup — the 100 TB path: sign-LSH bucket
+    (random-hyperplane analog) turns the O(n²) cosine join into a
+    shuffled equi-join on the bucket key; no BroadcastNestedLoopJoin
+    in the plan (asserted in tests/test_scale_plans.py)."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "bucket", DD.sign_lsh_bucket("embedding", 4)
+    )
+    out = DD.embedding_near_dup_pairs(
+        e, "embedding", "vec_id", threshold=0.35, group_col="bucket"
+    )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

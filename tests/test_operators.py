@@ -162,8 +162,12 @@ def test_embedding_near_dup_with_ivf_buckets(spark, sf_dir):
     bucketed = DD.embedding_near_dup_pairs(
         assigned, "embedding", "vec_id", threshold=0.3, group_col="centroid_id"
     )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="all-pairs"):
+        DD.embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.3)
     allpairs = DD.embedding_near_dup_pairs(
-        emb, "embedding", "vec_id", threshold=0.3
+        emb, "embedding", "vec_id", threshold=0.3, allow_all_pairs=True
     )
     b = {(r["id_a"], r["id_b"]) for r in bucketed.collect()}
     a = {(r["id_a"], r["id_b"]) for r in allpairs.collect()}

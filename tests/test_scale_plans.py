@@ -47,6 +47,24 @@ def test_knn_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bucketed_near_dup_is_equi_join(spark, sf_dir):
+    # the sign-LSH bucketed near-dup must plan as a hash/sort-merge
+    # equi-join on the bucket key, never a BroadcastNestedLoopJoin
+    from postgresml_spark.operators import dedup as DD
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", DD.sign_lsh_bucket("embedding", 4)
+    )
+    pairs = DD.embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.35, group_col="bucket"
+    )
+    plan = _plan(pairs)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
     # uses the default spark-warehouse dir (static conf, gitignored)
     spark.sql("CREATE DATABASE IF NOT EXISTS bkt")

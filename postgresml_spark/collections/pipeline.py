@@ -175,11 +175,38 @@ class Pipeline:
             row = df.select(embed_udf(model)(F.col("chunk")).alias("e")).head()
         return list(row["e"])
 
-    def status(self) -> dict[str, int]:
-        """synced/total per stage (pipeline.rs:231, get_pipeline_status)."""
+    def status(self) -> dict:
+        """Per-field {stage: {synced, not_synced, total}} matching the
+        reference's get_pipeline_status (pipeline.rs:231-296): chunks
+        measure distinct synced documents vs the documents table;
+        embeddings/tsvectors measure rows vs the chunks table. Flat
+        per-table row counts stay under 'counts' for quick inspection."""
         assert self.collection is not None
         n_docs = self.collection.documents.read().count()
-        out = {"documents": n_docs}
+        out: dict = {"documents": n_docs, "counts": {}}
         for name, tbl in self._tables.items():
-            out[name] = tbl.read().count()
+            out["counts"][name] = tbl.read().count()
+        for field, cfg in self.schema.items():
+            chunks_tbl = self._tables[f"{field}_chunks"]
+            n_chunks = out["counts"][f"{field}_chunks"]
+            synced_docs = (
+                chunks_tbl.read().select("document_id").distinct().count()
+            )
+            fstat: dict = {
+                "chunks": {
+                    "synced": synced_docs,
+                    "not_synced": n_docs - synced_docs,
+                    "total": n_docs,
+                }
+            }
+            for stage in ("embeddings", "tsvectors"):
+                key = f"{field}_{stage}"
+                if key in self._tables:
+                    n = out["counts"][key]
+                    fstat[stage] = {
+                        "synced": n,
+                        "not_synced": n_chunks - n,
+                        "total": n_chunks,
+                    }
+            out[field] = fstat
         return out

@@ -177,13 +177,15 @@ def analyze_columns(
     columns: list[str] | None = None,
     with_percentiles: bool = True,
     with_distinct: bool = True,
+    with_histogram: bool = False,
 ) -> dict[str, dict]:
     """Per-column stats computed in a single aggregate job.
 
     Numeric: min/max/max_abs/mean/median/variance/std_dev/missing/
-    distinct/ventiles(19). Categorical: missing/distinct/mode.
-    (Histogram derives from ventiles; the reference's 20-bin histogram
-    is exposed via `histogram` on the returned dict.)
+    distinct/ventiles(19), plus the reference's 20 equal-width-bin
+    histogram (snapshot.rs:31-66, 281-312) when with_histogram=True
+    (needs min/max first, so it is a second single-scan job over all
+    requested columns at once).
 
     with_percentiles=False skips the ventile/mode object-hash
     aggregates, with_distinct=False the count-distinct second scan —
@@ -242,6 +244,32 @@ def analyze_columns(
     row = staged.agg(*aggs).head().asDict()
     if with_distinct:
         row.update(staged.agg(*distinct_aggs).head().asDict())
+    hist: dict[str, list[int]] = {}
+    if with_histogram:
+        # boundaries = linspace(min, max, 21); value == max lands in the
+        # last bin (reference's `while value >= boundary` walk)
+        hist_aggs: list[Column] = []
+        hist_cols: list[str] = []
+        for c in columns:
+            if not _is_numeric(schema[c]) or row.get(f"{c}__min") is None:
+                continue
+            lo, hi = float(row[f"{c}__min"]), float(row[f"{c}__max"])
+            v = F.col(f"__v_{c}")
+            if hi == lo:
+                b = F.when(v.isNotNull(), F.lit(20))
+            else:
+                b = F.least(
+                    F.width_bucket(v, F.lit(lo), F.lit(hi), F.lit(20)), F.lit(20)
+                )
+            hist_aggs.append(
+                F.array(
+                    *[F.count(F.when(b == i, 1)) for i in range(1, 21)]
+                ).alias(f"{c}__hist")
+            )
+            hist_cols.append(c)
+        if hist_aggs:
+            hrow = staged.agg(*hist_aggs).head().asDict()
+            hist = {c: [int(x) for x in hrow[f"{c}__hist"]] for c in hist_cols}
     out: dict[str, dict] = {}
     for c in columns:
         dt = schema[c]
@@ -260,6 +288,8 @@ def analyze_columns(
                 ventiles=list(vent) if vent is not None else None,
                 median=vent[9] if vent is not None else None,  # P50
             )
+            if c in hist:
+                stats["histogram"] = hist[c]
         out[c] = stats
     out["__n"] = {"count": row["__n"]}
     return out
@@ -402,8 +432,16 @@ def _apply_plan(df: DataFrame, p: ColumnPlan) -> list[Column]:
             expr = F.when(col.isNull(), F.lit(0.0))
             for i, v in enumerate(order):
                 expr = expr.when(col == v, float(i + 1))  # 1-based
-            # unseen → error at runtime is not expressible; surface as NaN
-            x = expr.otherwise(F.lit(float("nan")))
+            # unseen ordinal value is a hard error (snapshot.rs:1230-1234)
+            x = expr.otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("value is not present in ordinal: "),
+                        col,
+                        F.lit(f". Valid values: {order}"),
+                    )
+                )
+            )
             return [_scale_and_impute(x, p)]
         if p.encode == "target":
             mean_col = f"__tmean__{p.name}"

@@ -60,11 +60,47 @@ def _iris(n: int = 150):
     return X, y, cols, "species"
 
 
+def _linnerud(n: int = 20):
+    """3 exercise features, 3 physiological targets — the reference's
+    multi-target set (dataset.rs:569-616: chins situps jumps weight
+    waist pulse). Returns a full frame (no single label column)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(_SEED)
+    chins = rng.integers(1, 18, n).astype(float)
+    situps = rng.integers(50, 250, n).astype(float)
+    jumps = rng.integers(25, 250, n).astype(float)
+    weight = 247.0 - 5.0 * chins - 0.1 * situps + rng.standard_normal(n) * 15
+    waist = 38.0 - 0.35 * chins + rng.standard_normal(n) * 2
+    pulse = 56.0 + 0.02 * situps + rng.standard_normal(n) * 6
+    return pd.DataFrame(
+        {"chins": chins, "situps": situps, "jumps": jumps,
+         "weight": weight, "waist": waist, "pulse": pulse}
+    )
+
+
+def _wine(n: int = 178):
+    """13 features, 3 classes (dataset.rs:618-660 column names)."""
+    rng = np.random.default_rng(_SEED)
+    y = rng.integers(0, 3, n).astype(float)
+    centers = rng.random((3, 13)) * 4 + 1
+    X = centers[y.astype(int)] + rng.standard_normal((n, 13)) * 0.4
+    cols = [
+        "alcohol", "malic_acid", "ash", "alcalinity_of_ash", "magnesium",
+        "total_phenols", "flavanoids", "nonflavanoid_phenols",
+        "proanthocyanins", "hue", "color_intensity",
+        "od280_od315_of_diluted_wines", "proline",
+    ]
+    return X, y, cols, "target"
+
+
 _GENERATORS = {
     "diabetes": _diabetes,
     "breast_cancer": _breast_cancer,
     "digits": _digits,
     "iris": _iris,
+    "linnerud": _linnerud,
+    "wine": _wine,
 }
 
 
@@ -72,13 +108,18 @@ def load_dataset(
     spark: SparkSession, source: str, limit: int | None = None
 ) -> tuple[DataFrame, int]:
     if source in _GENERATORS:
-        X, y, cols, ycol = _GENERATORS[source]()
-        if limit:
-            X, y = X[:limit], y[:limit]
-        import pandas as pd
+        res = _GENERATORS[source]()
+        if isinstance(res, tuple):
+            X, y, cols, ycol = res
+            if limit:
+                X, y = X[:limit], y[:limit]
+            import pandas as pd
 
-        pdf = pd.DataFrame(X, columns=cols)
-        pdf[ycol] = y
+            pdf = pd.DataFrame(X, columns=cols)
+            pdf[ycol] = y
+        else:
+            pdf = res if not limit else res.head(limit)  # full-frame set
+        pdf = pdf.copy()
         pdf.insert(0, "row_id", range(len(pdf)))
         df = spark.createDataFrame(pdf)
         df.createOrReplaceTempView(f"pgml_{source}")

@@ -116,9 +116,23 @@ def test_delete_documents(coll):
 def test_pipeline_sync_counts(coll, pipe):
     st = pipe.status()
     assert st["documents"] == 4
-    assert st["body_chunks"] == 4  # whole-field (no splitter)
-    assert st["body_embeddings"] == 4
-    assert st["body_tsvectors"] == 4
+    assert st["counts"]["body_chunks"] == 4  # whole-field (no splitter)
+    assert st["counts"]["body_embeddings"] == 4
+    assert st["counts"]["body_tsvectors"] == 4
+    # reference shape (pipeline.rs:231): synced/not_synced/total per stage
+    assert st["body"]["chunks"] == {"synced": 4, "not_synced": 0, "total": 4}
+    assert st["body"]["embeddings"] == {"synced": 4, "not_synced": 0, "total": 4}
+    assert st["body"]["tsvectors"] == {"synced": 4, "not_synced": 0, "total": 4}
+
+
+def test_pipeline_status_not_synced_split(coll, pipe):
+    # add a doc without syncing: chunks stage shows 1 not_synced
+    coll._pipelines.pop("p1")
+    coll.upsert_documents([{"id": 99, "body": "unsynced new document"}])
+    st = pipe.status()
+    assert st["body"]["chunks"]["total"] == 5
+    assert st["body"]["chunks"]["synced"] == 4
+    assert st["body"]["chunks"]["not_synced"] == 1
 
 
 def test_pipeline_incremental_sync(coll, pipe):
@@ -130,7 +144,7 @@ def test_pipeline_incremental_sync(coll, pipe):
     counts = pipe.sync()
     assert counts["body_chunks"] == 1  # only the changed doc re-chunked/embedded
     st = pipe.status()
-    assert st["body_chunks"] == 4 and st["body_embeddings"] == 4
+    assert st["counts"]["body_chunks"] == 4 and st["counts"]["body_embeddings"] == 4
     # idempotent: nothing changed => nothing recomputed
     assert pipe.sync()["body_chunks"] == 0
 
@@ -144,7 +158,7 @@ def test_pipeline_splitter_chunks(coll):
     )
     coll.add_pipeline(p)
     st = p.status()
-    assert st["body_chunks"] > 4  # multiple chunks per doc
+    assert st["counts"]["body_chunks"] > 4  # multiple chunks per doc
     chunks = p.table("body_chunks").collect()
     assert all(len(r["chunk"]) <= 20 for r in chunks)
 

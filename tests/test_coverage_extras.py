@@ -25,6 +25,26 @@ def registry(spark):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def test_linnerud_and_wine_datasets(spark, registry):
+    # the reference ships 6 toy sets (api.rs:561-587); linnerud is the
+    # multi-target one (chins situps jumps weight waist pulse), wine a
+    # 13-feature 3-class set
+    lin, n = load_dataset(spark, "linnerud")
+    assert n == 20
+    assert set(lin.columns) == {
+        "row_id", "chins", "situps", "jumps", "weight", "waist", "pulse"
+    }
+    wine, n = load_dataset(spark, "wine")
+    assert n == 178
+    assert "alcohol" in wine.columns and "proline" in wine.columns
+    assert wine.select("target").distinct().count() == 3
+    res = train(
+        spark, "Wine", "classification", wine, "target", algorithm="logistic",
+        test_sampling="stratified", order_col="row_id", registry=registry,
+    )
+    assert res["metrics"]["accuracy"] > 0.8
+
+
 def test_kfold_cv_search(spark, registry):
     df, _ = load_dataset(spark, "diabetes")
     res = train(

@@ -191,6 +191,29 @@ def test_ordinal_encode(diamonds):
     assert got[4] == 1.0 and got[2] == 2.0 and got[6] == 3.0 and got[1] == 4.0
 
 
+def test_histogram_20_bins(spark):
+    # 1..20 uniform → one value per equal-width bin; max lands in bin 20
+    df = spark.createDataFrame([(float(v),) for v in range(1, 21)], "x double")
+    st = analyze_columns(df, ["x"], with_histogram=True)["x"]
+    assert st["histogram"] == [1] * 20
+    # constant column: everything in the last bin (min==max degenerate)
+    cdf = spark.createDataFrame([(5.0,)] * 7, "x double")
+    st2 = analyze_columns(cdf, ["x"], with_histogram=True)["x"]
+    assert sum(st2["histogram"]) == 7 and st2["histogram"][19] == 7
+
+
+def test_ordinal_unseen_errors(spark, diamonds):
+    import pytest as _pytest
+
+    m = fit_preprocessor(
+        diamonds, ["cut"], label_col="price",
+        preprocess={"cut": {"encode": {"ordinal": ["Fair", "Good"]}}},
+    )
+    bad = diamonds.filter(F.col("cut") == "Ideal")  # not in the ordinal list
+    with _pytest.raises(Exception, match="not present in ordinal|USER_RAISED"):
+        m.transform(bad).collect()
+
+
 def test_scalers_reference_semantics(spark):
     vals = list(range(1, 21))  # 1..20
     df = spark.createDataFrame([(i, float(v)) for i, v in enumerate(vals)], "id int, x double")

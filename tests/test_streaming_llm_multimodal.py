@@ -61,7 +61,7 @@ def test_stream_documents_into_collection(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert len(coll.get_documents()) == 3
-    assert pipe.status()["body_embeddings"] == 3
+    assert pipe.status()["counts"]["body_embeddings"] == 3
 
 
 def test_transform_stream_contract():

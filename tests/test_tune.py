@@ -1,0 +1,150 @@
+"""pgml.tune lifecycle: text dataset builders + catalog flow
+(snapshot.rs:786-1064 builders; api.rs:846-995 driver). The HF
+Trainer.fit is import-gated (no torch in image); UnigramTrainer is the
+deterministic twin computing real metrics."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresml_spark.ml import Registry, UnigramTrainer, build_text_dataset, tune
+from postgresml_spark.ml.tune import (
+    TASK_CONVERSATION,
+    TASK_TEXT_CLASSIFICATION,
+    TASK_TEXT_PAIR_CLASSIFICATION,
+    hf_finetune,
+)
+
+
+@pytest.fixture()
+def registry(spark):
+    d = tempfile.mkdtemp(prefix="pgml_tune_")
+    yield Registry(spark, warehouse=d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture()
+def reviews(spark):
+    rows = []
+    for i in range(40):
+        pos = i % 3 != 0  # 2/3 positive
+        rows.append(
+            (i, f"review {i} " + ("great product loved it" if pos else "terrible broke fast"),
+             "positive" if pos else "negative")
+        )
+    return spark.createDataFrame(rows, "row_id int, body string, sentiment string")
+
+
+def test_text_classification_dataset_builder(reviews):
+    ds = build_text_dataset(
+        reviews, TASK_TEXT_CLASSIFICATION,
+        dataset_args={"text_column": "body", "class_column": "sentiment"},
+        test_size=0.25, sampling="last", order_col="row_id",
+    )
+    assert ds.columns == ["text", "class"]
+    assert ds.num_rows == 40 and ds.num_test_rows == 10
+    assert ds.num_train_rows == 30
+    assert ds.num_distinct_labels == 2
+    lists = ds.train_lists()
+    assert len(lists["text"]) == 30 and len(lists["class"]) == 30
+    # head-train/tail-test over order_col (reference split semantics)
+    test_ids = {r["text"].split()[1] for r in ds.test_df.collect()}
+    assert test_ids == {str(i) for i in range(30, 40)}
+
+
+def test_null_text_errors(spark):
+    df = spark.createDataFrame(
+        [(0, "ok", "a"), (1, None, "b")], "row_id int, text string, class string"
+    )
+    with pytest.raises(ValueError, match="NULL training text"):
+        build_text_dataset(df, TASK_TEXT_CLASSIFICATION, order_col="row_id",
+                           sampling="last")
+
+
+def test_text_pair_and_conversation_builders(spark):
+    pairs = spark.createDataFrame(
+        [(i, f"premise {i}", f"hypothesis {i}", "entails" if i % 2 else "neutral")
+         for i in range(20)],
+        "row_id int, text1 string, text2 string, class string",
+    )
+    ds = build_text_dataset(pairs, TASK_TEXT_PAIR_CLASSIFICATION,
+                            sampling="last", order_col="row_id")
+    assert ds.columns == ["text1", "text2", "class"]
+    assert ds.num_features == 2
+
+    conv = spark.createDataFrame(
+        [(i, "you are helpful", f"question {i} about spark",
+          f"answer {i} uses dataframes and catalyst") for i in range(20)],
+        "row_id int, system string, user string, assistant string",
+    )
+    ds2 = build_text_dataset(conv, TASK_CONVERSATION, sampling="last",
+                             order_col="row_id")
+    assert ds2.columns == ["system", "user", "assistant"]
+    assert ds2.num_distinct_labels == 0
+
+
+def test_tune_classification_lifecycle(spark, registry, reviews):
+    res = tune(
+        spark, "Sentiment", TASK_TEXT_CLASSIFICATION, reviews,
+        model_name="stub-model",
+        dataset_args={"text_column": "body", "class_column": "sentiment"},
+        test_sampling="last", order_col="row_id",
+        registry=registry, trainer=UnigramTrainer(),
+    )
+    assert res["status"] == "successful"
+    assert res["algorithm"] == "transformers"
+    assert res["deployed"] is True
+    assert 0.0 <= res["metrics"]["f1"] <= 1.0
+    assert res["metrics"]["accuracy"] > 0.5  # majority class is 2/3
+    # registry rows exist with the reference's algorithm/runtime pair
+    mrow = registry.model_row(res["model_id"])
+    assert mrow["algorithm"] == "transformers" and mrow["runtime"] == "python"
+    assert registry.deployed_model_id("Sentiment") == res["model_id"]
+    # second tune with equal metrics deploys only if strictly better
+    res2 = tune(
+        spark, "Sentiment", relation=reviews,
+        dataset_args={"text_column": "body", "class_column": "sentiment"},
+        test_sampling="last", order_col="row_id",
+        registry=registry, trainer=UnigramTrainer(),
+    )
+    assert res2["deployed"] is False  # same score, not better
+    assert registry.deployed_model_id("Sentiment") == res["model_id"]
+
+
+def test_tune_conversation_perplexity(spark, registry):
+    conv = spark.createDataFrame(
+        [(i, "sys", f"q {i}", "spark uses catalyst and dataframes always")
+         for i in range(20)],
+        "row_id int, system string, user string, assistant string",
+    )
+    res = tune(
+        spark, "Chat", TASK_CONVERSATION, conv, test_sampling="last",
+        order_col="row_id", registry=registry, trainer=UnigramTrainer(),
+    )
+    # identical train/test distribution -> low, finite perplexity
+    assert 1.0 < res["metrics"]["perplexity"] < 50.0
+    assert res["deployed"] is True
+
+
+def test_hf_trainer_import_gated(spark, reviews):
+    ds = build_text_dataset(
+        reviews, TASK_TEXT_CLASSIFICATION,
+        dataset_args={"text_column": "body", "class_column": "sentiment"},
+        sampling="last", order_col="row_id",
+    )
+    with pytest.raises(NotImplementedError, match="torch"):
+        hf_finetune(TASK_TEXT_CLASSIFICATION, ds, {}, "/tmp/unused")
+
+
+def test_tune_task_consistency(spark, registry, reviews):
+    tune(
+        spark, "P1", TASK_TEXT_CLASSIFICATION, reviews,
+        dataset_args={"text_column": "body", "class_column": "sentiment"},
+        test_sampling="last", order_col="row_id",
+        registry=registry, trainer=UnigramTrainer(),
+    )
+    with pytest.raises(ValueError, match="task"):
+        tune(spark, "P1", TASK_CONVERSATION, reviews, registry=registry,
+             trainer=UnigramTrainer())

@@ -60,6 +60,37 @@ def main() -> int:
         derived["vector_search_sec"] = times["q51_semantic_search"]
     if times.get("q53_hybrid_search", -1) > 0:
         derived["hybrid_search_sec"] = times["q53_hybrid_search"]
+
+    # Steady-state search latency: the single-run numbers above are
+    # dominated by first-touch job costs; the reference's 18-31 ms
+    # ivfflat figure is a warm-index number, so report the median of
+    # repeated in-session runs as the comparable throughput metric.
+    def _steady(name: str, reps: int = 5) -> float | None:
+        fn = queries.get(name)
+        if fn is None:
+            return None
+        try:
+            fn(spark, sf_dir).collect()  # warm plan/codegen
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                ts.append(time.perf_counter() - t0)
+            ts.sort()
+            return round(ts[len(ts) // 2] * 1000, 1)
+        except Exception as e:
+            print(f"bench steady error {name}: {e}", file=sys.stderr)
+            return None
+
+    for qname, key in (
+        ("q51_semantic_search", "vector_search_steady_ms"),
+        ("q53_hybrid_search", "hybrid_search_steady_ms"),
+        ("q13_knn_cosine", "knn_steady_ms"),
+    ):
+        v = _steady(qname)
+        if v is not None:
+            derived[key] = v
+            derived[key.replace("_ms", "_qps")] = round(1000.0 / v, 2) if v else None
     print(
         json.dumps(
             {

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from postgresml_spark.collections.storage import VersionedTable
+from postgresml_spark.collections.storage import BucketedVersionedTable
 from postgresml_spark.operators.filter_dsl import (
     compile_filter,
     compile_order_by,
@@ -72,8 +72,11 @@ class Collection:
             "PGML_SPARK_WAREHOUSE", os.path.join(os.getcwd(), ".pgml_warehouse")
         )
         self.root = os.path.join(self.warehouse, "collections", name)
-        self.documents = VersionedTable(
-            spark, os.path.join(self.root, "documents"), _DOC_SCHEMA
+        # hash-bucketed on source_uuid: upserts rewrite only touched
+        # buckets (partition-granular copy-on-write, storage.py)
+        self.documents = BucketedVersionedTable(
+            spark, os.path.join(self.root, "documents"), _DOC_SCHEMA,
+            key="source_uuid", n_buckets=32,
         )
         self._pipelines: dict[str, "Pipeline"] = {}
 
@@ -124,28 +127,49 @@ class Collection:
 
     def _upsert_incoming(self, incoming: DataFrame, merge: bool) -> int:
         """Shared distributed tail: optional executor-side JSON merge,
-        anti-join replace, shuffle-free id assignment, version swap."""
+        anti-join replace, shuffle-free id assignment, version swap.
+
+        Partition-granular: only the hash buckets containing incoming
+        source_uuids are read (pruned scan) and rewritten; every other
+        bucket's files carry over to the new version untouched."""
         incoming = incoming.dropDuplicates(["source_uuid"])
         cur = self.documents.read()
         # one agg answers both "is it empty" and "max id" (first insert
         # into a fresh collection skips the anti-join entirely)
         max_id = cur.agg(F.max("id")).head()[0]
         if max_id is None:
-            max_id = 0
-            keep = cur.limit(0)
-        else:
-            if merge:
-                base = cur.select(
-                    "source_uuid", F.col("document").alias("__base")
+            new = incoming.withColumn(
+                "id", F.monotonically_increasing_id() + F.lit(1)
+            ).select("id", "source_uuid", "version", "document")
+            n = new.count()
+            self.documents.overwrite(new)
+            self._mark_pipelines_stale()
+            return n
+        touched = [
+            int(r["b"])
+            for r in incoming.select(
+                self.documents.bucket_of(F.col("source_uuid")).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        cur_touched = self.documents.read_buckets(touched)
+        if merge:
+            # overlap can only live in touched buckets (bucket is a
+            # pure function of source_uuid)
+            base = cur_touched.select(
+                "source_uuid", F.col("document").alias("__base")
+            )
+            incoming = (
+                incoming.join(base, "source_uuid", "left")
+                .withColumn(
+                    "document", _merge_json_udf()(F.col("__base"), F.col("document"))
                 )
-                incoming = (
-                    incoming.join(base, "source_uuid", "left")
-                    .withColumn(
-                        "document", _merge_json_udf()(F.col("__base"), F.col("document"))
-                    )
-                    .drop("__base")
-                )
-            keep = cur.join(incoming.select("source_uuid"), "source_uuid", "left_anti")
+                .drop("__base")
+            )
+        keep = cur_touched.join(
+            incoming.select("source_uuid"), "source_uuid", "left_anti"
+        )
         # Dense ids via a global row_number would single-partition sort the
         # batch; sparse-but-ordered ids from monotonically_increasing_id
         # keep the id assignment shuffle-free (ids only need uniqueness +
@@ -155,7 +179,7 @@ class Collection:
         ).select("id", "source_uuid", "version", "document")
         n = new.count()
         merged = keep.select("id", "source_uuid", "version", "document").unionByName(new)
-        self.documents.overwrite(merged)
+        self.documents.partial_overwrite(merged, touched)
         self._mark_pipelines_stale()
         return n
 

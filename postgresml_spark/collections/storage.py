@@ -77,3 +77,93 @@ class VersionedTable:
         import shutil
 
         shutil.rmtree(self.path, ignore_errors=True)
+
+
+class BucketedVersionedTable(VersionedTable):
+    """VersionedTable partitioned by a hash bucket of a key column, with
+    partition-granular copy-on-write: a new version physically rewrites
+    only the buckets an upsert touches and references every other
+    bucket's files from the previous version via hardlink (the same
+    unchanged-file reuse a Delta/Iceberg snapshot gets from its log).
+    At 100 TB this is the difference between O(batch) and O(table) per
+    upsert; swapping the backend for real Delta MERGE stays one file.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, schema: str,
+                 key: str = "source_uuid", n_buckets: int = 32):
+        super().__init__(spark, path, schema)
+        self.key = key
+        self.n_buckets = n_buckets
+
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        if "__bucket" in df.columns:
+            return df
+        return df.withColumn(
+            "__bucket",
+            F.pmod(F.xxhash64(F.col(self.key).cast("string")), F.lit(self.n_buckets)).cast("int"),
+        )
+
+    def bucket_of(self, col):
+        from pyspark.sql import functions as F
+
+        return F.pmod(F.xxhash64(col.cast("string")), F.lit(self.n_buckets)).cast("int")
+
+    def read(self) -> DataFrame:
+        df = super().read()
+        return df.drop("__bucket") if "__bucket" in df.columns else df
+
+    def read_buckets(self, buckets: list[int]) -> DataFrame:
+        """Scan only the requested buckets — partition pruning at file
+        listing (PartitionFilters), so an upsert reads O(touched)."""
+        v = self._current_version()
+        if v == 0:
+            return self.spark.createDataFrame([], self.schema)
+        from pyspark.sql import functions as F
+
+        df = self.spark.read.parquet(os.path.join(self.path, f"v_{v}"))
+        return df.filter(F.col("__bucket").isin([int(b) for b in buckets])).drop(
+            "__bucket"
+        )
+
+    def overwrite(self, df: DataFrame, keep_versions: int = 2) -> None:
+        v = self._current_version() + 1
+        out = os.path.join(self.path, f"v_{v}")
+        self._bucketed(df).write.mode("overwrite").partitionBy("__bucket").parquet(out)
+        with open(self._pointer(), "w") as f:
+            f.write(str(v))
+        self.vacuum(keep_versions)
+
+    def partial_overwrite(self, touched_df: DataFrame, touched: list[int],
+                          keep_versions: int = 2) -> None:
+        """New version = touched buckets from touched_df + every other
+        bucket hardlinked from the current version (copy fallback)."""
+        import shutil
+
+        cur = self._current_version()
+        v = cur + 1
+        out = os.path.join(self.path, f"v_{v}")
+        self._bucketed(touched_df).write.mode("overwrite").partitionBy(
+            "__bucket"
+        ).parquet(out)
+        touched_set = {int(b) for b in touched}
+        if cur:
+            prev = os.path.join(self.path, f"v_{cur}")
+            for name in os.listdir(prev):
+                if not name.startswith("__bucket="):
+                    continue
+                if int(name.split("=", 1)[1]) in touched_set:
+                    continue
+                src, dst = os.path.join(prev, name), os.path.join(out, name)
+                os.makedirs(dst, exist_ok=True)
+                for fn in os.listdir(src):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    try:
+                        os.link(os.path.join(src, fn), os.path.join(dst, fn))
+                    except OSError:
+                        shutil.copy2(os.path.join(src, fn), os.path.join(dst, fn))
+        with open(self._pointer(), "w") as f:
+            f.write(str(v))
+        self.vacuum(keep_versions)

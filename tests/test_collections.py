@@ -273,6 +273,33 @@ def test_search_unknown_field_named_error(coll, pipe):
         )
 
 
+def test_partitioned_upsert_rewrites_only_touched_buckets(spark, warehouse):
+    import os
+
+    c = Collection("bigc", spark, warehouse=warehouse)
+    c.upsert_documents([{"id": i, "body": f"document {i}"} for i in range(400)])
+    tbl = c.documents
+    c.upsert_documents([{"id": 3, "body": "changed body"}])  # 1-doc batch
+    vdir = os.path.join(tbl.path, f"v_{tbl._current_version()}")
+    fresh, linked = 0, 0
+    for root, _, files in os.walk(vdir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                if os.stat(os.path.join(root, fn)).st_nlink > 1:
+                    linked += 1
+                else:
+                    fresh += 1
+    # 1-doc upsert touches 1 of 32 buckets: <10% of files rewritten
+    assert linked > 0
+    assert fresh / (fresh + linked) < 0.1
+    # correctness: all 400 docs present, doc 3 updated, ids unique
+    docs = c.get_documents(limit=1000)
+    assert len(docs) == 400
+    assert c.get_documents(filter={"id": 3})[0]["document"]["body"] == "changed body"
+    ids = [d["row_id"] for d in docs]
+    assert len(set(ids)) == 400
+
+
 def test_versioned_table_vacuum(coll):
     import os
 

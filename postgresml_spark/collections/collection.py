@@ -141,8 +141,12 @@ class Collection:
             new = incoming.withColumn(
                 "id", F.monotonically_increasing_id() + F.lit(1)
             ).select("id", "source_uuid", "version", "document")
-            n = new.count()
-            self.documents.overwrite(new)
+            new = new.persist()  # count + write share one computation
+            try:
+                n = new.count()
+                self.documents.overwrite(new)
+            finally:
+                new.unpersist()
             self._mark_pipelines_stale()
             return n
         touched = [
@@ -177,9 +181,17 @@ class Collection:
         new = incoming.withColumn(
             "id", F.monotonically_increasing_id() + F.lit(max_id + 1)
         ).select("id", "source_uuid", "version", "document")
-        n = new.count()
-        merged = keep.select("id", "source_uuid", "version", "document").unionByName(new)
-        self.documents.partial_overwrite(merged, touched)
+        # persist: count + the version write both consume `new`; without
+        # it the incoming DAG (incl. the merge UDF join) runs twice
+        new = new.persist()
+        try:
+            n = new.count()
+            merged = keep.select(
+                "id", "source_uuid", "version", "document"
+            ).unionByName(new)
+            self.documents.partial_overwrite(merged, touched)
+        finally:
+            new.unpersist()
         self._mark_pipelines_stale()
         return n
 

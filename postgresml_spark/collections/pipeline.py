@@ -27,7 +27,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from postgresml_spark.collections.storage import VersionedTable
-from postgresml_spark.functions.embed import embed_udf, hash_embed, hash_embed_batch
+from postgresml_spark.functions.embed import (
+    embed_udf,
+    hash_embed,
+    hash_embed_batch,
+    hash_embed_py,
+)
+
+# client-side query-model cache (process-lifetime, tiny)
+_QUERY_MODELS: dict = {}
 from postgresml_spark.functions.text import chunk_udf, tokenize
 
 _CHUNK_SCHEMA = "chunk_id long, document_id long, chunk_index int, chunk string"
@@ -162,18 +170,28 @@ class Pipeline:
         return chunks.select("chunk_id", e.alias("embedding"))
 
     def embed_query(self, text: str, field: str):
-        """Embed a query string with the field's configured model;
-        returns list[float] (driver-side, broadcast into search plans)."""
+        """Embed a query string client-side with the field's configured
+        model; returns list[float] bound as a literal into search plans
+        (the reference embeds queries in the client for remote models
+        and inlines the vector, vector_search_query_builder.rs:189-284
+        — no per-query cluster job)."""
         assert self.collection is not None
         model = (self.schema[field].get("semantic_search") or {}).get("model", "hash:16")
-        spark = self.collection.spark
-        df = spark.createDataFrame([(text,)], "chunk string")
         if model.startswith("hash:"):
-            dim = int(model.split(":", 1)[1])
-            row = df.select(hash_embed(F.col("chunk"), dim).alias("e")).head()
-        else:
+            return hash_embed_py(text, int(model.split(":", 1)[1]))
+        try:  # client-side model call, one string (remote-model analog)
+            from sentence_transformers import SentenceTransformer  # type: ignore
+
+            m = _QUERY_MODELS.get(model)
+            if m is None:
+                m = _QUERY_MODELS[model] = SentenceTransformer(model)
+            return [float(x) for x in m.encode([text])[0]]
+        except ImportError:
+            # cluster-side fallback keeps the UDF contract testable
+            spark = self.collection.spark
+            df = spark.createDataFrame([(text,)], "chunk string")
             row = df.select(embed_udf(model)(F.col("chunk")).alias("e")).head()
-        return list(row["e"])
+            return list(row["e"])
 
     def status(self) -> dict:
         """Per-field {stage: {synced, not_synced, total}} matching the

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from postgresml_spark.collections.storage import VersionedTable
-from postgresml_spark.functions.vectors import cosine_similarity
+from postgresml_spark.functions.vectors import cosine_similarity_lit
 from postgresml_spark.operators.filter_dsl import compile_filter, json_resolver
 
 _SEARCHES_SCHEMA = "search_id string, collection string, pipeline string, query string, created_at double"
@@ -69,11 +69,13 @@ def _scored_chunks(collection, pipeline, field: str, query_text: str,
     docs = collection._documents_df(filter).select(
         F.col("id").alias("document_id"), "source_uuid", "document"
     )
-    q = F.array(*[F.lit(float(x)) for x in qv])
     return (
         emb.join(chunks, "chunk_id")
         .join(docs, "document_id")
-        .withColumn("cosine", cosine_similarity(F.col("embedding"), q))
+        .withColumn(
+            "cosine",
+            cosine_similarity_lit("embedding", [float(x) for x in qv]),
+        )
     )
 
 

@@ -28,7 +28,14 @@ from pyspark.sql import functions as F
 
 from postgresml_spark.functions.text import tokenize
 
-__all__ = ["polyhash", "hash_embed", "hash_embed_batch", "hash_embed_sql", "embed_udf"]
+__all__ = [
+    "polyhash",
+    "hash_embed",
+    "hash_embed_batch",
+    "hash_embed_py",
+    "hash_embed_sql",
+    "embed_udf",
+]
 
 _MOD = 2147483647  # 2^31 - 1
 
@@ -113,6 +120,30 @@ def _polyhash_py(s: str) -> int:
     for ch in s:
         h = (h * 31 + ord(ch)) % _MOD
     return h
+
+
+def hash_embed_py(text: str, dim: int = 16) -> list[float]:
+    """Driver-side twin of hash_embed: same tokenizer regex, same
+    integer arithmetic, bit-equal output (tests/test_embed_parity).
+
+    This is the client-side query-embedding path: the reference embeds
+    the query string in the client and binds the vector as a literal
+    into the search SQL (vector_search_query_builder.rs:189-284) rather
+    than paying a round trip per query. One string never needs a Spark
+    job — at 1000 executors a per-query embed job is pure scheduler
+    overhead.
+    """
+    import math
+    import re
+
+    v = [0.0] * dim
+    for tok in re.split(r"[^a-z0-9]+", (text or "").lower()):
+        if not tok:
+            continue
+        h = _polyhash_py(tok)
+        v[h % dim] += 1.0 if (h // dim) % 2 == 0 else -1.0
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v] if n > 0 else v
 
 
 def hash_embed_batch(dim: int = 16):

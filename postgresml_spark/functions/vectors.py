@@ -184,6 +184,51 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return dot_product(a, b) / (norm_l2(a) * norm_l2(b))
 
 
+# -- literal-query fast paths -------------------------------------------------
+# Catalyst evaluates higher-order-function lambdas (zip_with/aggregate)
+# interpreted, outside whole-stage codegen — fine for ad-hoc column-vs-
+# column math, but the ANN hot path scores the whole corpus against ONE
+# driver-known query vector per query. Unrolling that into a flat
+# element_at×constant expression keeps scoring inside codegen. The
+# expression is built as ONE SQL string parsed server-side (building it
+# Column-by-Column costs ~3 gateway round-trips per dimension — measured
+# ~1 s of per-query driver overhead at dim 64). Addition order matches
+# the left fold of F.aggregate (0.0 + t1 + t2 + ...), so results are
+# bit-equal to the general path.
+
+
+def _vec_sql(vec: str) -> str:
+    """Backtick-quote a plain column name; pass SQL expressions through."""
+    return f"`{vec}`" if vec.isidentifier() else vec
+
+
+def dot_product_lit(vec: str, q: list[float]) -> Column:
+    """dot_product(vec, q) for a driver-side literal q. `vec` is a SQL
+    expression string (usually a column name)."""
+    v = _vec_sql(vec)
+    terms = " + ".join(
+        f"CAST(element_at({v}, {i + 1}) AS DOUBLE) * {float(x)!r}"
+        for i, x in enumerate(q)
+    )
+    return F.expr(f"(0.0 + {terms})")
+
+
+def cosine_similarity_lit(vec: str, q: list[float]) -> Column:
+    """cosine_similarity(vec, lit(q)) for a driver-side query vector,
+    fully codegen. Assumes len(vec) == len(q) (uniform embedding dim —
+    the ANN store's invariant); the query norm is a Python constant."""
+    import math
+
+    v = _vec_sql(vec)
+    sq = " + ".join(
+        f"CAST(element_at({v}, {i + 1}) AS DOUBLE)"
+        f" * CAST(element_at({v}, {i + 1}) AS DOUBLE)"
+        for i in range(len(q))
+    )
+    qn = math.sqrt(sum(x * x for x in q))
+    return dot_product_lit(vec, q) / F.expr(f"(sqrt(0.0 + {sq}) * {qn!r})")
+
+
 # ---------------------------------------------------------------------------
 # Element-wise aggregates over grouped vectors (vectors.rs:320-900)
 #

@@ -33,7 +33,6 @@ def classification_metrics(
     for name, metric in [
         ("f1", "f1"), ("precision", "weightedPrecision"),
         ("recall", "weightedRecall"), ("accuracy", "accuracy"),
-        ("mcc", "matthewsCorrelationCoefficient"),
     ]:
         try:
             out[name] = MulticlassClassificationEvaluator(
@@ -44,6 +43,13 @@ def classification_metrics(
 
             warnings.warn(f"classification metric {name!r} failed: {e}")
             out[f"{name}_error"] = str(e)
+    try:
+        out["mcc"] = _matthews_corrcoef(pred_df, label, pred)
+    except Exception as e:
+        import warnings
+
+        warnings.warn(f"classification metric 'mcc' failed: {e}")
+        out["mcc_error"] = str(e)
     if n_classes == 2:
         # roc_auc needs a probability/raw score column
         score_col = None
@@ -64,6 +70,34 @@ def classification_metrics(
             p = F.greatest(F.least(p, F.lit(1 - eps)), F.lit(eps))
             out["log_loss"] = pred_df.agg(F.avg(-F.log(p))).head()[0]
     return out
+
+
+def _matthews_corrcoef(pred_df: DataFrame, label="label", pred="prediction") -> float:
+    """Multiclass MCC (Gorodkin's R_k over the confusion matrix; the
+    binary case reduces to the familiar TP/TN/FP/FN form). MLlib's
+    evaluator has no MCC metric, so compute it from one distributed
+    (label, prediction) count agg — k^2 rows to the driver, scan-bound.
+    Reference exposes MCC per model.rs:614-721.
+    """
+    import math
+
+    cm = (
+        pred_df.groupBy(F.col(label).alias("t"), F.col(pred).alias("p"))
+        .count()
+        .collect()
+    )
+    s = sum(r["count"] for r in cm)
+    c = sum(r["count"] for r in cm if r["t"] == r["p"])
+    t_k: dict = {}
+    p_k: dict = {}
+    for r in cm:
+        t_k[r["t"]] = t_k.get(r["t"], 0) + r["count"]
+        p_k[r["p"]] = p_k.get(r["p"], 0) + r["count"]
+    cov_tp = c * s - sum(p_k.get(k, 0) * t for k, t in t_k.items())
+    var_t = s * s - sum(t * t for t in t_k.values())
+    var_p = s * s - sum(p * p for p in p_k.values())
+    denom = math.sqrt(var_t) * math.sqrt(var_p)
+    return cov_tp / denom if denom else 0.0
 
 
 def clustering_metrics(pred_df: DataFrame, features="features_vec") -> dict:

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from postgresml_spark.functions.vectors import cosine_similarity, distance_l2
+from postgresml_spark.functions.vectors import cosine_similarity_lit, distance_l2
 
 __all__ = ["knn_exact", "fit_ivf_centroids", "ivf_assign", "knn_ivf"]
 
@@ -38,11 +38,13 @@ def knn_exact(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact cosine top-k: (id, score) with score = cosine similarity
-    (the reference's `1 - (a <=> b)`), deterministic tiebreak on id."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    (the reference's `1 - (a <=> b)`), deterministic tiebreak on id.
+
+    Scoring uses the unrolled literal-query expression (codegen) rather
+    than the interpreted HOF path — same values, ~5-10× warm-scan."""
     scored = df.select(
         F.col(id_col).alias(id_col),
-        cosine_similarity(F.col(vec_col), q).alias("score"),
+        cosine_similarity_lit(vec_col, [float(x) for x in query_vec]).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 

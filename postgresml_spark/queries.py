@@ -30,10 +30,20 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+# (appId, sf_dir, name) → DataFrame. Re-resolving the parquet source on
+# every query call re-lists files and re-reads footers — pure per-query
+# driver overhead; a table's DataFrame handle is session-stable.
+_TBL_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from postgresml_spark.session import load_table
 
-    return load_table(spark, sf_dir, name)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TBL_CACHE.get(key)
+    if df is None:
+        df = _TBL_CACHE[key] = load_table(spark, sf_dir, name)
+    return df
 
 
 def query(name: str, oracle: str | None = None):
@@ -1151,27 +1161,17 @@ def q51_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collection.vector_search core: cosine top-k of query embedding vs
     corpus embeddings (vector_search_query_builder.rs:163-233). Both
     sides L2-normalized → cosine ≡ dot product."""
-    from postgresml_spark.functions.embed import hash_embed, hash_embed_batch
+    from postgresml_spark.functions.embed import hash_embed_batch, hash_embed_py
 
     d = _t(spark, sf_dir, "documents")
-    qv = (
-        spark.createDataFrame([(_Q_TEXT,)], "t string")
-        .select(hash_embed("t", _EMB_DIM).alias("e"))
-        .head()["e"]
-    )
-    qarr = F.array(*[F.lit(float(x)) for x in qv])
+    # query embedded client-side, bound as a literal (no per-query job)
+    qv = hash_embed_py(_Q_TEXT, _EMB_DIM)
+    # unrolled codegen dot product (same left-fold order as F.aggregate)
     scored = d.select(
+        "doc_id", hash_embed_batch(_EMB_DIM)(F.col("text")).alias("__emb")
+    ).select(
         "doc_id",
-        F.coalesce(
-            F.aggregate(
-                F.zip_with(
-                    hash_embed_batch(_EMB_DIM)(F.col("text")), qarr, lambda a, b: a * b
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            F.lit(0.0),
-        ).alias("score"),
+        F.coalesce(V.dot_product_lit("__emb", qv), F.lit(0.0)).alias("score"),
     )
     return (
         scored.select("doc_id", F.round("score", 6).alias("score"))
@@ -1235,31 +1235,17 @@ def q53_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search score combination (search_query_builder.rs:437-470):
     FULL OUTER join of per-signal scores, total = Σ COALESCE(score, 0),
     semantic boost 1.5."""
-    from postgresml_spark.functions.embed import hash_embed, hash_embed_batch
+    from postgresml_spark.functions.embed import hash_embed_batch, hash_embed_py
 
     d = _t(spark, sf_dir, "documents")
-    qv = (
-        spark.createDataFrame([(_Q_TEXT,)], "t string")
-        .select(hash_embed("t", _EMB_DIM).alias("e"))
-        .head()["e"]
-    )
-    qarr = F.array(*[F.lit(float(x)) for x in qv])
+    # query embedded client-side, bound as a literal (no per-query job)
+    qv = hash_embed_py(_Q_TEXT, _EMB_DIM)
+    # unrolled codegen dot product (same left-fold order as F.aggregate)
     sem = d.select(
+        "doc_id", hash_embed_batch(_EMB_DIM)(F.col("text")).alias("__emb")
+    ).select(
         "doc_id",
-        (
-            F.coalesce(
-                F.aggregate(
-                    F.zip_with(
-                        hash_embed_batch(_EMB_DIM)(F.col("text")), qarr,
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                F.lit(0.0),
-            )
-            * 1.5
-        ).alias("s_sem"),
+        (F.coalesce(V.dot_product_lit("__emb", qv), F.lit(0.0)) * 1.5).alias("s_sem"),
     )
     ft = d.select("doc_id", TX.ts_rank("text", _FT_TERMS).alias("s_ft")).filter(
         F.col("s_ft") > 0

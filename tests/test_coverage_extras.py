@@ -96,6 +96,12 @@ def test_metric_value_wrappers(spark):
     assert m["mean_absolute_error"] < 0.2
     c = classification_metrics_values([0, 1, 0, 1], [0, 1, 1, 1])
     assert 0 < c["accuracy"] < 1
+    # binary MCC, hand-computed: TP=2 TN=1 FP=1 FN=0 →
+    # (2*1-1*0)/sqrt((2+1)(2+0)(1+1)(1+0)) = 2/sqrt(12)
+    assert abs(c["mcc"] - 2 / 12**0.5) < 1e-9
+    assert "mcc_error" not in c
+    perfect = classification_metrics_values([0, 1, 2, 0], [0, 1, 2, 0])
+    assert abs(perfect["mcc"] - 1.0) < 1e-9
 
 
 def test_chat_completions_shim():

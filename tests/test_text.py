@@ -131,6 +131,20 @@ def test_hash_embed_batch_parity(spark, sf_dir):
     assert expr == udf
 
 
+def test_hash_embed_py_parity(spark, sf_dir):
+    """Driver-side query embedder (client-side literal binding) must be
+    bit-equal to the Column-expression reference implementation."""
+    from postgresml_spark.functions.embed import hash_embed, hash_embed_py
+    from postgresml_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    rows = d.select("text", hash_embed("text", 16).alias("e")).collect()
+    for r in rows:
+        assert hash_embed_py(r["text"], 16) == list(r["e"])
+    assert hash_embed_py("", 16) == [0.0] * 16
+    assert hash_embed_py(None, 16) == [0.0] * 16
+
+
 def test_chunk_udtf_sql(spark):
     from postgresml_spark.functions.text import register_chunk_udtf
 

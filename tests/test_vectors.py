@@ -98,3 +98,24 @@ def test_sql_registration(spark):
     assert abs(row["d"] - 11.0) < TOL
     assert abs(row["n"] - 5.0) < TOL
     assert abs(row["c"] - 1.0) < TOL
+
+
+def test_literal_query_fast_paths_bit_equal(spark, sf_dir):
+    """dot_product_lit / cosine_similarity_lit (unrolled codegen SQL)
+    must be bit-equal to the general HOF path on real embeddings."""
+    from postgresml_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").limit(100)
+    qv = [float((i * 7) % 11 - 5) / 3.0 for i in range(64)]
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    rows = e.select(
+        "vec_id",
+        V.dot_product(F.col("embedding"), q).alias("dot_hof"),
+        V.dot_product_lit("embedding", qv).alias("dot_lit"),
+        V.cosine_similarity(F.col("embedding"), q).alias("cos_hof"),
+        V.cosine_similarity_lit("embedding", qv).alias("cos_lit"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["dot_hof"] == r["dot_lit"], r["vec_id"]
+        assert r["cos_hof"] == r["cos_lit"], r["vec_id"]

@@ -1598,6 +1598,67 @@ def q47_array_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q48_tune_text_dataset",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang AS class, text,
+             row_number() OVER (ORDER BY doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM documents
+    )
+    SELECT class, text FROM ranked
+    WHERE rn > n - CAST(round(n * 0.25) AS BIGINT)
+    """,
+)
+def q48_tune_text_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgml.tune data layer (snapshot.rs:786-843 text_classification
+    _dataset): dataset_args column remapping (lang → class), NULL-text
+    validation, head-train/tail-test split. Returns the TEST relation —
+    must be exactly the last 25% of documents in doc_id order with
+    role-named columns."""
+    from postgresml_spark.ml.tune import TASK_TEXT_CLASSIFICATION, build_text_dataset
+
+    d = _t(spark, sf_dir, "documents")
+    ds = build_text_dataset(
+        d,
+        TASK_TEXT_CLASSIFICATION,
+        dataset_args={"text_column": "text", "class_column": "lang"},
+        test_size=0.25,
+        sampling="last",
+        order_col="doc_id",
+    )
+    return ds.test_df.select("class", "text")
+
+
+@query("q29_multimodal_features")  # rows-only: md5-seeded fake decode
+def q29_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents' text bytes become
+    opaque binary assets with typed metadata, then decode + feature-
+    extract runs as a mapInPandas Arrow-batch operator (the 100 TB
+    shape: no per-row pickling, bounded batches). The deterministic
+    fake_decoder stands in for the absent image codecs; rows-only
+    because md5-seeded decoding isn't SQL-expressible."""
+    from postgresml_spark.operators.multimodal import extract_features, fake_decoder
+
+    d = _t(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+        F.struct(
+            (F.col("n_chars") % 16 + 1).cast("int").alias("width"),
+            (F.col("n_chars") % 8 + 1).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("fake").alias("format"),
+        ).alias("meta"),
+    )
+    feats = extract_features(assets, decoder=fake_decoder)
+    return feats.select(
+        "asset_id", F.posexplode("features").alias("pos", "value")
+    ).select("asset_id", "pos", F.round("value", 6).alias("value"))
+
+
 # ---------------------------------------------------------------------------
 # q3x — events: windows, sessionization, top-k per group
 # ---------------------------------------------------------------------------

@@ -91,6 +91,35 @@ def main() -> int:
         if v is not None:
             derived[key] = v
             derived[key.replace("_ms", "_qps")] = round(1000.0 / v, 2) if v else None
+
+    # Served-index latency: the reference's 18-31 ms ivfflat number is
+    # against a RESIDENT index, so serve from a persisted corpus — the
+    # honest apples-to-apples warm-path metric.
+    try:
+        from postgresml_spark.operators.similarity import ServedIndex
+        from postgresml_spark.session import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvs = [
+            [float(x) for x in r["embedding"]]
+            for r in emb.orderBy("vec_id").limit(8).collect()
+        ]
+        idx = ServedIndex(emb)
+        try:
+            idx.search(qvs[0], k=10).collect()  # warm codegen
+            ts = []
+            for qv in qvs:
+                t0 = time.perf_counter()
+                idx.search(qv, k=10).collect()
+                ts.append(time.perf_counter() - t0)
+            ts.sort()
+            v = round(ts[len(ts) // 2] * 1000, 1)
+            derived["knn_served_ms"] = v
+            derived["knn_served_qps"] = round(1000.0 / v, 2) if v else None
+        finally:
+            idx.close()
+    except Exception as e:
+        print(f"bench served error: {e}", file=sys.stderr)
     print(
         json.dumps(
             {

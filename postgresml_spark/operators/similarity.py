@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from postgresml_spark.functions.vectors import cosine_similarity_lit, distance_l2
 
-__all__ = ["knn_exact", "fit_ivf_centroids", "ivf_assign", "knn_ivf"]
+__all__ = ["knn_exact", "fit_ivf_centroids", "ivf_assign", "knn_ivf", "ServedIndex"]
 
 
 def knn_exact(
@@ -93,6 +93,62 @@ def ivf_assign(
     cents = _centroid_arrays(centroids)
     dists = F.transform(cents, lambda c: distance_l2(F.col(vec_col), c))
     return df.withColumn(out_col, F.array_position(dists, F.array_min(dists)).cast("int") - 1)
+
+
+class ServedIndex:
+    """Warm ANN serving state — the analog of a resident ivfflat/HNSW
+    index. The reference's 18-31 ms/query number is measured against an
+    index already in memory (generating-llm-embeddings doc); a fair
+    Spark comparison needs the same: the corpus (optionally IVF-
+    assigned) is persisted in executor memory ONCE, and each query is
+    then a single job over cached columnar batches.
+
+    With centroids, rows are cached with their centroid_id and the
+    probe filter skips non-matching cached batches via in-memory
+    partition pruning (batch min/max stats), so a query touches
+    ~nprobe/nlist of the cached data. At cluster scale the cache is
+    sized by `StorageLevel` and the same object serves every driver
+    thread; queries are embarrassingly concurrent (read-only state).
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        centroids: list[list[float]] | None = None,
+    ):
+        self.vec_col, self.id_col = vec_col, id_col
+        self.centroids = centroids
+        cols = [id_col, vec_col]
+        if centroids:
+            df = ivf_assign(df.select(*cols), centroids, vec_col=vec_col)
+            # cluster cached batches by centroid so batch stats prune
+            df = df.repartition("centroid_id")
+        else:
+            df = df.select(*cols)
+        self.df = df.persist()
+        self.df.count()  # materialize the cache eagerly
+
+    def search(self, query_vec: list[float], k: int = 10, nprobe: int = 4) -> DataFrame:
+        df = self.df
+        if self.centroids:
+            import math
+
+            def l2(a, b):
+                return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+            order = sorted(
+                range(len(self.centroids)),
+                key=lambda i: l2(self.centroids[i], query_vec),
+            )
+            df = df.filter(F.col("centroid_id").isin(order[:nprobe]))
+        return knn_exact(
+            df, query_vec, k=k, vec_col=self.vec_col, id_col=self.id_col
+        )
+
+    def close(self) -> None:
+        self.df.unpersist()
 
 
 def knn_ivf(

@@ -174,3 +174,33 @@ def test_embedding_near_dup_with_ivf_buckets(spark, sf_dir):
     assert b <= a              # bucketing never invents pairs
     if a:
         assert len(b) >= len(a) * 0.3  # same-bucket recall is meaningful
+
+
+def test_served_index_parity_and_cached_plan(spark, sf_dir):
+    """ServedIndex must return exactly knn_exact's results (flat mode)
+    and serve from the in-memory cache (InMemoryTableScan in the plan);
+    IVF mode must find the self-vector through the probe filter."""
+    from postgresml_spark.operators.similarity import ServedIndex
+    from postgresml_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 11).head()["embedding"]]
+
+    idx = ServedIndex(emb)
+    try:
+        served = [(r["vec_id"], r["score"]) for r in idx.search(qv, k=5).collect()]
+        cold = [(r["vec_id"], r["score"]) for r in knn_exact(emb, qv, k=5).collect()]
+        assert served == cold
+        plan = idx.search(qv, k=5)._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+    finally:
+        idx.close()
+
+    cents = fit_ivf_centroids(emb, nlist=8)
+    ivf = ServedIndex(emb, centroids=cents)
+    try:
+        top = ivf.search(qv, k=3, nprobe=2).collect()
+        assert top[0]["vec_id"] == 11
+        assert abs(top[0]["score"] - 1.0) < 1e-9
+    finally:
+        ivf.close()

@@ -9,6 +9,7 @@ collection sync.
 
 from postgresml_spark.streaming.streams import (  # noqa: F401
     stream_documents_into_collection,
+    streaming_dedup,
     transform_stream,
     windowed_event_aggregation,
 )

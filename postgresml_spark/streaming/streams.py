@@ -104,6 +104,31 @@ def stream_documents_into_collection(
     )
 
 
+def streaming_dedup(
+    stream_df: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+    fingerprint_col: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup for continuous ingest (the streaming twin
+    of operators.dedup.exact_dedup).
+
+    dropDuplicatesWithinWatermark bounds the dedup state store to the
+    watermark horizon — a plain dropDuplicates on a stream accumulates
+    key state forever, which is the classic unbounded-state failure on
+    a 100 TB/day feed. Duplicates separated by more than `delay` are
+    deliberately NOT caught here; cross-horizon dedup belongs to the
+    batch layer (exact_dedup over the landed table), which is how a
+    lambda-style pipeline splits the work.
+
+    If fingerprint_col is given, keys default to [fingerprint_col]
+    (e.g. functions.text.doc_fingerprint of the payload).
+    """
+    keys = keys or [fingerprint_col or "fingerprint"]
+    return stream_df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
 def stateful_sessionize(
     stream_df: DataFrame,
     gap_minutes: int = 30,

@@ -196,3 +196,40 @@ def test_predict_one_fast_path(spark, tmp_path):
     for _ in range(50):
         predict_one(spark, "Fast", feats, registry=reg)
     assert (time.time() - t0) / 50 < 0.05
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicates inside the watermark horizon are dropped; state stays
+    bounded by the watermark (dropDuplicatesWithinWatermark)."""
+    from postgresml_spark.streaming.streams import streaming_dedup
+
+    src = str(tmp_path / "dd_in")
+    os.makedirs(src)
+    rows = [
+        {"ts": "2026-01-01T10:00:00", "fingerprint": "aaa", "text": "one"},
+        {"ts": "2026-01-01T10:00:05", "fingerprint": "bbb", "text": "two"},
+        {"ts": "2026-01-01T10:00:10", "fingerprint": "aaa", "text": "one dup"},
+        {"ts": "2026-01-01T10:00:20", "fingerprint": "ccc", "text": "three"},
+        {"ts": "2026-01-01T10:00:25", "fingerprint": "bbb", "text": "two dup"},
+    ]
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema(
+        "ts timestamp, fingerprint string, text string"
+    ).json(src)
+    deduped = streaming_dedup(stream, ts_col="ts", fingerprint_col="fingerprint")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dd_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT fingerprint FROM dd_out").collect()
+    finally:
+        q.stop()
+    fps = sorted(r["fingerprint"] for r in got)
+    assert fps == ["aaa", "bbb", "ccc"]

@@ -22,6 +22,8 @@ reuse across queries; at 100 TB train on a sample.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -86,13 +88,37 @@ def ivf_assign(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     out_col: str = "centroid_id",
+    impl: str = "batch",
 ) -> DataFrame:
-    """Assign each vector to its nearest (L2) centroid — pure
-    expressions, no UDF. Write the result partitioned by `centroid_id`
-    to get pgvector-ivfflat-style partition pruning on probe."""
+    """Assign each vector to its nearest (L2) centroid. Write the
+    result partitioned by `centroid_id` to get pgvector-ivfflat-style
+    partition pruning on probe.
+
+    impl='batch' (default): Arrow-batched numpy argmin — one BLAS
+    matmul per batch (~µs/row). The expression form evaluates
+    nlist×dim interpreted HOF ops per row (~0.16 ms/row measured at
+    nlist=16, dim=64 — hours/core at 10^8 vectors), so it's kept only
+    as the dependency-light parity twin (impl='expr')."""
+    if impl == "batch":
+        return df.withColumn(out_col, _ivf_assign_batch(centroids)(F.col(vec_col)))
     cents = _centroid_arrays(centroids)
     dists = F.transform(cents, lambda c: distance_l2(F.col(vec_col), c))
     return df.withColumn(out_col, F.array_position(dists, F.array_min(dists)).cast("int") - 1)
+
+
+def _ivf_assign_batch(centroids: list[list[float]]):
+    c = np.asarray(centroids, dtype="float64")  # (k, d)
+    cn = (c * c).sum(axis=1)  # |c|^2; |x|^2 is row-constant → argmin-safe
+
+    @F.pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        x = np.asarray(vs.tolist(), dtype="float64")  # (n, d)
+        if x.size == 0:
+            return pd.Series([], dtype="int32")
+        d2 = cn - 2.0 * (x @ c.T)
+        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+    return _assign
 
 
 class ServedIndex:

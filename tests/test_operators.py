@@ -204,3 +204,38 @@ def test_served_index_parity_and_cached_plan(spark, sf_dir):
         assert abs(top[0]["score"] - 1.0) < 1e-9
     finally:
         ivf.close()
+
+
+def test_ivf_assign_batch_expr_parity(spark, sf_dir):
+    """BLAS batch assignment must agree with the expression form."""
+    from postgresml_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = fit_ivf_centroids(emb, nlist=8)
+    a = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(emb, cents, impl="batch").collect()}
+    b = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(emb, cents, impl="expr").collect()}
+    assert a == b
+
+
+def test_banded_pair_bucket_cap(spark):
+    """Hot-bucket cap: a saturated duplicate cluster stops contributing
+    O(m^2) pairs once its buckets exceed max_bucket_size; small
+    clusters are unaffected."""
+    rows = [(i, "identical mega cluster text repeated") for i in range(30)]
+    rows += [(100, "a unique document about spark joins"),
+             (101, "a unique document about spark joins!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = DD.simhash_candidate_pairs(df, "text", "doc_id", max_hamming=3)
+    capped = DD.simhash_candidate_pairs(
+        df, "text", "doc_id", max_hamming=3, max_bucket_size=10
+    )
+    full_pairs = {(r["id_a"], r["id_b"]) for r in full.collect()}
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in full_pairs and (100, 101) in capped_pairs
+    # the 30-member cluster contributes C(30,2)=435 pairs uncapped, none capped
+    assert len(full_pairs) >= 435
+    assert all(a >= 100 for a, _ in capped_pairs)
+    mh_capped = DD.minhash_candidate_pairs(
+        df, "text", "doc_id", num_perm=32, bands=8, max_bucket_size=10
+    )
+    assert all(r["id_a"] >= 100 for r in mh_capped.collect())

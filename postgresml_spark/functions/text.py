@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 __all__ = [
     "tokenize",
     "token_count",
+    "bpe_token_count",
     "char_count",
     "punct_ratio",
     "stopword_ratio",
@@ -80,6 +81,21 @@ def tokenize(text: Column | str) -> Column:
 def token_count(text: Column | str) -> Column:
     """Whitespace/punct token count (bigint)."""
     return F.size(tokenize(text)).cast("bigint")
+
+
+# GPT-2-style pre-tokenizer shape: contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs, residual whitespace. Each
+# match is one pre-token — the unit BPE merges start from — so counting
+# matches approximates a BPE tokenizer's token count without a vocab.
+_BPE_TOKEN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish token count (bigint): number of GPT-2-style pre-tokens
+    (contraction suffixes, space-prefixed letter/digit/punct runs).
+    Pure codegen (regexp_count), no vocab/merges — the standard cheap
+    LLM-budget estimator for corpus accounting at scale."""
+    return F.regexp_count(_c(text), F.lit(_BPE_TOKEN)).cast("bigint")
 
 
 def char_count(text: Column | str) -> Column:

@@ -1631,6 +1631,32 @@ def q48_tune_text_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ds.test_df.select("class", "text")
 
 
+@query(
+    "q49_token_budget",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\rA-Za-z0-9]+'))
+             AS BIGINT) AS bpe_tokens,
+           CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             x -> x != '')) AS BIGINT) AS ws_tokens
+    FROM documents
+    """,
+)
+def q49_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM corpus accounting: per-document BPE-ish pre-token count
+    (GPT-2-style pre-tokenizer regex, no vocab) next to the whitespace
+    token count — the cheap token-budget estimator a 100 TB pipeline
+    runs before paying for real tokenization. Pure codegen
+    (regexp_count), DuckDB-oracle-checked (RE2-compatible pattern)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.bpe_token_count("text").alias("bpe_tokens"),
+        TX.token_count("text").alias("ws_tokens"),
+    )
+
+
 @query("q29_multimodal_features")  # rows-only: md5-seeded fake decode
 def q29_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: documents' text bytes become

@@ -162,3 +162,20 @@ def test_chunk_udtf_sql(spark):
     ).collect()
     assert len(out) >= 2
     assert all(r["id"] == 1 for r in out)
+
+
+def test_bpe_token_count(spark):
+    rows = [
+        (1, "hello world"),          # 2
+        (2, "it's 2026!"),           # it / 's / (space)2026 / ! → 4
+        (3, "a,b"),                  # a / , / b → 3
+        (4, ""),                     # 0
+        (5, None),                   # null
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {r["id"]: r["n"] for r in df.select("id", TX.bpe_token_count("t").alias("n")).collect()}
+    assert got[1] == 2
+    assert got[2] == 4
+    assert got[3] == 3
+    assert got[4] == 0
+    assert got[5] is None

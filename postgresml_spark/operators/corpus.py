@@ -1,0 +1,301 @@
+"""Training-corpus assembly operators: deterministic shuffle, weighted
+source mixing, quality gating, and sequence packing.
+
+The reference's data story stops at snapshot/dataset building
+(pgml-extension/src/orm/snapshot.rs:496-629 builds an ordered training
+relation; sampling.rs picks the split strategy). Assembling a
+pretraining corpus at 100 TB additionally needs the four operators
+here, which every large-scale LLM data pipeline runs between "raw
+documents" and "tokenizer":
+
+- **deterministic_shuffle** — a stable pseudo-random global order for
+  training-data delivery. Epoch-reproducible (seed-keyed), and
+  scale-safe: the order key is a hash expression and the global rank
+  comes from range-repartition + per-partition offsets, never a
+  single-partition window.
+- **weighted_sample** — per-source mixing ("datamix"): each domain is
+  down-sampled (rate < 1) or up-sampled (rate > 1 emits floor + a
+  Bernoulli extra copy) with hash-derived, seed-keyed determinism.
+- **gopher_quality_flags** — the public Gopher/C4-style cheap quality
+  rules (word count band, mean word length band, alpha-word ratio,
+  stopword presence, symbol ratio) as pure codegen expressions.
+- **pack_sequences** — concat-and-chunk token accounting: documents are
+  concatenated per stream (group) in a deterministic order and cut into
+  fixed token-budget packs; each document learns which packs it spans.
+  Window is partitioned by the stream column — no global sort.
+- **greedy_pack** — first-fit-in-order bin packing (documents never
+  split; a new pack starts when the current one would overflow) via
+  applyInPandas per stream.
+
+All hashing is md5-derived so every operator is DuckDB-oracle-checkable
+(Spark's xxhash64/hash are not portable across engines).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from postgresml_spark.functions import text as TX
+
+__all__ = [
+    "hash_key",
+    "uniform_unit",
+    "deterministic_shuffle",
+    "weighted_sample",
+    "gopher_quality_flags",
+    "pack_sequences",
+    "greedy_pack",
+]
+
+
+def _cols(cols: Iterable[Column | str]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in cols]
+
+
+def _md5_of(seed: int | str, cols: list[Column]) -> Column:
+    parts: list[Column] = [F.lit(str(seed))]
+    for c in cols:
+        parts.extend([F.lit(":"), c.cast("string")])
+    return F.md5(F.concat(*parts))
+
+
+def hash_key(seed: int | str, *cols: Column | str) -> Column:
+    """Deterministic 60-bit pseudo-random bigint from seed + key columns.
+
+    md5 prefix, so bit-identical in DuckDB:
+    ``CAST(('0x' || substr(md5(seed||':'||col), 1, 15)) AS BIGINT)``.
+    """
+    h = _md5_of(seed, _cols(cols))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+
+
+def uniform_unit(seed: int | str, *cols: Column | str) -> Column:
+    """Deterministic uniform double in [0, 1) from seed + key columns
+    (first 32 md5 bits / 2^32). DuckDB twin:
+    ``CAST(('0x' || substr(md5(...), 1, 8)) AS BIGINT) / 4294967296.0``.
+    """
+    h = _md5_of(seed, _cols(cols))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_cols: list[str],
+    seed: int | str = 0,
+    rank_col: str = "shuffle_rank",
+    key_out: str | None = "shuffle_key",
+) -> DataFrame:
+    """Stable pseudo-random global ordering for training delivery.
+
+    Adds a seed-keyed hash order key and its global 1-based rank.
+    Same seed → identical order across runs/cluster sizes (epoch
+    reproducibility); different seed → an independent permutation.
+
+    Scale: rank uses range-repartition + partition-local row_number +
+    broadcast per-partition offsets (preprocess.snapshot._global_rank),
+    so no single-partition WindowExec at any size. Writing the result
+    sorted by ``rank_col`` yields the shuffled training order with
+    ordered, non-overlapping files.
+    """
+    from postgresml_spark.preprocess.snapshot import _global_rank
+
+    keyed = df.withColumn("__sk", hash_key(seed, *key_cols))
+    # md5 collisions are ~2^-60; the key columns break any tie exactly
+    # as the oracle's ORDER BY does.
+    ranked = _global_rank(keyed, [F.col("__sk")] + _cols(key_cols))
+    out = ranked.withColumnRenamed("__rn", rank_col)
+    if key_out:
+        return out.withColumnRenamed("__sk", key_out)
+    return out.drop("__sk")
+
+
+def weighted_sample(
+    df: DataFrame,
+    domain_col: str,
+    weights: Mapping[str, float],
+    key_cols: list[str],
+    seed: int | str = 0,
+    default_rate: float = 0.0,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Per-domain corpus mixing with deterministic down/up-sampling.
+
+    Each row's domain has a rate r: rows are kept floor(r) times plus
+    one more when the row's seed-keyed uniform < frac(r) — so r=0.25
+    keeps a deterministic quarter of the domain and r=2.5 emits 2 or 3
+    copies per row. Output gains ``copy_col`` (1-based copy index) so
+    replicated rows stay distinct for downstream shuffling.
+
+    Scale: the rate table is a broadcast join (domains are few); the
+    Bernoulli draw is a pure hash expression — no sampling state, no
+    driver participation, reproducible under any partitioning.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(str(k), float(v)) for k, v in weights.items()],
+        f"{domain_col} string, __rate double",
+    )
+    u = uniform_unit(seed, *key_cols)
+    n_copies = (
+        F.floor(F.col("__rate"))
+        + F.when(u < F.col("__rate") - F.floor(F.col("__rate")), 1).otherwise(0)
+    ).cast("int")
+    return (
+        df.join(F.broadcast(wdf), domain_col, "left")
+        .withColumn("__rate", F.coalesce(F.col("__rate"), F.lit(float(default_rate))))
+        .withColumn("__n", n_copies)
+        .where(F.col("__n") >= 1)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__rate", "__n")
+    )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_alpha_word_ratio: float = 0.6,
+    min_stopword_hits: int = 2,
+    max_symbol_ratio: float = 0.25,
+) -> DataFrame:
+    """Gopher-style (Rae et al. 2021, §A1.1) cheap quality rules as
+    pure codegen expressions; emits one boolean per rule plus ``keep``.
+
+    Rules (defaults tuned lenient for short synthetic docs; production
+    values are min_words=50, max_symbol_ratio=0.1):
+    - word count within [min_words, max_words]
+    - mean word length within [min_mean_word_len, max_mean_word_len]
+    - fraction of words containing an alphabetic char ≥ threshold
+    - at least min_stopword_hits distinct english stopwords present
+    - punctuation/symbol char ratio ≤ threshold
+
+    Everything is regexp_count/length arithmetic — whole-stage codegen,
+    no higher-order-function lambdas on the hot path, and each rule has
+    an exact DuckDB-SQL twin (oracle q62).
+    """
+    t = F.col(text_col)
+    n_words = F.regexp_count(t, F.lit(r"\S+")).cast("bigint")
+    word_chars = F.length(F.regexp_replace(t, r"\s", ""))
+    mean_word_len = word_chars.cast("double") / F.greatest(n_words, F.lit(1)).cast(
+        "double"
+    )
+    alpha_words = F.regexp_count(t, F.lit(r"(^|\s)[^\s]*[A-Za-z]")).cast("bigint")
+    alpha_ratio = alpha_words.cast("double") / F.greatest(n_words, F.lit(1)).cast(
+        "double"
+    )
+    # distinct stopword presence: count marker words that appear as
+    # whole tokens (bounded list → bounded expression size)
+    probe = F.concat(F.lit(" "), F.lower(F.regexp_replace(t, r"[^A-Za-z0-9]+", " ")), F.lit(" "))
+    stop_hits = None
+    for w in TX.STOPWORDS[:32]:
+        hit = F.when(probe.contains(f" {w} "), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    symbol_ratio = TX.punct_ratio(t)
+
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", F.round(mean_word_len, 4))
+        .withColumn("alpha_word_ratio", F.round(alpha_ratio, 4))
+        .withColumn("stopword_hits", stop_hits.cast("bigint"))
+        .withColumn("symbol_ratio", F.round(symbol_ratio, 4))
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("alpha_word_ratio") >= min_alpha_word_ratio)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+    )
+    return out.withColumn("keep", keep)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    group_col: str,
+    budget: int,
+    prefix: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk packing accounting (GPT-style pretraining
+    batches): documents are concatenated per ``group_col`` stream in
+    ``order_col`` order and the token stream is cut every ``budget``
+    tokens. Each document learns its start offset and the first/last
+    pack it lands in (a long document spans several packs; short ones
+    share a pack).
+
+    Adds: ``{prefix}_start`` (0-based token offset in the stream),
+    ``{prefix}_first``, ``{prefix}_last``, ``{prefix}_count``.
+
+    Scale: one window partitioned by the stream column — each stream's
+    running sum is independent, so this is a single hash-partition
+    shuffle with no global ordering. Streams are how production
+    pipelines bound this anyway (per-domain/per-shard token streams).
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = F.col(token_col).cast("bigint")
+    start = F.sum(tok).over(w) - tok
+    first = F.floor(start / budget).cast("bigint")
+    last = F.greatest(
+        F.floor((start + tok - F.lit(1)) / budget).cast("bigint"), first
+    )
+    return (
+        df.withColumn(f"{prefix}_start", start)
+        .withColumn(f"{prefix}_first", first)
+        .withColumn(f"{prefix}_last", last)
+        .withColumn(f"{prefix}_count", (last - first + F.lit(1)).cast("bigint"))
+    )
+
+
+def greedy_pack(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    group_col: str,
+    budget: int,
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """First-fit-in-order bin packing: walk each stream in order,
+    accumulate documents into the current pack, and start a new pack
+    when adding the next document would exceed ``budget``. Documents
+    are never split; a document larger than the budget gets a pack of
+    its own. Output adds ``pack_col`` (0-based per stream).
+
+    The sequential scan is inherently order-dependent, so it runs as
+    applyInPandas per stream group — one Arrow batch per stream,
+    vectorized cumulative logic inside. Parallelism = number of
+    streams, which is how production packers shard anyway.
+    """
+    from pyspark.sql import types as T
+
+    # copy — StructType.add mutates in place, corrupting df's cached schema
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(pack_col, T.LongType())]
+    )
+    tok_name, ord_name = token_col, order_col
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ord_name, kind="mergesort").reset_index(drop=True)
+        packs = []
+        pack, acc = 0, 0
+        for t in pdf[tok_name].astype("int64"):
+            if acc > 0 and acc + t > budget:
+                pack += 1
+                acc = 0
+            packs.append(pack)
+            acc += t
+        pdf[pack_col] = pd.Series(packs, dtype="int64")
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(_pack, schema=out_schema)

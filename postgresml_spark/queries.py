@@ -1777,3 +1777,275 @@ def q32_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.groupBy("user_id").agg(
         F.countDistinct("session_id").alias("n_sessions")
     )
+
+
+# ---------------------------------------------------------------------------
+# q6x — training-corpus assembly (operators/corpus.py): deterministic
+# shuffle, source mixing, quality gating, sequence packing, binary-ANN.
+# All hashing is md5-derived so every operator here is oracle-checked.
+# ---------------------------------------------------------------------------
+
+from postgresml_spark.operators import corpus as CO  # noqa: E402
+
+
+def _sql_hash60(seed: str, expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{seed}:' || CAST({expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+
+
+def _sql_unit(seed: str, expr: str) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5('{seed}:' || CAST({expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" / 4294967296.0)"
+    )
+
+
+@query(
+    "q60_corpus_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           {_sql_hash60('42', 'doc_id')} AS shuffle_key,
+           CAST(row_number() OVER (ORDER BY {_sql_hash60('42', 'doc_id')}, doc_id)
+                AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+)
+def q60_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: seed-keyed md5 order key +
+    scale-safe global rank (range repartition + per-partition offsets —
+    no single-partition WindowExec; the oracle's global ORDER BY is the
+    semantic twin)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    out = CO.deterministic_shuffle(d, ["doc_id"], seed=42)
+    return out.select(
+        "doc_id", "shuffle_key", F.col("shuffle_rank").cast("bigint").alias("shuffle_rank")
+    )
+
+
+_MIX_WEIGHTS = {"src0": 2.5, "src1": 1.0, "src2": 0.5, "src3": 0.25}
+
+
+@query(
+    "q61_weighted_mix",
+    oracle=f"""
+    WITH w(source, rate) AS (VALUES
+        ('src0', 2.5), ('src1', 1.0), ('src2', 0.5), ('src3', 0.25)),
+    d AS (
+      SELECT doc_id, d.source,
+             {_sql_unit('7', 'doc_id')} AS u,
+             COALESCE(w.rate, 0.0) AS rate
+      FROM documents d LEFT JOIN w ON d.source = w.source
+    ),
+    n AS (
+      SELECT doc_id, source,
+             CAST(floor(rate) AS BIGINT)
+               + (CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END) AS nc
+      FROM d
+    )
+    SELECT doc_id, source, CAST(copy AS BIGINT) AS copy
+    FROM n, unnest(generate_series(1, nc)) AS t(copy)
+    WHERE nc >= 1
+    """,
+)
+def q61_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus mixing ("datamix"): src0 up-sampled 2.5x
+    (floor + deterministic Bernoulli extra copy), src1 kept, src2/src3
+    down-sampled, every other source dropped. Broadcast rate join +
+    hash-expression draw — reproducible under any partitioning."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = CO.weighted_sample(d, "source", _MIX_WEIGHTS, ["doc_id"], seed=7)
+    return out.select("doc_id", "source", F.col("copy").cast("bigint").alias("copy"))
+
+
+def _gopher_sql() -> str:
+    stop_sum = " + ".join(
+        f"CASE WHEN contains(probe, ' {w} ') THEN 1 ELSE 0 END"
+        for w in TX.STOPWORDS[:32]
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS word_chars,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+             ' ' || lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')) || ' ' AS probe,
+             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n_words,
+             round(CAST(word_chars AS DOUBLE) / greatest(n_words, 1), 4) AS mean_word_len,
+             round(CAST(alpha_words AS DOUBLE) / greatest(n_words, 1), 4) AS alpha_word_ratio,
+             CAST({stop_sum} AS BIGINT) AS stopword_hits,
+             round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 4) AS symbol_ratio
+      FROM base
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, stopword_hits, symbol_ratio,
+           (n_words BETWEEN 5 AND 100000
+            AND mean_word_len BETWEEN 2.0 AND 12.0
+            AND alpha_word_ratio >= 0.6
+            AND stopword_hits >= 2
+            AND symbol_ratio <= 0.25) AS keep
+    FROM m
+    """
+
+
+@query("q62_quality_gate", oracle=_gopher_sql())
+def q62_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate (word count / mean word length /
+    alpha-word ratio / stopword presence / symbol ratio → keep flag),
+    pure codegen expressions over the documents table."""
+    d = _t(spark, sf_dir, "documents")
+    out = CO.gopher_quality_flags(d)
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_word_ratio",
+        "stopword_hits", "symbol_ratio", "keep",
+    )
+
+
+_PACK_BUDGET = 256
+
+
+@query(
+    "q63_sequence_pack",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len({_SQL_TOKENS.format(t='text')}) AS BIGINT) AS tokens
+      FROM documents
+    ), w AS (
+      SELECT doc_id, lang, tokens,
+             sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - tokens AS pack_start
+      FROM toks
+    )
+    SELECT doc_id, lang, tokens,
+           CAST(pack_start AS BIGINT) AS pack_start,
+           CAST(floor(pack_start / {_PACK_BUDGET}) AS BIGINT) AS pack_first,
+           CAST(greatest(floor((pack_start + tokens - 1) / {_PACK_BUDGET}),
+                         floor(pack_start / {_PACK_BUDGET})) AS BIGINT) AS pack_last,
+           CAST(greatest(floor((pack_start + tokens - 1) / {_PACK_BUDGET}),
+                         floor(pack_start / {_PACK_BUDGET}))
+                - floor(pack_start / {_PACK_BUDGET}) + 1 AS BIGINT) AS pack_count
+    FROM w
+    """,
+)
+def q63_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing accounting: per-language token
+    streams cut every 256 tokens; each document learns its stream
+    offset and the packs it spans. One stream-partitioned window — no
+    global sort."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", TX.token_count("text").alias("tokens")
+    )
+    out = CO.pack_sequences(d, "tokens", "doc_id", "lang", budget=_PACK_BUDGET)
+    return out.select(
+        "doc_id", "lang", "tokens", "pack_start", "pack_first", "pack_last", "pack_count"
+    )
+
+
+@query(
+    "q64_greedy_pack",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang,
+             CAST(len({_SQL_TOKENS.format(t='text')}) AS BIGINT) AS tokens
+      FROM documents
+    ), ordered AS (
+      SELECT doc_id, lang, tokens,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM toks
+    ), walk AS (
+      SELECT doc_id, lang, tokens, rn,
+             CAST(0 AS BIGINT) AS pack_id, tokens AS acc
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.doc_id, o.lang, o.tokens, o.rn,
+             CASE WHEN w.acc > 0 AND w.acc + o.tokens > {_PACK_BUDGET}
+                  THEN w.pack_id + 1 ELSE w.pack_id END,
+             CASE WHEN w.acc > 0 AND w.acc + o.tokens > {_PACK_BUDGET}
+                  THEN o.tokens ELSE w.acc + o.tokens END
+      FROM walk w JOIN ordered o ON o.lang = w.lang AND o.rn = w.rn + 1
+    )
+    SELECT doc_id, lang, tokens, pack_id FROM walk
+    """,
+)
+def q64_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit greedy bin packing per language stream (documents
+    never split; oversize docs get their own pack) via applyInPandas —
+    the oracle walks the same order with a recursive CTE."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", TX.token_count("text").alias("tokens")
+    )
+    out = CO.greedy_pack(d, "tokens", "doc_id", "lang", budget=_PACK_BUDGET)
+    return out.select("doc_id", "lang", "tokens", "pack_id")
+
+
+def _hamming_sql() -> str:
+    def word_expr(tbl: str, w: int) -> str:
+        terms = " + ".join(
+            f"CASE WHEN {tbl}.embedding[{w * 32 + i + 1}] > 0 "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            for i in range(32)
+        )
+        return f"({terms})"
+
+    ham = " + ".join(
+        f"bit_count(xor({word_expr('e', w)}, {word_expr('q', w)}))" for w in range(2)
+    )
+    return f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, CAST({ham} AS BIGINT) AS hamming
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+    ORDER BY hamming, e.vec_id
+    LIMIT 10
+    """
+
+
+@query("q65_hamming_topk", oracle=_hamming_sql())
+def q65_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: sign-bit signatures (32 bits/word packed
+    by an Arrow-batched numpy UDF), XOR+popcount distance, TakeOrdered
+    top-k — the pgvector binary-quantization analog at 32x smaller
+    scan width."""
+    from postgresml_spark.operators.similarity import hamming_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return hamming_topk(e.filter(F.col("vec_id") != 0), qv, dim=64, k=10)
+
+
+@query(
+    "q66_knn_ivf_exhaustive",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round({_DOT.format(a='e.embedding', b='q.qv')}
+                 / ({_NORM2.format(a='e.embedding')} * {_NORM2.format(a='q.qv')}), 6) AS score
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def q66_knn_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF correctness closure: with nprobe = nlist the probe scans
+    every inverted list, so the result must equal exact brute-force
+    top-k (q13's oracle). Complements q15 (pruned probe, rows-only +
+    recall tests) by oracle-checking the IVF machinery itself."""
+    from postgresml_spark.operators.similarity import (
+        fit_ivf_centroids,
+        ivf_assign,
+        knn_ivf,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cents = fit_ivf_centroids(e, nlist=8, sample_fraction=0.25, max_iter=8)
+    assigned = ivf_assign(e.filter(F.col("vec_id") != 0), cents)
+    return knn_ivf(assigned, cents, qv, k=10, nprobe=8).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )

@@ -1,0 +1,229 @@
+"""Tests for training-corpus assembly operators (operators/corpus.py)
+and binary-quantized ANN (operators/similarity.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresml_spark.operators import corpus as CO
+from postgresml_spark.operators.similarity import (
+    binary_signature,
+    binary_signature_py,
+    hamming_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, f"src{i % 4}", f"doc number {i} body text") for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+# ---------------------------------------------------------------------------
+# deterministic_shuffle
+# ---------------------------------------------------------------------------
+
+def test_shuffle_is_permutation_and_deterministic(docs):
+    a = CO.deterministic_shuffle(docs, ["doc_id"], seed=1)
+    ranks = [r["shuffle_rank"] for r in a.select("shuffle_rank").collect()]
+    assert sorted(ranks) == list(range(1, 201))
+    b = CO.deterministic_shuffle(docs, ["doc_id"], seed=1)
+    assert (
+        a.select("doc_id", "shuffle_rank").collect()
+        == b.select("doc_id", "shuffle_rank").collect()
+    )
+
+
+def test_shuffle_seed_changes_order(docs):
+    a = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in CO.deterministic_shuffle(docs, ["doc_id"], seed=1).collect()
+    }
+    b = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in CO.deterministic_shuffle(docs, ["doc_id"], seed=2).collect()
+    }
+    assert a != b
+
+
+def test_shuffle_no_single_partition_window(docs):
+    plan = CO.deterministic_shuffle(docs, ["doc_id"])._jdf.queryExecution().executedPlan().toString()
+    # every Window in the plan must be partitioned (no global sort)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspec" in line.lower():
+            assert "partitionBy" not in line or "partitionBy=[]" not in line
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample
+# ---------------------------------------------------------------------------
+
+def test_weighted_sample_rates(docs):
+    out = CO.weighted_sample(
+        docs, "source", {"src0": 2.0, "src1": 0.5, "src2": 1.0}, ["doc_id"], seed=3
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["src0"] == 100  # exactly 2 copies of each of 50
+    assert counts["src2"] == 50  # kept verbatim
+    assert 10 <= counts["src1"] <= 40  # ~half of 50
+    assert "src3" not in counts  # default_rate=0 drops unlisted domains
+
+
+def test_weighted_sample_copy_index_distinct(docs):
+    out = CO.weighted_sample(docs, "source", {"src0": 3.0}, ["doc_id"], seed=3)
+    assert out.count() == 150
+    assert out.select("doc_id", "copy").distinct().count() == 150
+    assert out.agg(F.max("copy")).head()[0] == 3
+
+
+def test_weighted_sample_deterministic(docs):
+    w = {"src0": 0.5, "src1": 0.25}
+    a = CO.weighted_sample(docs, "source", w, ["doc_id"], seed=9).collect()
+    b = CO.weighted_sample(docs, "source", w, ["doc_id"], seed=9).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_weighted_sample_broadcasts_rate_table(docs):
+    out = CO.weighted_sample(docs, "source", {"src0": 1.0}, ["doc_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality_flags
+# ---------------------------------------------------------------------------
+
+def test_quality_flags(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog and all of its friends"),
+        (2, "#### $$$$ %%%% @@@@ !!!! ???? &&&& ****"),  # symbols, no stopwords
+        (3, "a b"),  # too few words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in CO.gopher_quality_flags(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[1]["n_words"] == 14
+    assert out[2]["keep"] is False
+    assert out[2]["alpha_word_ratio"] == 0.0
+    assert out[3]["keep"] is False
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences / greedy_pack
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_accounting(spark):
+    rows = [
+        (1, "a", 100), (2, "a", 100), (3, "a", 100),  # doc 3 straddles 256
+        (4, "a", 400),  # spans two budgets on its own
+        (5, "b", 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, tokens long")
+    out = {r["doc_id"]: r for r in CO.pack_sequences(df, "tokens", "doc_id", "lang", 256).collect()}
+    assert out[1]["pack_start"] == 0 and out[1]["pack_first"] == 0 and out[1]["pack_last"] == 0
+    assert out[3]["pack_start"] == 200
+    assert (out[3]["pack_first"], out[3]["pack_last"]) == (0, 1)  # straddles
+    assert out[4]["pack_start"] == 300
+    assert (out[4]["pack_first"], out[4]["pack_last"]) == (1, 2)
+    assert out[4]["pack_count"] == 2
+    assert out[5]["pack_first"] == 0  # independent stream
+
+
+def test_pack_sequences_zero_token_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 256), (2, "a", 0), (3, "a", 1)], "doc_id long, lang string, tokens long"
+    )
+    out = {r["doc_id"]: r for r in CO.pack_sequences(df, "tokens", "doc_id", "lang", 256).collect()}
+    # empty doc sits at the boundary; pack_last clamps to pack_first
+    assert out[2]["pack_first"] == out[2]["pack_last"] == 1
+    assert out[2]["pack_count"] == 1
+
+
+def test_greedy_pack_first_fit(spark):
+    rows = [
+        (1, "a", 100), (2, "a", 100), (3, "a", 100),  # 1+2 fit; 3 overflows
+        (4, "a", 300),  # oversize: own pack
+        (5, "a", 50),
+        (6, "b", 500),  # oversize, fresh stream: pack 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, tokens long")
+    out = {r["doc_id"]: r["pack_id"] for r in CO.greedy_pack(df, "tokens", "doc_id", "lang", 256).collect()}
+    assert out[1] == 0 and out[2] == 0
+    assert out[3] == 1
+    assert out[4] == 2  # would overflow pack 1 (100+300)
+    assert out[5] == 3  # 300+50 > 256 → new pack
+    assert out[6] == 0
+
+
+def test_greedy_pack_never_splits_and_bounds(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, "s", rng.randint(1, 200)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, tokens long")
+    out = CO.greedy_pack(df, "tokens", "doc_id", "lang", 256)
+    sums = out.groupBy("pack_id").agg(F.sum("tokens").alias("s"), F.count("*").alias("n")).collect()
+    for r in sums:
+        # a pack exceeds budget only when it is a single oversize doc
+        assert r["s"] <= 256 or r["n"] == 1
+
+
+# ---------------------------------------------------------------------------
+# binary signature / hamming
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(120)]
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_binary_signature_batch_expr_parity(vecs):
+    _, df = vecs
+    a = df.select("vec_id", binary_signature("embedding", 64, impl="batch").alias("s"))
+    b = df.select("vec_id", binary_signature("embedding", 64, impl="expr").alias("s"))
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+
+def test_binary_signature_py_parity(vecs):
+    rows, df = vecs
+    got = {r["vec_id"]: r["s"] for r in df.select("vec_id", binary_signature("embedding", 64).alias("s")).collect()}
+    for vid, v in rows[:10]:
+        # cast float32 like parquet/createDataFrame does before signing
+        import numpy as np
+
+        v32 = np.asarray(v, dtype="float32").tolist()
+        assert got[vid] == binary_signature_py(v32)
+
+
+def test_binary_signature_non_multiple_dim(spark):
+    df = spark.createDataFrame([(1, [1.0, -1.0, 2.0])], "vec_id long, embedding array<float>")
+    got = df.select(binary_signature("embedding", 3).alias("s")).head()["s"]
+    assert got == [0b101]
+    exp = df.select(binary_signature("embedding", 3, impl="expr").alias("s")).head()["s"]
+    assert exp == got
+
+
+def test_hamming_topk_matches_bruteforce(vecs):
+    rows, df = vecs
+    qv = rows[0][1]
+    got = [(r["vec_id"], r["hamming"]) for r in hamming_topk(df, qv, dim=64, k=5).collect()]
+
+    qs = binary_signature_py([float(x) for x in __import__("numpy").asarray(qv, dtype="float32")])
+    def ham(v):
+        s = binary_signature_py([float(x) for x in __import__("numpy").asarray(v, dtype="float32")])
+        return sum(bin(a ^ b).count("1") for a, b in zip(s, qs))
+
+    exp = sorted(((vid, ham(v)) for vid, v in rows), key=lambda t: (t[1], t[0]))[:5]
+    assert got == exp
+
+
+def test_hamming_topk_plan_is_take_ordered(vecs):
+    _, df = vecs
+    plan = hamming_topk(df, [0.1] * 64, dim=64, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,105 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with an evaluation/benchmark set (the GPT-3 appendix-C /
+Llama-2 "dirty document" check).
+
+Not part of the reference's surface (postgresml has no corpus tooling);
+this is a standard LLM-training-data operator, built Spark-first:
+
+Scale shape (100 TB corpus, bounded benchmark):
+- The benchmark gram set is DISTINCT n-grams of the eval suite —
+  bounded by benchmark size (≤ tens of millions of strings), never by
+  corpus size → broadcast it. The corpus side never shuffles for the
+  join.
+- The corpus side explodes its per-doc distinct grams (map-side, keeps
+  the scan partitioning), hash-joins the broadcast gram set, and
+  aggregates hits per doc — exactly ONE shuffle (the per-doc groupBy),
+  and AQE coalesces it.
+- Gram explosion multiplies rows ~tokens-per-doc×; the join is a
+  broadcast semi-join so the exploded rows are filtered before the
+  shuffle — only matching grams travel.
+
+Matching is on `word_shingles` (lowercased alnum-token n-grams), the
+same canonicalization as the MinHash/Jaccard dedup stack, so one
+tokenizer governs dedup and decontamination.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from postgresml_spark.operators.dedup import word_shingles
+
+__all__ = ["benchmark_grams", "contamination_report", "decontaminate"]
+
+
+def benchmark_grams(
+    bench: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Distinct word n-grams of the benchmark set: one `gram` column.
+
+    Small by construction (benchmark suites are fixed-size); cache or
+    persist it when screening multiple corpus partitions."""
+    return (
+        bench.select(F.explode(word_shingles(text_col, n)).alias("gram"))
+        .distinct()
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document contamination: (id, n_grams, n_hits, ratio).
+
+    ratio = |doc grams ∩ benchmark grams| / |doc grams| — the fraction
+    of the document's distinct n-grams that appear anywhere in the
+    benchmark. Docs with zero grams (empty/short text) report ratio 0.
+    """
+    grams = benchmark_grams(bench, text_col, n)
+    doc_grams = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, n)).alias("gram"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    totals = corpus.select(
+        F.col(id_col), F.size(word_shingles(text_col, n)).alias("n_grams")
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+        .withColumn(
+            "ratio",
+            F.when(F.col("n_grams") > 0, F.col("n_hits") / F.col("n_grams"))
+            .otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    max_ratio: float = 0.1,
+) -> DataFrame:
+    """Drop documents whose contamination ratio exceeds `max_ratio`.
+
+    Returns the clean corpus rows (original columns). The join is a
+    broadcast of the per-doc ratio onto the corpus only when the dirty
+    set is small; expressed as a plain equi-join so Catalyst/AQE picks
+    the strategy from actual sizes."""
+    dirty = (
+        contamination_report(corpus, bench, text_col, id_col, n)
+        .filter(F.col("ratio") > max_ratio)
+        .select(id_col)
+    )
+    return corpus.join(dirty, id_col, "left_anti")

@@ -2049,3 +2049,126 @@ def q66_knn_ivf_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf(assigned, cents, qv, k=10, nprobe=8).select(
         "vec_id", F.round("score", 6).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# q67/q68 — corpus hygiene: benchmark decontamination + PII redaction
+# ---------------------------------------------------------------------------
+
+_DECON_N = 5  # n-gram width (13 in prod decontamination; 5 suits the short synthetic docs)
+_SQL_GRAMS = (
+    "list_distinct(CASE WHEN len({t}) >= " + str(_DECON_N)
+    + " THEN list_transform(generate_series(0, greatest(len({t}) - " + str(_DECON_N)
+    + ", 0)), i -> array_to_string({t}[i+1:i+" + str(_DECON_N) + "], ' '))"
+    + " ELSE [array_to_string({t}, ' ')] END)"
+)
+
+
+@query(
+    "q67_decontamination",
+    oracle=f"""
+    WITH ctoks AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS t
+      FROM documents WHERE doc_id < 400
+    ), btoks AS (
+      SELECT {_SQL_TOKENS.format(t='text')} AS t
+      FROM documents WHERE doc_id >= 400
+    ), bgrams AS (
+      SELECT DISTINCT unnest({_SQL_GRAMS.format(t='t')}) AS gram FROM btoks
+    ), csh AS (
+      SELECT doc_id, {_SQL_GRAMS.format(t='t')} AS shingles FROM ctoks
+    ), posting AS (
+      SELECT doc_id, len(shingles) AS n_grams, unnest(shingles) AS gram FROM csh
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_hits
+      FROM posting JOIN bgrams USING (gram) GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_grams,
+           coalesce(h.n_hits, 0) AS n_hits,
+           round(CASE WHEN s.n_grams > 0
+                 THEN CAST(coalesce(h.n_hits, 0) AS DOUBLE) / s.n_grams
+                 ELSE 0.0 END, 6) AS ratio
+    FROM (SELECT DISTINCT doc_id, n_grams FROM posting) s
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q67_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C style): fraction of
+    each training doc's distinct word n-grams that appear in a held-out
+    benchmark set (docs >= 400 stand in for the eval suite). Broadcast
+    gram semi-join; one per-doc shuffle."""
+    from postgresml_spark.operators.decontam import contamination_report
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 400)
+    bench = d.filter(F.col("doc_id") >= 400)
+    rep = contamination_report(corpus, bench, n=_DECON_N)
+    return rep.select(
+        "doc_id", "n_grams", "n_hits", F.round("ratio", 6).alias("ratio")
+    )
+
+
+def _pii_sql() -> str:
+    """Oracle twin of pii_counts + redact_pii: identical pattern strings
+    (Java regex ∩ RE2 syntax only), global regexp_replace in canonical
+    order, deterministic synthetic PII appended per doc_id band."""
+    from postgresml_spark.functions.pii import PII_PATTERNS
+
+    red = "text"
+    for kind, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{kind.upper()}>', 'g')"
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' reach user' || doc_id || '@example.com or 555-123-4567 now'
+                  WHEN doc_id % 5 = 1 THEN text || ' host 10.0.' || (doc_id % 200) || '.7 ssn 123-45-6789'
+                  WHEN doc_id % 5 = 2 THEN text || ' card 4111 1111 1111 1111 expires'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id, {red} AS redacted,
+           {counts}
+    FROM aug
+    """
+
+
+@query("q68_pii_redaction", oracle=_pii_sql())
+def q68_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact as pure codegen regex (no reference analog;
+    standard corpus-hygiene stage). Synthetic PII is appended
+    deterministically by doc_id band in BOTH engines, so counts and the
+    redacted text are oracle-checkable end to end."""
+    from postgresml_spark.functions.pii import PII_PATTERNS, pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = d.select(
+        "doc_id",
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                "text", F.lit(" reach user"), did.cast("string"),
+                F.lit("@example.com or 555-123-4567 now"),
+            ),
+        )
+        .when(
+            did % 5 == 1,
+            F.concat(
+                "text", F.lit(" host 10.0."), (did % 200).cast("string"),
+                F.lit(".7 ssn 123-45-6789"),
+            ),
+        )
+        .when(did % 5 == 2, F.concat("text", F.lit(" card 4111 1111 1111 1111 expires")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    c = pii_counts("text")
+    return aug.select(
+        "doc_id",
+        redact_pii("text").alias("redacted"),
+        *[c[k].alias(f"n_{k}") for k in PII_PATTERNS],
+    )

@@ -1,0 +1,121 @@
+"""Corpus-hygiene operators: benchmark decontamination + PII redaction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresml_spark.functions.pii import PII_PATTERNS, pii_counts, redact_pii
+from postgresml_spark.operators.decontam import (
+    benchmark_grams,
+    contamination_report,
+    decontaminate,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "completely unrelated sentence about spark physical plans"),
+        (2, "the quick brown fox jumps over something else entirely"),
+        (3, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def bench(spark):
+    return spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+
+
+def test_contamination_ratio(corpus, bench):
+    rep = {
+        r["doc_id"]: r
+        for r in contamination_report(corpus, bench, n=3).collect()
+    }
+    # doc 0 shares almost all 3-grams with the benchmark doc
+    assert rep[0]["n_hits"] >= 6 and rep[0]["ratio"] > 0.7
+    # doc 1 shares none
+    assert rep[1]["n_hits"] == 0 and rep[1]["ratio"] == 0.0
+    # doc 2 shares the "the quick brown ..." prefix grams only
+    assert 0 < rep[2]["ratio"] < 1
+    # empty doc: 1 degenerate gram (''), zero hits unless bench has one
+    assert rep[3]["n_hits"] == 0 and rep[3]["ratio"] == 0.0
+
+
+def test_decontaminate_drops_dirty(corpus, bench):
+    kept = decontaminate(corpus, bench, n=3, max_ratio=0.7)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 0 not in ids  # near-copy of the benchmark is dropped
+    assert {1, 2, 3} <= ids
+    # original columns survive
+    assert kept.columns == corpus.columns
+
+
+def test_benchmark_grams_distinct(bench):
+    g = benchmark_grams(bench, n=3)
+    vals = [r["gram"] for r in g.collect()]
+    assert len(vals) == len(set(vals))
+    assert "the quick brown" in vals
+
+
+def test_contamination_join_is_broadcast(corpus, bench):
+    plan = contamination_report(corpus, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+PII_SAMPLE = (
+    "mail alice.smith+x@corp.example.org, card 4111 1111 1111 1111, "
+    "ssn 123-45-6789, call 555-123-4567 or 555.987.6543, host 10.0.0.7 done"
+)
+
+
+def test_pii_counts(spark):
+    df = spark.createDataFrame([(PII_SAMPLE,), ("no pii here",)], "text string")
+    rows = df.select(pii_counts("text").alias("p")).collect()
+    p = rows[0]["p"].asDict()
+    assert p == {
+        "email": 1, "credit_card": 1, "ssn": 1, "phone": 2, "ipv4": 1,
+        "total": 6,
+    }
+    assert rows[1]["p"]["total"] == 0
+
+
+def test_redact_pii_all_kinds(spark):
+    df = spark.createDataFrame([(PII_SAMPLE,)], "text string")
+    red = df.select(redact_pii("text").alias("r")).head()["r"]
+    for kind in PII_PATTERNS:
+        assert f"<{kind.upper()}>" in red
+    # no raw identifiers survive
+    for frag in ("example.org", "4111", "123-45-6789", "555-123-4567", "10.0.0.7"):
+        assert frag not in red
+
+
+def test_redact_pii_kinds_subset(spark):
+    df = spark.createDataFrame([(PII_SAMPLE,)], "text string")
+    red = df.select(redact_pii("text", kinds=["email"]).alias("r")).head()["r"]
+    assert "<EMAIL>" in red and "<PHONE>" not in red
+    assert "555-123-4567" in red  # untouched kinds survive
+
+
+def test_ssn_phone_disambiguation(spark):
+    # 3-2-4 is SSN, 3-3-4 is phone; each must match only its own shape
+    df = spark.createDataFrame(
+        [("a 111-22-3333 b 444-555-6666 c",)], "text string"
+    )
+    row = df.select(
+        pii_counts("text").alias("p"), redact_pii("text").alias("r")
+    ).head()
+    assert row["p"]["ssn"] == 1 and row["p"]["phone"] == 1
+    assert "<SSN>" in row["r"] and "<PHONE>" in row["r"]
+
+
+def test_pii_is_codegen_only(spark):
+    # whole pipeline stays in one WholeStageCodegen project — no
+    # BatchEvalPython / shuffle anywhere
+    df = spark.createDataFrame([(PII_SAMPLE,)], "text string")
+    out = df.select(redact_pii("text").alias("r"), pii_counts("text").alias("p"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan

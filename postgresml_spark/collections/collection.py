@@ -133,10 +133,12 @@ class Collection:
         source_uuids are read (pruned scan) and rewritten; every other
         bucket's files carry over to the new version untouched."""
         incoming = incoming.dropDuplicates(["source_uuid"])
-        cur = self.documents.read()
-        # one agg answers both "is it empty" and "max id" (first insert
-        # into a fresh collection skips the anti-join entirely)
-        max_id = cur.agg(F.max("id")).head()[0]
+        # fresh collection: no stored version yet → skip the max-id agg
+        # entirely (a Spark job against an empty local relation still
+        # costs ~1.8 s of scheduling; the pointer file answers it free)
+        max_id = None
+        if self.documents.exists():
+            max_id = self.documents.read().agg(F.max("id")).head()[0]
         if max_id is None:
             new = incoming.withColumn(
                 "id", F.monotonically_increasing_id() + F.lit(1)

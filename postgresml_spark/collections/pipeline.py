@@ -111,51 +111,61 @@ class Pipeline:
         docs = self.collection.documents.read()
         out: dict[str, int] = {}
         for field, cfg in self.schema.items():
-            new_chunks = self._chunks_for(field, cfg, docs)
+            # persist: the chunk DAG (docs scan → JSON extract → split)
+            # feeds the chunks write, the changed-count, the embed UDF
+            # and the tsvector build — without a cache it re-executes
+            # once per consumer (measured 3× the sync cost at sf0.1)
+            new_chunks = self._chunks_for(field, cfg, docs).persist()
             tbl = self._tables[f"{field}_chunks"]
-            if full or not tbl.exists():
-                changed = new_chunks
-                tbl.overwrite(new_chunks)
-                n_changed = changed.count()
-            else:
-                old = tbl.read()
-                # change detection (queries.rs:325-339): a chunk is
-                # changed iff (document_id, chunk_index, chunk) is new.
-                changed = new_chunks.join(
-                    old, ["document_id", "chunk_index", "chunk"], "left_anti"
-                )
-                n_changed = changed.count()
-                tbl.overwrite(new_chunks)  # also drops orphans (queries.rs:284-299)
-            out[f"{field}_chunks"] = n_changed
+            changed = new_chunks
+            try:
+                if full or not tbl.exists():
+                    changed = new_chunks
+                    tbl.overwrite(new_chunks)
+                    n_changed = changed.count()
+                else:
+                    old = tbl.read()
+                    # change detection (queries.rs:325-339): a chunk is
+                    # changed iff (document_id, chunk_index, chunk) is new.
+                    changed = new_chunks.join(
+                        old, ["document_id", "chunk_index", "chunk"], "left_anti"
+                    ).persist()
+                    n_changed = changed.count()
+                    tbl.overwrite(new_chunks)  # also drops orphans (queries.rs:284-299)
+                out[f"{field}_chunks"] = n_changed
 
-            chunk_ids = new_chunks.select("chunk_id")
-            if f"{field}_embeddings" in self._tables:
-                etbl = self._tables[f"{field}_embeddings"]
-                model = (cfg.get("semantic_search") or {}).get("model", "hash:16")
-                new_emb = self._embed(changed, model)
-                if full or not etbl.exists():
-                    emb = new_emb
-                else:
-                    kept = etbl.read().join(chunk_ids, "chunk_id", "left_semi").join(
-                        new_emb.select("chunk_id"), "chunk_id", "left_anti"
+                chunk_ids = new_chunks.select("chunk_id")
+                if f"{field}_embeddings" in self._tables:
+                    etbl = self._tables[f"{field}_embeddings"]
+                    model = (cfg.get("semantic_search") or {}).get("model", "hash:16")
+                    new_emb = self._embed(changed, model)
+                    if full or not etbl.exists():
+                        emb = new_emb
+                    else:
+                        kept = etbl.read().join(chunk_ids, "chunk_id", "left_semi").join(
+                            new_emb.select("chunk_id"), "chunk_id", "left_anti"
+                        )
+                        emb = kept.unionByName(new_emb)
+                    etbl.overwrite(emb)
+                    out[f"{field}_embeddings"] = n_changed
+                if f"{field}_tsvectors" in self._tables:
+                    ttbl = self._tables[f"{field}_tsvectors"]
+                    new_tsv = changed.select(
+                        "chunk_id", tokenize(F.col("chunk")).alias("tokens")
                     )
-                    emb = kept.unionByName(new_emb)
-                etbl.overwrite(emb)
-                out[f"{field}_embeddings"] = n_changed
-            if f"{field}_tsvectors" in self._tables:
-                ttbl = self._tables[f"{field}_tsvectors"]
-                new_tsv = changed.select(
-                    "chunk_id", tokenize(F.col("chunk")).alias("tokens")
-                )
-                if full or not ttbl.exists():
-                    tsv = new_tsv
-                else:
-                    kept = ttbl.read().join(chunk_ids, "chunk_id", "left_semi").join(
-                        new_tsv.select("chunk_id"), "chunk_id", "left_anti"
-                    )
-                    tsv = kept.unionByName(new_tsv)
-                ttbl.overwrite(tsv)
-                out[f"{field}_tsvectors"] = n_changed
+                    if full or not ttbl.exists():
+                        tsv = new_tsv
+                    else:
+                        kept = ttbl.read().join(chunk_ids, "chunk_id", "left_semi").join(
+                            new_tsv.select("chunk_id"), "chunk_id", "left_anti"
+                        )
+                        tsv = kept.unionByName(new_tsv)
+                    ttbl.overwrite(tsv)
+                    out[f"{field}_tsvectors"] = n_changed
+            finally:
+                new_chunks.unpersist()
+                if changed is not new_chunks:
+                    changed.unpersist()
         return out
 
     def resync(self) -> dict[str, int]:

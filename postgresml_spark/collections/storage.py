@@ -105,6 +105,19 @@ class BucketedVersionedTable(VersionedTable):
             F.pmod(F.xxhash64(F.col(self.key).cast("string")), F.lit(self.n_buckets)).cast("int"),
         )
 
+    def _clustered(self, df: DataFrame) -> DataFrame:
+        """Cluster rows by bucket before a partitionBy write: without
+        this every shuffle partition writes a sliver into every bucket
+        dir (N_partitions × N_buckets tiny files + that many commit
+        round-trips — measured 1081 files / 8.8 s for a 5k-doc upsert);
+        with it each bucket is one file (32 files / sub-second). At
+        cluster scale cap file size with maxRecordsPerFile rather than
+        adding partitions."""
+        from pyspark.sql import functions as F
+
+        b = self._bucketed(df)
+        return b.repartition(self.n_buckets, F.col("__bucket"))
+
     def bucket_of(self, col):
         from pyspark.sql import functions as F
 
@@ -130,7 +143,7 @@ class BucketedVersionedTable(VersionedTable):
     def overwrite(self, df: DataFrame, keep_versions: int = 2) -> None:
         v = self._current_version() + 1
         out = os.path.join(self.path, f"v_{v}")
-        self._bucketed(df).write.mode("overwrite").partitionBy("__bucket").parquet(out)
+        self._clustered(df).write.mode("overwrite").partitionBy("__bucket").parquet(out)
         with open(self._pointer(), "w") as f:
             f.write(str(v))
         self.vacuum(keep_versions)
@@ -144,7 +157,7 @@ class BucketedVersionedTable(VersionedTable):
         cur = self._current_version()
         v = cur + 1
         out = os.path.join(self.path, f"v_{v}")
-        self._bucketed(touched_df).write.mode("overwrite").partitionBy(
+        self._clustered(touched_df).write.mode("overwrite").partitionBy(
             "__bucket"
         ).parquet(out)
         touched_set = {int(b) for b in touched}

@@ -68,23 +68,73 @@ def fit_ivf_centroids(
     seed: int = 42,
     sample_fraction: float | None = None,
     max_iter: int = 20,
+    max_sample: int = 65536,
+    impl: str = "driver",
 ):
     """KMeans centroids for IVF partitioning. Returns list[list[float]].
 
     Centroid quality needs only a representative sample, not the full
-    corpus — pass sample_fraction (e.g. 0.1, or ~100×nlist rows worth)
-    so the iterative fit scans a fraction of the data; assignment of the
-    full corpus happens once in ivf_assign. pgvector's ivfflat does the
-    same (index build samples the table).
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    corpus; IVF trainers (pgvector ivfflat index build, FAISS
+    `train()`) all fit on a BOUNDED sample regardless of table size.
 
+    impl='driver' (default): ONE distributed pass selects a
+    deterministic pseudo-random sample of ≤ max_sample vectors
+    (hash-ordered top-k, so layout changes don't shift it), then seeded
+    Lloyd runs on the driver in numpy — microseconds per iteration at
+    64k×dim vs one Spark job per iteration. At 100 TB the sample bound
+    makes index training O(1) while `ivf_assign` stays distributed.
+
+    impl='mllib': the distributed MLlib fit — for when the sample must
+    exceed driver memory (rare: 10^6 × 1024-dim float64 is 8 GB).
+    """
     if sample_fraction is not None and sample_fraction < 1.0:
         df = df.sample(fraction=sample_fraction, seed=seed)
-    feats = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
-    return [list(map(float, c)) for c in model.clusterCenters()]
+    if impl == "mllib":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = df.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+        )
+        model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+        return [list(map(float, c)) for c in model.clusterCenters()]
+
+    rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
+        .limit(int(max_sample))
+        .collect()
+    )
+    x = np.asarray([r["v"] for r in rows], dtype="float64")
+    return [[float(v) for v in c] for c in _lloyd(x, nlist, seed, max_iter)]
+
+
+def _lloyd(x: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray:
+    """Seeded k-means++ init + Lloyd iterations (numpy). Deterministic
+    for a fixed sample; standard textbook algorithm."""
+    rng = np.random.default_rng(seed)
+    n = x.shape[0]
+    if n <= k:
+        pad = np.repeat(x[:1] if n else np.zeros((1, 1)), k - n, axis=0)
+        return np.concatenate([x, pad]) if n else pad
+    # k-means++ seeding
+    centers = [x[rng.integers(n)]]
+    d2 = ((x - centers[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        p = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        centers.append(x[rng.choice(n, p=p)])
+        d2 = np.minimum(d2, ((x - centers[-1]) ** 2).sum(axis=1))
+    c = np.asarray(centers)
+    for _ in range(max_iter):
+        dist = (c * c).sum(axis=1) - 2.0 * (x @ c.T)  # + |x|² (argmin-safe)
+        lab = dist.argmin(axis=1)
+        new_c = np.asarray(
+            [x[lab == j].mean(axis=0) if (lab == j).any() else c[j] for j in range(k)]
+        )
+        if np.allclose(new_c, c):
+            break
+        c = new_c
+    return c
 
 
 def _centroid_arrays(centroids: list[list[float]]):

@@ -446,13 +446,30 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     group_col: str | None = None,
     allow_all_pairs: bool = False,
+    impl: str = "expr",
+    block_rows: int = 1024,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold. If group_col is given, only pairs
     within a group are compared (use an LSH/IVF bucket as the group —
-    sign_lsh_bucket or similarity.ivf_assign) and the join is a shuffled
-    equi-join on the bucket. Without a group the join is an O(n²)
-    broadcast-nested-loop: a scale-killer, so it must be explicitly
-    requested with allow_all_pairs=True (exact small-set verify only)."""
+    sign_lsh_bucket or similarity.ivf_assign). Without a group the
+    comparison is all-pairs O(n²): a scale-killer, so it must be
+    explicitly requested with allow_all_pairs=True (small-set verify).
+
+    impl='expr': pair equi-join + HOF cosine expression — the
+    dependency-light oracle-matching form. Fine up to ~10^5 candidate
+    pairs, but the interpreted per-pair lambda (~15 µs at dim 64)
+    dominates beyond that, and the join materializes EVERY candidate
+    pair through the shuffle. (Unrolling the cosine into flat codegen
+    was measured SLOWER here — the ~200-term method trips the
+    whole-stage-codegen size fallback and the entire join stage drops
+    to interpreted.)
+
+    impl='block': the 100 TB path — shuffle only the ROWS by group
+    (applyInPandas), score each bucket as a normalized gram matmul in
+    numpy (BLAS), emit only surviving pairs. Arrow moves O(rows), not
+    O(pairs); per-bucket memory is bounded by scoring `block_rows`-row
+    strips against the bucket. Combine with minhash's max_bucket_size
+    logic upstream if buckets can saturate."""
     if group_col is None and not allow_all_pairs:
         raise ValueError(
             "embedding_near_dup_pairs without group_col is an O(n^2) "
@@ -462,14 +479,56 @@ def embedding_near_dup_pairs(
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
     if group_col:
         cols.append(F.col(group_col).alias("g"))
-    base = df.select(*cols)
-    a, b = base.alias("a"), base.alias("b")
-    if group_col:
-        # equality key first → planner picks a hash/sort-merge join on
-        # g with id< as a post-join filter (no nested loop)
-        joined = a.join(b, on=(F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
     else:
-        joined = a.join(b, on=F.col("a.id") < F.col("b.id"))
+        cols.append(F.lit(0).alias("g"))
+    base = df.select(*cols)
+    if impl == "block":
+        thr = float(threshold)
+
+        def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+            x = np.asarray(pdf["v"].tolist(), dtype="float64")
+            ids = pdf["id"].to_numpy()
+            n = x.shape[0]
+            if n < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                    {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+                )
+            with np.errstate(invalid="ignore", divide="ignore"):
+                u = x / np.linalg.norm(x, axis=1, keepdims=True)
+            frames = []
+            for s in range(0, n, block_rows):
+                strip = u[s : s + block_rows]
+                sims = strip @ u.T  # (strip, n)
+                ia, ib = np.nonzero(sims >= thr)
+                ia += s
+                keep = ids[ia] < ids[ib]  # dedupe + self-pairs
+                if keep.any():
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": np.minimum(ids[ia][keep], ids[ib][keep]),
+                                "id_b": np.maximum(ids[ia][keep], ids[ib][keep]),
+                                "cosine": sims[ia - s, ib][keep],
+                            }
+                        )
+                    )
+            if not frames:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                    {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+                )
+            return pd.concat(frames, ignore_index=True)
+
+        return base.groupBy("g").applyInPandas(
+            _score, "id_a long, id_b long, cosine double"
+        )
+
+    a, b = base.alias("a"), base.alias("b")
+    # equality key first → planner picks a hash/sort-merge join on g
+    # with id< as a post-join filter (no nested loop); without a real
+    # group g is constant and this degenerates to the opt-in all-pairs
+    joined = a.join(
+        b, on=(F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id"))
+    )
     return (
         joined.select(
             F.col("a.id").alias("id_a"),

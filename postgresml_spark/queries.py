@@ -924,7 +924,7 @@ def q28_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket", DD.sign_lsh_bucket("embedding", 4)
     )
     out = DD.embedding_near_dup_pairs(
-        e, "embedding", "vec_id", threshold=0.35, group_col="bucket"
+        e, "embedding", "vec_id", threshold=0.35, group_col="bucket", impl="block"
     )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 

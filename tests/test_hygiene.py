@@ -119,3 +119,30 @@ def test_pii_is_codegen_only(spark):
     out = df.select(redact_pii("text").alias("r"), pii_counts("text").alias("p"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_embedding_near_dup_block_parity(spark, sf_dir):
+    """impl='block' (per-bucket gram matmul) finds the same pairs as
+    the expression join, with cosines equal to 1e-9, and its plan moves
+    rows (FlatMapGroupsInPandas), never candidate pairs (no join)."""
+    from postgresml_spark.operators import dedup as DD
+    from postgresml_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", DD.sign_lsh_bucket("embedding", 4)
+    )
+    kw = dict(threshold=0.35, group_col="bucket")
+    expr_pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in DD.embedding_near_dup_pairs(emb, "embedding", "vec_id", **kw).collect()
+    }
+    block = DD.embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", impl="block", block_rows=64, **kw
+    )
+    block_pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in block.collect()}
+    assert set(block_pairs) == set(expr_pairs)
+    for k, v in expr_pairs.items():
+        assert abs(block_pairs[k] - v) < 1e-9
+    plan = block._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan

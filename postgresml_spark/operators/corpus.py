@@ -47,6 +47,7 @@ __all__ = [
     "deterministic_shuffle",
     "weighted_sample",
     "gopher_quality_flags",
+    "repetition_flags",
     "pack_sequences",
     "greedy_pack",
 ]
@@ -299,3 +300,106 @@ def greedy_pack(
         return pdf
 
     return df.groupBy(group_col).applyInPandas(_pack, schema=out_schema)
+
+
+def repetition_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 5,
+    max_dup_line_frac: float = 0.30,
+    max_dup_ngram_frac: float = 0.30,
+    max_top2gram_frac: float = 0.20,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, the
+    "repetitious text" half that gopher_quality_flags leaves out):
+
+    - dup_line_frac      — fraction of lines that repeat an earlier
+                           line (per-row: 1 - distinct/total).
+    - dup_ngram_frac     — fraction of word n-grams (default n=5) that
+                           are repeats (per-row collection arithmetic).
+    - top2gram_char_frac — fraction of word-characters covered by the
+                           single most frequent word 2-gram: explode →
+                           count per (doc, gram) → max per doc. Two
+                           shuffles, both on uniform keys; O(tokens)
+                           rows through them — the one rule that needs
+                           distribution, because a per-row frequency
+                           table would be O(tokens²) interpreted.
+    - keep               — all three under their thresholds.
+
+    Per-row rules are codegen/collection expressions, no data movement;
+    thresholds default to the published Gopher values (0.30/0.30/0.20).
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: F.length(x) > 0)
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    toks = TX.tokenize(t)
+    k = F.size(toks)
+    grams = F.when(
+        k >= ngram_n,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(k - ngram_n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, ngram_n), " "),
+        ),
+    ).otherwise(F.array())
+    n_grams = F.size(grams)
+    dup_ngram = F.when(
+        n_grams > 0,
+        1.0
+        - F.size(F.array_distinct(grams)).cast("double") / n_grams.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+    base = df.withColumn("dup_line_frac", F.round(dup_line, 4)).withColumn(
+        "dup_ngram_frac", F.round(dup_ngram, 4)
+    )
+
+    # top 2-gram coverage: distributed frequency count, then the max
+    # (count × gram word-char length) per doc over total word chars
+    two = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size(TX.tokenize(t)) >= 2,
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size(TX.tokenize(t)) - 2, F.lit(0))
+                    ),
+                    lambda i: F.array_join(F.slice(TX.tokenize(t), i + 1, 2), " "),
+                ),
+            ).otherwise(F.array())
+        ).alias("pos", "gram"),
+    )
+    gram_counts = two.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    top_cover = gram_counts.groupBy(id_col).agg(
+        F.max(
+            F.col("c") * (F.length("gram") - 1)  # word chars in the 2-gram
+        ).alias("top_chars")
+    )
+    word_chars = df.select(
+        F.col(id_col),
+        F.length(F.array_join(TX.tokenize(t), "")).alias("all_chars"),
+    )
+    cover = word_chars.join(top_cover, id_col, "left").select(
+        F.col(id_col),
+        F.round(
+            F.when(
+                F.col("all_chars") > 0,
+                F.coalesce(F.col("top_chars"), F.lit(0)).cast("double")
+                / F.col("all_chars").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("top2gram_char_frac"),
+    )
+
+    out = base.join(cover, id_col, "left")
+    keep = (
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_ngram_frac") <= max_dup_ngram_frac)
+        & (F.col("top2gram_char_frac") <= max_top2gram_frac)
+    )
+    return out.withColumn("keep_repetition", keep)

@@ -47,6 +47,7 @@ __all__ = [
     "simhash",
     "simhash_candidate_pairs",
     "embedding_near_dup_pairs",
+    "semantic_dedup",
 ]
 
 
@@ -537,3 +538,35 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    group_col: str | None = None,
+    impl: str = "block",
+) -> DataFrame:
+    """SemDeDup-style keep-first semantic dedup: drop every row whose
+    embedding is cosine-≥-threshold similar to ANY lower-id row in its
+    bucket (Abbas et al. 2023 keep-one-per-cluster, with the id order
+    as the deterministic representative choice).
+
+    Composition: bucketed near-dup pairs (impl='block' scores each
+    bucket as one BLAS matmul, moving rows not pairs) → distinct id_b
+    (every pair's higher id is a duplicate) → left_anti join back.
+    Scale: the dupe-id set is ≤ corpus size, hash-join on the id;
+    at 100 TB pass an LSH/IVF bucket as group_col so pair enumeration
+    stays O(candidates)."""
+    pairs = embedding_near_dup_pairs(
+        df,
+        vec_col,
+        id_col,
+        threshold=threshold,
+        group_col=group_col,
+        impl=impl,
+        allow_all_pairs=group_col is None,
+    )
+    dupes = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dupes, id_col, "left_anti")

@@ -2172,3 +2172,105 @@ def q68_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         redact_pii("text").alias("redacted"),
         *[c[k].alias(f"n_{k}") for k in PII_PATTERNS],
     )
+
+
+@query(
+    "q69_semantic_dedup",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    ), dupes AS (
+      SELECT DISTINCT b.vec_id AS vec_id
+      FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+            / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+               * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.35
+    )
+    SELECT e.vec_id FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM dupes)
+    """,
+)
+def q69_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style keep-first semantic dedup: sign-LSH buckets →
+    per-bucket BLAS-scored near-dup pairs (impl='block') → drop every
+    higher-id member of a pair. The kept-id set must equal the
+    declarative SQL (bucket join + NOT IN)."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "bucket", DD.sign_lsh_bucket("embedding", 4)
+    )
+    return DD.semantic_dedup(
+        e, "embedding", "vec_id", threshold=0.35, group_col="bucket", impl="block"
+    ).select("vec_id")
+
+
+_REP_N = 5
+_SQL_LINES = "list_filter(string_split({t}, chr(10)), x -> len(x) > 0)"
+_SQL_NGRAMS = (
+    "CASE WHEN len({t}) >= " + str(_REP_N)
+    + " THEN list_transform(generate_series(0, len({t}) - " + str(_REP_N)
+    + "), i -> array_to_string({t}[i+1:i+" + str(_REP_N) + "], ' '))"
+    + " ELSE [] END"
+)
+
+
+@query(
+    "q70_repetition_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_SQL_TOKENS.format(t='text')} AS t FROM documents
+    ), per_row AS (
+      SELECT doc_id,
+             {_SQL_LINES.format(t='text')} AS lines,
+             {_SQL_NGRAMS.format(t='t')} AS grams,
+             length(array_to_string(t, '')) AS all_chars
+      FROM toks
+    ), rowstats AS (
+      SELECT doc_id,
+             round(CASE WHEN len(lines) > 0
+                   THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                   ELSE 0.0 END, 4) AS dup_line_frac,
+             round(CASE WHEN len(grams) > 0
+                   THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                   ELSE 0.0 END, 4) AS dup_ngram_frac,
+             all_chars
+      FROM per_row
+    ), two AS (
+      SELECT doc_id, unnest(
+               CASE WHEN len(t) >= 2
+               THEN list_transform(generate_series(0, len(t) - 2),
+                                   i -> array_to_string(t[i+1:i+2], ' '))
+               ELSE [] END) AS gram
+      FROM toks
+    ), counts AS (
+      SELECT doc_id, gram, count(*) AS c FROM two GROUP BY doc_id, gram
+    ), cover AS (
+      SELECT doc_id, max(c * (length(gram) - 1)) AS top_chars
+      FROM counts GROUP BY doc_id
+    )
+    SELECT r.doc_id, r.dup_line_frac, r.dup_ngram_frac,
+           round(CASE WHEN r.all_chars > 0
+                 THEN CAST(coalesce(c.top_chars, 0) AS DOUBLE) / r.all_chars
+                 ELSE 0.0 END, 4) AS top2gram_char_frac,
+           (r.dup_line_frac <= 0.30 AND r.dup_ngram_frac <= 0.30
+            AND round(CASE WHEN r.all_chars > 0
+                  THEN CAST(coalesce(c.top_chars, 0) AS DOUBLE) / r.all_chars
+                  ELSE 0.0 END, 4) <= 0.20) AS keep_repetition
+    FROM rowstats r LEFT JOIN cover c USING (doc_id)
+    """,
+)
+def q70_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (dup-line / dup-5-gram / top-2-gram
+    coverage) with published thresholds; per-row collection arithmetic
+    plus one distributed frequency count for the 2-gram rule."""
+    d = _t(spark, sf_dir, "documents")
+    out = CO.repetition_flags(d)
+    return out.select(
+        "doc_id", "dup_line_frac", "dup_ngram_frac",
+        "top2gram_char_frac", "keep_repetition",
+    )

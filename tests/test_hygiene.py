@@ -146,3 +146,50 @@ def test_embedding_near_dup_block_parity(spark, sf_dir):
     plan = block._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
     assert "Join" not in plan
+
+
+def test_repetition_flags(spark):
+    from postgresml_spark.operators.corpus import repetition_flags
+
+    rows = [
+        # clean prose: everything under thresholds
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+        # the same line repeated -> dup_line_frac 0.75
+        (1, "same line here\nsame line here\nsame line here\nsame line here"),
+        # one 5-gram repeated over and over -> dup_ngram_frac high
+        (2, " ".join(["one two three four five"] * 10)),
+        # empty text: all fracs 0, kept
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_flags(df).collect()}
+    assert out[0]["keep_repetition"]
+    assert out[0]["dup_line_frac"] == 0.0 and out[0]["dup_ngram_frac"] == 0.0
+
+    assert out[1]["dup_line_frac"] == 0.75
+    assert not out[1]["keep_repetition"]
+
+    assert out[2]["dup_ngram_frac"] > 0.8
+    # "one two" (etc) dominates the 2-gram mass too
+    assert out[2]["top2gram_char_frac"] > 0.2
+    assert not out[2]["keep_repetition"]
+
+    assert out[3]["dup_line_frac"] == 0.0 and out[3]["keep_repetition"]
+
+
+def test_semantic_dedup_keep_first(spark):
+    from postgresml_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0 -> dropped
+        (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal -> kept
+        (3, [0.0, 0.999, 0.01, 0.0]),   # near-dup of 2 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = semantic_dedup(df, threshold=0.95, group_col=None, impl="block")
+    ids = sorted(r["vec_id"] for r in kept.collect())
+    assert ids == [0, 2]
+    # column set preserved
+    assert set(kept.columns) == {"vec_id", "embedding"}

@@ -39,6 +39,7 @@ __all__ = [
     "binary_signature_py",
     "hamming_distance_lit",
     "hamming_topk",
+    "knn_join",
 ]
 
 
@@ -361,3 +362,66 @@ def hamming_topk(
         ).alias("hamming"),
     )
     return scored.orderBy(F.col("hamming").asc(), F.col(id_col)).limit(k)
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched ANN: top-k corpus neighbors for EVERY query in one scan
+    (retrieval batch inference / eval-set building). Returns
+    (query_id, vec_id, score) with score = cosine similarity.
+
+    Scale shape: the query batch is driver-bounded (it ships inside the
+    mapInPandas closure like a broadcast); each corpus partition scores
+    all queries against its rows as ONE BLAS matmul and keeps only its
+    local top-k per query (argpartition), so the shuffle that follows
+    carries O(partitions × |queries| × k) rows — never O(n × q). A
+    window per query_id then reduces local winners to the global top-k.
+    One scan, one tiny shuffle, for any number of queries."""
+    q_ids = [int(i) for i, _ in queries]
+    q_mat = np.asarray([v for _, v in queries], dtype="float64")
+    qn = np.linalg.norm(q_mat, axis=1)
+    qn[qn == 0] = 1.0
+    qu = q_mat / qn[:, None]
+    kk = int(k)
+
+    def _local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf[vec_col].tolist(), dtype="float64")
+            ids = pdf[id_col].to_numpy()
+            with np.errstate(invalid="ignore", divide="ignore"):
+                xn = np.linalg.norm(x, axis=1)
+                xn[xn == 0] = 1.0
+                sims = (x / xn[:, None]) @ qu.T  # (n, q)
+            top = min(kk, sims.shape[0])
+            # argpartition per query column: local winners only
+            part = np.argpartition(-sims, top - 1, axis=0)[:top]  # (top, q)
+            out_q, out_id, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                rows = part[:, j]
+                out_q.extend([qid] * len(rows))
+                out_id.extend(ids[rows])
+                out_s.extend(sims[rows, j])
+            yield pd.DataFrame(
+                {"query_id": out_q, id_col: out_id, "score": out_s}
+            )
+
+    local = corpus.select(id_col, vec_col).mapInPandas(
+        _local_topk, f"query_id long, {id_col} long, score double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        local.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= kk)
+        .drop("__rn")
+    )

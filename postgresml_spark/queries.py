@@ -2274,3 +2274,49 @@ def q70_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "dup_line_frac", "dup_ngram_frac",
         "top2gram_char_frac", "keep_repetition",
     )
+
+
+@query(
+    "q71_knn_join",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_DOT.format(a='e.embedding', b='q.qv')}
+             / ({_NORM2.format(a='e.embedding')} * {_NORM2.format(a='q.qv')}) AS s
+      FROM embeddings e, q
+      WHERE e.vec_id != q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, s,
+             row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(s, 6) AS score
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q71_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN (one scan, all queries): per-partition BLAS top-k
+    via mapInPandas, then a per-query window over the tiny local-winner
+    set. The shuffle carries O(partitions × queries × k) rows, never
+    O(corpus × queries)."""
+    from postgresml_spark.operators.similarity import knn_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < 8).collect()
+    ]
+    corpus = e  # self-matches excluded below like the oracle
+    out = knn_join(corpus, qs, k=6)  # k+1 then drop self → 5
+    out = out.filter(F.col("vec_id") != F.col("query_id"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("query_id", "vec_id", F.round("score", 6).alias("score"))
+    )

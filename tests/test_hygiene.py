@@ -193,3 +193,29 @@ def test_semantic_dedup_keep_first(spark):
     assert ids == [0, 2]
     # column set preserved
     assert set(kept.columns) == {"vec_id", "embedding"}
+
+
+def test_knn_join_matches_knn_exact(spark, sf_dir):
+    from postgresml_spark.operators.similarity import knn_exact, knn_join
+    from postgresml_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    joined = knn_join(emb, qs, k=5)
+    got = {}
+    for r in joined.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], round(r["score"], 9)))
+    for qid, qv in qs:
+        exact = [
+            (r["vec_id"], round(r["score"], 9))
+            for r in knn_exact(emb, qv, k=5).collect()
+        ]
+        assert sorted(got[qid]) == sorted(exact), f"query {qid}"
+    # scale shape: no cartesian product in the plan — scoring happens
+    # inside mapInPandas, the only join-free wide op is the final window
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "MapInPandas" in plan

@@ -175,6 +175,10 @@ class Pipeline:
         if model.startswith("hash:"):
             dim = int(model.split(":", 1)[1])
             e = hash_embed_batch(dim)(F.col("chunk"))  # bulk path (Arrow)
+        elif model.startswith("openai:"):
+            from postgresml_spark.functions.embed import remote_embed_udf
+
+            e = remote_embed_udf(model)(F.col("chunk"))
         else:
             e = embed_udf(model)(F.col("chunk"))
         return chunks.select("chunk_id", e.alias("embedding"))
@@ -189,6 +193,12 @@ class Pipeline:
         model = (self.schema[field].get("semantic_search") or {}).get("model", "hash:16")
         if model.startswith("hash:"):
             return hash_embed_py(text, int(model.split(":", 1)[1]))
+        if model.startswith("openai:"):
+            # remote models embed the query CLIENT-side and inline the
+            # literal (vector_search_query_builder.rs:189-284)
+            from postgresml_spark.functions.embed import remote_embed_py
+
+            return remote_embed_py(model, text)
         try:  # client-side model call, one string (remote-model analog)
             from sentence_transformers import SentenceTransformer  # type: ignore
 

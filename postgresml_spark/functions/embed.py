@@ -216,3 +216,55 @@ def embed_udf(model_name: str = "intfloat/e5-small-v2", dim: int = 384):
         return pd.Series([list(map(float, v)) for v in vecs])
 
     return _embed
+
+
+def remote_embed_py(model: str, text: str) -> list[float]:
+    """Client-side remote embedding of ONE query string — the
+    reference's remote-model path: for OpenAI-backed pipelines the
+    query vector is fetched by the CLIENT and inlined into the search
+    SQL as a literal (vector_search_query_builder.rs:189-284), so no
+    cluster job and no credentials on executors.
+
+    `model` is an 'openai:<name>' id. Import-gated: raises
+    NotImplementedError when the openai client is absent (this
+    container has no network/credentials either)."""
+    name = model.split(":", 1)[1]
+    try:
+        from openai import OpenAI  # type: ignore
+    except ImportError as e:
+        raise NotImplementedError(
+            f"remote embedding model {model!r} requires the openai "
+            "client, not available in this environment; use a "
+            "'hash:<dim>' model for deterministic pipelines"
+        ) from e
+    client = OpenAI()
+    resp = client.embeddings.create(model=name, input=[text])
+    return [float(x) for x in resp.data[0].embedding]
+
+
+def remote_embed_udf(model: str):
+    """Bulk remote embedding (corpus sync with an OpenAI-backed model):
+    Arrow-batched pandas UDF, one API call per Arrow batch with a
+    per-executor client singleton. Import-gated like embed_udf; the
+    batch shape and schema are the real contract."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    name = model.split(":", 1)[1]
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _embed(texts: pd.Series) -> pd.Series:
+        try:
+            from openai import OpenAI  # type: ignore
+        except ImportError as e:
+            raise NotImplementedError(
+                f"remote embedding model {model!r} requires the openai "
+                "client, not available in this environment"
+            ) from e
+        client = globals().get("_REMOTE_CLIENT")
+        if client is None:
+            client = globals()["_REMOTE_CLIENT"] = OpenAI()
+        resp = client.embeddings.create(model=name, input=texts.tolist())
+        return pd.Series([[float(x) for x in d.embedding] for d in resp.data])
+
+    return _embed

@@ -219,3 +219,22 @@ def test_knn_join_matches_knn_exact(spark, sf_dir):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "MapInPandas" in plan
+
+
+def test_remote_embed_import_gate(spark):
+    """openai: models route to the client-side remote path; without the
+    openai client the gate must raise NotImplementedError with a clear
+    message (never a half-built plan)."""
+    import pytest as _pytest
+
+    from postgresml_spark.collections import Collection, Pipeline
+    from postgresml_spark.functions.embed import remote_embed_py
+
+    with _pytest.raises(NotImplementedError, match="openai"):
+        remote_embed_py("openai:text-embedding-3-small", "hello")
+
+    coll = Collection("remote_gate", spark, warehouse="/tmp/pgml_remote_gate")
+    pipe = Pipeline("p", {"text": {"semantic_search": {"model": "openai:text-embedding-3-small"}}})
+    pipe.attach(coll)
+    with _pytest.raises(NotImplementedError, match="openai"):
+        pipe.embed_query("hello", "text")

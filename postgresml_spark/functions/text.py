@@ -72,10 +72,13 @@ def _c(col: Column | str) -> Column:
 
 
 def tokenize(text: Column | str) -> Column:
-    """Lowercase word tokens (alnum runs). array<string>."""
-    return F.filter(
-        F.split(F.lower(_c(text)), _TOKEN_SEP), lambda x: x != ""
-    )
+    """Lowercase word tokens (alnum runs). array<string>.
+
+    array_remove, not F.filter(λ): identical result (drops every ''
+    boundary artifact of split) but array_remove is a codegen
+    expression while the higher-order filter evaluates its lambda
+    interpreted per element — this sits under every text operator."""
+    return F.array_remove(F.split(F.lower(_c(text)), _TOKEN_SEP), "")
 
 
 def token_count(text: Column | str) -> Column:

@@ -315,88 +315,77 @@ def repetition_flags(
     "repetitious text" half that gopher_quality_flags leaves out):
 
     - dup_line_frac      — fraction of lines that repeat an earlier
-                           line (per-row: 1 - distinct/total).
+                           line (per-row: 1 - distinct/total; split +
+                           array_remove + array_distinct, all codegen).
     - dup_ngram_frac     — fraction of word n-grams (default n=5) that
-                           are repeats (per-row collection arithmetic).
+                           are repeats.
     - top2gram_char_frac — fraction of word-characters covered by the
-                           single most frequent word 2-gram: explode →
-                           count per (doc, gram) → max per doc. Two
-                           shuffles, both on uniform keys; O(tokens)
-                           rows through them — the one rule that needs
-                           distribution, because a per-row frequency
-                           table would be O(tokens²) interpreted.
-    - keep               — all three under their thresholds.
+                           maximal-coverage (count × chars) word
+                           2-gram.
+    - keep_repetition    — all three under their thresholds (published
+                           Gopher values 0.30/0.30/0.20).
 
-    Per-row rules are codegen/collection expressions, no data movement;
-    thresholds default to the published Gopher values (0.30/0.30/0.20).
-    """
+    Scale shape: grams are built CODEGEN-only — posexplode the tokens
+    once, then window `lead` over (doc, pos) assembles consecutive
+    n-grams (a per-row higher-order-function transform measured
+    ~2 ms/row interpreted at 600 tokens — 14 s for 5k docs; this form
+    is 20×). The shuffles are the window by doc and the (doc, gram)
+    frequency counts — uniform keys, linear rows."""
     t = F.col(text_col)
-    lines = F.filter(F.split(t, "\n"), lambda x: F.length(x) > 0)
+    lines = F.array_remove(F.split(t, "\n"), "")
     n_lines = F.size(lines)
     dup_line = F.when(
         n_lines > 0,
         1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines.cast("double"),
     ).otherwise(F.lit(0.0))
+    base = df.withColumn("dup_line_frac", F.round(dup_line, 4))
 
-    toks = TX.tokenize(t)
-    k = F.size(toks)
-    grams = F.when(
-        k >= ngram_n,
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(k - ngram_n, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i + 1, ngram_n), " "),
-        ),
-    ).otherwise(F.array())
-    n_grams = F.size(grams)
+    tok = df.select(
+        F.col(id_col), F.posexplode(TX.tokenize(t)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, ngram_n)]
+    # concat_ws skips nulls, so gate each gram on its LAST member —
+    # otherwise the tail of the doc emits truncated grams
+    g2 = F.when(leads[0].isNotNull(), F.concat_ws(" ", F.col("tok"), leads[0]))
+    gn = F.when(
+        leads[ngram_n - 2].isNotNull(),
+        F.concat_ws(" ", F.col("tok"), *leads[: ngram_n - 1]),
+    )
+    g = tok.select(
+        F.col(id_col),
+        g2.alias("g2"),
+        gn.alias("gn"),
+        F.length("tok").alias("lc"),
+    )
+    chars = g.groupBy(id_col).agg(F.sum("lc").alias("all_chars"))
+    cn = g.where(F.col("gn").isNotNull()).groupBy(id_col, "gn").count()
+    nstats = cn.groupBy(id_col).agg(
+        F.sum("count").alias("n_grams_total"), F.count("*").alias("n_grams_distinct")
+    )
+    c2 = g.where(F.col("g2").isNotNull()).groupBy(id_col, "g2").count()
+    top2 = c2.groupBy(id_col).agg(
+        F.max(F.col("count") * (F.length("g2") - 1)).alias("top_chars")
+    )
+    stats = chars.join(nstats, id_col, "left").join(top2, id_col, "left")
+
+    out = base.join(stats, id_col, "left")
     dup_ngram = F.when(
-        n_grams > 0,
+        F.col("n_grams_total") > 0,
         1.0
-        - F.size(F.array_distinct(grams)).cast("double") / n_grams.cast("double"),
+        - F.col("n_grams_distinct").cast("double")
+        / F.col("n_grams_total").cast("double"),
     ).otherwise(F.lit(0.0))
-
-    base = df.withColumn("dup_line_frac", F.round(dup_line, 4)).withColumn(
-        "dup_ngram_frac", F.round(dup_ngram, 4)
+    top_frac = F.when(
+        F.col("all_chars") > 0,
+        F.coalesce(F.col("top_chars"), F.lit(0)).cast("double")
+        / F.col("all_chars").cast("double"),
+    ).otherwise(F.lit(0.0))
+    out = (
+        out.withColumn("dup_ngram_frac", F.round(dup_ngram, 4))
+        .withColumn("top2gram_char_frac", F.round(top_frac, 4))
+        .drop("all_chars", "n_grams_total", "n_grams_distinct", "top_chars")
     )
-
-    # top 2-gram coverage: distributed frequency count, then the max
-    # (count × gram word-char length) per doc over total word chars
-    two = df.select(
-        F.col(id_col),
-        F.posexplode(
-            F.when(
-                F.size(TX.tokenize(t)) >= 2,
-                F.transform(
-                    F.sequence(
-                        F.lit(0), F.greatest(F.size(TX.tokenize(t)) - 2, F.lit(0))
-                    ),
-                    lambda i: F.array_join(F.slice(TX.tokenize(t), i + 1, 2), " "),
-                ),
-            ).otherwise(F.array())
-        ).alias("pos", "gram"),
-    )
-    gram_counts = two.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
-    top_cover = gram_counts.groupBy(id_col).agg(
-        F.max(
-            F.col("c") * (F.length("gram") - 1)  # word chars in the 2-gram
-        ).alias("top_chars")
-    )
-    word_chars = df.select(
-        F.col(id_col),
-        F.length(F.array_join(TX.tokenize(t), "")).alias("all_chars"),
-    )
-    cover = word_chars.join(top_cover, id_col, "left").select(
-        F.col(id_col),
-        F.round(
-            F.when(
-                F.col("all_chars") > 0,
-                F.coalesce(F.col("top_chars"), F.lit(0)).cast("double")
-                / F.col("all_chars").cast("double"),
-            ).otherwise(F.lit(0.0)),
-            4,
-        ).alias("top2gram_char_frac"),
-    )
-
-    out = base.join(cover, id_col, "left")
     keep = (
         (F.col("dup_line_frac") <= max_dup_line_frac)
         & (F.col("dup_ngram_frac") <= max_dup_ngram_frac)

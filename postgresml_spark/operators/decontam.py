@@ -25,25 +25,52 @@ tokenizer governs dedup and decontamination.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from postgresml_spark.operators.dedup import word_shingles
+from postgresml_spark.functions.text import tokenize
 
 __all__ = ["benchmark_grams", "contamination_report", "decontaminate"]
 
 
+def _doc_grams(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Distinct (id, gram) word n-grams, built CODEGEN-only: posexplode
+    the tokens once, assemble consecutive grams with window `lead`,
+    dropDuplicates per doc. Matches `dedup.word_shingles` semantics
+    (docs shorter than n tokens contribute their whole token string as
+    one gram) but avoids its per-row higher-order transform, which
+    evaluates interpreted (~2 ms/row at 600 tokens — dominates any
+    corpus-size screen)."""
+    toks = tokenize(F.col(text_col))
+    big = df.where(F.size(toks) >= n).select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, n)]
+    gram = F.when(
+        leads[-1].isNotNull(), F.concat_ws(" ", F.col("tok"), *leads)
+    )
+    big_grams = big.select(F.col(id_col), gram.alias("gram")).where(
+        F.col("gram").isNotNull()
+    )
+    small_grams = df.where(F.size(toks) < n).select(
+        F.col(id_col), F.array_join(toks, " ").alias("gram")
+    )
+    return big_grams.unionByName(small_grams).dropDuplicates([id_col, "gram"])
+
+
 def benchmark_grams(
-    bench: DataFrame, text_col: str = "text", n: int = 8
+    bench: DataFrame, text_col: str = "text", n: int = 8, id_col: str = "doc_id"
 ) -> DataFrame:
     """Distinct word n-grams of the benchmark set: one `gram` column.
 
     Small by construction (benchmark suites are fixed-size); cache or
     persist it when screening multiple corpus partitions."""
-    return (
-        bench.select(F.explode(word_shingles(text_col, n)).alias("gram"))
-        .distinct()
-    )
+    if id_col not in bench.columns:
+        bench = bench.withColumn(id_col, F.monotonically_increasing_id())
+    return _doc_grams(bench, text_col, id_col, n).select("gram").distinct()
 
 
 def contamination_report(
@@ -60,18 +87,13 @@ def contamination_report(
     benchmark. Docs with zero grams (empty/short text) report ratio 0.
     """
     grams = benchmark_grams(bench, text_col, n)
-    doc_grams = corpus.select(
-        F.col(id_col),
-        F.explode(word_shingles(text_col, n)).alias("gram"),
-    )
+    doc_grams = _doc_grams(corpus, text_col, id_col, n)
     hits = (
         doc_grams.join(F.broadcast(grams), "gram")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )
-    totals = corpus.select(
-        F.col(id_col), F.size(word_shingles(text_col, n)).alias("n_grams")
-    )
+    totals = doc_grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     return (
         totals.join(hits, id_col, "left")
         .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))

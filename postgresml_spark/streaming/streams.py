@@ -230,3 +230,58 @@ def transform_stream(
         )
     for i, tok in enumerate(token_iterator):
         yield {"index": i, "token": tok, "task": task}
+
+
+def stream_corpus_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    collection,
+    doc_schema: str = "id long, text string, ts timestamp",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    dedup_delay: str = "1 hour",
+    quality_kwargs: dict | None = None,
+    checkpoint: str | None = None,
+):
+    """Continuous training-corpus ingest with hygiene — the streaming
+    twin of the batch gate→dedup→upsert stack:
+
+      files → quality gate (gopher_quality_flags, pure codegen — the
+      same expressions run unchanged on a stream) → watermark-bounded
+      exact dedup (dropDuplicatesWithinWatermark on the normalized
+      fingerprint) → foreachBatch DataFrame-native upsert → attached
+      pipelines re-sync incrementally (changed chunks only re-embed).
+
+    State stays bounded by construction: the only stateful operator is
+    the dedup, and its store is capped at the watermark horizon.
+    Returns the StreamingQuery."""
+    import tempfile
+
+    from postgresml_spark.functions.text import fingerprint
+    from postgresml_spark.operators.corpus import gopher_quality_flags
+
+    stream = spark.readStream.schema(doc_schema).json(source_dir)
+    in_cols = stream.columns
+
+    gated = gopher_quality_flags(
+        stream, text_col=text_col, **(quality_kwargs or {})
+    ).filter(F.col("keep")).select(*in_cols)
+    deduped = streaming_dedup(
+        gated.withColumn("__fp", fingerprint(F.col(text_col))),
+        keys=["__fp"],
+        ts_col=ts_col,
+        delay=dedup_delay,
+    ).drop("__fp")
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            collection.upsert_documents_df(batch_df.drop(ts_col))
+
+    return (
+        deduped.writeStream.foreachBatch(_sink)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix="pgml_corpus_ckpt_"),
+        )
+        .start()
+    )

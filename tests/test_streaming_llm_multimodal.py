@@ -233,3 +233,39 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         q.stop()
     fps = sorted(r["fingerprint"] for r in got)
     assert fps == ["aaa", "bbb", "ccc"]
+
+
+def test_stream_corpus_pipeline_end_to_end(spark, tmp_path):
+    """Continuous corpus ingest with hygiene: the quality gate drops
+    junk, the watermark dedup drops in-horizon repeats, survivors land
+    in the collection and the attached pipeline re-syncs."""
+    from postgresml_spark.collections import Collection, Pipeline
+    from postgresml_spark.streaming.streams import stream_corpus_pipeline
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "keeps running through the field for a while longer")
+    src = str(tmp_path / "corpus_in")
+    os.makedirs(src)
+    coll = Collection("streamh", spark, warehouse=str(tmp_path / "whh"))
+    pipe = Pipeline("p", {"text": {"semantic_search": {"model": "hash:16"}}})
+    coll.add_pipeline(pipe)
+
+    rows = [
+        {"id": 1, "text": good, "ts": "2026-01-01T00:00:00"},
+        {"id": 2, "text": good, "ts": "2026-01-01T00:10:00"},      # dup of 1 (in horizon)
+        {"id": 3, "text": "x", "ts": "2026-01-01T00:20:00"},       # fails word-count gate
+        {"id": 4, "text": good + " with a genuinely different tail here",
+         "ts": "2026-01-01T00:30:00"},
+    ]
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    q = stream_corpus_pipeline(spark, src, coll)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    docs = coll.get_documents()
+    ids = sorted(d["document"]["id"] for d in docs)
+    assert ids == [1, 4]  # 2 deduped, 3 gated out
+    assert pipe.status()["counts"]["text_embeddings"] == 2

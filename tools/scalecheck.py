@@ -155,6 +155,47 @@ def main() -> int:
             lambda: ivf_assign(emb, cents).groupBy("centroid_id").count().count(),
         )
 
+        # corpus hygiene: the bench set is FIXED-size (real eval suites
+        # are), so decontamination should scale with the corpus only
+        from postgresml_spark.operators.corpus import repetition_flags
+        from postgresml_spark.operators.decontam import contamination_report
+
+        bench_set = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") >= 400
+        )
+        bench(
+            "decontamination",
+            factor,
+            lambda: contamination_report(docs, bench_set, n=5)
+            .filter(F.col("ratio") > 0.1)
+            .count(),
+        )
+        bench(
+            "repetition_flags",
+            factor,
+            lambda: repetition_flags(docs).filter(~F.col("keep_repetition")).count(),
+        )
+        ebuck = emb.withColumn("bucket", DD.sign_lsh_bucket("embedding", 6))
+        bench(
+            "near_dup_block",
+            factor,
+            lambda: DD.embedding_near_dup_pairs(
+                ebuck, "embedding", "vec_id", threshold=0.35,
+                group_col="bucket", impl="block",
+            ).count(),
+        )
+        qbatch = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in emb.limit(16).collect()
+        ]
+        from postgresml_spark.operators.similarity import knn_join
+
+        bench(
+            "knn_join_16q",
+            factor,
+            lambda: knn_join(emb, qbatch, k=10).count(),
+        )
+
     print(json.dumps(results))
     spark.stop()
     return 0

@@ -343,6 +343,10 @@ def repetition_flags(
     tok = df.select(
         F.col(id_col), F.posexplode(TX.tokenize(t)).alias("pos", "tok")
     )
+    # word chars straight off the exploded tokens — no window needed
+    chars = tok.groupBy(id_col).agg(
+        F.sum(F.length("tok")).alias("all_chars")
+    )
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("tok", i).over(w) for i in range(1, ngram_n)]
     # concat_ws skips nulls, so gate each gram on its LAST member —
@@ -352,22 +356,36 @@ def repetition_flags(
         leads[ngram_n - 2].isNotNull(),
         F.concat_ws(" ", F.col("tok"), *leads[: ngram_n - 1]),
     )
-    g = tok.select(
-        F.col(id_col),
-        g2.alias("g2"),
-        gn.alias("gn"),
-        F.length("tok").alias("lc"),
+    # the windowed (sorted) pass is the expensive stage — consume it
+    # ONCE: unpivot both gram kinds into rows, one (id, kind, gram)
+    # frequency count, one conditional per-doc rollup. (The first cut
+    # ran three separate aggregations over the window output and the
+    # per-doc sort executed three times: 6× wall at 4× data.)
+    grams = tok.select(F.col(id_col), g2.alias("g2"), gn.alias("gn"))
+    pairs = (
+        grams.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    F.struct(F.lit("g2").alias("kind"), F.col("g2").alias("gram")),
+                    F.struct(F.lit("gn").alias("kind"), F.col("gn").alias("gram")),
+                )
+            ).alias("kg"),
+        )
+        .select(F.col(id_col), F.col("kg.kind").alias("kind"), F.col("kg.gram").alias("gram"))
+        .where(F.col("gram").isNotNull())
     )
-    chars = g.groupBy(id_col).agg(F.sum("lc").alias("all_chars"))
-    cn = g.where(F.col("gn").isNotNull()).groupBy(id_col, "gn").count()
-    nstats = cn.groupBy(id_col).agg(
-        F.sum("count").alias("n_grams_total"), F.count("*").alias("n_grams_distinct")
+    counts = pairs.groupBy(id_col, "kind", "gram").count()
+    stats = counts.groupBy(id_col).agg(
+        F.sum(F.when(F.col("kind") == "gn", F.col("count"))).alias("n_grams_total"),
+        F.count(F.when(F.col("kind") == "gn", F.lit(1))).alias("n_grams_distinct"),
+        F.max(
+            F.when(
+                F.col("kind") == "g2", F.col("count") * (F.length("gram") - 1)
+            )
+        ).alias("top_chars"),
     )
-    c2 = g.where(F.col("g2").isNotNull()).groupBy(id_col, "g2").count()
-    top2 = c2.groupBy(id_col).agg(
-        F.max(F.col("count") * (F.length("g2") - 1)).alias("top_chars")
-    )
-    stats = chars.join(nstats, id_col, "left").join(top2, id_col, "left")
+    stats = chars.join(stats, id_col, "left")
 
     out = base.join(stats, id_col, "left")
     dup_ngram = F.when(

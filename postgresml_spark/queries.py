@@ -2320,3 +2320,126 @@ def q71_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 5)
         .select("query_id", "vec_id", F.round("score", 6).alias("score"))
     )
+
+
+def _assembly_sql() -> str:
+    """End-to-end corpus assembly oracle: quality gate → repetition
+    gate → decontamination → exact dedup → deterministic shuffle, each
+    stage the same formula its standalone oracle (q62/q70/q67/q22/q60)
+    already hash-matches."""
+    stop_sum = " + ".join(
+        f"CASE WHEN contains(probe, ' {w} ') THEN 1 ELSE 0 END"
+        for w in TX.STOPWORDS[:32]
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 400
+    ), gbase AS (
+      SELECT doc_id, text,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS word_chars,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+             ' ' || lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')) || ' ' AS probe,
+             length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM corpus
+    ), g1 AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text, n_words,
+               round(CAST(word_chars AS DOUBLE) / greatest(n_words, 1), 4) AS mwl,
+               round(CAST(alpha_words AS DOUBLE) / greatest(n_words, 1), 4) AS awr,
+               CAST({stop_sum} AS BIGINT) AS sh,
+               round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 4) AS sr
+        FROM gbase)
+      WHERE n_words BETWEEN 5 AND 100000 AND mwl BETWEEN 2.0 AND 12.0
+        AND awr >= 0.6 AND sh >= 2 AND sr <= 0.25
+    ), rtoks AS (
+      SELECT doc_id, text, {_SQL_TOKENS.format(t='text')} AS t FROM g1
+    ), rrow AS (
+      SELECT doc_id, text, t,
+             {_SQL_LINES.format(t='text')} AS lines,
+             {_SQL_NGRAMS.format(t='t')} AS grams,
+             length(array_to_string(t, '')) AS all_chars
+      FROM rtoks
+    ), rtwo AS (
+      SELECT doc_id, unnest(
+               CASE WHEN len(t) >= 2
+               THEN list_transform(generate_series(0, len(t) - 2),
+                                   i -> array_to_string(t[i+1:i+2], ' '))
+               ELSE [] END) AS gram
+      FROM rtoks
+    ), rcover AS (
+      SELECT doc_id, max(c * (length(gram) - 1)) AS top_chars
+      FROM (SELECT doc_id, gram, count(*) AS c FROM rtwo GROUP BY doc_id, gram)
+      GROUP BY doc_id
+    ), g2 AS (
+      SELECT r.doc_id, r.text, r.t FROM rrow r LEFT JOIN rcover c USING (doc_id)
+      WHERE round(CASE WHEN len(r.lines) > 0
+              THEN 1.0 - CAST(len(list_distinct(r.lines)) AS DOUBLE) / len(r.lines)
+              ELSE 0.0 END, 4) <= 0.30
+        AND round(CASE WHEN len(r.grams) > 0
+              THEN 1.0 - CAST(len(list_distinct(r.grams)) AS DOUBLE) / len(r.grams)
+              ELSE 0.0 END, 4) <= 0.30
+        AND round(CASE WHEN r.all_chars > 0
+              THEN CAST(coalesce(c.top_chars, 0) AS DOUBLE) / r.all_chars
+              ELSE 0.0 END, 4) <= 0.20
+    ), btoks AS (
+      SELECT {_SQL_TOKENS.format(t='text')} AS t FROM documents WHERE doc_id >= 400
+    ), bgrams AS (
+      SELECT DISTINCT unnest({_SQL_GRAMS.format(t='t')}) AS gram FROM btoks
+    ), csh AS (
+      SELECT doc_id, {_SQL_GRAMS.format(t='t')} AS shingles FROM g2
+    ), posting AS (
+      SELECT doc_id, len(shingles) AS n_grams, unnest(shingles) AS gram FROM csh
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_hits
+      FROM posting JOIN bgrams USING (gram) GROUP BY doc_id
+    ), g3 AS (
+      SELECT g2.doc_id, g2.text FROM g2
+      JOIN (SELECT DISTINCT doc_id, n_grams FROM posting) s USING (doc_id)
+      LEFT JOIN hits h USING (doc_id)
+      WHERE NOT (CASE WHEN s.n_grams > 0
+                 THEN CAST(coalesce(h.n_hits, 0) AS DOUBLE) / s.n_grams
+                 ELSE 0.0 END > 0.2)
+    ), g4 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+        FROM g3)
+      WHERE rn = 1
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY {_sql_hash60('7', 'doc_id')}, doc_id)
+                AS BIGINT) AS shuffle_rank
+    FROM g4
+    """
+
+
+@query("q72_corpus_assembly", oracle=_assembly_sql())
+def q72_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus assembly under the oracle gate: Gopher quality
+    gate → repetition gate → benchmark decontamination → exact dedup →
+    deterministic training shuffle. Every stage is the library operator
+    (not a re-implementation) and the whole pipeline must hash-match
+    one declarative SQL program. Stage plans: codegen row filters, one
+    window by doc, broadcast gram semi-join, hash dedup shuffle,
+    range-partitioned global rank — no collects, no cartesians."""
+    from postgresml_spark.operators.decontam import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 400).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") >= 400)
+    in_cols = corpus.columns
+    k1 = CO.gopher_quality_flags(corpus).filter(F.col("keep")).select(*in_cols)
+    k2 = (
+        CO.repetition_flags(k1)
+        .filter(F.col("keep_repetition"))
+        .select(*in_cols)
+    )
+    k3 = decontaminate(k2, bench, n=_DECON_N, max_ratio=0.2)
+    k4 = DD.exact_dedup(k3, F.md5(F.lower(F.col("text"))), "doc_id").select("doc_id")
+    out = CO.deterministic_shuffle(k4, ["doc_id"], seed=7)
+    return out.select(
+        "doc_id", F.col("shuffle_rank").cast("bigint").alias("shuffle_rank")
+    )

@@ -41,6 +41,9 @@ __all__ = [
     "minhash_signature",
     "minhash_signature_batch",
     "minhash_candidate_pairs",
+    "minhash_candidate_pairs_portable",
+    "dup_clusters",
+    "incremental_exact_dedup",
     "simhash_batch",
     "hamming_distance",
     "ngram_jaccard_pairs",
@@ -220,6 +223,196 @@ def minhash_candidate_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+def minhash_candidate_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs with an engine-portable hash.
+
+    Same LSH semantics as `minhash_candidate_pairs`, but the permutation
+    hash is h_i(s) = int(md5(i ~ '|' ~ s)[:15 hex digits]) — md5 is
+    bit-identical across Spark, DuckDB, Postgres and Python, so the
+    result is reproducible by any SQL engine (the xxhash64/crc32 fast
+    paths are JVM/zlib-specific). Use this variant when the candidate
+    set must be auditable outside Spark; the default `impl='batch'`
+    path is the cheaper production choice.
+
+    Plan shape: explode(shingles) × explode(perms) → md5 → min groupBy
+    (doc, perm) → band key = comma-joined signature slice → bucket
+    self-join. Everything is whole-stage codegen (md5/conv/concat are
+    JVM built-ins; no interpreted higher-order lambdas, no Python) at
+    the cost of a num_perm× row blowup into the first aggregation —
+    partial (map-side) min keeps the shuffle at |docs|×num_perm rows.
+    """
+    r = num_perm // bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    hv = sh.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm"),
+        "shingle",
+    ).select(
+        "id",
+        "perm",
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.col("perm"), F.col("shingle"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    sig = hv.groupBy("id", "perm").agg(F.min("hv").alias("mh"))
+    banded = (
+        sig.withColumn("band", (F.col("perm") / r).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+                ",",
+            ).alias("bucket")
+        )
+    )
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bs", F.count("*").over(wb))
+            .filter(F.col("__bs") <= max_bucket_size)
+            .drop("__bs")
+        )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.hint("SHUFFLE_HASH")
+        .join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster closure: candidate pairs → connected components.
+#
+# Pair enumeration (minhash/simhash/jaccard) finds EDGES; an actual
+# dedup pass needs COMPONENTS — "keep one doc per duplicate cluster"
+# is wrong if A~B and B~C land in different pair-rows and both B and C
+# survive. Min-label propagation: every node repeatedly adopts the
+# smallest label among itself and its neighbors; converges to
+# min(component) in O(diameter) rounds. Each round is one shuffle-on-key
+# join + groupBy — no driver-side graph state, so 10^10 edges work the
+# same as 10^3 (the driver only sees a converged-yet? count per round).
+# Diameter of near-dup clusters is tiny (dup clusters are dense), so
+# 3-5 rounds in practice; `max_iter` bounds pathological chains, and
+# localCheckpoint truncates the growing lineage each round.
+# ---------------------------------------------------------------------------
+
+def dup_clusters(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    edge_a: str = "id_a",
+    edge_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Assign every node a duplicate-cluster id (= min node id reachable
+    through candidate-pair edges). Returns (id_col, cluster_id,
+    is_canonical); singleton docs are their own cluster. Downstream:
+    `filter(is_canonical)` IS the near-dedup'd corpus."""
+    sym = (
+        edges.select(F.col(edge_a).alias("src"), F.col(edge_b).alias("dst"))
+        .union(edges.select(F.col(edge_b).alias("src"), F.col(edge_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a new batch against an existing corpus index.
+# The production shape at 100 TB — the historical corpus is never
+# re-scanned; the batch joins against a (small-relative) fingerprint
+# index, and the index grows append-only.
+# ---------------------------------------------------------------------------
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    key: Column,
+    id_col: str = "doc_id",
+    index_key_col: str = "fp",
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-dedup a new batch against a historical fingerprint index.
+
+    Returns (kept, new_index_rows): `kept` = batch rows whose key is
+    absent from the index AND first (lowest id) within the batch;
+    `new_index_rows` = their (fp) rows to append to the index.
+
+    Scale: within-batch dedup shuffles the batch on its key;
+    the history check is a left-anti equi-join on the same key — when
+    both sides are bucketed on fp it is shuffle-free on the index side,
+    and the index never rewrites (append-only).
+    """
+    keyed = batch.withColumn("__fp", key)
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    first_in_batch = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    kept = first_in_batch.join(
+        index.select(F.col(index_key_col).alias("__fp")), on="__fp", how="left_anti"
+    )
+    new_index_rows = kept.select(F.col("__fp").alias(index_key_col))
+    return kept.drop("__fp"), new_index_rows
 
 
 # ---------------------------------------------------------------------------

@@ -2443,3 +2443,172 @@ def q72_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.col("shuffle_rank").cast("bigint").alias("shuffle_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q73-q76 — oracle-portable MinHash, duplicate-cluster closure,
+# analytic-function breadth, incremental (batch-vs-history) dedup.
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB SQL for word-3-shingles of documents under an id bound
+# (mirror of operators/dedup.word_shingles over functions/text.tokenize).
+def _sql_shingles(id_bound: int) -> str:
+    return f"""
+    toks AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS t
+      FROM documents WHERE doc_id < {id_bound}
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(0, greatest(len(t) - 3, 0)),
+                                   i -> array_to_string(t[i+1:i+3], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS shingles
+      FROM toks
+    )"""
+
+
+_MINHASH_SQL = f"""
+    WITH {_sql_shingles(250)}, hv AS (
+      SELECT doc_id, perm,
+             CAST(('0x' || substr(md5(CAST(perm AS VARCHAR) || '|' || shingle), 1, 15))
+                  AS BIGINT) AS hv
+      FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+      CROSS JOIN (SELECT unnest(range(32)) AS perm)
+    ), sig AS (
+      SELECT doc_id, perm, min(hv) AS mh FROM hv GROUP BY doc_id, perm
+    ), banded AS (
+      SELECT doc_id, CAST(floor(perm / 4) AS INT) AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm) AS bucket
+      FROM sig GROUP BY 1, 2
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+@query("q73_minhash_portable", oracle=_MINHASH_SQL)
+def q73_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs with the engine-portable md5
+    permutation hash — the full shingle → signature → band → bucket-join
+    pipeline under the hash-match gate (q24 is the xxhash64/crc32
+    production twin, rows-only by necessity). Whole plan is codegen:
+    md5/conv/min/collect_list, no Python."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    out = DD.minhash_candidate_pairs_portable(
+        d, "text", "doc_id", num_perm=32, bands=8, shingle_n=3
+    )
+    return out.select("id_a", "id_b")
+
+
+_CLUSTER_SQL = f"""
+    WITH RECURSIVE {_sql_shingles(200)}, posting AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             count(*) AS n_inter
+      FROM posting a JOIN posting b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), edges AS (
+      SELECT id_a, id_b FROM inter
+      WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.1
+    ), sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ), reach AS (
+      SELECT s, d FROM sym
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s WHERE e.d <> r.s
+    ), minr AS (
+      SELECT s, min(d) AS md FROM reach GROUP BY s
+    )
+    SELECT n.doc_id,
+           least(n.doc_id, coalesce(m.md, n.doc_id)) AS cluster_id,
+           n.doc_id = least(n.doc_id, coalesce(m.md, n.doc_id)) AS is_canonical
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 200) n
+    LEFT JOIN minr m ON m.s = n.doc_id
+"""
+
+
+@query("q74_dup_clusters", oracle=_CLUSTER_SQL)
+def q74_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: n-gram-Jaccard edges →
+    connected components via distributed min-label propagation
+    (each round = one shuffle join; no driver-side graph). The oracle
+    computes the same closure with a recursive CTE. `is_canonical`
+    marks the kept representative — filter(is_canonical) is the
+    deduplicated corpus."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    edges = DD.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.1)
+    return DD.dup_clusters(d.select("doc_id"), edges, id_col="doc_id")
+
+
+@query(
+    "q75_analytic_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(lag(o_totalprice) OVER w, 4) AS prev_total,
+           round(lead(o_totalprice) OVER w, 4) AS next_total,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           min(o_orderdate) OVER (PARTITION BY o_custkey) AS first_order
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q75_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function breadth (§2.E): lead/lag/ntile/percent_rank/
+    cume_dist/unbounded-min over one window spec. One shuffle on
+    o_custkey serves every function (same partitioning, Catalyst
+    collapses to a single WindowExec)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.lag("o_totalprice").over(w), 4).alias("prev_total"),
+        F.round(F.lead("o_totalprice").over(w), 4).alias("next_total"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.min("o_orderdate").over(wp).alias("first_order"),
+    )
+
+
+@query(
+    "q76_incremental_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ), hist AS (
+      SELECT DISTINCT fp FROM fp WHERE doc_id < 250
+    ), batch AS (
+      SELECT * FROM fp WHERE doc_id >= 250
+    ), first_b AS (
+      SELECT doc_id, source, fp FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM batch) WHERE rn = 1
+    )
+    SELECT doc_id, source FROM first_b
+    WHERE fp NOT IN (SELECT fp FROM hist)
+    """,
+)
+def q76_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the 100 TB production shape: a new batch
+    dedups against the historical corpus via its fingerprint INDEX
+    (append-only; history never re-scanned). Within-batch first-wins +
+    left-anti join on the index key."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    hist = d.filter(F.col("doc_id") < 250)
+    batch = d.filter(F.col("doc_id") >= 250)
+    index = hist.select(TX.fingerprint("text").alias("fp")).distinct()
+    kept, _new_rows = DD.incremental_exact_dedup(
+        batch, index, TX.fingerprint("text"), id_col="doc_id", index_key_col="fp"
+    )
+    return kept.select("doc_id", "source")

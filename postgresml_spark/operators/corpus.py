@@ -50,6 +50,7 @@ __all__ = [
     "repetition_flags",
     "pack_sequences",
     "greedy_pack",
+    "unigram_lm_scores",
 ]
 
 
@@ -410,3 +411,89 @@ def repetition_flags(
         & (F.col("top2gram_char_frac") <= max_top2gram_frac)
     )
     return out.withColumn("keep_repetition", keep)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity scoring (CCNet-style quality bucketing).
+#
+# CCNet (Wenzek et al. 2020) filters CommonCrawl by language-model
+# perplexity and splits the corpus into head/middle/tail quality
+# buckets. The public recipe uses a KenLM 5-gram; the unigram variant
+# here keeps the same pipeline shape (train LM on a reference corpus →
+# score every document → percentile-bucket) with an exactly
+# SQL-portable model, so the whole operator sits under the DuckDB
+# oracle gate.
+# ---------------------------------------------------------------------------
+
+def unigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref: DataFrame | None = None,
+    vocab_cap: int | None = None,
+) -> DataFrame:
+    """Per-document unigram-LM negative log-likelihood (nats/token).
+
+    Model: add-one smoothing over the reference vocabulary with a
+    single OOV bucket — p(w) = (c(w)+1)/(N+V+1), p(OOV) = 1/(N+V+1),
+    where N = total reference tokens and V = |vocabulary|. Score =
+    mean over the document's tokens of -ln p(token); exp(score) is the
+    perplexity. Returns ``df`` + ``n_tokens`` (bigint) + ``nll``
+    (double, unrounded — round at the edge).
+
+    ``ref`` is the LM training corpus (defaults to ``df`` itself —
+    self-scoring, which is what CCNet's tail-bucket detection reduces
+    to when no curated reference exists). ``vocab_cap`` keeps only the
+    top-K most frequent reference types (ties broken by token) and
+    folds the rest into OOV — at 100 TB the full type inventory is
+    web-scale junk (~billions), while the top ~1M types cover >99% of
+    tokens; the cap is what makes the model broadcastable.
+
+    Plan shape (three shuffles, none over raw text):
+    1. vocab: explode(ref tokens) → groupBy(token) count — map-side
+       partial agg, shuffle is |types| not |tokens|; optional top-K is
+       a TakeOrdered, not a global sort.
+    2. model constants (N, V): single-row agg, broadcast via crossJoin.
+    3. scoring: explode(df tokens) ⋈ broadcast(vocab) — map-side hash
+       join, no shuffle of the token stream — then groupBy(id) mean.
+    The token stream is never shuffled; only (id, partial-sum) rows
+    move. OOV hits the smoothed floor via the left join's null path.
+    """
+    src = ref if ref is not None else df
+    tok_ref = src.select(F.explode(TX.tokenize(F.col(text_col))).alias("tok"))
+    vocab = tok_ref.groupBy("tok").agg(F.count("*").alias("c"))
+    if vocab_cap is not None:
+        vocab = vocab.orderBy(F.desc("c"), F.asc("tok")).limit(int(vocab_cap))
+    consts = vocab.agg(
+        F.sum("c").alias("n_total"), F.count("*").alias("v_size")
+    )
+
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(TX.tokenize(F.col(text_col))).alias("tok"),
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "__id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+                    / (F.col("n_total") + F.col("v_size") + F.lit(1)).cast("double")
+                )
+            ).alias("__nll"),
+        )
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg("__nll").alias("nll"),
+        )
+    )
+    return df.join(
+        scored,
+        F.col(id_col) == F.col("__id"),
+        "left",
+    ).drop("__id").withColumn(
+        "n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint")
+    )

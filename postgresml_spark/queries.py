@@ -2612,3 +2612,55 @@ def q76_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, index, TX.fingerprint("text"), id_col="doc_id", index_key_col="fp"
     )
     return kept.select("doc_id", "source")
+
+
+@query(
+    "q77_lm_perplexity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS.format(t='text')}) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+      ORDER BY c DESC, tok LIMIT 1500
+    ), consts AS (
+      SELECT sum(c) AS n_total, count(*) AS v_size FROM vocab
+    ), scored AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             avg(-ln(CAST(coalesce(v.c, 0) + 1 AS DOUBLE)
+                     / CAST(n_total + v_size + 1 AS DOUBLE))) AS raw_nll
+      FROM toks t LEFT JOIN vocab v USING (tok) CROSS JOIN consts
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           round(s.raw_nll, 4) AS nll,
+           CASE WHEN s.raw_nll IS NULL THEN 'empty'
+                WHEN round(s.raw_nll, 4) < 3.40 THEN 'head'
+                WHEN round(s.raw_nll, 4) < 3.42 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def q77_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style (Wenzek et al. 2020) LM-perplexity quality scoring:
+    train a unigram LM on the corpus (top-1500 types, add-one smoothing,
+    OOV bucket), score every document's mean token NLL, and bucket into
+    head/middle/tail with FIXED precomputed cutoffs — the production
+    CCNet shape (per-language constants computed offline), which keeps
+    bucketing a zero-shuffle projection instead of a global ntile
+    window. Token stream is never shuffled: vocab is a broadcast
+    map-side join; only (doc, partial-sum) rows move."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    s = CO.unigram_lm_scores(d, "text", "doc_id", vocab_cap=1500)
+    nll_r = F.round(F.col("nll"), 4)
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        nll_r.alias("nll"),
+        F.when(F.col("nll").isNull(), "empty")
+        .when(nll_r < 3.40, "head")
+        .when(nll_r < 3.42, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -227,3 +227,42 @@ def test_hamming_topk_plan_is_take_ordered(vecs):
     _, df = vecs
     plan = hamming_topk(df, [0.1] * 64, dim=64, k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_unigram_lm_scores_golden(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in CO.unigram_lm_scores(df).collect()}
+    # vocab a:3 b:1 c:1, N=5 V=3, denom=9; p(a)=4/9 p(b)=p(c)=2/9
+    exp1 = -(2 * math.log(4 / 9) + math.log(2 / 9)) / 3
+    exp2 = -(math.log(4 / 9) + math.log(2 / 9)) / 2
+    assert out[1]["n_tokens"] == 3 and abs(out[1]["nll"] - exp1) < 1e-12
+    assert out[2]["n_tokens"] == 2 and abs(out[2]["nll"] - exp2) < 1e-12
+
+
+def test_unigram_lm_vocab_cap_folds_tail_into_oov(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           CO.unigram_lm_scores(df, vocab_cap=2).collect()}
+    # top-2 (count desc, tok asc): a:3, b:1 → N=4 V=2 denom=7; c is OOV
+    exp2 = -(math.log(4 / 7) + math.log(1 / 7)) / 2
+    assert abs(out[2]["nll"] - exp2) < 1e-12
+
+
+def test_unigram_lm_scoring_join_is_broadcast(spark):
+    df = spark.createDataFrame(
+        [(i, f"tok{i} common word") for i in range(50)],
+        "doc_id int, text string",
+    )
+    plan = (
+        CO.unigram_lm_scores(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -2664,3 +2664,177 @@ def q77_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q78-q81 — correlated-subquery breadth (TPC-H Q4/Q17/Q21/Q22 shapes,
+# adapted to the trimmed synthetic schema). The oracle states each query
+# in its natural CORRELATED form; the Spark side states the DECORRELATED
+# join/window plan you actually want at 100 TB — proving the rewrite
+# preserves semantics is the point of the gate.
+# ---------------------------------------------------------------------------
+
+_LATE = "l_shipdate > o_orderdate + INTERVAL 60 DAY"
+
+
+@query(
+    "q78_order_priority_exists",
+    oracle=f"""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND {_LATE})
+    GROUP BY o_orderpriority
+    """,
+)
+def q78_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a cross-table inequality
+    (line shipped >60 days after its order's date). Decorrelation: a
+    LEFT SEMI join whose condition carries both the equi-key and the
+    inequality — one shuffle on orderkey, lineitem never materializes
+    a row per match (semi-join short-circuits)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        o.join(li, on=late, how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q79_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#9'
+      AND l.l_quantity < 0.2 * (SELECT avg(l_quantity) FROM lineitem l2
+                                WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q79_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity). Decorrelation: broadcast the brand-filtered part keys
+    into the lineitem scan, then an unordered window AVG partitioned by
+    partkey — the per-part average and the per-line comparison happen
+    in ONE shuffle of the (already part-pruned) lines; the correlated
+    form would rescan lineitem per outer row."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#9")
+    li = _t(spark, sf_dir, "lineitem")
+    pruned = li.join(F.broadcast(p.select("p_partkey")),
+                     F.col("l_partkey") == F.col("p_partkey"), "inner")
+    w = Window.partitionBy("l_partkey")
+    return (
+        pruned.withColumn("part_avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("part_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q80_waiting_suppliers",
+    oracle=f"""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F' AND {_LATE}
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s JOIN late l1 ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q80_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact.
+    Decorrelation: both correlated predicates collapse into ONE
+    per-order aggregate — n_supp = countDistinct(supplier) and
+    n_late_supp = countDistinct(supplier | late) — computed in a single
+    groupBy pass; a late line qualifies iff n_supp >= 2 (some other
+    supplier exists) and n_late_supp = 1 (no other LATE supplier).
+    Two shuffles on orderkey (agg + rejoin, co-partitioned so AQE can
+    reuse the exchange) instead of two correlated rescans; supplier is
+    a broadcast dim; final top-20 is TakeOrdered, not a global sort."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+    )
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    l1 = joined.filter("is_late").select("l_orderkey", "l_suppkey")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        l1.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "q81_idle_rich_customers",
+    oracle="""
+    SELECT c_nationkey, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                       WHERE c2.c_acctbal > 0.0
+                         AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def q81_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery + correlated NOT
+    EXISTS (customers above the regional average balance with no urgent
+    order). Decorrelation: the scalar average becomes a 1-row broadcast
+    crossJoin (evaluated once, not per row); NOT EXISTS becomes a LEFT
+    ANTI join on custkey. One shuffle (the anti join), one broadcast."""
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(nations))
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

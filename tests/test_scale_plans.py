@@ -118,3 +118,25 @@ def test_salted_join_correctness(spark):
 def test_aqe_enabled_by_default(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_decorrelated_queries_plan_shapes(spark, sf_dir):
+    """q78-q81 (TPC-H Q4/Q17/Q21/Q22 shapes) must plan as their
+    decorrelated forms: semi/anti joins, partitioned windows (never a
+    single-partition global window), broadcast dims, TakeOrdered."""
+    from postgresml_spark import queries as Q
+
+    p78 = _plan(Q.q78_order_priority_exists(spark, sf_dir))
+    assert "LeftSemi" in p78
+
+    p79 = _plan(Q.q79_small_quantity_revenue(spark, sf_dir))
+    assert "Window" in p79 and "l_partkey" in p79.split("Window")[1][:400]
+    assert "BroadcastHashJoin" in p79
+
+    p80 = _plan(Q.q80_waiting_suppliers(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p80
+    assert "BroadcastHashJoin" in p80  # supplier dim
+
+    p81 = _plan(Q.q81_idle_rich_customers(spark, sf_dir))
+    assert "LeftAnti" in p81
+    assert "BroadcastNestedLoopJoin" in p81  # the 1-row scalar crossJoin only

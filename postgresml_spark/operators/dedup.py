@@ -45,6 +45,8 @@ __all__ = [
     "dup_clusters",
     "incremental_exact_dedup",
     "simhash_batch",
+    "simhash_portable_signatures",
+    "simhash_pairs_portable",
     "hamming_distance",
     "ngram_jaccard_pairs",
     "simhash",
@@ -763,3 +765,105 @@ def semantic_dedup(
     )
     dupes = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dupes, id_col, "left_anti")
+
+
+def simhash_portable_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Engine-portable SimHash signature (one BIGINT per doc).
+
+    Token hash = first 8 hex digits of md5 (32 bits, bit-identical in
+    Spark/DuckDB/Postgres/Python); signature bit b is the sign of the
+    sum over token OCCURRENCES of (2*bit_b(h)-1) — occurrence
+    multiplicity is the classic frequency weighting. Returns
+    (id_col, simhash).
+
+    Plan: explode(tokens) × explode(bits) → shiftright/&1 → two-level
+    groupBy, all codegen. The bits× blowup rows never shuffle at full
+    width: partial aggregation reduces to |docs|×bits rows before the
+    exchange. This is the audit twin of `simhash_batch` (crc32 + numpy,
+    no row blowup), same role q73 plays for q24.
+    """
+    from postgresml_spark.functions import text as TX
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(TX.tokenize(F.col(text_col))).alias("tok"),
+    )
+    hv = toks.select(
+        "id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("hv"),
+    )
+    per_bit = (
+        hv.select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+            "hv",
+        )
+        .select(
+            "id",
+            "b",
+            # F.shiftright's numBits must be a python int; the SQL
+            # function takes an expression — same codegen either way
+            (F.expr("shiftright(hv, b) & 1") * 2 - 1).alias("contrib"),
+        )
+        .groupBy("id", "b")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return per_bit.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)"))
+            .otherwise(F.lit(0))
+        ).alias("simhash")
+    ).select(F.col("id").alias(id_col), "simhash")
+
+
+def simhash_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-ball pairs over portable SimHash signatures, via
+    pigeonhole LSH banding: with ``bands`` equal slices of the
+    signature, any pair within ``max_hamming < bands`` bits must agree
+    on at least one whole slice — so the band equi-join has PERFECT
+    recall, and the all-pairs form is purely the oracle's spec, never
+    the executed plan. Join on (band, slice-value), verify exact
+    hamming with xor+bit_count, distinct pairs.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole recall needs max_hamming < bands, got {max_hamming} >= {bands}"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = simhash_portable_signatures(df, text_col, id_col, bits)
+    banded = sig.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "slice",
+        F.expr(f"shiftright(simhash, band * {width}) & {mask}"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            <= max_hamming
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )

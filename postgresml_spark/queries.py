@@ -2838,3 +2838,41 @@ def q81_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q82_simhash_portable",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS.format(t='text')}) AS tok
+      FROM documents WHERE doc_id < 300
+    ), hv AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hv
+      FROM toks
+    ), per_bit AS (
+      SELECT doc_id, b, sum(((hv >> b) & 1) * 2 - 1) AS s
+      FROM hv CROSS JOIN (SELECT unnest(range(32)) AS b)
+      GROUP BY 1, 2
+    ), sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+      FROM per_bit GROUP BY 1
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q82_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-hash SimHash hamming-ball pairs under the full oracle
+    gate (q25 is the crc32/numpy production twin, rows-only by
+    necessity). The ORACLE states the all-pairs semantic spec
+    (bit_count(xor) <= 3 over every pair); the SPARK side executes
+    pigeonhole LSH banding (4 slices, so hamming<=3 pairs must share a
+    slice — perfect recall) — the hash-match proves the banded plan
+    computes exactly the all-pairs answer."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return DD.simhash_pairs_portable(
+        d, "text", "doc_id", bits=32, bands=4, max_hamming=3
+    )

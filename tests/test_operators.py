@@ -342,3 +342,50 @@ def test_banded_pair_bucket_cap(spark):
         df, "text", "doc_id", num_perm=32, bands=8, max_bucket_size=10
     )
     assert all(r["id_a"] >= 100 for r in mh_capped.collect())
+
+
+def test_simhash_portable_matches_python_reference(spark):
+    """Signature must be reproducible outside Spark: recompute in pure
+    Python (hashlib md5, occurrence-weighted sign-sum) and compare."""
+    import hashlib
+    import re
+
+    docs = [
+        (1, "spark is a unified analytics engine for large scale data"),
+        (2, "spark is a unified analytics engine for huge scale data"),
+        (3, "cooking pasta with tomato sauce and fresh basil leaves"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in DD.simhash_portable_signatures(df, bits=32).collect()
+    }
+
+    def ref_sig(text, bits=32):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        sums = [0] * bits
+        for tok in toks:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            for b in range(bits):
+                sums[b] += ((h >> b) & 1) * 2 - 1
+        return sum(1 << b for b in range(bits) if sums[b] > 0)
+
+    for doc_id, text in docs:
+        assert got[doc_id] == ref_sig(text), doc_id
+
+    # banded pairs == brute-force hamming ball over the signatures
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in DD.simhash_pairs_portable(
+            df, bits=32, bands=4, max_hamming=3
+        ).collect()
+    }
+    sigs = {i: ref_sig(t) for i, t in docs}
+    brute = {
+        (a, b)
+        for a in sigs for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert pairs == brute
+    with pytest.raises(ValueError):
+        DD.simhash_pairs_portable(df, bands=4, max_hamming=4)

@@ -2876,3 +2876,40 @@ def q82_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_pairs_portable(
         d, "text", "doc_id", bits=32, bands=4, max_hamming=3
     )
+
+
+@query(
+    "q83_salted_join",
+    oracle="""
+    SELECT s.s_nationkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def q83_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join under the oracle gate: the fact side is
+    salted across 8 sub-keys and the dim replicated per salt, so one
+    pathological supplier key spreads over 8 reducers instead of one.
+    The oracle is the PLAIN join — the hash-match proves salting is
+    result-invariant. (AQE skew-join handles moderate skew at runtime;
+    explicit salting is the deterministic fix for known-hot keys.)"""
+    from postgresml_spark.operators.partitioning import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, s, "l_suppkey", salt=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -78,10 +78,22 @@ def _global_rank(df: DataFrame, sort_cols: list) -> DataFrame:
     within each; per-partition counts — one cheap count-only job whose
     result is P integers — become cumulative offsets joined back via
     broadcast. rank = offset(partition) + local rank.
+
+    The ranged layout is localCheckpoint-ed before the counts job:
+    (a) the upstream lineage (often an expensive cleaning pipeline)
+    executes ONCE instead of once for the counts and again for the
+    ranking pass, and (b) the counts and the ranks provably read the
+    SAME partition layout — repartitionByRange samples its bounds, so
+    two independent executions are not guaranteed to land every row in
+    the same partition, which would misalign offsets with contents.
+    At scale this is the "write the intermediate corpus" step every
+    production pipeline has anyway (executor-local blocks, no driver).
     """
     spark = df.sparkSession
-    ranged = df.repartitionByRange(*sort_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(*sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     w = Window.partitionBy("__pid").orderBy(*sort_cols)
     local = ranged.withColumn("__lrn", F.row_number().over(w))

@@ -2431,13 +2431,25 @@ def q72_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("doc_id") < 400).select("doc_id", "text")
     bench = d.filter(F.col("doc_id") >= 400)
     in_cols = corpus.columns
-    k1 = CO.gopher_quality_flags(corpus).filter(F.col("keep")).select(*in_cols)
+    # Materialize between major stages (localCheckpoint = executor-local
+    # blocks, the "write the intermediate corpus" step of a production
+    # pipeline). Besides bounding recompute, this keeps each stage's
+    # whole-stage-codegen unit small: the gopher + repetition +
+    # decontam expression trees stacked into ONE plan compile ~40%
+    # slower than the stages compiled separately.
+    k1 = (
+        CO.gopher_quality_flags(corpus)
+        .filter(F.col("keep"))
+        .select(*in_cols)
+        .localCheckpoint()
+    )
     k2 = (
         CO.repetition_flags(k1)
         .filter(F.col("keep_repetition"))
         .select(*in_cols)
+        .localCheckpoint()
     )
-    k3 = decontaminate(k2, bench, n=_DECON_N, max_ratio=0.2)
+    k3 = decontaminate(k2, bench, n=_DECON_N, max_ratio=0.2).localCheckpoint()
     k4 = DD.exact_dedup(k3, F.md5(F.lower(F.col("text"))), "doc_id").select("doc_id")
     out = CO.deterministic_shuffle(k4, ["doc_id"], seed=7)
     return out.select(

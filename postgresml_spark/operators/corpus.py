@@ -46,6 +46,7 @@ __all__ = [
     "uniform_unit",
     "deterministic_shuffle",
     "weighted_sample",
+    "stratified_take",
     "gopher_quality_flags",
     "repetition_flags",
     "pack_sequences",
@@ -502,3 +503,36 @@ def unigram_lm_scores(
     ).drop("__id").withColumn(
         "n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint")
     )
+
+
+def stratified_take(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_cols: list[str],
+    seed: int | str = 0,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Deterministic exactly-k-per-group sample ("give me k documents
+    per source/language/domain") — the curation counterpart of
+    `weighted_sample`'s rate-based mixing.
+
+    Rows are ranked inside each group by a seed-keyed md5 hash of
+    ``key_cols`` (ties broken by the keys themselves) and the first k
+    survive. Same seed → same sample on any cluster size or layout;
+    different seed → an independent redraw. Optionally exposes the
+    1-based in-group rank as ``rank_col``.
+
+    Scale: ONE hash-shuffle on ``group_col`` + a partition-local
+    window — never a global sort. Skew note: a group 1000× bigger than
+    the rest bounds the stage (row_number must see the whole group);
+    for pathological groups pre-thin with a hash-prefix filter
+    (keep ~4k/|group| of rows first, then rank exactly).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_key(seed, *key_cols), *_cols(key_cols)
+    )
+    out = df.withColumn("__gr", F.row_number().over(w)).filter(F.col("__gr") <= k)
+    if rank_col:
+        return out.withColumnRenamed("__gr", rank_col)
+    return out.drop("__gr")

@@ -266,3 +266,23 @@ def test_unigram_lm_scoring_join_is_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_take_exact_k_and_layout_independent(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(60)], "doc_id int, source string"
+    )
+    got = CO.stratified_take(df, "source", 5, ["doc_id"], seed=1)
+    counts = {r["source"]: r["n"] for r in
+              got.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 5, "b": 5}
+    # same seed, different physical layout → identical sample
+    re_part = df.repartition(13, "doc_id")
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in CO.stratified_take(re_part, "source", 5, ["doc_id"], seed=1).collect()}
+    assert a == b
+    # different seed → different sample (overwhelmingly likely)
+    c = {tuple(r) for r in CO.stratified_take(df, "source", 5, ["doc_id"], seed=2).collect()}
+    assert a != c
+    # k larger than group keeps everything
+    assert CO.stratified_take(df, "source", 999, ["doc_id"]).count() == 60

@@ -2938,16 +2938,16 @@ def q83_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY {_sql_hash60('7', 'doc_id')}, doc_id
              ) AS BIGINT) AS grp_rank
       FROM documents
-    ) WHERE grp_rank <= 40
+    ) WHERE grp_rank <= 10
     """,
 )
 def q84_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic exactly-k-per-group curation sample: 40 docs per
+    """Deterministic exactly-k-per-group curation sample: 10 docs per
     source, ranked by a seed-keyed md5 hash (layout-independent,
     seed-reproducible). One hash-shuffle on source + partition-local
     window — contrast with q45's split (global rank) and q61's mixing
     (rate-based, no window)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "source")
     return CO.stratified_take(
-        d, "source", 40, ["doc_id"], seed=7, rank_col="grp_rank"
+        d, "source", 10, ["doc_id"], seed=7, rank_col="grp_rank"
     ).select("doc_id", "source", F.col("grp_rank").cast("bigint").alias("grp_rank"))

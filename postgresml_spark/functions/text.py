@@ -32,6 +32,7 @@ __all__ = [
     "language_id",
     "fingerprint",
     "ts_rank",
+    "bm25_scores",
     "recursive_character_split",
     "chunk_udf",
     "chunk_fixed",
@@ -322,3 +323,78 @@ def chunk_fixed(text: Column | str, size: int) -> Column:
         F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
         lambda i: F.substring(t, i * size + 1, size),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 (Okapi) full-text scoring over a distributed inverted index.
+# ---------------------------------------------------------------------------
+
+def bm25_scores(
+    df,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 scores for ``query_terms`` over a document corpus.
+
+    SURVEY §2.H maps the reference's full-text path (`to_tsvector` +
+    `ts_rank`, queries.rs:181-205) to "a BM25/ts_rank-style scorer";
+    `ts_rank` is the per-row twin, this is the corpus-statistics one —
+    the scorer behind every serious lexical retrieval stack.
+
+    score(d) = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)),
+    idf_t = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))  (Lucene's positive
+    form). Only documents matching ≥1 term appear in the output
+    (columns: id_col, score).
+
+    Scale shape — the token stream is FILTERED TO QUERY TERMS before
+    anything shuffles, so every exchange is bounded by |docs|·|terms|,
+    not corpus tokens:
+    1. one corpus scan emits (id, dl, matching-token) via explode;
+    2. tf: groupBy(id, term) count (map-side partial);
+    3. df_t: groupBy(term) count over tf — |terms| rows, broadcast;
+    4. N + avgdl: 1-row agg over (id, dl), broadcast crossJoin;
+    5. per-doc Σ: groupBy(id).
+    Postgres/ts_rank has no corpus idf at all; this is where the
+    inverted-index semantics need a corpus pass that Spark amortizes
+    into two scans (stats + scoring) of the same cached base.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    base = df.select(
+        F.col(id_col).alias("__id"), tokenize(F.col(text_col)).alias("__toks")
+    ).select("__id", F.size("__toks").alias("__dl"), "__toks")
+    consts = base.agg(
+        F.count("*").alias("n_docs"), F.avg("__dl").alias("avgdl")
+    )
+    hits = base.select(
+        "__id", "__dl", F.explode("__toks").alias("__tok")
+    ).filter(F.col("__tok").isin(terms))
+    tf = hits.groupBy("__id", "__tok").agg(
+        F.count("*").alias("tf"), F.first("__dl").alias("dl")
+    )
+    df_t = tf.groupBy("__tok").agg(F.count("*").alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(df_t), "__tok")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "__id",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df_t") + 0.5)
+                    / (F.col("df_t") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("__s"),
+        )
+        .groupBy("__id")
+        .agg(F.sum("__s").alias("score"))
+    )
+    return scored.select(F.col("__id").alias(id_col), "score")

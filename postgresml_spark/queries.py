@@ -2951,3 +2951,43 @@ def q84_stratified_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.stratified_take(
         d, "source", 10, ["doc_id"], seed=7, rank_col="grp_rank"
     ).select("doc_id", "source", F.col("grp_rank").cast("bigint").alias("grp_rank"))
+
+
+_BM25_TERMS = ("vector", "merge", "stream")
+
+
+@query(
+    "q85_bm25",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, toks, len(toks) AS dl
+      FROM (SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS toks FROM documents)
+    ), consts AS (
+      SELECT count(*) AS n_docs, CAST(avg(dl) AS DOUBLE) AS avgdl FROM base
+    ), hits AS (
+      SELECT doc_id, dl, unnest(toks) AS tok FROM base
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl
+      FROM hits WHERE tok IN ('vector', 'merge', 'stream')
+      GROUP BY doc_id, tok
+    ), dft AS (
+      SELECT tok, count(*) AS df_t FROM tf GROUP BY tok
+    )
+    SELECT doc_id,
+           round(sum(
+             ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+             * (tf * 2.2)
+             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           ), 4) AS score
+    FROM tf JOIN dft USING (tok) CROSS JOIN consts
+    GROUP BY doc_id
+    """,
+)
+def q85_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval (corpus idf + length normalization —
+    the statistics ts_rank lacks). The token stream is filtered to the
+    query terms BEFORE any exchange, so every shuffle is bounded by
+    |matching docs|×|terms|; idf and (N, avgdl) are broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    out = TX.bm25_scores(d, list(_BM25_TERMS), "text", "doc_id")
+    return out.select("doc_id", F.round("score", 4).alias("score"))

@@ -179,3 +179,36 @@ def test_bpe_token_count(spark):
     assert got[3] == 3
     assert got[4] == 0
     assert got[5] is None
+
+
+def test_bm25_matches_python_reference(spark):
+    import math
+
+    docs = [(1, "a b a"), (2, "b c"), (3, "c c c")]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r["doc_id"]: r["score"] for r in
+           TX.bm25_scores(df, ["a", "c"]).collect()}
+
+    def ref():
+        k1, b = 1.2, 0.75
+        toks = {i: t.split() for i, t in docs}
+        n = len(docs)
+        avgdl = sum(len(v) for v in toks.values()) / n
+        out = {}
+        for term in ("a", "c"):
+            dft = sum(1 for v in toks.values() if term in v)
+            idf = math.log(1 + (n - dft + 0.5) / (dft + 0.5))
+            for i, v in toks.items():
+                tf = v.count(term)
+                if tf:
+                    s = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+                    out[i] = out.get(i, 0.0) + s
+        return out
+
+    exp = ref()
+    assert set(got) == set(exp)
+    for i in exp:
+        assert abs(got[i] - exp[i]) < 1e-12, i
+    # corpus statistics sanity: the rarer term ranks its doc higher
+    # (doc1 has 2x 'a', idf_a > idf_c)
+    assert got[1] > got[2]

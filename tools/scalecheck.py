@@ -196,6 +196,49 @@ def main() -> int:
             lambda: knn_join(emb, qbatch, k=10).count(),
         )
 
+        # round-2 additions: cluster closure, LM scoring, incremental
+        # dedup, per-group sampling
+        from postgresml_spark.operators.corpus import (
+            stratified_take,
+            unigram_lm_scores,
+        )
+
+        pairs = DD.minhash_candidate_pairs(
+            docs, "text", "doc_id", num_perm=32, bands=8
+        ).localCheckpoint()
+        bench(
+            "dup_clusters",
+            factor,
+            lambda: DD.dup_clusters(docs.select("doc_id"), pairs)
+            .filter("is_canonical")
+            .count(),
+        )
+        bench(
+            "unigram_lm",
+            factor,
+            lambda: unigram_lm_scores(docs, vocab_cap=100_000)
+            .agg(F.avg("nll"))
+            .count(),
+        )
+        n_docs = docs.count()
+        hist = docs.filter(F.col("doc_id") < n_docs // 2)
+        batch = docs.filter(F.col("doc_id") >= n_docs // 2)
+        fp_index = hist.select(
+            F.md5(F.lower("text")).alias("fp")
+        ).distinct().localCheckpoint()
+        bench(
+            "incremental_dedup",
+            factor,
+            lambda: DD.incremental_exact_dedup(
+                batch, fp_index, F.md5(F.lower(F.col("text")))
+            )[0].count(),
+        )
+        bench(
+            "stratified_take_10",
+            factor,
+            lambda: stratified_take(docs, "source", 10, ["doc_id"]).count(),
+        )
+
     print(json.dumps(results))
     spark.stop()
     return 0

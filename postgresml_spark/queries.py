@@ -2991,3 +2991,31 @@ def q85_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     out = TX.bm25_scores(d, list(_BM25_TERMS), "text", "doc_id")
     return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+@query(
+    "q86_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q86_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets + grouping_id (completes §2.D alongside q33's
+    ROLLUP and q34's pivot). Catalyst expands the cube in ONE pass
+    (Expand node, 4 projections per row) — one shuffle serves all 2^k
+    grouping sets; no union of separate aggregations."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )

@@ -44,6 +44,7 @@ __all__ = [
     "minhash_candidate_pairs_portable",
     "dup_clusters",
     "incremental_exact_dedup",
+    "duplicate_spans",
     "simhash_batch",
     "simhash_portable_signatures",
     "simhash_pairs_portable",
@@ -867,3 +868,84 @@ def simhash_pairs_portable(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span detection (ExactSubstr-style, Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better").
+# The single-node reference builds a suffix array; the distributed
+# shape is positional n-gram posting lists — linear in corpus tokens,
+# shuffled on the gram key, no global structure.
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_occurrences: int = 2,
+    min_span_tokens: int | None = None,
+) -> DataFrame:
+    """Token spans whose every length-``n`` gram repeats elsewhere in
+    the corpus (≥ ``min_occurrences`` total occurrences) — the signal
+    ExactSubstr dedup cuts out of training text. Returns one row per
+    maximal span: (id_col, span_start, span_end, span_tokens) with
+    0-based token offsets, span_end exclusive.
+
+    Pipeline (all relational, scales linearly in corpus tokens):
+    1. positional grams: posexplode of the token stream — (doc, pos,
+       gram), corpus_tokens rows;
+    2. gram frequency: groupBy(gram) count, keep grams with count ≥
+       min_occurrences — map-side partial agg, the shuffle carries
+       |distinct grams| rows;
+    3. duplicated positions: semi-join positions ⋈ hot grams on the
+       gram key (shuffle join at scale; the hot-gram side is the
+       smaller one after the frequency cut);
+    4. maximal spans: consecutive duplicated positions merge via the
+       islands trick — pos − row_number() is constant within a run —
+       one window partitioned by doc, never global;
+    5. a span of consecutive duplicated gram STARTS [a..b] covers
+       tokens [a, b + n).
+
+    A suffix array finds duplicates of ANY length ≥ n in one pass;
+    gram granularity quantizes span boundaries to n-token starts —
+    the standard relational approximation (same recall for spans ≥ n).
+    """
+    from postgresml_spark.functions import text as TX
+
+    toks = df.select(
+        F.col(id_col).alias("id"), TX.tokenize(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= n)
+    grams = toks.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - n),
+                lambda i: F.array_join(F.slice(F.col("t"), i + 1, n), " "),
+            )
+        ).alias("pos", "gram"),
+    )
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= min_occurrences)
+        .select("gram")
+    )
+    dup_pos = grams.join(hot, "gram", "left_semi").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = dup_pos.withColumn(
+        "island", F.col("pos") - F.row_number().over(w)
+    )
+    spans = (
+        islands.groupBy("id", "island")
+        .agg(F.min("pos").alias("span_start"), (F.max("pos") + n).alias("span_end"))
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+        )
+    )
+    if min_span_tokens is not None:
+        spans = spans.filter(F.col("span_tokens") >= min_span_tokens)
+    return spans

@@ -1760,14 +1760,23 @@ def q31_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q32_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization: lag-gap > 30min ⇒ new session; count per user."""
+    """Sessionization: lag-gap > 30min ⇒ new session; count per user.
+
+    The gap test is native timestamp arithmetic (prev + INTERVAL), not a
+    cast-to-epoch: events.ts is TIMESTAMP_NTZ, which ANSI Spark refuses
+    to cast to BIGINT, and interval comparison mirrors the oracle's
+    `ts - lag(ts) > INTERVAL 30 MINUTE` exactly (no second-truncation)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    prev = F.lag("ts").over(w)
     sess = (
         e.withColumn(
             "new_session",
-            F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+            F.when(
+                prev.isNull()
+                | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0),
         )
         .withColumn(
             "session_id",
@@ -3018,4 +3027,52 @@ def q86_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+@query(
+    "q87_duplicate_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x != '') AS t
+      FROM documents
+    ), valid AS (
+      SELECT * FROM toks WHERE len(t) >= 5
+    ), grams AS (
+      SELECT doc_id, pos, array_to_string(t[pos+1:pos+5], ' ') AS gram
+      FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 5)) AS pos
+            FROM valid)
+    ), hot AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+    ), dup AS (
+      SELECT doc_id, pos FROM grams WHERE gram IN (SELECT gram FROM hot)
+    ), isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM dup
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 5 AS BIGINT) AS span_end,
+           CAST(max(pos) + 5 - min(pos) AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    HAVING max(pos) + 5 - min(pos) >= 8
+    """,
+)
+def q87_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-span detection (Lee et al. 2022):
+    maximal token spans whose every 5-gram occurs >= 2 times in the
+    corpus, kept when >= 8 tokens long. Positional posting lists +
+    the islands trick replace the single-node suffix array — linear in
+    corpus tokens, windows partitioned per doc, never global."""
+    d = _t(spark, sf_dir, "documents")
+    out = DD.duplicate_spans(
+        d, "text", "doc_id", n=5, min_occurrences=2, min_span_tokens=8
+    )
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        F.col("span_tokens").cast("bigint").alias("span_tokens"),
     )

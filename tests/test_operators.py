@@ -389,3 +389,25 @@ def test_simhash_portable_matches_python_reference(spark):
     assert pairs == brute
     with pytest.raises(ValueError):
         DD.simhash_pairs_portable(df, bands=4, max_hamming=4)
+
+
+def test_duplicate_spans_finds_repeated_substring(spark):
+    boiler = "all rights reserved contact us for more information today"
+    df = spark.createDataFrame(
+        [
+            (1, "unique words one " + boiler),
+            (2, "other prefix text here " + boiler),
+            (3, "completely different content nothing shared at all ok"),
+        ],
+        "doc_id int, text string",
+    )
+    spans = {r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+             for r in DD.duplicate_spans(df, n=3, min_span_tokens=4).collect()}
+    # boiler is 9 tokens: doc1 offset 3, doc2 offset 4; every 3-gram of
+    # it repeats, so the merged span covers exactly the boilerplate
+    assert spans[1] == (3, 12, 9)
+    assert spans[2] == (4, 13, 9)
+    assert 3 not in spans
+    # min_span_tokens filters short accidental overlaps
+    none = DD.duplicate_spans(df, n=3, min_span_tokens=10).count()
+    assert none == 0

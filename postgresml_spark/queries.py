@@ -3076,3 +3076,57 @@ def q87_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("span_end").cast("bigint").alias("span_end"),
         F.col("span_tokens").cast("bigint").alias("span_tokens"),
     )
+
+
+@query(
+    "q88_gapfill_locf",
+    oracle="""
+    WITH src AS (
+      SELECT event_type, date_trunc('hour', ts) AS b, value
+      FROM events
+      WHERE event_type IN ('purchase', 'error') AND value > 100
+    ), agg AS (
+      SELECT event_type, b, count(*) AS n, avg(value) AS avg_v
+      FROM src GROUP BY 1, 2
+    ), scaffold AS (
+      SELECT g.event_type, s.b
+      FROM (SELECT DISTINCT event_type FROM src) g
+      CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                                                TIMESTAMP '2024-01-10 00:00:00',
+                                                INTERVAL 1 HOUR)) AS b) s
+    )
+    SELECT sc.event_type,
+           sc.b AS bucket_ts,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+           round(a.avg_v, 4) AS value_avg,
+           round(last_value(a.avg_v IGNORE NULLS) OVER (
+             PARTITION BY sc.event_type ORDER BY sc.b
+             ROWS UNBOUNDED PRECEDING), 4) AS value_locf,
+           a.n IS NULL AS filled
+    FROM scaffold sc LEFT JOIN agg a
+      ON a.event_type = sc.event_type AND a.b = sc.b
+    """,
+)
+def q88_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series with gap-filling + last-observation-carried-
+    forward (time_bucket_gapfill/locf analog, beyond-ref time-series
+    breadth). Scaffold = distinct groups × one broadcast sequence()
+    explode (no data shuffle); LOCF is a per-group ordered window."""
+    from postgresml_spark.operators.timeseries import gapfill_locf
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error") & (F.col("value") > 100)
+    )
+    out = gapfill_locf(
+        e, "ts", "event_type", "value",
+        start="2024-01-05 00:00:00", end="2024-01-10 00:00:00",
+        bucket="1 hour", trunc_unit="hour",
+    )
+    return out.select(
+        "event_type",
+        "bucket_ts",
+        "n",
+        F.round("value_avg", 4).alias("value_avg"),
+        F.round("value_locf", 4).alias("value_locf"),
+        "filled",
+    )

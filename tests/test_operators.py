@@ -411,3 +411,33 @@ def test_duplicate_spans_finds_repeated_substring(spark):
     # min_span_tokens filters short accidental overlaps
     none = DD.duplicate_spans(df, n=3, min_span_tokens=10).count()
     assert none == 0
+
+
+def test_gapfill_locf_dense_series(spark):
+    from postgresml_spark.operators.timeseries import gapfill_locf
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:10:00", 10.0),
+            ("a", "2024-01-01 00:40:00", 20.0),
+            ("a", "2024-01-01 03:05:00", 30.0),
+            ("b", "2024-01-01 02:15:00", 5.0),
+        ],
+        "g string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = gapfill_locf(
+        df, "ts", "g", "v",
+        start="2024-01-01 00:00:00", end="2024-01-01 03:00:00",
+    )
+    rows = {(r["g"], str(r["bucket_ts"])): r for r in out.collect()}
+    assert len(rows) == 8  # 2 groups x 4 hourly buckets
+    a0 = rows[("a", "2024-01-01 00:00:00")]
+    assert (a0["n"], a0["value_avg"], a0["value_locf"], a0["filled"]) == (2, 15.0, 15.0, False)
+    a1 = rows[("a", "2024-01-01 01:00:00")]
+    assert (a1["n"], a1["value_avg"], a1["value_locf"], a1["filled"]) == (0, None, 15.0, True)
+    a3 = rows[("a", "2024-01-01 03:00:00")]
+    assert (a3["value_locf"], a3["filled"]) == (30.0, False)
+    b0 = rows[("b", "2024-01-01 00:00:00")]
+    assert (b0["n"], b0["value_locf"]) == (0, None)  # no obs yet -> NULL
+    b2 = rows[("b", "2024-01-01 02:00:00")]
+    assert (b2["n"], b2["value_locf"]) == (1, 5.0)

@@ -242,6 +242,7 @@ def stream_corpus_pipeline(
     dedup_delay: str = "1 hour",
     quality_kwargs: dict | None = None,
     checkpoint: str | None = None,
+    fingerprint_index_path: str | None = None,
 ):
     """Continuous training-corpus ingest with hygiene — the streaming
     twin of the batch gate→dedup→upsert stack:
@@ -249,16 +250,25 @@ def stream_corpus_pipeline(
       files → quality gate (gopher_quality_flags, pure codegen — the
       same expressions run unchanged on a stream) → watermark-bounded
       exact dedup (dropDuplicatesWithinWatermark on the normalized
-      fingerprint) → foreachBatch DataFrame-native upsert → attached
-      pipelines re-sync incrementally (changed chunks only re-embed).
+      fingerprint) → [optional] ALL-TIME dedup against a persistent
+      fingerprint index (operators.dedup.incremental_exact_dedup:
+      left-anti join per micro-batch, index grows append-only) →
+      foreachBatch DataFrame-native upsert → attached pipelines
+      re-sync incrementally (changed chunks only re-embed).
 
-    State stays bounded by construction: the only stateful operator is
-    the dedup, and its store is capped at the watermark horizon.
+    The two dedup layers split the work the lambda way: the stream
+    catches repeats inside the watermark horizon with BOUNDED state;
+    ``fingerprint_index_path`` (a parquet dir) catches repeats across
+    the whole corpus lifetime with ZERO stream state — the per-batch
+    cost is one anti-join against the index, and the index is never
+    rewritten, only appended.
+
     Returns the StreamingQuery."""
     import tempfile
 
     from postgresml_spark.functions.text import fingerprint
     from postgresml_spark.operators.corpus import gopher_quality_flags
+    from postgresml_spark.operators.dedup import incremental_exact_dedup
 
     stream = spark.readStream.schema(doc_schema).json(source_dir)
     in_cols = stream.columns
@@ -274,6 +284,26 @@ def stream_corpus_pipeline(
     ).drop("__fp")
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if fingerprint_index_path:
+            import os
+
+            sess = batch_df.sparkSession
+            if os.path.isdir(fingerprint_index_path):
+                index = sess.read.parquet(fingerprint_index_path)
+            else:
+                index = sess.createDataFrame([], "fp string")
+            kept, new_fps = incremental_exact_dedup(
+                batch_df, index, fingerprint(F.col(text_col)), id_col="id"
+            )
+            # materialize the survivors BEFORE appending to the index:
+            # the anti-join must not observe the rows it is adding
+            kept = kept.localCheckpoint()
+            kept.select(fingerprint(F.col(text_col)).alias("fp")).write.mode(
+                "append"
+            ).parquet(fingerprint_index_path)
+            batch_df = kept
         if not batch_df.isEmpty():
             collection.upsert_documents_df(batch_df.drop(ts_col))
 

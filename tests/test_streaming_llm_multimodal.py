@@ -269,3 +269,44 @@ def test_stream_corpus_pipeline_end_to_end(spark, tmp_path):
     ids = sorted(d["document"]["id"] for d in docs)
     assert ids == [1, 4]  # 2 deduped, 3 gated out
     assert pipe.status()["counts"]["text_embeddings"] == 2
+
+
+def test_stream_corpus_pipeline_history_index_dedup(spark, tmp_path):
+    """Cross-horizon duplicates (beyond the watermark) are caught by
+    the persistent fingerprint index, not stream state."""
+    from postgresml_spark.collections import Collection
+    from postgresml_spark.streaming.streams import stream_corpus_pipeline
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "keeps running through the field for a while longer")
+    other = ("meanwhile the cat sat quietly on the warm windowsill "
+             "watching the birds outside in the garden all afternoon")
+    src = str(tmp_path / "corpus_in2")
+    os.makedirs(src)
+    coll = Collection("streamidx", spark, warehouse=str(tmp_path / "whidx"))
+    idx = str(tmp_path / "fp_index")
+
+    q = stream_corpus_pipeline(
+        spark, src, coll, dedup_delay="10 minutes",
+        checkpoint=str(tmp_path / "ckpt2"),
+        fingerprint_index_path=idx,
+    )
+    try:
+        with open(os.path.join(src, "b1.json"), "w") as f:
+            f.write(json.dumps({"id": 1, "text": good,
+                                "ts": "2026-01-01T00:00:00"}) + "\n")
+        q.processAllAvailable()
+        # batch 2 arrives 10 DAYS later: watermark state is long gone,
+        # only the index can know doc 1's text was already ingested
+        with open(os.path.join(src, "b2.json"), "w") as f:
+            f.write(json.dumps({"id": 2, "text": good,
+                                "ts": "2026-01-11T00:00:00"}) + "\n")
+            f.write(json.dumps({"id": 3, "text": other,
+                                "ts": "2026-01-11T00:00:01"}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = sorted(d["document"]["id"] for d in coll.get_documents())
+    assert ids == [1, 3]  # 2 suppressed by the history index
+    fps = spark.read.parquet(idx)
+    assert fps.count() == 2 and fps.distinct().count() == 2

@@ -3130,3 +3130,101 @@ def q88_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value_locf", 4).alias("value_locf"),
         "filled",
     )
+
+
+@query(
+    "q89_top_supplier_view",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           round(r.total_revenue, 2) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q89_top_supplier_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: an aggregated view compared against its own
+    global max (uncorrelated scalar subquery over a derived relation).
+    Decorrelation: compute the revenue view ONCE, localCheckpoint so
+    both consumers (max + filter) read the materialized aggregate
+    instead of re-running the lineitem scan, then a 1-row broadcast
+    crossJoin carries the max into the filter."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+        .localCheckpoint()
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q90_heavy_part_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE '%widget%')
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 1.1 * (
+        SELECT avg(sq) FROM (
+          SELECT sum(l_quantity) AS sq FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE '%widget%')
+          GROUP BY l_suppkey))
+    )
+    """,
+)
+def q90_heavy_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN chain (supplier ← grouped lineitem ←
+    part-name subset) with an aggregate-of-aggregate HAVING threshold.
+    Decorrelation: part subset broadcast-semi-joins into the lineitem
+    scan ONCE; the grouped sums localCheckpoint so the avg threshold
+    and the filter read the same materialized aggregate (the oracle's
+    correlated form scans lineitem twice); final supplier lookup is a
+    broadcast semi-join."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    li = _t(spark, sf_dir, "lineitem")
+    sums = (
+        li.join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .localCheckpoint()
+    )
+    thr = sums.agg((F.avg("sq") * 1.1).alias("thr"))
+    heavy = sums.crossJoin(F.broadcast(thr)).filter(F.col("sq") > F.col("thr"))
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(
+        heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")

@@ -180,3 +180,34 @@ class BucketedVersionedTable(VersionedTable):
         with open(self._pointer(), "w") as f:
             f.write(str(v))
         self.vacuum(keep_versions)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 4_000_000,
+) -> int:
+    """Compact an append-only parquet directory (e.g. the streaming
+    fingerprint index, which gains one small file per micro-batch) into
+    ceil(rows / target_rows_per_file) files. Returns the new file count.
+
+    The rewrite goes to a sibling temp dir and swaps in via two renames
+    — readers opening the directory between the renames see a complete
+    old or complete new listing, never a mix. Not safe concurrently
+    with a WRITER (run between micro-batches or from the maintenance
+    job that also calls vacuum); at cluster scale the same job would be
+    a Delta OPTIMIZE.
+    """
+    import math
+    import shutil
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    n_files = max(1, math.ceil(rows / target_rows_per_file))
+    tmp = path.rstrip("/") + ".compact_tmp"
+    old = path.rstrip("/") + ".compact_old"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

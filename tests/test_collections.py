@@ -311,3 +311,23 @@ def test_versioned_table_vacuum(coll):
     assert len(versions) <= 2
     # table still reads fine after vacuum
     assert len(coll.get_documents()) == 4 + 6
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    from postgresml_spark.collections.storage import compact_parquet_dir
+
+    path = str(tmp_path / "fp_idx")
+    # simulate 12 micro-batch appends -> 12+ small files
+    for i in range(12):
+        spark.createDataFrame([(f"fp{i}a",), (f"fp{i}b",)], "fp string").write.mode(
+            "append"
+        ).parquet(path)
+    import glob
+
+    before = len(glob.glob(path + "/*.parquet"))
+    assert before >= 12
+    content_before = sorted(r["fp"] for r in spark.read.parquet(path).collect())
+    n = compact_parquet_dir(spark, path, target_rows_per_file=1000)
+    after = glob.glob(path + "/*.parquet")
+    assert n == 1 and len(after) == 1
+    assert sorted(r["fp"] for r in spark.read.parquet(path).collect()) == content_before

@@ -313,3 +313,33 @@ def rag(collection, pipeline, query: dict) -> dict:
     if completion_fn is not None:
         out["rag"] = completion_fn(prompt)
     return out
+
+
+def rrf_fuse(
+    results: list,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k: int = 60,
+) -> "DataFrame":
+    """Reciprocal-rank fusion of ranked result lists:
+    rrf(d) = Σ_lists 1/(k + rank_d) — the scale-free alternative to the
+    reference's coalesce-SUM hybrid scoring (k=60 is the canonical
+    constant from Cormack et al. 2009; Elasticsearch/OpenSearch ship
+    the same formula). Ranks are per-list row_numbers ordered by
+    (score desc, id) — deterministic under ties.
+
+    The global window per list is fine BY CONSTRUCTION: inputs are
+    top-N result lists already bounded by a LIMIT (the unbounded-window
+    scale rule applies to corpus-sized frames, not k-row results).
+    """
+    from pyspark.sql import Window
+
+    fused = None
+    for df in results:
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        r = df.select(
+            F.col(id_col).alias(id_col),
+            (1.0 / (F.lit(k) + F.row_number().over(w))).alias("__rrf"),
+        )
+        fused = r if fused is None else fused.unionByName(r)
+    return fused.groupBy(id_col).agg(F.sum("__rrf").alias("rrf_score"))

@@ -41,6 +41,7 @@ __all__ = [
     "norm_max",
     "normalize_l1",
     "normalize_l2",
+    "matryoshka_truncate",
     "normalize_max",
     "distance_l1",
     "distance_l2",
@@ -343,3 +344,14 @@ def register_sql_functions(spark) -> None:
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}(a ARRAY<FLOAT>, b ARRAY<FLOAT>) "
             f"RETURNS DOUBLE RETURN {expr}"
         )
+
+
+def matryoshka_truncate(v: Column | str, dim: int, renormalize: bool = True) -> Column:
+    """Matryoshka (MRL) embedding truncation: keep the first ``dim``
+    components and L2-renormalize — how MRL-trained models
+    (OpenAI text-embedding-3, nomic-embed) trade dimensions for cost.
+    Pure codegen (slice + the existing norm expressions); at 100 TB
+    this runs in the scan's projection, shrinking every downstream
+    shuffle/cache/index by dim_full/dim."""
+    t = F.slice(_c(v), 1, dim)
+    return normalize_l2(t) if renormalize else t

@@ -3228,3 +3228,101 @@ def q90_heavy_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(
         heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+@query(
+    "q91_matryoshka",
+    oracle="""
+    WITH t AS (
+      SELECT vec_id, list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS l2
+      FROM t
+    )
+    SELECT vec_id,
+           unnest(generate_series(1, 8)) AS pos,
+           unnest(list_transform(v, x -> round(x / l2, 6))) AS val
+    FROM n WHERE l2 > 0
+    """,
+)
+def q91_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation: first-8-dims + L2 renormalize, emitted as
+    (vec_id, pos, val) scalar rows (array outputs crash the gate's
+    canonicalizer — r1 lesson). Runs entirely in the scan projection."""
+    e = _t(spark, sf_dir, "embeddings")
+    t = e.select(
+        "vec_id", V.matryoshka_truncate(F.col("embedding"), 8).alias("v")
+    ).filter(V.norm_l2(F.slice(F.col("embedding"), 1, 8)) > 0)
+    return t.select(
+        "vec_id", F.posexplode(F.col("v"))
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("bigint").alias("pos"),
+        F.round(F.col("col"), 6).alias("val"),
+    )
+
+
+@query(
+    "q92_rrf_hybrid",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS toks FROM documents
+    ), bm_all AS (
+      SELECT doc_id, toks, len(toks) AS dl FROM base
+    ), consts AS (
+      SELECT count(*) AS n_docs, CAST(avg(dl) AS DOUBLE) AS avgdl FROM bm_all
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl
+      FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM bm_all)
+      WHERE tok IN ('vector', 'merge', 'stream')
+      GROUP BY doc_id, tok
+    ), dft AS (
+      SELECT tok, count(*) AS df_t FROM tf GROUP BY tok
+    ), bm AS (
+      SELECT doc_id, round(sum(
+               ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             ), 4) AS score
+      FROM tf JOIN dft USING (tok) CROSS JOIN consts
+      GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 50
+    ), ts AS (
+      SELECT doc_id, round({{TS}}, 6) AS score
+      FROM base
+      WHERE {{TS}} > 0
+      ORDER BY score DESC, doc_id LIMIT 50
+    ), ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bm
+      UNION ALL
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM ts
+    )
+    SELECT doc_id, round(sum(1.0 / (60 + rnk)), 6) AS rrf_score
+    FROM ranked GROUP BY doc_id
+    """.replace("{TS}", _ts_rank_sql("toks", _FT_TERMS)),
+)
+def q92_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of a BM25 list and a ts_rank list (the
+    scale-free hybrid alternative to the reference's coalesce-SUM,
+    Cormack et al. 2009 k=60). Each list is LIMIT-bounded before its
+    rank window, so the global windows run over k rows, not the corpus."""
+    from postgresml_spark.collections.search import rrf_fuse
+
+    d = _t(spark, sf_dir, "documents")
+    bm = (
+        TX.bm25_scores(d, list(_BM25_TERMS), "text", "doc_id")
+        .select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )
+    ts = (
+        d.select(
+            "doc_id",
+            F.round(TX.ts_rank("text", _FT_TERMS), 6).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )
+    out = rrf_fuse([bm, ts], id_col="doc_id", score_col="score", k=60)
+    return out.select("doc_id", F.round("rrf_score", 6).alias("rrf_score"))

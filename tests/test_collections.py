@@ -331,3 +331,20 @@ def test_compact_parquet_dir(spark, tmp_path):
     after = glob.glob(path + "/*.parquet")
     assert n == 1 and len(after) == 1
     assert sorted(r["fp"] for r in spark.read.parquet(path).collect()) == content_before
+
+
+def test_rrf_fuse_golden(spark):
+    from postgresml_spark.collections.search import rrf_fuse
+
+    l1 = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "doc_id int, score double"
+    )
+    l2 = spark.createDataFrame(
+        [(3, 5.0), (1, 4.0)], "doc_id int, score double"
+    )
+    got = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse([l1, l2], k=60).collect()}
+    assert abs(got[1] - (1 / 61 + 1 / 62)) < 1e-12
+    assert abs(got[2] - 1 / 62) < 1e-12
+    assert abs(got[3] - (1 / 63 + 1 / 61)) < 1e-12
+    # doc in both lists outranks doc in one list with a better single rank
+    assert got[3] > got[2]

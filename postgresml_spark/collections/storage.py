@@ -44,6 +44,30 @@ class VersionedTable:
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.parquet(os.path.join(self.path, f"v_{v}"))
 
+    def versions(self) -> list[int]:
+        """Version numbers still on disk (ascending)."""
+        out = []
+        for name in os.listdir(self.path):
+            if name.startswith("v_"):
+                try:
+                    out.append(int(name[2:]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time-travel read of a specific retained version (the Delta
+        `VERSION AS OF` analog — each version dir is a full snapshot,
+        hardlink-shared with its neighbors in the bucketed subclass, so
+        retention costs only the delta). Raises if vacuumed away."""
+        if version not in self.versions():
+            raise ValueError(
+                f"version {version} not retained (have {self.versions()}; "
+                f"raise keep_versions on writes to retain more)"
+            )
+        df = self.spark.read.parquet(os.path.join(self.path, f"v_{version}"))
+        return df.drop("__bucket") if "__bucket" in df.columns else df
+
     def overwrite(self, df: DataFrame, keep_versions: int = 2) -> None:
         v = self._current_version() + 1
         out = os.path.join(self.path, f"v_{v}")

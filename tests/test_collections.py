@@ -348,3 +348,20 @@ def test_rrf_fuse_golden(spark):
     assert abs(got[3] - (1 / 63 + 1 / 61)) < 1e-12
     # doc in both lists outranks doc in one list with a better single rank
     assert got[3] > got[2]
+
+
+def test_versioned_table_time_travel(spark, tmp_path):
+    from postgresml_spark.collections.storage import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt"), "id long, v string")
+    t.overwrite(spark.createDataFrame([(1, "a")], t.schema), keep_versions=3)
+    t.overwrite(spark.createDataFrame([(1, "b"), (2, "c")], t.schema), keep_versions=3)
+    assert t.versions() == [1, 2]
+    old = {(r["id"], r["v"]) for r in t.read_version(1).collect()}
+    cur = {(r["id"], r["v"]) for r in t.read().collect()}
+    assert old == {(1, "a")} and cur == {(1, "b"), (2, "c")}
+    # vacuumed versions raise a clear error
+    t.overwrite(spark.createDataFrame([(3, "d")], t.schema), keep_versions=1)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="not retained"):
+        t.read_version(1)

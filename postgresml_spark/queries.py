@@ -3326,3 +3326,86 @@ def q92_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = rrf_fuse([bm, ts], id_col="doc_id", score_col="score", k=60)
     return out.select("doc_id", F.round("rrf_score", 6).alias("rrf_score"))
+
+
+@query(
+    "q93_rolling_window_features",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 4)
+             AS sum_1h,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w24 AS DOUBLE)
+                 / count(*) OVER w24, 4) AS avg_24h
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+           w24 AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+    """,
+)
+def q93_rolling_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time ROLLING features (RANGE frames, not ROWS): per-user
+    trailing 1h count/sum and 24h average — the per-entity feature
+    shape an online-ML pipeline materializes. RANGE frames need an
+    ordinal order key in Spark: MICROSECOND timestampdiff from epoch —
+    full precision (truncating to seconds moves sub-second frame
+    boundaries), zone-free for TIMESTAMP_NTZ; both windows share one
+    partitioning, so one shuffle on user_id serves all three frames."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    e = e.withColumn(
+        "__us",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ),
+    )
+    us_h = 3_600_000_000
+    w1 = Window.partitionBy("user_id").orderBy("__us").rangeBetween(-us_h, 0)
+    w24 = (
+        Window.partitionBy("user_id").orderBy("__us").rangeBetween(-24 * us_h, 0)
+    )
+    # decimal window sums: float accumulation ORDER differs between
+    # engines (segment tree vs running), which flips round() at exact
+    # .xxxx5 boundaries; decimal sums are exact and order-free, and the
+    # final double division by an identical integer count is bit-stable
+    dec = F.col("value").cast("decimal(18,4)")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w1).cast("bigint").alias("n_1h"),
+        F.round(F.sum(dec).over(w1).cast("double"), 4).alias("sum_1h"),
+        F.round(
+            F.sum(dec).over(w24).cast("double") / F.count("*").over(w24), 4
+        ).alias("avg_24h"),
+    )
+
+
+@query(
+    "q94_grouped_ols",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(corr(l_extendedprice, l_quantity), 6) AS r
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q94_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS (one model per segment) as PURE AGGREGATES:
+    slope = covar_pop/var_pop, intercept = ȳ − slope·x̄ — the
+    regr_slope/regr_intercept identities. One map-side-combined shuffle
+    fits every segment simultaneously; contrast with q40's MLlib path
+    (one driver-coordinated fit per model). At 1000 executors this is
+    how you fit a million per-entity trend lines in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    slope = F.covar_pop(y, x) / F.var_pop(x)
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(slope, 4).alias("slope"),
+        F.round(F.avg(y) - slope * F.avg(x), 4).alias("intercept"),
+        F.round(F.corr(y, x), 6).alias("r"),
+    )

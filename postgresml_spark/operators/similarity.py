@@ -30,6 +30,9 @@ from pyspark.sql import functions as F
 from postgresml_spark.functions.vectors import cosine_similarity_lit, distance_l2
 
 __all__ = [
+    "fit_pq",
+    "pq_encode",
+    "pq_topk",
     "knn_exact",
     "fit_ivf_centroids",
     "ivf_assign",
@@ -424,4 +427,101 @@ def knn_join(
         local.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= kk)
         .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-compression leg of the ANN
+# triad (IVF prunes the scan, binary signatures cheapen the metric, PQ
+# shrinks the resident index: m codes/vector instead of d floats —
+# 16-dim float32 → 4 bytes at m=4, a 16× cut; FAISS's IndexPQ shape).
+# ---------------------------------------------------------------------------
+
+def fit_pq(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    seed: int = 42,
+    max_sample: int = 65536,
+) -> list:
+    """Per-subspace KMeans codebooks: the vector splits into ``m``
+    contiguous blocks, each block gets ``k`` centroids fit on a bounded
+    deterministic sample (same O(1)-vs-table-size training contract as
+    `fit_ivf_centroids`). Returns list[m] of (k, d/m) float64 arrays."""
+    rows = (
+        df.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
+        .limit(int(max_sample))
+        .collect()
+    )
+    x = np.asarray([r["v"] for r in rows], dtype="float64")
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    return [
+        _lloyd(x[:, j * sub : (j + 1) * sub], k, seed + j, 20) for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Assign each subvector its nearest codebook centroid (argmin L2,
+    first-wins on ties). Arrow-batched numpy — one ||x−c||² matrix per
+    subspace per batch, no per-row Python."""
+    from pyspark.sql import types as T
+
+    cb = [np.asarray(c, dtype="float64") for c in codebooks]
+    sub = cb[0].shape[1]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _enc(vs: pd.Series) -> pd.Series:
+        x = np.asarray(vs.tolist(), dtype="float64")
+        codes = np.empty((x.shape[0], len(cb)), dtype="int32")
+        for j, c in enumerate(cb):
+            blk = x[:, j * sub : (j + 1) * sub]
+            d2 = ((blk[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(code_col, _enc(F.col(vec_col).cast("array<double>")))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: list,
+    query_vec: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query builds
+    one (m × k_codebook) table of squared sub-distances, every
+    candidate's distance is m table lookups + a sum — no original
+    vectors touched. Returns (id_col, dist = √Σ) ascending,
+    deterministic id tiebreak, TakeOrdered plan (no global sort)."""
+    from pyspark.sql import types as T
+
+    cb = [np.asarray(c, dtype="float64") for c in codebooks]
+    sub = cb[0].shape[1]
+    q = np.asarray(query_vec, dtype="float64")
+    table = np.stack(
+        [((c - q[j * sub : (j + 1) * sub]) ** 2).sum(axis=1) for j, c in enumerate(cb)]
+    )  # (m, k_cb)
+
+    @F.pandas_udf(T.DoubleType())
+    def _adc(codes: pd.Series) -> pd.Series:
+        cc = np.asarray(codes.tolist(), dtype="int64")  # (n, m)
+        d2 = table[np.arange(cc.shape[1])[None, :], cc].sum(axis=1)
+        return pd.Series(np.sqrt(d2))
+
+    return (
+        encoded.select(id_col, _adc(F.col(code_col)).alias("dist"))
+        .orderBy(F.asc("dist"), F.asc(id_col))
+        .limit(k)
     )

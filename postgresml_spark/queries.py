@@ -3409,3 +3409,40 @@ def q94_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(y) - slope * F.avg(x), 4).alias("intercept"),
         F.round(F.corr(y, x), 6).alias("r"),
     )
+
+
+@query(
+    "q95_pq_exhaustive",
+    oracle="""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(sqrt(list_sum(list_transform(
+             list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv),
+             p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+    ORDER BY dist, e.vec_id
+    LIMIT 10
+    """,
+)
+def q95_pq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ correctness CLOSURE (q66's trick for IVF, applied to PQ):
+    with a degenerate codebook large enough that every distinct
+    subvector is its own centroid, asymmetric-distance scoring over
+    codes reconstructs EXACT L2 — so the full fit→encode→ADC machinery
+    must hash-match the oracle's plain exact-L2 top-10. Production use
+    sets k_codebook=256 (lossy, 16× memory cut); the plan and code path
+    are identical."""
+    from postgresml_spark.operators.similarity import fit_pq, pq_encode, pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).head()["embedding"]
+    ]
+    cand = e.filter(F.col("vec_id") != 0)
+    books = fit_pq(cand, "embedding", m=4, k=512)
+    enc = pq_encode(cand, books, "embedding")
+    out = pq_topk(enc, books, qv, k=10, id_col="vec_id")
+    return out.select("vec_id", F.round("dist", 6).alias("dist"))

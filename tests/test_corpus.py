@@ -286,3 +286,39 @@ def test_stratified_take_exact_k_and_layout_independent(spark):
     assert a != c
     # k larger than group keeps everything
     assert CO.stratified_take(df, "source", 999, ["doc_id"]).count() == 60
+
+
+def test_pq_lossy_recall_and_compression(spark, sf_dir):
+    from postgresml_spark.operators.similarity import (
+        fit_pq, knn_exact, pq_encode, pq_topk,
+    )
+    from postgresml_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.head()["embedding"]]
+    exact = [r["vec_id"] for r in knn_exact(emb, qv, k=10).collect()]
+
+    # synthetic embeddings are ~uniform random - the hostile case for
+    # PQ (no cluster structure to exploit); m=16 subspaces of 4 dims
+    # keep quantization error below neighbor spacing
+    books = fit_pq(emb, "embedding", m=16, k=64)
+    assert len(books) == 16 and books[0].shape == (64, 4)  # 64-dim / m=16
+    enc = pq_encode(emb, books, "embedding")
+    # 16 small-int codes/vector vs 64 float32s: 16x resident-index cut
+    row = enc.head()
+    assert len(row["pq_code"]) == 16
+    assert all(0 <= c < 64 for c in row["pq_code"])
+
+    got = [r["vec_id"] for r in pq_topk(enc, books, qv, k=10).collect()]
+    # top-k by cosine vs L2 differ in principle; compare against L2 exact
+    import numpy as np
+    rows = emb.select("vec_id", "embedding").collect()
+    q = np.asarray(qv)
+    l2 = sorted(
+        ((float(np.linalg.norm(np.asarray([float(x) for x in r["embedding"]]) - q)), r["vec_id"])
+         for r in rows),
+    )[:10]
+    l2_ids = [vid for _, vid in l2]
+    recall = len(set(got) & set(l2_ids)) / 10
+    assert recall >= 0.4, (recall, got, l2_ids)
+    assert exact  # plan sanity

@@ -315,3 +315,20 @@ def stream_corpus_pipeline(
         )
         .start()
     )
+
+
+def enrich_stream(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins the live
+    stream against a (slowly-changing) dimension snapshot — the
+    standard "attach user/customer attributes to the event stream"
+    shape. The static side is broadcast, so enrichment adds ZERO
+    shuffle to the stream; Spark re-resolves the static relation per
+    micro-batch, so a dimension table updated in place (e.g. a
+    VersionedTable pointer swap re-read via its path) is picked up
+    without restarting the query."""
+    return stream_df.join(F.broadcast(dim_df), on, how)

@@ -310,3 +310,32 @@ def test_stream_corpus_pipeline_history_index_dedup(spark, tmp_path):
     assert ids == [1, 3]  # 2 suppressed by the history index
     fps = spark.read.parquet(idx)
     assert fps.count() == 2 and fps.distinct().count() == 2
+
+
+def test_enrich_stream_static_broadcast_join(spark, tmp_path):
+    from postgresml_spark.streaming.streams import enrich_stream
+
+    src = str(tmp_path / "enrich_in")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write(json.dumps({"user_id": 1, "value": 10.0}) + "\n")
+        f.write(json.dumps({"user_id": 2, "value": 20.0}) + "\n")
+        f.write(json.dumps({"user_id": 9, "value": 5.0}) + "\n")
+    stream = spark.readStream.schema("user_id long, value double").json(src)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    out = enrich_stream(stream, dim, "user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["user_id"]: r["tier"] for r in spark.sql(
+        "select * from enriched_out").collect()}
+    assert rows == {1: "gold", 2: "silver", 9: None}

@@ -31,6 +31,7 @@ from postgresml_spark.functions.vectors import cosine_similarity_lit, distance_l
 
 __all__ = [
     "fit_pq",
+    "knn_ivf_pq",
     "pq_encode",
     "pq_topk",
     "knn_exact",
@@ -525,3 +526,41 @@ def pq_topk(
         .orderBy(F.asc("dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def knn_ivf_pq(
+    df: DataFrame,
+    centroids: list,
+    codebooks: list,
+    query_vec: list,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """IVF-PQ: the FAISS flagship composition — coarse centroids prune
+    the scan to ``nprobe`` cells, PQ codes score the survivors by ADC.
+    At 100 TB the store is written partitioned by centroid_id with only
+    (id, pq_code) resident (operators.partitioning.write_ivf_store for
+    the layout; 16 bytes/vector instead of 4·d), originals stay on cold
+    storage for optional exact re-ranking of the final page.
+
+    ``df`` may already carry ``code_col`` (pre-encoded store — the
+    production path); otherwise codes are computed in-flight.
+    """
+    import math
+
+    if code_col not in df.columns:
+        df = pq_encode(df, codebooks, vec_col=vec_col, code_col=code_col)
+    assigned = (
+        df if "centroid_id" in df.columns else ivf_assign(df, centroids, vec_col=vec_col)
+    )
+    order = sorted(
+        range(len(centroids)),
+        key=lambda i: math.sqrt(
+            sum((c - q) ** 2 for c, q in zip(centroids[i], query_vec))
+        ),
+    )
+    probed = assigned.filter(F.col("centroid_id").isin(order[:nprobe]))
+    return pq_topk(probed, codebooks, query_vec, k=k, id_col=id_col, code_col=code_col)

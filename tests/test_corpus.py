@@ -322,3 +322,29 @@ def test_pq_lossy_recall_and_compression(spark, sf_dir):
     recall = len(set(got) & set(l2_ids)) / 10
     assert recall >= 0.4, (recall, got, l2_ids)
     assert exact  # plan sanity
+
+
+def test_ivf_pq_closure_equals_exact(spark, sf_dir):
+    """nprobe=nlist + degenerate codebooks => IVF-PQ must return the
+    exact L2 top-k (the q66 x q95 closure composed)."""
+    import numpy as np
+    from postgresml_spark.operators.similarity import (
+        fit_ivf_centroids, fit_pq, knn_ivf_pq,
+    )
+    from postgresml_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.head()["embedding"]]
+    cents = fit_ivf_centroids(emb, nlist=8)
+    books = fit_pq(emb, "embedding", m=4, k=512)  # >= 500 distinct subvectors
+    got = [(r["vec_id"], round(r["dist"], 6)) for r in
+           knn_ivf_pq(emb, cents, books, qv, k=10, nprobe=8).collect()]
+
+    rows = emb.select("vec_id", "embedding").collect()
+    q = np.asarray(qv)
+    exact = sorted(
+        (round(float(np.linalg.norm(
+            np.asarray([float(x) for x in r["embedding"]]) - q)), 6), r["vec_id"])
+        for r in rows
+    )[:10]
+    assert got == [(vid, d) for d, vid in exact]

@@ -88,3 +88,57 @@ def test_filter_dsl_matches_python_semantics(spark, rows):
         if a >= 25 or (b < 40 and a not in (1, 2, 3))
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 30), st.integers(1, 30)).filter(lambda p: p[0] != p[1]),
+        min_size=0, max_size=25,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_dup_clusters_is_a_valid_partition(spark, edge_list):
+    """Property: cluster labels form a valid partition — every node
+    labeled, labels are component minima, label is idempotent under
+    re-running on the quotient (one canonical per cluster)."""
+    from postgresml_spark.operators.dedup import dup_clusters
+
+    nodes = sorted({n for e in edge_list for n in e} | {99})
+    ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id int")
+    edf = spark.createDataFrame(edge_list or [(98, 98)], "id_a int, id_b int")
+    if not edge_list:
+        edf = edf.filter("id_a != id_a")  # empty
+    out = {r["doc_id"]: r["cluster_id"] for r in
+           dup_clusters(ndf, edf, id_col="doc_id").collect()}
+    assert set(out) == set(nodes)
+
+    # union-find reference
+    parent = {n: n for n in nodes}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edge_list:
+        if a in parent and b in parent:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in nodes}
+    assert out == want
+
+
+@given(st.lists(st.floats(0.01, 5.0), min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None)
+def test_rrf_scores_bounded_and_order_free(spark, scores):
+    """Property: rrf_score ∈ (0, lists/(k+1)]; permuting input list
+    order never changes the fused result."""
+    from postgresml_spark.collections.search import rrf_fuse
+
+    rows = [(i, s) for i, s in enumerate(scores)]
+    l1 = spark.createDataFrame(rows, "doc_id int, score double")
+    l2 = spark.createDataFrame(list(reversed(rows)), "doc_id int, score double")
+    a = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse([l1, l2], k=60).collect()}
+    b = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse([l2, l1], k=60).collect()}
+    assert a == b
+    assert all(0 < v <= 2 / 61 for v in a.values())

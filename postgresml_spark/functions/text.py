@@ -33,6 +33,8 @@ __all__ = [
     "fingerprint",
     "ts_rank",
     "bm25_scores",
+    "train_bpe",
+    "bpe_encode",
     "recursive_character_split",
     "chunk_udf",
     "chunk_fixed",
@@ -42,6 +44,7 @@ __all__ = [
 ]
 
 _TOKEN_SEP = "[^a-z0-9]+"
+_TOKEN_RE = __import__("re").compile(_TOKEN_SEP)
 
 # Small embedded english stopword list (public-domain frequency list).
 STOPWORDS = (
@@ -398,3 +401,107 @@ def bm25_scores(
         .agg(F.sum("__s").alias("score"))
     )
     return scored.select(F.col("__id").alias(id_col), "score")
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary training + encoding (token-budget layer for LLM
+# corpus assembly; complements bpe_token_count's regex approximation
+# with a LEARNED subword vocabulary).
+# ---------------------------------------------------------------------------
+
+def train_bpe(
+    df,
+    text_col: str = "text",
+    num_merges: int = 100,
+    max_vocab_words: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Learn BPE merge rules (Sennrich et al. 2016) from a corpus.
+
+    The DISTRIBUTED part is the word-frequency table — one shuffle of
+    |distinct words| rows regardless of corpus size (this is how the
+    production tokenizers train: GPT-2/sentencepiece run the merge loop
+    over word COUNTS, never raw text). The table is bounded to the
+    ``max_vocab_words`` most frequent types (deterministic count-desc,
+    word-asc order) and the greedy merge loop runs driver-side: each
+    iteration merges the most frequent adjacent symbol pair (ties →
+    lexicographically smallest pair), weighted by word frequency.
+
+    Returns the ordered merge list [(left, right), ...] — the entire
+    tokenizer state; apply with `bpe_encode`.
+    """
+    wf = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(int(max_vocab_words))
+        .collect()
+    )
+    words: list[tuple[list[str], int]] = [
+        (list(r["w"]) + ["</w>"], int(r["c"])) for r in wf
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        # ties: highest count, then lexicographically SMALLEST pair —
+        # deterministic across runs/platforms
+        best_count = max(counts.values())
+        best_pair = min(p for p, c in counts.items() if c == best_count)
+        if best_count < 2:
+            break
+        merges.append(best_pair)
+        a, b = best_pair
+        ab = a + b
+        for syms, _ in words:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == a and syms[i + 1] == b:
+                    syms[i : i + 2] = [ab]
+                else:
+                    i += 1
+    return merges
+
+
+def _bpe_apply(word: str, ranks: dict) -> list[str]:
+    syms = list(word) + ["</w>"]
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(merges: list):
+    """Pandas-UDF factory: text → array<string> of BPE subwords using a
+    learned merge list (lowest-rank merge applied first — the standard
+    BPE inference rule). Merge ranks broadcast in the closure; per-word
+    results memoized per batch."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def _enc(texts: pd.Series) -> pd.Series:
+        memo: dict[str, list[str]] = {}
+        out = []
+        for t in texts:
+            toks = [x for x in _TOKEN_RE.split((t or "").lower()) if x]
+            subs: list[str] = []
+            for w in toks:
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = _bpe_apply(w, ranks)
+                subs.extend(got)
+            out.append(subs)
+        return pd.Series(out)
+
+    return _enc

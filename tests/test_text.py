@@ -212,3 +212,32 @@ def test_bm25_matches_python_reference(spark):
     # corpus statistics sanity: the rarer term ranks its doc higher
     # (doc1 has 2x 'a', idf_a > idf_c)
     assert got[1] > got[2]
+
+
+def test_train_bpe_learns_frequent_pairs(spark):
+    # 'low' x5, 'lower' x2, 'newest' x6, 'widest' x3 — the classic
+    # Sennrich toy corpus; 'es','est','est</w>' merges must emerge
+    corpus = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(corpus,)], "text string")
+    merges = TX.train_bpe(df, num_merges=10)
+    assert ("e", "s") in merges
+    assert ("es", "t") in merges
+    first = merges[0]
+    assert first == ("e", "s")  # freq 9, the most frequent pair
+
+    enc = TX.bpe_encode(merges)
+    out = df.select(enc(F.col("text")).alias("toks")).head()["toks"]
+    # every 'newest' occurrence encodes identically; round-trip holds
+    joined = "".join(out)
+    assert joined == corpus.replace(" ", "</w>") + "</w>"
+    # with enough merges the frequent word collapses to one symbol
+    merges_full = TX.train_bpe(df, num_merges=50)
+    enc2 = TX.bpe_encode(merges_full)
+    toks2 = df.select(enc2(F.col("text")).alias("t")).head()["t"]
+    assert "newest</w>" in toks2
+
+
+def test_bpe_encode_zero_merges_is_chars(spark):
+    df = spark.createDataFrame([("ab cd",)], "text string")
+    out = df.select(TX.bpe_encode([])(F.col("text")).alias("t")).head()["t"]
+    assert out == ["a", "b", "</w>", "c", "d", "</w>"]

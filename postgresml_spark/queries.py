@@ -3446,3 +3446,41 @@ def q95_pq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = pq_encode(cand, books, "embedding")
     out = pq_topk(enc, books, qv, k=10, id_col="vec_id")
     return out.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
+@query(
+    "q96_set_ops",
+    oracle="""
+    WITH big_buyers AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+    ), urgent_buyers AS (
+      SELECT DISTINCT o_custkey AS custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ), both_kinds AS (
+      SELECT custkey FROM big_buyers INTERSECT SELECT custkey FROM urgent_buyers
+    ), only_big AS (
+      SELECT custkey FROM big_buyers EXCEPT SELECT custkey FROM urgent_buyers
+    )
+    SELECT 'both' AS kind, CAST(count(*) AS BIGINT) AS n FROM both_kinds
+    UNION ALL
+    SELECT 'only_big' AS kind, CAST(count(*) AS BIGINT) AS n FROM only_big
+    """,
+)
+def q96_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set-operation breadth (§2.G beyond UNION and
+    anti-join): Catalyst plans both as aggregated semi/anti joins —
+    the DISTINCT folds into the join, one shuffle per operand pair."""
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    both = big.intersect(urgent).agg(F.count("*").cast("bigint").alias("n")).select(
+        F.lit("both").alias("kind"), "n"
+    )
+    only_big = big.exceptAll(urgent).agg(
+        F.count("*").cast("bigint").alias("n")
+    ).select(F.lit("only_big").alias("kind"), "n")
+    return both.unionByName(only_big)

@@ -3484,3 +3484,61 @@ def q96_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n")
     ).select(F.lit("only_big").alias("kind"), "n")
     return both.unionByName(only_big)
+
+
+@query(
+    "q97_keep_best_per_cluster",
+    oracle=f"""
+    WITH RECURSIVE {_sql_shingles(200)}, posting AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             count(*) AS n_inter
+      FROM posting a JOIN posting b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), edges AS (
+      SELECT id_a, id_b FROM inter
+      WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.1
+    ), sym AS (
+      SELECT id_a AS s, id_b AS d FROM edges
+      UNION SELECT id_b, id_a FROM edges
+    ), reach AS (
+      SELECT s, d FROM sym
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s WHERE e.d <> r.s
+    ), minr AS (
+      SELECT s, min(d) AS md FROM reach GROUP BY s
+    ), clustered AS (
+      SELECT d.doc_id, d.n_chars,
+             least(d.doc_id, coalesce(m.md, d.doc_id)) AS cluster_id
+      FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 200) d
+      LEFT JOIN minr m ON m.s = d.doc_id
+    )
+    SELECT doc_id, cluster_id FROM (
+      SELECT doc_id, cluster_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM clustered
+    ) WHERE rn = 1
+    """,
+)
+def q97_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based cluster canonicalization — the production keep
+    policy (FineWeb/Dolma keep the LONGEST/highest-quality member of
+    each duplicate cluster, not the smallest id): dup_clusters labels ⋈
+    quality signal → one window per cluster keeps the best. Window is
+    partitioned by cluster_id — bounded by the largest dup cluster,
+    never global."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    edges = DD.ngram_jaccard_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.1)
+    clusters = DD.dup_clusters(d.select("doc_id"), edges, id_col="doc_id")
+    joined = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id")
+    )

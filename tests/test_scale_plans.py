@@ -140,3 +140,34 @@ def test_decorrelated_queries_plan_shapes(spark, sf_dir):
     p81 = _plan(Q.q81_idle_rich_customers(spark, sf_dir))
     assert "LeftAnti" in p81
     assert "BroadcastNestedLoopJoin" in p81  # the 1-row scalar crossJoin only
+
+
+def test_new_operator_plan_shapes(spark, sf_dir):
+    """Round-2 operators keep their promised physical shapes."""
+    from postgresml_spark import queries as Q
+
+    # BM25: idf + constants broadcast; no sort anywhere (pure aggregate)
+    p85 = _plan(Q.q85_bm25(spark, sf_dir))
+    assert "BroadcastHashJoin" in p85
+    assert "BroadcastNestedLoopJoin" in p85  # the 1-row consts crossJoin
+
+    # rolling features: ONE exchange on user_id serves all three frames
+    p93 = _plan(Q.q93_rolling_window_features(spark, sf_dir))
+    assert p93.count("Exchange hashpartitioning(user_id") == 1
+
+    # PQ top-k: TakeOrdered, never a global sort
+    from postgresml_spark.operators.similarity import fit_pq, pq_encode, pq_topk
+    from postgresml_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.head()["embedding"]]
+    books = fit_pq(emb, "embedding", m=4, k=8)
+    plan = _plan(pq_topk(pq_encode(emb, books), books, qv, k=5))
+    assert "TakeOrderedAndProject" in plan
+
+    # gapfill: scaffold side has no data-shuffle (broadcast sequence)
+    from postgresml_spark.operators.timeseries import gapfill_locf
+    e = load_table(spark, sf_dir, "events")
+    pgf = _plan(gapfill_locf(e, "ts", "event_type", "value",
+                             "2024-01-05 00:00:00", "2024-01-06 00:00:00"))
+    assert "Window" in pgf and "event_type" in pgf.split("Window")[1][:300]

@@ -92,6 +92,19 @@ def main() -> int:
             derived[key] = v
             derived[key.replace("_ms", "_qps")] = round(1000.0 / v, 2) if v else None
 
+    # Corpus-pipeline throughput: hygiene + dedup + shuffle end-to-end
+    # (q72 runs the full 5-stage pipeline over a fixed 400-doc slice;
+    # the per-doc number amortizes codegen/JIT fixed costs visible in
+    # the raw wall-clock)
+    if times.get("q72_corpus_assembly", -1) > 0:
+        derived["corpus_pipeline_docs_per_sec"] = round(
+            400 / times["q72_corpus_assembly"], 1
+        )
+    if times.get("q22_dedup_exact", -1) > 0 and n_docs:
+        derived["exact_dedup_docs_per_sec"] = round(
+            n_docs / times["q22_dedup_exact"], 1
+        )
+
     # Served-index latency: the reference's 18-31 ms ivfflat number is
     # against a RESIDENT index, so serve from a persisted corpus — the
     # honest apples-to-apples warm-path metric.

@@ -235,3 +235,41 @@ def compact_parquet_dir(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def merge_into(
+    table: BucketedVersionedTable,
+    source: DataFrame,
+    key: str,
+    when_matched: str = "replace",
+    keep_versions: int = 2,
+) -> list[int]:
+    """Delta-MERGE-shaped upsert on a bucketed store: rows whose key
+    matches are replaced by (or kept against, ``when_matched='ignore'``)
+    the source row; unmatched source rows insert. Returns the touched
+    bucket ids.
+
+    Scale contract: the source's keys hash to a set of buckets; ONLY
+    those buckets are read (pruned scan) and rewritten — O(batch), not
+    O(table) — and every other bucket's files carry into the new
+    version as hardlinks. The combine itself is one anti-join + union
+    co-partitioned on the key. This is the general form of the
+    collection upsert's tail (collection.rs:538-640's ON CONFLICT),
+    exposed for any keyed table.
+    """
+    if when_matched not in ("replace", "ignore"):
+        raise ValueError(f"when_matched must be replace|ignore, got {when_matched!r}")
+    src = source.dropDuplicates([key])
+    touched = [
+        int(r["__bucket"])
+        for r in table._bucketed(src).select("__bucket").distinct().collect()
+    ]
+    cur = table.read_buckets(touched)
+    if when_matched == "replace":
+        kept_cur = cur.join(src.select(key), key, "left_anti")
+        merged = kept_cur.unionByName(src)
+    else:
+        new_src = src.join(cur.select(key), key, "left_anti")
+        merged = cur.unionByName(new_src)
+    table.partial_overwrite(merged, touched, keep_versions=keep_versions)
+    return sorted(touched)

@@ -3542,3 +3542,47 @@ def q97_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "cluster_id")
     )
+
+
+@query(
+    "q98_merge_into",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id < 300
+    UNION ALL
+    SELECT doc_id, md5('u|' || text) AS content_hash FROM documents
+    WHERE doc_id >= 300 AND doc_id < 450
+    """,
+)
+def q98_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) semantics on the partition-granular store under
+    the oracle gate: seed a bucketed table with docs <400, merge a
+    batch [300,450) with rewritten text — matched rows replace,
+    unmatched insert, and ONLY the batch's hash buckets rewrite (the
+    rest hardlink into the new version). The oracle states the merge
+    result declaratively."""
+    import tempfile
+
+    from postgresml_spark.collections.storage import (
+        BucketedVersionedTable,
+        merge_into,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = BucketedVersionedTable(
+        spark,
+        tempfile.mkdtemp(prefix="pgml_merge_q98_"),
+        "doc_id bigint, text string",
+        key="doc_id",
+        n_buckets=16,
+    )
+    t.overwrite(d.filter(F.col("doc_id") < 400))
+    batch = d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 450)).select(
+        "doc_id", F.concat(F.lit("u|"), F.col("text")).alias("text")
+    )
+    merge_into(t, batch, key="doc_id")
+    out = t.read().select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    out = out.localCheckpoint()  # detach from the tmp store before cleanup
+    t.drop()
+    return out

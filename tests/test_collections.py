@@ -365,3 +365,42 @@ def test_versioned_table_time_travel(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="not retained"):
         t.read_version(1)
+
+
+def test_merge_into_touches_only_batch_buckets(spark, tmp_path):
+    import glob
+    import os
+
+    from postgresml_spark.collections.storage import (
+        BucketedVersionedTable, merge_into,
+    )
+
+    t = BucketedVersionedTable(
+        spark, str(tmp_path / "mt"), "k long, v string", key="k", n_buckets=16
+    )
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(200)], t.schema)
+    t.overwrite(base, keep_versions=3)
+    v1_files = {os.path.basename(f) for f in glob.glob(str(tmp_path / "mt/v_1/__bucket=*/*.parquet"))}
+
+    batch = spark.createDataFrame([(1, "NEW"), (999, "INS")], t.schema)
+    touched = merge_into(t, batch, key="k", keep_versions=3)
+    assert 1 <= len(touched) <= 2  # the two keys hash to <=2 buckets
+
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[1] == "NEW" and got[999] == "INS" and got[2] == "v2"
+    assert len(got) == 201
+
+    # untouched buckets carried over as the same files (hardlinks)
+    import glob as g
+    carried = 0
+    for f in g.glob(str(tmp_path / "mt/v_2/__bucket=*/*.parquet")):
+        bucket = int(f.split("__bucket=")[1].split("/")[0])
+        if bucket not in touched and os.path.basename(f) in v1_files:
+            carried += 1
+    assert carried >= 14  # 16 buckets minus <=2 touched
+
+    # when_matched='ignore' keeps existing rows
+    merge_into(t, spark.createDataFrame([(1, "IGNORED"), (1000, "OK")], t.schema),
+               key="k", when_matched="ignore", keep_versions=3)
+    got2 = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got2[1] == "NEW" and got2[1000] == "OK"

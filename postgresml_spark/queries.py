@@ -3586,3 +3586,71 @@ def q98_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint()  # detach from the tmp store before cleanup
     t.drop()
     return out
+
+
+@query(
+    "q99_continuous_aggregate",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q99_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance (TimescaleDB refresh analog):
+    an hourly rollup STORE is seeded from the first 25 days, then a
+    late batch arrives and ONLY the (hour, type) buckets it touches are
+    recomputed and MERGEd — the oracle is the full recompute, so the
+    hash-match proves incremental refresh ≡ full refresh. Refresh cost
+    is O(affected hours), not O(history); decimal sums make the
+    aggregate exact under any grouping order."""
+    import tempfile
+
+    from postgresml_spark.collections.storage import (
+        BucketedVersionedTable,
+        merge_into,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"),
+        "event_type",
+        F.col("value").cast("decimal(18,4)").alias("value"),
+    )
+
+    def rollup(df):
+        return df.groupBy("bucket_ts", "event_type").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("value").alias("total_dec"),
+        ).withColumn(
+            "key",
+            F.concat_ws("|", F.col("bucket_ts").cast("string"), "event_type"),
+        )
+
+    cutoff = F.lit("2024-01-26 00:00:00").cast("timestamp_ntz")
+    store = BucketedVersionedTable(
+        spark,
+        tempfile.mkdtemp(prefix="pgml_cagg_q99_"),
+        "bucket_ts timestamp_ntz, event_type string, n bigint, "
+        "total_dec decimal(18,4), key string",
+        key="key",
+        n_buckets=16,
+    )
+    store.overwrite(rollup(e.filter(F.col("bucket_ts") < cutoff)))
+
+    late = e.filter(F.col("bucket_ts") >= cutoff)
+    affected = late.select("bucket_ts", "event_type").distinct()
+    refreshed = rollup(
+        e.join(F.broadcast(affected), ["bucket_ts", "event_type"], "left_semi")
+    )
+    merge_into(store, refreshed, key="key")
+
+    out = store.read().select(
+        "bucket_ts",
+        "event_type",
+        "n",
+        F.round(F.col("total_dec").cast("double"), 4).alias("total"),
+    ).localCheckpoint()
+    store.drop()
+    return out

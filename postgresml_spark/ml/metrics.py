@@ -151,3 +151,66 @@ def regression_metrics_values(y_true, y_pred) -> dict:
 
 def classification_metrics_values(y_true, y_pred) -> dict:
     return classification_metrics(_pairs_df(y_true, y_pred))
+
+
+def population_stability_index(
+    expected_df,
+    actual_df,
+    col: str,
+    bin_edges: list[float],
+    eps: float = 1e-6,
+) -> "DataFrame":
+    """Population Stability Index between two samples of ``col`` over
+    FIXED bin edges (the drift monitor between a model's training
+    snapshot and its serving traffic; PSI > 0.2 is the classic retrain
+    alarm). Returns one row: (psi, n_expected, n_actual).
+
+    Bins are data-independent constants (computed once from the
+    training snapshot's percentiles, then frozen — the CCNet-cutoff
+    pattern again), so each side is ONE partial-aggregated pass:
+    width_bucket via a CASE chain, groupBy(bin), then a broadcast-free
+    single-row join of two tiny bin tables. ``eps`` floors empty bins
+    the standard way.
+    """
+    from pyspark.sql import functions as F
+
+    def binned(df, name):
+        b = F.lit(len(bin_edges))
+        for i, edge in reversed(list(enumerate(bin_edges))):
+            b = F.when(F.col(col) < F.lit(float(edge)), F.lit(i)).otherwise(b)
+        return (
+            df.select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias(name))
+        )
+
+    e = binned(expected_df, "ne")
+    a = binned(actual_df, "na")
+    tot = (
+        e.join(a, "bin", "full_outer")
+        .select(
+            F.coalesce("ne", F.lit(0)).alias("ne"),
+            F.coalesce("na", F.lit(0)).alias("na"),
+        )
+        .agg(F.sum("ne").alias("te"), F.sum("na").alias("ta"),
+             F.collect_list(F.struct("ne", "na")).alias("bins"))
+    )
+    return tot.select(
+        F.round(
+            F.aggregate(
+                "bins",
+                F.lit(0.0),
+                lambda acc, s: acc
+                + (
+                    (s["ne"] / F.col("te") + eps)
+                    - (s["na"] / F.col("ta") + eps)
+                )
+                * F.log(
+                    (s["ne"] / F.col("te") + eps) / (s["na"] / F.col("ta") + eps)
+                ),
+            ),
+            6,
+        ).alias("psi"),
+        F.col("te").cast("bigint").alias("n_expected"),
+        F.col("ta").cast("bigint").alias("n_actual"),
+    )

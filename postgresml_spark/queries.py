@@ -3654,3 +3654,53 @@ def q99_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     store.drop()
     return out
+
+
+_PSI_EDGES = [10000.0, 20000.0, 30000.0, 40000.0, 60000.0]
+
+
+def _psi_bin_sql(col: str) -> str:
+    parts = []
+    for i, e in enumerate(_PSI_EDGES):
+        parts.append(f"WHEN {col} < {e} THEN {i}")
+    return "CASE " + " ".join(parts) + f" ELSE {len(_PSI_EDGES)} END"
+
+
+@query(
+    "q100_drift_psi",
+    oracle=f"""
+    WITH e AS (
+      SELECT {_psi_bin_sql('l_extendedprice')} AS bin, count(*) AS ne
+      FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-07-01'
+      GROUP BY 1
+    ), a AS (
+      SELECT {_psi_bin_sql('l_extendedprice')} AS bin, count(*) AS na
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      GROUP BY 1
+    ), j AS (
+      SELECT coalesce(e.ne, 0) AS ne, coalesce(a.na, 0) AS na
+      FROM e FULL OUTER JOIN a USING (bin)
+    ), t AS (
+      SELECT sum(ne) AS te, sum(na) AS ta FROM j
+    )
+    SELECT round(sum(
+             ((ne / te + 1e-6) - (na / ta + 1e-6))
+             * ln((ne / te + 1e-6) / (na / ta + 1e-6))
+           ), 6) AS psi,
+           CAST(min(te) AS BIGINT) AS n_expected,
+           CAST(min(ta) AS BIGINT) AS n_actual
+    FROM j CROSS JOIN t
+    """,
+)
+def q100_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: PSI of l_extendedprice between an
+    early-history sample and recent traffic over FROZEN bin edges (the
+    training-snapshot-vs-serving check; PSI > 0.2 = retrain alarm).
+    Each side is one partial-aggregated pass; bins are constants so no
+    percentile pass at monitor time."""
+    from postgresml_spark.ml.metrics import population_stability_index
+
+    li = _t(spark, sf_dir, "lineitem")
+    exp = li.filter(F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp"))
+    act = li.filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+    return population_stability_index(exp, act, "l_extendedprice", _PSI_EDGES)

@@ -235,3 +235,16 @@ def test_algorithm_dispatch_table():
             est, runtime = make_estimator(task, a, {})
             assert est is not None, (task, a)
             assert runtime in ("mllib", "fallback")
+
+
+def test_psi_detects_shift(spark):
+    from postgresml_spark.ml.metrics import population_stability_index
+
+    base = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "x double")
+    same = spark.createDataFrame([(float((i * 7) % 100),) for i in range(1000)], "x double")
+    shifted = spark.createDataFrame([(float(i % 100) + 50.0,) for i in range(1000)], "x double")
+    edges = [20.0, 40.0, 60.0, 80.0]
+    psi_same = population_stability_index(base, same, "x", edges).head()["psi"]
+    psi_shift = population_stability_index(base, shifted, "x", edges).head()["psi"]
+    assert psi_same < 0.01          # same distribution -> near zero
+    assert psi_shift > 0.2          # gross shift -> alarm territory

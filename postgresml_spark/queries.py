@@ -3704,3 +3704,88 @@ def q100_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     exp = li.filter(F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp"))
     act = li.filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
     return population_stability_index(exp, act, "l_extendedprice", _PSI_EDGES)
+
+
+@query(
+    "q101_group_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT l_returnflag AS grp, avg(l_extendedprice) AS mu,
+             stddev_samp(l_extendedprice) AS sd
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           round((l.l_extendedprice - s.mu) / s.sd, 4) AS z
+    FROM lineitem l JOIN stats s ON l.l_returnflag = s.grp
+    WHERE abs((l.l_extendedprice - s.mu) / s.sd) > 2.8
+    """,
+)
+def q101_group_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging (data-quality gate before
+    training): group moments in one partial-agg pass, broadcast back,
+    pure-expression flagging in the scan — no second shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.avg("l_extendedprice").alias("mu"),
+        F.stddev_samp("l_extendedprice").alias("sd"),
+    )
+    z = (F.col("l_extendedprice") - F.col("mu")) / F.col("sd")
+    return (
+        li.join(F.broadcast(stats), F.col("l_returnflag") == F.col("grp"))
+        .filter(F.abs(z) > 2.8)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round(z, 4).alias("z"),
+        )
+    )
+
+
+@query(
+    "q102_ab_welch_t",
+    oracle="""
+    WITH g AS (
+      SELECT CASE WHEN event_type IN ('click', 'view') THEN 'A' ELSE 'B' END AS arm,
+             value
+      FROM events
+    ), s AS (
+      SELECT arm, count(*) AS n, avg(value) AS mu, var_samp(value) AS v
+      FROM g GROUP BY arm
+    )
+    SELECT round(a.mu - b.mu, 4) AS mean_diff,
+           round((a.mu - b.mu) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
+    FROM (SELECT * FROM s WHERE arm = 'A') a
+    CROSS JOIN (SELECT * FROM s WHERE arm = 'B') b
+    """,
+)
+def q102_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B analysis: Welch's t statistic from per-arm sufficient
+    statistics (n, mean, variance) — ONE aggregation pass over the
+    events, then a 1×1 join; the experiment readout never rescans raw
+    data. The pattern scales to thousands of simultaneous experiments
+    by adding the experiment id to the groupBy."""
+    e = _t(spark, sf_dir, "events")
+    g = e.select(
+        F.when(F.col("event_type").isin("click", "view"), "A")
+        .otherwise("B")
+        .alias("arm"),
+        "value",
+    )
+    s = g.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("v"),
+    )
+    a = s.filter(F.col("arm") == "A").alias("a")
+    b = s.filter(F.col("arm") == "B").alias("b")
+    t = (F.col("a.mu") - F.col("b.mu")) / F.sqrt(
+        F.col("a.v") / F.col("a.n") + F.col("b.v") / F.col("b.n")
+    )
+    return a.crossJoin(b).select(
+        F.round(F.col("a.mu") - F.col("b.mu"), 4).alias("mean_diff"),
+        F.round(t, 4).alias("t_stat"),
+        F.col("a.n").cast("bigint").alias("n_a"),
+        F.col("b.n").cast("bigint").alias("n_b"),
+    )

@@ -3717,12 +3717,13 @@ def q100_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
            round((l.l_extendedprice - s.mu) / s.sd, 4) AS z
     FROM lineitem l JOIN stats s ON l.l_returnflag = s.grp
-    WHERE abs((l.l_extendedprice - s.mu) / s.sd) > 2.8
+    WHERE abs((l.l_extendedprice - s.mu) / s.sd) > 1.72
     """,
 )
 def q101_group_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score outlier flagging (data-quality gate before
-    training): group moments in one partial-agg pass, broadcast back,
+    training; threshold sits in the synthetic uniform price's tail —
+    production data would use 3σ): group moments in one partial-agg pass, broadcast back,
     pure-expression flagging in the scan — no second shuffle."""
     li = _t(spark, sf_dir, "lineitem")
     stats = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
@@ -3732,7 +3733,7 @@ def q101_group_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("l_extendedprice") - F.col("mu")) / F.col("sd")
     return (
         li.join(F.broadcast(stats), F.col("l_returnflag") == F.col("grp"))
-        .filter(F.abs(z) > 2.8)
+        .filter(F.abs(z) > 1.72)
         .select(
             "l_orderkey",
             "l_linenumber",

@@ -214,3 +214,52 @@ def population_stability_index(
         F.col("te").cast("bigint").alias("n_expected"),
         F.col("ta").cast("bigint").alias("n_actual"),
     )
+
+
+def fit_platt_calibration(
+    df,
+    score_col: str,
+    label_col: str,
+    max_iter: int = 100,
+) -> tuple[float, float]:
+    """Platt scaling: fit p(y=1|s) = sigmoid(a·s + b) on held-out
+    (score, label) pairs — the standard post-hoc calibration for
+    classifiers whose raw scores are not probabilities (Platt 1999;
+    sklearn's CalibratedClassifierCV(method='sigmoid')). One MLlib
+    logistic fit on a single feature; the returned (a, b) pair is the
+    entire calibrator state."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.sql import functions as F
+
+    feats = VectorAssembler(inputCols=[score_col], outputCol="__f").transform(
+        df.select(
+            F.col(score_col).cast("double"),
+            F.col(label_col).cast("double").alias("__y"),
+        )
+    )
+    m = LogisticRegression(
+        featuresCol="__f", labelCol="__y", maxIter=max_iter, regParam=0.0
+    ).fit(feats)
+    return float(m.coefficients[0]), float(m.intercept)
+
+
+def apply_platt_calibration(score_col, a: float, b: float):
+    """Column expression: calibrated probability from a raw score."""
+    from pyspark.sql import functions as F
+
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    return 1.0 / (1.0 + F.exp(-(F.lit(a) * s + F.lit(b))))
+
+
+def brier_score(df, prob_col: str, label_col: str) -> float:
+    """Mean squared error of predicted probability vs outcome."""
+    from pyspark.sql import functions as F
+
+    return float(
+        df.agg(
+            F.avg(
+                (F.col(prob_col) - F.col(label_col).cast("double")) ** 2
+            )
+        ).head()[0]
+    )

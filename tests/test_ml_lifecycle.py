@@ -248,3 +248,31 @@ def test_psi_detects_shift(spark):
     psi_shift = population_stability_index(base, shifted, "x", edges).head()["psi"]
     assert psi_same < 0.01          # same distribution -> near zero
     assert psi_shift > 0.2          # gross shift -> alarm territory
+
+
+def test_platt_calibration_improves_brier(spark):
+    import math
+    import random
+
+    from postgresml_spark.ml.metrics import (
+        apply_platt_calibration, brier_score, fit_platt_calibration,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(2000):
+        # true prob follows sigmoid(2x); the model emits the RAW margin
+        # x as its "score" - monotone but uncalibrated
+        x = rng.uniform(-3, 3)
+        p = 1 / (1 + math.exp(-2 * x))
+        rows.append((x, 1 if rng.random() < p else 0))
+    df = spark.createDataFrame(rows, "score double, label int")
+
+    a, b = fit_platt_calibration(df, "score", "label")
+    assert 1.5 < a < 2.5 and abs(b) < 0.3  # recovers the true link
+
+    naive = df.withColumn(
+        "p", (F.col("score") + F.lit(3.0)) / F.lit(6.0)  # minmax guess
+    )
+    cal = df.withColumn("p", apply_platt_calibration("score", a, b))
+    assert brier_score(cal, "p", "label") < brier_score(naive, "p", "label") - 0.01

@@ -3790,3 +3790,115 @@ def q102_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.n").cast("bigint").alias("n_a"),
         F.col("b.n").cast("bigint").alias("n_b"),
     )
+
+
+@query(
+    "q103_funnel",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(
+               CASE event_type WHEN 'view' THEN 'v'
+                               WHEN 'click' THEN 'c'
+                               WHEN 'purchase' THEN 'p' ELSE 'x' END,
+               '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS users,
+           CAST(count(*) FILTER (WHERE s LIKE '%v%') AS BIGINT) AS saw_view,
+           CAST(count(*) FILTER (WHERE regexp_matches(s, 'v.*c')) AS BIGINT)
+             AS view_then_click,
+           CAST(count(*) FILTER (WHERE regexp_matches(s, 'v.*c.*p')) AS BIGINT)
+             AS full_funnel
+    FROM seq
+    """,
+)
+def q103_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click → purchase, any gaps):
+    per-user event sequence folds to a compact symbol string in ONE
+    grouped aggregation (sort happens inside the per-user group via
+    a partitioned window, never globally), then funnel stages are
+    regex predicates over the fold — the MATCH_RECOGNIZE-lite shape
+    every product-analytics engine ships."""
+    e = _t(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("x")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        e.select("user_id", sym.alias("sym"), "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "sym"))),
+                    lambda s: s["sym"],
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    return seq.agg(
+        F.count("*").cast("bigint").alias("users"),
+        F.sum(F.when(F.col("s").contains("v"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("saw_view"),
+        F.sum(F.when(F.col("s").rlike("v.*c"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("view_then_click"),
+        F.sum(F.when(F.col("s").rlike("v.*c.*p"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("full_funnel"),
+    )
+
+
+@query(
+    "q104_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             CAST(date_diff('day', f.cohort, date_trunc('week', e.ts)) / 7 AS INT)
+               AS week_n
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT CAST(cohort AS DATE) AS cohort, week_n,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity
+    WHERE week_n <= 3
+    GROUP BY cohort, week_n
+    """,
+)
+def q104_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, one
+    row per (cohort, weeks-since) with distinct active users. Two
+    shuffles total (first-seen agg, then the distinct-activity agg);
+    the firsts relation broadcasts back onto the event scan."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort")
+    )
+    activity = (
+        e.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort")) / 7
+            )
+            .cast("int")
+            .alias("week_n"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_n") <= 3)
+        .groupBy(F.to_date("cohort").alias("cohort"), F.col("week_n"))
+        .agg(F.count("*").cast("bigint").alias("active_users"))
+    )

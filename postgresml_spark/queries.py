@@ -3902,3 +3902,49 @@ def q104_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date("cohort").alias("cohort"), F.col("week_n"))
         .agg(F.count("*").cast("bigint").alias("active_users"))
     )
+
+
+@query(
+    "q105_mutual_information",
+    oracle="""
+    WITH joint AS (
+      SELECT lang, source, count(*) AS nxy FROM documents GROUP BY 1, 2
+    ), mx AS (
+      SELECT lang, sum(nxy) AS nx FROM joint GROUP BY 1
+    ), my AS (
+      SELECT source, sum(nxy) AS ny FROM joint GROUP BY 1
+    ), t AS (
+      SELECT sum(nxy) AS n FROM joint
+    )
+    SELECT round(sum(
+             (nxy / n) * ln((nxy / n) / ((nx / n) * (ny / n)))
+           ), 6) AS mi,
+           CAST(count(*) AS BIGINT) AS joint_cells
+    FROM joint JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN t
+    """,
+)
+def q105_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (is the
+    language mix independent of the source? — the datamix-skew check
+    before weighting a corpus). One joint-count shuffle; marginals
+    derive from the joint table (no rescan) and broadcast back;
+    MI≈0 ⇒ independent mix."""
+    d = _t(spark, sf_dir, "documents")
+    joint = d.groupBy("lang", "source").agg(F.count("*").alias("nxy"))
+    joint = joint.localCheckpoint()  # three consumers, one computation
+    mx = joint.groupBy("lang").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("source").agg(F.sum("nxy").alias("ny"))
+    t = joint.agg(F.sum("nxy").alias("n"))
+    mi = (F.col("nxy") / F.col("n")) * F.log(
+        (F.col("nxy") / F.col("n"))
+        / ((F.col("nx") / F.col("n")) * (F.col("ny") / F.col("n")))
+    )
+    return (
+        joint.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(t))
+        .agg(
+            F.round(F.sum(mi), 6).alias("mi"),
+            F.count("*").cast("bigint").alias("joint_cells"),
+        )
+    )

@@ -159,3 +159,17 @@ def test_er_diagram(spark, tmp_path):
     assert mermaid.startswith("erDiagram")
     assert "p_body_chunks" in mermaid and "p_body_embeddings" in mermaid
     assert "documents ||--o{" in mermaid
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """Approximate-distinct (HLL++) stays within its declared relative
+    standard deviation — the sketch the streaming rollup and any
+    100 TB cardinality estimate rely on."""
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    df = spark.range(n).select((F.col("id") % 7919).alias("k"))  # 7919 distinct
+    exact = 7919
+    for rsd in (0.05, 0.01):
+        got = df.agg(F.approx_count_distinct("k", rsd).alias("a")).head()["a"]
+        assert abs(got - exact) / exact < 4 * rsd, (rsd, got)

@@ -273,3 +273,47 @@ def merge_into(
         merged = cur.unionByName(new_src)
     table.partial_overwrite(merged, touched, keep_versions=keep_versions)
     return sorted(touched)
+
+
+def table_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Reconcile two table snapshots (e.g. two retained versions via
+    `read_version`): one row per changed key with change ∈
+    {added, removed, changed}. Unchanged keys are filtered INSIDE the
+    join output before anything else materializes, so the result is
+    O(delta) even when both snapshots are 100 TB — and the full-outer
+    join co-partitions both sides on the key (one shuffle each).
+
+    Row identity = md5 of the concatenated compare columns (default:
+    every non-key column present on both sides, sorted by name).
+    """
+    from pyspark.sql import functions as F
+
+    if compare_cols is None:
+        compare_cols = sorted(
+            (set(old_df.columns) & set(new_df.columns)) - {key}
+        )
+
+    def fp(df):
+        return df.select(
+            F.col(key),
+            F.md5(
+                F.concat_ws(
+                    "\x1f", *[F.col(c).cast("string") for c in compare_cols]
+                )
+            ).alias("__fp"),
+        )
+
+    o, n = fp(old_df).alias("o"), fp(new_df).alias("n")
+    j = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    return j.select(
+        F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+        F.when(F.col(f"o.{key}").isNull(), "added")
+        .when(F.col(f"n.{key}").isNull(), "removed")
+        .when(F.col("o.__fp") != F.col("n.__fp"), "changed")
+        .alias("change"),
+    ).filter(F.col("change").isNotNull())

@@ -3948,3 +3948,43 @@ def q105_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("joint_cells"),
         )
     )
+
+
+@query(
+    "q106_table_diff",
+    oracle="""
+    WITH old_v AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 450
+    ), new_v AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN 'edited|' || text ELSE text END AS text
+      FROM documents WHERE doc_id >= 50
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN md5(o.text) != md5(n.text) THEN 'changed'
+           END AS change
+    FROM old_v o FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id
+    WHERE (o.doc_id IS NULL OR n.doc_id IS NULL OR md5(o.text) != md5(n.text))
+    """,
+)
+def q106_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (the read side of time travel): diff two
+    table versions into O(delta) added/removed/changed rows — fingerprint
+    projection, one co-partitioned full-outer join, unchanged keys
+    filtered before materializing. The op any audit of a versioned
+    100 TB store starts with."""
+    from postgresml_spark.collections.storage import table_diff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old_v = d.filter(F.col("doc_id") < 450)
+    new_v = d.filter(F.col("doc_id") >= 50).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.lit("edited|"), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return table_diff(old_v, new_v, key="doc_id")

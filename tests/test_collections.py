@@ -404,3 +404,16 @@ def test_merge_into_touches_only_batch_buckets(spark, tmp_path):
                key="k", when_matched="ignore", keep_versions=3)
     got2 = {r["k"]: r["v"] for r in t.read().collect()}
     assert got2[1] == "NEW" and got2[1000] == "OK"
+
+
+def test_table_diff_with_time_travel(spark, tmp_path):
+    from postgresml_spark.collections.storage import VersionedTable, table_diff
+
+    t = VersionedTable(spark, str(tmp_path / "td"), "k long, v string")
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], t.schema),
+                keep_versions=3)
+    t.overwrite(spark.createDataFrame([(2, "B"), (3, "c"), (4, "d")], t.schema),
+                keep_versions=3)
+    diff = {r["k"]: r["change"] for r in
+            table_diff(t.read_version(1), t.read_version(2), key="k").collect()}
+    assert diff == {1: "removed", 2: "changed", 4: "added"}

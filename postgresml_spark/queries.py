@@ -3988,3 +3988,116 @@ def q106_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return table_diff(old_v, new_v, key="doc_id")
+
+
+@query(
+    "q107_sequential_pairs",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+    ), pairs AS (
+      SELECT DISTINCT a.user_id, a.event_type AS e1, b.event_type AS e2
+      FROM ordered a JOIN ordered b
+        ON a.user_id = b.user_id
+       AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+    )
+    SELECT e1, e2, CAST(count(*) AS BIGINT) AS support
+    FROM pairs GROUP BY e1, e2
+    HAVING count(*) >= 120
+    """,
+)
+def q107_sequential_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, length-2 (PrefixSpan's workhorse
+    case): ordered pairs (a happens, b later) supported by ≥120 users.
+    The oracle states the quadratic self-join spec; the Spark side
+    computes each user's DISTINCT-type first/last timestamps in ONE
+    grouped pass and derives pair existence from them — O(users ×
+    types²) instead of O(events²)."""
+    e = _t(spark, sf_dir, "events")
+    # first occurrence (ts, event_id) per (user, type), keyed for order
+    per = e.groupBy("user_id", "event_type").agg(
+        F.min(F.struct("ts", "event_id")).alias("first"),
+        F.max(F.struct("ts", "event_id")).alias("last"),
+    )
+    a, b = per.alias("a"), per.alias("b")
+    pairs = (
+        a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+        .filter(F.col("a.first") < F.col("b.last"))
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_type").alias("e1"),
+            F.col("b.event_type").alias("e2"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy("e1", "e2")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= 120)
+    )
+
+
+@query(
+    "q108_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS t FROM documents
+    ), big AS (
+      SELECT t[i+1] AS w1, t[i+2] AS w2
+      FROM (SELECT t, unnest(generate_series(0, len(t) - 2)) AS i FROM toks
+            WHERE len(t) >= 2)
+    ), bc AS (
+      SELECT w1, w2, count(*) AS nb FROM big GROUP BY 1, 2
+    ), uc AS (
+      SELECT w1 AS w, CAST(sum(nb) AS DOUBLE) AS nw FROM bc GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(nb) AS DOUBLE) AS n FROM bc
+    )
+    SELECT w1, w2, CAST(nb AS BIGINT) AS n_bigram,
+           round(ln((nb / n) / ((u1.nw / n) * (u2.nw / n))), 4) AS pmi
+    FROM bc JOIN uc u1 ON bc.w1 = u1.w
+            JOIN uc u2 ON bc.w2 = u2.w
+            CROSS JOIN tot
+    WHERE nb >= 40
+    """,
+)
+def q108_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation strength (pointwise mutual information over
+    adjacent-token pairs, ≥40 occurrences) — the corpus-statistics op
+    behind phrase detection / tokenizer seeding. First-position
+    unigram marginals derive from the bigram table itself (one token
+    shuffle total) and broadcast back."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(TX.tokenize(F.col("text")).alias("t")).filter(F.size("t") >= 2)
+    big = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i + 1).alias("w1"),
+                    F.element_at(F.col("t"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("nb")).localCheckpoint()
+    uc = bc.groupBy(F.col("w1").alias("w")).agg(
+        F.sum("nb").cast("double").alias("nw")
+    )
+    tot = bc.agg(F.sum("nb").cast("double").alias("n"))
+    pmi = F.log(
+        (F.col("nb") / F.col("n"))
+        / ((F.col("u1_nw") / F.col("n")) * (F.col("u2_nw") / F.col("n")))
+    )
+    return (
+        bc.join(F.broadcast(uc.select(F.col("w").alias("w1"), F.col("nw").alias("u1_nw"))), "w1")
+        .join(F.broadcast(uc.select(F.col("w").alias("w2"), F.col("nw").alias("u2_nw"))), "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("nb") >= 40)
+        .select(
+            "w1",
+            "w2",
+            F.col("nb").cast("bigint").alias("n_bigram"),
+            F.round(pmi, 4).alias("pmi"),
+        )
+    )

@@ -34,6 +34,8 @@ __all__ = [
     "ts_rank",
     "bm25_scores",
     "train_bpe",
+    "build_text_index",
+    "bm25_search_index",
     "bpe_encode",
     "recursive_character_split",
     "chunk_udf",
@@ -505,3 +507,113 @@ def bpe_encode(merges: list):
         return pd.Series(out)
 
     return _enc
+
+
+# ---------------------------------------------------------------------------
+# Materialized inverted index (the GIN-index analog of SURVEY §2.M's
+# full-text tables) + BM25 serving against it.
+# ---------------------------------------------------------------------------
+
+def build_text_index(
+    df,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+):
+    """Materialize a BM25-servable inverted index: a posting-list table
+    (term, doc, tf, dl) written hash-bucketed BY TERM (queries prune to
+    their terms' buckets at file listing), plus a 1-row stats table
+    (N, avgdl). Build is one corpus scan + one (term, doc) shuffle;
+    at 100 TB the index is ~|distinct (term,doc)| rows — far smaller
+    than the text it replaces at query time.
+
+    Returns (postings_path, stats) where stats = {"n_docs", "avgdl"}.
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("t")
+    ).select("doc_id", F.size("t").alias("dl"), "t")
+    consts = base.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).head()
+    postings = (
+        base.select("doc_id", "dl", F.explode("t").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .withColumn(
+            "__bucket",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+        )
+        .repartition(n_buckets, F.col("__bucket"))
+    )
+    postings.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    stats = {"n_docs": int(consts["n_docs"]), "avgdl": float(consts["avgdl"]),
+             "n_buckets": n_buckets}
+    with open(os.path.join(path, "_stats.json"), "w") as f:
+        json.dump(stats, f)
+    return path, stats
+
+
+def bm25_search_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 top-k against a materialized index — the query touches ONLY
+    its terms' posting buckets (partition pruning at file listing) and
+    never the corpus text. df_t comes from the pruned postings
+    themselves; (N, avgdl) from the stats sidecar. Same scores as
+    `bm25_scores` over the raw corpus, by construction."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(path, "_stats.json")) as f:
+        stats = json.load(f)
+    terms = sorted({t.lower() for t in query_terms})
+    buckets = list(
+        {
+            spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(F.pmod(F.xxhash64("term"), F.lit(stats["n_buckets"])).cast("int").alias("b"))
+            .collect()[i]["b"]
+            for i in range(len(terms))
+        }
+    )
+    post = (
+        spark.read.parquet(path)
+        .filter(F.col("__bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    df_t = post.groupBy("term").agg(F.count("*").alias("df_t"))
+    scored = (
+        post.join(F.broadcast(df_t), "term")
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    1.0
+                    + (F.lit(stats["n_docs"]) - F.col("df_t") + 0.5)
+                    / (F.col("df_t") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.lit(stats["avgdl"]))
+                )
+            ).alias("__s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("__s").alias("score"))
+    )
+    if k is not None:
+        scored = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    return scored

@@ -4101,3 +4101,50 @@ def q108_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(pmi, 4).alias("pmi"),
         )
     )
+
+
+@query(
+    "q109_bm25_index_served",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS toks FROM documents
+    ), bm_all AS (
+      SELECT doc_id, toks, len(toks) AS dl FROM base
+    ), consts AS (
+      SELECT count(*) AS n_docs, CAST(avg(dl) AS DOUBLE) AS avgdl FROM bm_all
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl
+      FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM bm_all)
+      WHERE tok IN ('vector', 'merge', 'stream')
+      GROUP BY doc_id, tok
+    ), dft AS (
+      SELECT tok, count(*) AS df_t FROM tf GROUP BY tok
+    )
+    SELECT doc_id, round(sum(
+             ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+             * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           ), 4) AS score
+    FROM tf JOIN dft USING (tok) CROSS JOIN consts
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q109_bm25_index_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from a MATERIALIZED inverted index (the GIN-table
+    analog): build term-bucketed posting lists once, then the query
+    reads only its terms' buckets — never the corpus text. The oracle
+    recomputes from raw text, so the hash-match proves index-served ≡
+    corpus-scan scoring."""
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="pgml_ftidx_q109_")
+    TX.build_text_index(d, path, "text", "doc_id")
+    out = TX.bm25_search_index(spark, path, list(_BM25_TERMS), k=20)
+    out = out.select(
+        "doc_id", F.round("score", 4).alias("score")
+    ).localCheckpoint()
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    return out

@@ -171,3 +171,24 @@ def test_new_operator_plan_shapes(spark, sf_dir):
     pgf = _plan(gapfill_locf(e, "ts", "event_type", "value",
                              "2024-01-05 00:00:00", "2024-01-06 00:00:00"))
     assert "Window" in pgf and "event_type" in pgf.split("Window")[1][:300]
+
+
+def test_bm25_index_prunes_term_buckets(spark, sf_dir, tmp_path):
+    """The served BM25 query must prune the posting store to its
+    terms' hash buckets at file listing (PartitionFilters), and its
+    scores must equal corpus-scan bm25_scores exactly."""
+    from postgresml_spark.functions.text import (
+        bm25_scores, bm25_search_index, build_text_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "ftidx")
+    build_text_index(d, path, "text", "doc_id")
+    served = bm25_search_index(spark, path, ["vector", "merge"])
+    plan = _plan(served)
+    assert "PartitionFilters" in plan and "__bucket" in plan
+
+    scan = bm25_scores(d, ["vector", "merge"], "text", "doc_id")
+    a = {r["doc_id"]: round(r["score"], 9) for r in served.collect()}
+    b = {r["doc_id"]: round(r["score"], 9) for r in scan.collect()}
+    assert a == b

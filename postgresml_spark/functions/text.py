@@ -35,6 +35,7 @@ __all__ = [
     "bm25_scores",
     "train_bpe",
     "build_text_index",
+    "append_to_text_index",
     "bm25_search_index",
     "bpe_encode",
     "recursive_character_split",
@@ -617,3 +618,51 @@ def bm25_search_index(
     if k is not None:
         scored = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     return scored
+
+
+def append_to_text_index(
+    df,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Incrementally add documents to a materialized text index: the
+    batch's postings APPEND into their term buckets (no existing file
+    rewritten — df_t is derived from postings at query time, so new
+    postings are visible immediately) and the (N, avgdl) sidecar
+    updates by weighted combination. The index is never rebuilt;
+    at 100 TB this is one batch-sized job per ingest wave. Run
+    `compact_parquet_dir` on a maintenance schedule for the small
+    files appends accumulate."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(path, "_stats.json")) as f:
+        stats = json.load(f)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("t")
+    ).select("doc_id", F.size("t").alias("dl"), "t")
+    consts = base.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).head()
+    postings = (
+        base.select("doc_id", "dl", F.explode("t").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .withColumn(
+            "__bucket",
+            F.pmod(F.xxhash64("term"), F.lit(stats["n_buckets"])).cast("int"),
+        )
+        .repartition(int(stats["n_buckets"]), F.col("__bucket"))
+    )
+    postings.write.mode("append").partitionBy("__bucket").parquet(path)
+    n_new = int(consts["n"])
+    if n_new:
+        n_tot = stats["n_docs"] + n_new
+        stats["avgdl"] = (
+            stats["avgdl"] * stats["n_docs"] + float(consts["a"]) * n_new
+        ) / n_tot
+        stats["n_docs"] = n_tot
+        with open(os.path.join(path, "_stats.json"), "w") as f:
+            json.dump(stats, f)
+    return stats

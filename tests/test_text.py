@@ -241,3 +241,24 @@ def test_bpe_encode_zero_merges_is_chars(spark):
     df = spark.createDataFrame([("ab cd",)], "text string")
     out = df.select(TX.bpe_encode([])(F.col("text")).alias("t")).head()["t"]
     assert out == ["a", "b", "</w>", "c", "d", "</w>"]
+
+
+def test_text_index_incremental_append_equals_full_build(spark, sf_dir, tmp_path):
+    from postgresml_spark.functions.text import (
+        append_to_text_index, bm25_search_index, build_text_index,
+    )
+    from postgresml_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    full = str(tmp_path / "full")
+    inc = str(tmp_path / "inc")
+    build_text_index(d, full, "text", "doc_id")
+    build_text_index(d.filter(F.col("doc_id") < 250), inc, "text", "doc_id")
+    append_to_text_index(d.filter(F.col("doc_id") >= 250), inc, "text", "doc_id")
+
+    terms = ["vector", "merge"]
+    a = {r["doc_id"]: round(r["score"], 9)
+         for r in bm25_search_index(spark, full, terms).collect()}
+    b = {r["doc_id"]: round(r["score"], 9)
+         for r in bm25_search_index(spark, inc, terms).collect()}
+    assert a == b

@@ -4148,3 +4148,39 @@ def q109_bm25_index_served(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+_PHRASE = "the small batch"
+
+
+@query(
+    "q110_phrase_search",
+    oracle=f"""
+    SELECT doc_id
+    FROM documents
+    WHERE ' ' || array_to_string(
+            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> x != ''), ' ') || ' '
+          LIKE '% {_PHRASE} %'
+    """,
+)
+def q110_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase full-text search: the phrase is a positional token
+    n-gram, so matching is gram-equality over the token stream (the
+    positional-GIN shape; same construction as duplicate_spans) — the
+    oracle states the naive normalized-LIKE spec instead, proving the
+    positional form equals substring semantics at word boundaries.
+    Pure codegen, zero shuffle, and the gram test composes with the
+    bucketed posting index for index-served phrase queries."""
+    d = _t(spark, sf_dir, "documents")
+    n = len(_PHRASE.split())
+    toks = d.select("doc_id", TX.tokenize(F.col("text")).alias("t"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("t") - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(F.col("t"), i + 1, n), " "),
+    )
+    return (
+        toks.filter(F.size("t") >= n)
+        .filter(F.array_contains(grams, _PHRASE))
+        .select("doc_id")
+    )

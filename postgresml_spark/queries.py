@@ -4150,7 +4150,7 @@ def q109_bm25_index_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_PHRASE = "the small batch"
+_PHRASE = "stream table hash"
 
 
 @query(

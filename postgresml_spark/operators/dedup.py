@@ -428,20 +428,35 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.0,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Pairwise Jaccard over distinct word n-grams for every pair
     sharing ≥1 shingle. Returns (id_a, id_b, jaccard).
 
-    Scale: |pairs| bounded by shingle co-occurrence; hot shingles can be
-    frequency-capped upstream (stopword-ish shingles filtered) — at
-    100 TB pair generation is the dominant cost and should be preceded
-    by minhash banding; this operator is the exact verifier.
+    Scale: |pairs| bounded by shingle co-occurrence — ONE boilerplate
+    shingle shared by 10^5 docs generates 10^10/2 pairs, so at scale
+    set ``max_shingle_df``: shingles appearing in more docs than the
+    cap are dropped from the posting list BEFORE the self-join (one
+    extra window over the posting shuffle). Intersections then count
+    only sub-cap shingles, making the reported jaccard a LOWER BOUND —
+    the safe direction for a dedup verifier (never over-merges), and a
+    hot shingle is by definition near-useless similarity evidence.
+    Default None keeps the exact semantics; pair generation at 100 TB
+    should anyway be preceded by minhash banding, with this operator as
+    the verifier.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
     posting = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    if max_shingle_df is not None:
+        wdf = Window.partitionBy("shingle")
+        posting = (
+            posting.withColumn("__df", F.count("*").over(wdf))
+            .filter(F.col("__df") <= max_shingle_df)
+            .drop("__df")
+        )
     a, b = posting.alias("a"), posting.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))

@@ -441,3 +441,24 @@ def test_gapfill_locf_dense_series(spark):
     assert (b0["n"], b0["value_locf"]) == (0, None)  # no obs yet -> NULL
     b2 = rows[("b", "2024-01-01 02:00:00")]
     assert (b2["n"], b2["value_locf"]) == (1, 5.0)
+
+
+def test_ngram_jaccard_shingle_df_cap(spark):
+    boiler = "standard footer text appears everywhere in this corpus"
+    docs = [(i, f"unique{i} words here " + boiler) for i in range(6)]
+    docs.append((100, "alpha beta gamma delta epsilon zeta eta theta"))
+    docs.append((101, "alpha beta gamma delta epsilon zeta eta iota"))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    uncapped = DD.ngram_jaccard_pairs(df, threshold=0.01)
+    # all 6 boilerplate docs pair with each other: 15 pairs + the real pair
+    assert uncapped.count() == 16
+    capped = DD.ngram_jaccard_pairs(df, threshold=0.01, max_shingle_df=3)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # boilerplate shingles (df=6) dropped -> only the genuine near-dup
+    assert pairs == {(100, 101)}
+    # and the cap only LOWERS jaccard, never raises it
+    unc = {(r["id_a"], r["id_b"]): r["jaccard"] for r in uncapped.collect()}
+    cap = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    for k in cap:
+        assert cap[k] <= unc[k] + 1e-12

@@ -208,9 +208,16 @@ class ServedIndex:
         vec_col: str = "embedding",
         id_col: str = "vec_id",
         centroids: list[list[float]] | None = None,
+        pq: tuple[int, int] | None = None,
     ):
+        """``pq=(m, k)`` compresses the RESIDENT cache to PQ codes —
+        m small ints per vector instead of d floats (the 1024-dim
+        float32 corpus that needs 4 TB of executor memory fits in
+        ~64 GB at m=16) — at the cost of approximate, L2-ranked
+        results (ADC). Exact cosine needs the uncompressed cache."""
         self.vec_col, self.id_col = vec_col, id_col
         self.centroids = centroids
+        self.codebooks = None
         cols = [id_col, vec_col]
         if centroids:
             df = ivf_assign(df.select(*cols), centroids, vec_col=vec_col)
@@ -218,6 +225,10 @@ class ServedIndex:
             df = df.repartition("centroid_id")
         else:
             df = df.select(*cols)
+        if pq is not None:
+            m, kcb = pq
+            self.codebooks = fit_pq(df, vec_col=vec_col, m=m, k=kcb)
+            df = pq_encode(df, self.codebooks, vec_col=vec_col).drop(vec_col)
         self.df = df.persist()
         self.df.count()  # materialize the cache eagerly
 
@@ -234,6 +245,11 @@ class ServedIndex:
                 key=lambda i: l2(self.centroids[i], query_vec),
             )
             df = df.filter(F.col("centroid_id").isin(order[:nprobe]))
+        if self.codebooks is not None:
+            return pq_topk(
+                df, self.codebooks, query_vec, k=k,
+                id_col=self.id_col,
+            )
         return knn_exact(
             df, query_vec, k=k, vec_col=self.vec_col, id_col=self.id_col
         )

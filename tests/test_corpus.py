@@ -348,3 +348,28 @@ def test_ivf_pq_closure_equals_exact(spark, sf_dir):
         for r in rows
     )[:10]
     assert got == [(vid, d) for d, vid in exact]
+
+
+def test_served_index_pq_compressed_cache(spark, sf_dir):
+    import numpy as np
+    from postgresml_spark.operators.similarity import ServedIndex
+    from postgresml_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.head()["embedding"]]
+    idx = ServedIndex(emb, pq=(16, 64))
+    try:
+        # the resident cache holds codes, NOT vectors
+        assert "embedding" not in idx.df.columns
+        assert "pq_code" in idx.df.columns
+        got = {r["vec_id"] for r in idx.search(qv, k=10).collect()}
+    finally:
+        idx.close()
+    rows = emb.select("vec_id", "embedding").collect()
+    q = np.asarray(qv)
+    exact = sorted(
+        (float(np.linalg.norm(np.asarray([float(x) for x in r["embedding"]]) - q)),
+         r["vec_id"]) for r in rows
+    )[:10]
+    recall = len(got & {v for _, v in exact}) / 10
+    assert recall >= 0.4, recall

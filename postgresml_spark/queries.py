@@ -4184,3 +4184,51 @@ def q110_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.array_contains(grams, _PHRASE))
         .select("doc_id")
     )
+
+
+@query(
+    "q111_fuzzy_name_pairs",
+    oracle="""
+    WITH n AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM n a JOIN n b
+      ON a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+     AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+    """,
+)
+def q111_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-match pairs (edit distance 1-2) with LENGTH BLOCKING as an
+    equi-join: each name emits keys len±2 and joins on the partner's
+    exact length — every |Δlen| ≤ 2 pair meets (the lexicographic
+    pair order is independent of length order, so keys go BOTH ways),
+    and no non-equi nested-loop join ever runs; levenshtein
+    verifies only within blocks. The entity-resolution shape at scale
+    (blocking key would be length × first-char × soundex on a real
+    corpus). Oracle states the naive all-pairs spec."""
+    p = _t(spark, sf_dir, "part").select("p_name").distinct()
+    a = p.select(
+        F.col("p_name").alias("name_a"),
+        F.explode(
+            F.array(
+                F.length("p_name") - 2,
+                F.length("p_name") - 1,
+                F.length("p_name"),
+                F.length("p_name") + 1,
+                F.length("p_name") + 2,
+            )
+        ).alias("blk"),
+    )
+    b = p.select(F.col("p_name").alias("name_b"), F.length("p_name").alias("blk"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= 2
+        )
+        .filter(dist.between(1, 2))
+        .select("name_a", "name_b", dist.cast("bigint").alias("dist"))
+        .distinct()
+    )

@@ -47,6 +47,7 @@ __all__ = [
     "deterministic_shuffle",
     "weighted_sample",
     "stratified_take",
+    "weighted_take",
     "gopher_quality_flags",
     "repetition_flags",
     "pack_sequences",
@@ -536,3 +537,29 @@ def stratified_take(
     if rank_col:
         return out.withColumnRenamed("__gr", rank_col)
     return out.drop("__gr")
+
+
+def weighted_take(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_cols: list[str],
+    seed: int | str = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k items, deterministic:
+    the Efraimidis–Spirakis A-ES scheme — each row draws a seed-keyed
+    uniform u and keeps key u^(1/w); the k largest keys are exactly a
+    weighted sample without replacement. Pure expressions + one
+    TakeOrdered top-k: no per-row state, no rejection loop,
+    reproducible under any partitioning (the importance-weighted
+    corpus subsample: w = quality score, token count, dedup cluster
+    mass...).
+    """
+    u = uniform_unit(seed, *key_cols)
+    es = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    return (
+        df.withColumn("__es", es)
+        .orderBy(F.desc("__es"), *_cols(key_cols))
+        .limit(int(k))
+        .drop("__es")
+    )

@@ -4232,3 +4232,26 @@ def q111_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", dist.cast("bigint").alias("dist"))
         .distinct()
     )
+
+
+@query(
+    "q112_weighted_take",
+    oracle=f"""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM (
+      SELECT doc_id, n_chars,
+             pow({_sql_unit('5', 'doc_id')}, 1.0 / CAST(n_chars AS DOUBLE)) AS es
+      FROM documents
+    )
+    ORDER BY es DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q112_weighted_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): 100 docs drawn ∝ length, deterministically (seed-keyed
+    md5 uniform, u^(1/w) keys, TakeOrdered top-k — no state, no
+    rejection, layout-independent)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = CO.weighted_take(d, 100, "n_chars", ["doc_id"], seed=5)
+    return out.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))

@@ -373,3 +373,19 @@ def test_served_index_pq_compressed_cache(spark, sf_dir):
     )[:10]
     recall = len(got & {v for _, v in exact}) / 10
     assert recall >= 0.4, recall
+
+
+def test_weighted_take_is_biased_and_deterministic(spark):
+    # weights 100 vs 1: heavy rows must dominate a k=50 sample of 200
+    rows = [(i, 100 if i < 100 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id int, w int")
+    got = {r["doc_id"] for r in CO.weighted_take(df, 50, "w", ["doc_id"], seed=3).collect()}
+    heavy = sum(1 for i in got if i < 100)
+    assert heavy >= 40  # ~E[heavy] is near 50 at a 100:1 weight ratio
+    # deterministic under repartition
+    again = {r["doc_id"] for r in CO.weighted_take(
+        df.repartition(7), 50, "w", ["doc_id"], seed=3).collect()}
+    assert got == again
+    # TakeOrdered plan, not a global sort
+    plan = CO.weighted_take(df, 50, "w", ["doc_id"])._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

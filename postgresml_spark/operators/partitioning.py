@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "skew_report",
     "write_bucketed",
     "bucketed_join_ready",
     "write_ivf_store",
@@ -113,3 +114,32 @@ def salted_join(
     )
     out = big_s.join(small_s, [key, "__salt"])
     return out.drop("__salt")
+
+
+def skew_report(df, key, top_n: int = 10):
+    """Pre-flight join/agg skew diagnostic: per-key row counts reduced
+    to the decision numbers — total rows, distinct keys, max/p99 key
+    share, top-N heaviest keys. One partial-aggregated shuffle of
+    |distinct keys| rows; the output is what picks the strategy
+    (broadcast the other side / AQE skew join / explicit salting /
+    nothing). Returns (summary_df, top_keys_df)."""
+    from pyspark.sql import functions as F
+
+    kc = F.col(key) if isinstance(key, str) else key
+    counts = df.groupBy(kc.alias("key")).agg(F.count("*").alias("n"))
+    counts = counts.localCheckpoint()
+    summary = counts.agg(
+        F.sum("n").cast("bigint").alias("total_rows"),
+        F.count("*").cast("bigint").alias("distinct_keys"),
+        F.max("n").cast("bigint").alias("max_key_rows"),
+        F.round(
+            (F.max("n") / F.sum("n")).cast("double"), 6
+        ).alias("max_key_share"),
+        F.round(
+            F.expr("percentile(n, 0.99)"), 2
+        ).alias("p99_key_rows"),
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("key")).limit(top_n).select(
+        "key", F.col("n").cast("bigint").alias("n")
+    )
+    return summary, top

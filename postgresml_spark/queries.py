@@ -4255,3 +4255,79 @@ def q112_weighted_take(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     out = CO.weighted_take(d, 100, "n_chars", ["doc_id"], seed=5)
     return out.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+@query(
+    "q113_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+           CAST(count(*) AS BIGINT) AS distinct_keys,
+           CAST(max(n) AS BIGINT) AS max_key_rows,
+           round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS max_key_share,
+           round(quantile_cont(n, 0.99), 2) AS p99_key_rows
+    FROM counts
+    """,
+)
+def q113_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (the pre-flight for salted vs broadcast
+    vs plain): per-key counts reduce to the decision numbers in one
+    partial-aggregated shuffle of |distinct keys| rows."""
+    from postgresml_spark.operators.partitioning import skew_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    summary, _top = skew_report(li, "l_suppkey")
+    return summary
+
+
+@query(
+    "q114_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS t
+      FROM documents WHERE doc_id < 100
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM toks)
+    SELECT doc_id, tok,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM (
+      SELECT t.doc_id, t.tok,
+             t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS raw,
+             t.tf, d.df, n.n_docs,
+             row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) DESC, t.tok
+             ) AS rn
+      FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+)
+def q114_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (the classic keyword extractor;
+    BM25's simpler cousin): tf table → df marginal (derived, broadcast
+    back) → per-doc window top-3. One token shuffle, windows
+    partitioned per doc."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tf = (
+        d.select("doc_id", F.explode(TX.tokenize(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint()
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = tf.select("doc_id").distinct().count()
+    raw = F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc(raw), F.asc("tok"))
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", F.round(raw, 6).alias("tfidf"))
+    )

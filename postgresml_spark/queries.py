@@ -4331,3 +4331,70 @@ def q114_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "tok", F.round(raw, 6).alias("tfidf"))
     )
+
+
+@query(
+    "q115_data_expectations",
+    oracle="""
+    SELECT 'orders_orderkey_unique' AS expectation,
+           CAST(count(*) = count(DISTINCT o_orderkey) AS BOOLEAN) AS ok,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) = 0 AS BOOLEAN),
+           CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) = 0
+                AS BOOLEAN),
+           CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'customer_name_not_null',
+           CAST(count(*) FILTER (WHERE c_name IS NULL) = 0 AS BOOLEAN),
+           CAST(count(*) FILTER (WHERE c_name IS NULL) AS BIGINT)
+    FROM customer
+    """,
+)
+def q115_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-expectations report (the pre-training contract check):
+    uniqueness, referential integrity, range, and null-rate rules
+    evaluated as conditional aggregates — each table scanned ONCE per
+    rule group (the FK check is the only join, a co-partitioned
+    left join counting orphans). Shape generalizes to a rule table
+    driving hundreds of expectations in a handful of passes."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+
+    def row(name, viol_col, src):
+        return src.agg(
+            F.lit(name).alias("expectation"),
+            (F.sum(viol_col) == 0).alias("ok"),
+            F.sum(viol_col).cast("bigint").alias("violations"),
+        )
+
+    uniq = o.agg(
+        F.lit("orders_orderkey_unique").alias("expectation"),
+        (F.count("*") == F.countDistinct("o_orderkey")).alias("ok"),
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("bigint").alias("violations"),
+    )
+    fk = row(
+        "lineitem_fk_orders",
+        F.when(F.col("o_orderkey").isNull(), 1).otherwise(0),
+        li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left"),
+    )
+    rng = row(
+        "lineitem_discount_range",
+        F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1).otherwise(0),
+        li,
+    )
+    nn = row(
+        "customer_name_not_null",
+        F.when(F.col("c_name").isNull(), 1).otherwise(0),
+        c,
+    )
+    return uniq.unionByName(fk).unionByName(rng).unionByName(nn)

@@ -4398,3 +4398,66 @@ def q115_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         c,
     )
     return uniq.unionByName(fk).unionByName(rng).unionByName(nn)
+
+
+@query(
+    "q116_timed_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), conv AS (
+      SELECT v.user_id,
+             CAST(count(e.ts) FILTER (
+               WHERE e.ts > v.first_view
+                 AND e.ts <= v.first_view + INTERVAL 24 HOURS) > 0 AS BOOLEAN)
+               AS converted
+      FROM v LEFT JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'purchase'
+      GROUP BY v.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS viewers,
+           CAST(count(*) FILTER (WHERE converted) AS BIGINT) AS converted_24h,
+           round(CAST(count(*) FILTER (WHERE converted) AS DOUBLE)
+                 / count(*), 6) AS conversion_rate
+    FROM conv
+    """,
+)
+def q116_timed_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion (purchase within 24h of first view) —
+    funnel analysis with a clock, the metric product teams actually
+    track. Per-user first-view in one grouped pass; the purchase probe
+    is a co-partitioned join on user_id with the interval predicate in
+    the join condition (no window, no per-event state)."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_uid"))
+            & (F.col("p_ts") > F.col("first_view"))
+            & (
+                F.col("p_ts")
+                <= F.col("first_view") + F.expr("INTERVAL 24 HOURS")
+            ),
+            "left",
+        )
+        .groupBy("user_id")
+        .agg((F.count("p_ts") > 0).alias("converted"))
+    )
+    return conv.agg(
+        F.count("*").cast("bigint").alias("viewers"),
+        F.sum(F.when(F.col("converted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("converted_24h"),
+        F.round(
+            F.sum(F.when(F.col("converted"), 1).otherwise(0)) / F.count("*"), 6
+        ).alias("conversion_rate"),
+    )

@@ -332,3 +332,35 @@ def enrich_stream(
     VersionedTable pointer swap re-read via its path) is picked up
     without restarting the query."""
     return stream_df.join(F.broadcast(dim_df), on, how)
+
+
+def idempotent_sink(collection, state_dir: str, ts_col: str = "ts"):
+    """Exactly-once-shaped foreachBatch sink: Structured Streaming
+    replays a micro-batch after a crash with the SAME epoch id, so the
+    sink records the last committed epoch in a sidecar and skips
+    batches it has already applied — upsert + epoch fence = effectively
+    exactly-once into the versioned store (the same fence Delta's
+    txn/appId mechanism provides). Returns the foreachBatch callable.
+    """
+    import os
+
+    fence = os.path.join(state_dir, "last_epoch")
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        last = -1
+        try:
+            with open(fence) as f:
+                last = int(f.read().strip())
+        except FileNotFoundError:
+            pass
+        if epoch_id <= last:
+            return  # replayed batch — already committed
+        if not batch_df.isEmpty():
+            collection.upsert_documents_df(batch_df.drop(ts_col))
+        os.makedirs(state_dir, exist_ok=True)
+        tmp = fence + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(epoch_id))
+        os.replace(tmp, fence)  # atomic commit of the fence
+
+    return _sink

@@ -339,3 +339,28 @@ def test_enrich_stream_static_broadcast_join(spark, tmp_path):
     rows = {r["user_id"]: r["tier"] for r in spark.sql(
         "select * from enriched_out").collect()}
     assert rows == {1: "gold", 2: "silver", 9: None}
+
+
+def test_idempotent_sink_skips_replayed_epoch(spark, tmp_path):
+    from postgresml_spark.collections import Collection
+    from postgresml_spark.streaming.streams import idempotent_sink
+
+    coll = Collection("idem", spark, warehouse=str(tmp_path / "wh_idem"))
+    sink = idempotent_sink(coll, str(tmp_path / "fence"))
+    b1 = spark.createDataFrame(
+        [(1, "first doc text", "2026-01-01")], "id long, text string, ts string"
+    )
+    sink(b1, epoch_id=0)
+    assert len(coll.get_documents()) == 1
+    # crash-replay of epoch 0 with the same payload: must be a no-op
+    sink(b1, epoch_id=0)
+    assert len(coll.get_documents()) == 1
+    # next epoch applies
+    b2 = spark.createDataFrame(
+        [(2, "second doc text", "2026-01-02")], "id long, text string, ts string"
+    )
+    sink(b2, epoch_id=1)
+    assert len(coll.get_documents()) == 2
+    # stale epoch arriving late (out-of-order replay) is also fenced
+    sink(b1, epoch_id=0)
+    assert len(coll.get_documents()) == 2

@@ -364,3 +364,70 @@ def idempotent_sink(collection, state_dir: str, ts_col: str = "ts"):
         os.replace(tmp, fence)  # atomic commit of the fence
 
     return _sink
+
+
+def stateful_ewma_anomaly(
+    stream_df: DataFrame,
+    alpha: float = 0.3,
+    z_threshold: float = 3.0,
+    watermark: str = "2 hours",
+    min_obs: int = 5,
+) -> DataFrame:
+    """Per-key streaming anomaly detection: an exponentially-weighted
+    mean/variance per user (West 1979 EWMA update) carried in
+    `applyInPandasWithState`; each event emits its z-score against the
+    state BEFORE absorbing it, flagging |z| > threshold once the key
+    has ``min_obs`` history. State is three doubles + a count per key —
+    constant-size regardless of stream length (the property that makes
+    per-entity monitoring viable at 10^9 keys).
+
+    Emits (user_id, ts, value, ewma, zscore, is_anomaly) in event-time
+    order per micro-batch group.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id long, ts timestamp, value double, ewma double, "
+        "zscore double, is_anomaly boolean"
+    )
+    state_schema = "mean double, var double, n long"
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        if state.exists:
+            mean, var, n = state.get
+        else:
+            mean, var, n = 0.0, 0.0, 0
+        rows = []
+        for pdf in pdf_iter:
+            for r in pdf.sort_values("ts").itertuples():
+                v = float(r.value)
+                if n >= min_obs and var > 0:
+                    z = (v - mean) / (var ** 0.5)
+                else:
+                    z = 0.0
+                rows.append(
+                    (user_id, r.ts, v, mean, z,
+                     bool(n >= min_obs and abs(z) > z_threshold))
+                )
+                if n == 0:
+                    mean, var = v, 0.0
+                else:
+                    d = v - mean
+                    incr = alpha * d
+                    mean = mean + incr
+                    var = (1 - alpha) * (var + d * incr)
+                n += 1
+        state.update((mean, var, n))
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "ts", "value", "ewma", "zscore", "is_anomaly"],
+        )
+
+    src = stream_df
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

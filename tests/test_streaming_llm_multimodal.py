@@ -364,3 +364,39 @@ def test_idempotent_sink_skips_replayed_epoch(spark, tmp_path):
     # stale epoch arriving late (out-of-order replay) is also fenced
     sink(b1, epoch_id=0)
     assert len(coll.get_documents()) == 2
+
+
+def test_stateful_ewma_anomaly_live_stream(spark, tmp_path):
+    """State persists ACROSS micro-batches: a spike in batch 2 is
+    judged against statistics learned in batch 1."""
+    import math
+
+    from postgresml_spark.streaming.streams import stateful_ewma_anomaly
+
+    src = str(tmp_path / "ewma_in")
+    os.makedirs(src)
+    base = [{"user_id": 1, "ts": f"2026-01-01T00:{i:02d}:00", "value": 10.0 + (i % 3)}
+            for i in range(10)]
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for r in base:
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double").json(src)
+    out = stateful_ewma_anomaly(stream, alpha=0.3, z_threshold=3.0)
+    q = (out.writeStream.format("memory").queryName("ewma_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ewma_ckpt")).start())
+    try:
+        q.processAllAvailable()
+        with open(os.path.join(src, "b2.json"), "w") as f:
+            f.write(json.dumps({"user_id": 1, "ts": "2026-01-01T00:30:00",
+                                "value": 500.0}) + "\n")
+            f.write(json.dumps({"user_id": 1, "ts": "2026-01-01T00:31:00",
+                                "value": 11.0}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["value"]: r for r in spark.sql("select * from ewma_out").collect()}
+    assert rows[500.0]["is_anomaly"] is True     # spike vs batch-1 state
+    assert rows[10.0]["is_anomaly"] is False
+    assert all(not r["is_anomaly"] for v, r in rows.items() if v < 20 and v != 11.0)

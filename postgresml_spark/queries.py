@@ -4461,3 +4461,174 @@ def q116_timed_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("converted"), 1).otherwise(0)) / F.count("*"), 6
         ).alias("conversion_rate"),
     )
+
+
+@query(
+    "q117_frequent_itemsets",
+    oracle="""
+    WITH baskets AS (
+      SELECT l_orderkey, list_distinct(list(p_brand)) AS items
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY l_orderkey
+    ), tot AS (SELECT count(*) AS n FROM baskets),
+    thr AS (SELECT CAST(ceil(0.02 * n) AS BIGINT) AS minc FROM tot),
+    singles AS (
+      SELECT item AS itemset, count(*) AS freq
+      FROM (SELECT l_orderkey, unnest(items) AS item FROM baskets)
+      GROUP BY 1
+    ), pairs AS (
+      SELECT CASE WHEN a.item < b.item THEN a.item || ',' || b.item
+                  ELSE b.item || ',' || a.item END AS itemset,
+             count(*) AS freq
+      FROM (SELECT l_orderkey, unnest(items) AS item FROM baskets) a
+      JOIN (SELECT l_orderkey, unnest(items) AS item FROM baskets) b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY 1
+    )
+    SELECT itemset, CAST(freq AS BIGINT) AS freq
+    FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+    CROSS JOIN thr WHERE freq >= minc
+    """,
+)
+def q117_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: MLlib FPGrowth over per-order brand
+    baskets (distributed FP-tree — no candidate-generation explosion).
+    At 2% support the frequent itemsets are exactly the 1- and 2-sets,
+    so the oracle can state the spec as plain relational counting —
+    FPGrowth's output must match the brute-force enumeration row for
+    row (itemsets emitted as sorted CSV strings: arrays crash the
+    gate's canonicalizer)."""
+    from pyspark.ml.fpm import FPGrowth
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.array_distinct(F.collect_list("p_brand")).alias("items"))
+    )
+    fp = FPGrowth(itemsCol="items", minSupport=0.02).fit(baskets)
+    return fp.freqItemsets.select(
+        F.array_join(F.array_sort("items"), ",").alias("itemset"),
+        F.col("freq").cast("bigint").alias("freq"),
+    )
+
+
+@query(
+    "q118_kaplan_meier",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, min(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), obs AS (SELECT max(ts) AS obs_end FROM events),
+    fp AS (
+      SELECT f.user_id,
+             min(e.ts) AS first_purchase
+      FROM fv f JOIN events e
+        ON e.user_id = f.user_id AND e.event_type = 'purchase'
+       AND e.ts > f.first_view
+      GROUP BY f.user_id
+    ), durations AS (
+      SELECT f.user_id,
+             CASE WHEN p.first_purchase IS NOT NULL
+                  THEN date_diff('day', f.first_view, p.first_purchase)
+                  ELSE date_diff('day', f.first_view, o.obs_end) END AS dur,
+             CAST(p.first_purchase IS NOT NULL AS INT) AS death
+      FROM fv f LEFT JOIN fp p USING (user_id) CROSS JOIN obs o
+    ), per_t AS (
+      SELECT dur, sum(death) AS d, count(*) AS leaving
+      FROM durations GROUP BY dur
+    ), risk1 AS (
+      SELECT dur, d,
+             (SELECT count(*) FROM durations) -
+             coalesce(sum(leaving) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      FROM per_t
+    ), risk2 AS (
+      SELECT dur, d, n_risk,
+             sum(CASE WHEN d < n_risk
+                      THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                      ELSE 0.0 END)
+               OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS log_s,
+             max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS hit_zero
+      FROM risk1
+    )
+    SELECT CAST(dur AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS deaths,
+           CASE WHEN hit_zero = 1 THEN 0.0 ELSE round(exp(log_s), 6) END AS survival
+    FROM risk2 WHERE d > 0
+    """,
+)
+def q118_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival of time-to-purchase (right-censored at
+    observation end): per-user durations in two grouped passes, then
+    the estimator runs over the AGGREGATED time axis (≤ #distinct
+    durations rows — the global window is bounded by design, not by
+    data volume). S(t) as exp(Σ ln(1 − d/n)) keeps the cumulative
+    product a windowed sum."""
+    e = _t(spark, sf_dir, "events")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    obs_end = e.agg(F.max("ts").alias("obs_end"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"), F.col("ts").alias("p_ts")
+    )
+    fp = (
+        fv.join(
+            p,
+            (F.col("user_id") == F.col("p_uid"))
+            & (F.col("p_ts") > F.col("first_view")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    dur = (
+        fv.join(fp, "user_id", "left")
+        .crossJoin(F.broadcast(obs_end))
+        .select(
+            F.when(
+                F.col("first_purchase").isNotNull(),
+                F.datediff("first_purchase", "first_view"),
+            )
+            .otherwise(F.datediff("obs_end", "first_view"))
+            .alias("dur"),
+            F.col("first_purchase").isNotNull().cast("int").alias("death"),
+        )
+    ).localCheckpoint()
+    n_total = dur.count()
+    per_t = dur.groupBy("dur").agg(
+        F.sum("death").alias("d"), F.count("*").alias("leaving")
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_t.withColumn(
+        "n_risk",
+        F.lit(n_total) - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0)),
+    ).withColumn(
+        "log_s",
+        F.sum(
+            # a fully-converting risk set (d == n) sends S to exactly 0;
+            # ln(0) would be null in Spark and an error in DuckDB
+            F.when(
+                F.col("d") < F.col("n_risk"),
+                F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")),
+            ).otherwise(F.lit(0.0))
+        ).over(w_cum),
+    ).withColumn(
+        "hit_zero",
+        F.max(
+            F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+        ).over(w_cum),
+    )
+    return risk.filter(F.col("d") > 0).select(
+        F.col("dur").cast("bigint").alias("t_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("deaths"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("log_s"), 6))
+        .alias("survival"),
+    )

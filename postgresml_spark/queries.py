@@ -4632,3 +4632,47 @@ def q118_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp("log_s"), 6))
         .alias("survival"),
     )
+
+
+@query(
+    "q119_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), trans AS (
+      SELECT event_type AS src, next_type AS dst, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT src, sum(n) AS n_src FROM trans GROUP BY 1
+    )
+    SELECT t.src, t.dst, CAST(t.n AS BIGINT) AS n,
+           round(CAST(t.n AS DOUBLE) / s.n_src, 6) AS p
+    FROM trans t JOIN tot s USING (src)
+    """,
+)
+def q119_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: lead()
+    per user gives consecutive event pairs (one shuffle on user_id),
+    pair counts normalize by source marginals derived from the
+    transition table itself. The behavioral fingerprint a
+    session-based recommender or bot detector starts from."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count("*").alias("n"))
+    trans = trans.localCheckpoint()
+    tot = trans.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return trans.join(F.broadcast(tot), "src").select(
+        "src",
+        "dst",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("n_src"), 6).alias("p"),
+    )

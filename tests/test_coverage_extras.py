@@ -173,3 +173,26 @@ def test_approx_count_distinct_within_rsd(spark):
     for rsd in (0.05, 0.01):
         got = df.agg(F.approx_count_distinct("k", rsd).alias("a")).head()["a"]
         assert abs(got - exact) / exact < 4 * rsd, (rsd, got)
+
+
+def test_query_registry_contract():
+    """Gate-contract lint: every oracle has a query, names are unique
+    and well-formed, and the four declared rows-only queries are
+    exactly the known non-SQL-portable set (each of which has an
+    oracle-gated twin elsewhere in the catalog)."""
+    import __spark_entry__ as m
+
+    q, o = m.queries(), m.oracle_sql()
+    assert set(o) <= set(q)
+    rows_only = set(q) - set(o)
+    assert rows_only == {
+        "q15_knn_ivf", "q24_minhash_candidates",
+        "q25_simhash_pairs", "q29_multimodal_features",
+    }
+    assert all(name.startswith("q") and "_" in name for name in q)
+    # oracle SQL strings are non-trivial and reference a known table
+    tables = ("lineitem", "orders", "customer", "supplier", "part",
+              "nation", "region", "events", "documents", "embeddings")
+    for name, sql in o.items():
+        assert len(sql) > 40, name
+        assert any(t in sql for t in tables), name

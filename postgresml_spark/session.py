@@ -66,6 +66,20 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Silence WindowExec's no-partition warning ONLY: every remaining
+    # global window in this engine runs over a provably bounded frame
+    # (top-N result lists, aggregated time axes ≤ |distinct keys|) —
+    # the corpus-sized cases were restructured (see preprocess/snapshot
+    # train_test_split). Class-targeted so genuine new offenders in
+    # user code still surface at WARN via their own loggers.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments: keep the warning
     return spark
 
 

@@ -54,6 +54,7 @@ __all__ = [
     "simhash_candidate_pairs",
     "embedding_near_dup_pairs",
     "semantic_dedup",
+    "corpus_line_dedup",
 ]
 
 
@@ -964,3 +965,53 @@ def duplicate_spans(
     if min_span_tokens is not None:
         spans = spans.filter(F.col("span_tokens") >= min_span_tokens)
     return spans
+
+
+def corpus_line_dedup(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    line_col: str = "line",
+    min_df: int = 3,
+    normalize: bool = True,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """C4-style corpus-level boilerplate removal (Raffel et al. 2020
+    §2.2: drop any line occurring in ≥N documents — nav bars, cookie
+    banners, license footers survive every document-level dedup pass
+    because the *documents* differ).
+
+    Input is an exploded (id, pos, line) frame (split on newline,
+    sentence, or fixed window upstream); output is one row per document
+    that retains ≥1 line: (id, clean_text, n_kept), lines rejoined in
+    original order with ``delimiter``.
+
+    Scale shape: one groupBy on the normalized line key computes
+    document frequency (map-side partial agg collapses repeats early);
+    the boilerplate set joins back LEFT ANTI on the same key — both
+    stages shuffle on the line key, so hot boilerplate lines are also
+    the most-collapsed ones. Reassembly groups by document id (second
+    shuffle) and sorts each doc's surviving lines inside the aggregated
+    array — no per-document window, no global sort, no driver state.
+    """
+    key = (
+        F.lower(F.trim(F.col(line_col))) if normalize else F.col(line_col)
+    )
+    keyed = lines.withColumn("__k", key)
+    boiler = (
+        keyed.groupBy("__k")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__k")
+    )
+    kept = keyed.join(boiler, "__k", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(pos_col, line_col))),
+                lambda s: s[line_col],
+            ),
+            delimiter,
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )

@@ -4676,3 +4676,247 @@ def q119_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n").cast("double") / F.col("n_src"), 6).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q12x — corpus hygiene (C4 line dedup), time-series downsampling /
+# changepoints, TPC-H breadth, distribution statistics
+# ---------------------------------------------------------------------------
+
+@query(
+    "q120_line_dedup",
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id, i AS pos, substr(text, i*64 + 1, 64) AS line
+      FROM documents,
+           unnest(generate_series(0, CAST(ceil(length(text)/64.0) AS INT) - 1)) AS t(i)
+      WHERE length(text) > 0
+    ),
+    keyed AS (SELECT doc_id, pos, line, lower(trim(line)) AS k FROM lines),
+    boiler AS (SELECT k FROM keyed GROUP BY k HAVING count(DISTINCT doc_id) >= 3),
+    kept AS (SELECT doc_id, pos, line FROM keyed WHERE k NOT IN (SELECT k FROM boiler))
+    SELECT doc_id,
+           string_agg(line, '' ORDER BY pos) AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q120_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide boilerplate-line removal (Raffel et al.
+    2020 §2.2): any line appearing in ≥3 documents is dropped from ALL
+    of them, then documents are reassembled in original line order.
+    Lines here are fixed 64-char windows (this corpus has no newlines);
+    the operator takes any exploded (id, pos, line) frame.
+
+    Scale: df-count and anti-join both shuffle on the line key (high
+    cardinality, map-side combine collapses hot boilerplate early);
+    reassembly is one groupBy(doc) with an in-array sort — no window,
+    no global sort, no driver state.
+    """
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    lines = d.select(
+        "doc_id",
+        F.posexplode(TX.chunk_fixed("text", 64)).alias("pos", "line"),
+    )
+    out = DD.corpus_line_dedup(
+        lines, id_col="doc_id", min_df=3, delimiter=""
+    )
+    return out.select("doc_id", "clean_text", F.col("n_kept").cast("bigint").alias("n_kept"))
+
+
+@query(
+    "q121_m4_downsample",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts, ts, event_id, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id)                          AS ra,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC)                AS rd,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY value, ts, event_id)                   AS rvmin,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY value DESC, ts, event_id)              AS rvmax
+      FROM events
+    )
+    SELECT event_type, bucket_ts,
+           CAST(count(*) AS BIGINT)        AS n,
+           min(value)                      AS v_min,
+           max(value)                      AS v_max,
+           max(CASE WHEN ra = 1    THEN value END) AS v_first,
+           max(CASE WHEN rd = 1    THEN value END) AS v_last,
+           max(CASE WHEN rvmin = 1 THEN ts END)    AS t_vmin,
+           max(CASE WHEN rvmax = 1 THEN ts END)    AS t_vmax
+    FROM base GROUP BY event_type, bucket_ts
+    """,
+)
+def q121_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    (series, pixel-bucket) keep exactly the first/last/min/max points —
+    the lossless-for-rendering reduction a dashboard or feature
+    preview uses instead of scanning raw events.
+
+    All four picks are row VALUES (no float arithmetic), so the oracle
+    matches bitwise; ties break on (ts, event_id) deterministically.
+    Scale: the four row_numbers share one (series, bucket) partition
+    key — a single shuffle/sort feeds all of them, then the groupBy
+    collapses on the same key (no second exchange under AQE).
+    """
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket_ts"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    pk = ["event_type", "bucket_ts"]
+    ra = Window.partitionBy(*pk).orderBy("ts", "event_id")
+    rd = Window.partitionBy(*pk).orderBy(F.desc("ts"), F.desc("event_id"))
+    rvmin = Window.partitionBy(*pk).orderBy("value", "ts", "event_id")
+    rvmax = Window.partitionBy(*pk).orderBy(F.desc("value"), "ts", "event_id")
+    r = base.select(
+        *pk,
+        "ts",
+        "value",
+        F.row_number().over(ra).alias("ra"),
+        F.row_number().over(rd).alias("rd"),
+        F.row_number().over(rvmin).alias("rvmin"),
+        F.row_number().over(rvmax).alias("rvmax"),
+    )
+    return r.groupBy(*pk).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("v_first"),
+        F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("v_last"),
+        F.max(F.when(F.col("rvmin") == 1, F.col("ts"))).alias("t_vmin"),
+        F.max(F.when(F.col("rvmax") == 1, F.col("ts"))).alias("t_vmax"),
+    )
+
+
+@query(
+    "q122_cusum_changepoint",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, round(avg(value), 6) AS mu,
+             CAST(count(*) AS BIGINT) AS n_points
+      FROM events GROUP BY event_type
+    ),
+    c AS (
+      SELECT e.event_type, e.ts, e.event_id, m.n_points,
+             sum(e.value - m.mu) OVER (PARTITION BY e.event_type
+                                       ORDER BY e.ts, e.event_id
+                                       ROWS UNBOUNDED PRECEDING) AS s
+      FROM events e JOIN m USING (event_type)
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs(s) DESC, ts, event_id) AS rn
+      FROM c
+    )
+    SELECT event_type, ts AS changepoint_ts,
+           round(abs(s), 4) AS cusum_peak, n_points
+    FROM r WHERE rn = 1
+    """,
+)
+def q122_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per series: cumulative sum of
+    deviations from the series mean peaks where the level shifts —
+    the classic drift/changepoint screen for metrics and data-quality
+    monitors (Page 1954).
+
+    Determinism across engines: the mean is rounded to 6dp FIRST, so
+    both engines accumulate identical doubles in the identical
+    (ts, event_id) order — the windowed sum is sequential within a
+    partition in both. Scale: one broadcast of per-series means, one
+    partitioned ordered window; series length per key bounds partition
+    memory (segment long series by day for unbounded streams).
+    """
+    e = _t(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.count("*").cast("bigint").alias("n_points"),
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = (
+        e.join(F.broadcast(m), "event_type")
+        .withColumn("s", F.sum(F.col("value") - F.col("mu")).over(wc))
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.col("ts"), F.col("event_id")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("changepoint_ts"),
+            F.round(F.abs(F.col("s")), 4).alias("cusum_peak"),
+            "n_points",
+        )
+    )
+
+
+@query(
+    "q123_seasonal_anomaly",
+    oracle="""
+    WITH prof AS (
+      SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hod,
+             round(avg(value), 6) AS expected
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT e.event_type, e.ts, e.value, p.expected,
+             round(e.value - p.expected, 6) AS residual,
+             row_number() OVER (PARTITION BY e.event_type
+                                ORDER BY abs(e.value - p.expected) DESC,
+                                         e.ts, e.event_id) AS rnk
+      FROM events e
+      JOIN prof p ON e.event_type = p.event_type
+                 AND CAST(extract(hour FROM e.ts) AS INT) = p.hod
+    )
+    SELECT event_type, ts, value, expected, residual,
+           CAST(rnk AS INT) AS rnk
+    FROM scored WHERE rnk <= 5
+    """,
+)
+def q123_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-profile anomaly screen: expected value = hour-of-day
+    baseline per series (the simplest seasonal-naive model), anomaly =
+    largest |value − expected|; top-5 per series. The monitoring twin
+    of the EWMA detector (q-streaming) for batch backfills.
+
+    Scale: the (series × 24) profile is tiny → broadcast back onto the
+    fact scan; ranking is a per-series window, never global.
+    """
+    e = _t(spark, sf_dir, "events")
+    hod = F.hour("ts").cast("int")
+    prof = (
+        e.groupBy("event_type", hod.alias("hod"))
+        .agg(F.round(F.avg("value"), 6).alias("expected"))
+    )
+    scored = e.withColumn("hod", hod).join(
+        F.broadcast(prof), ["event_type", "hod"]
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("value") - F.col("expected")).desc(),
+        F.col("ts"),
+        F.col("event_id"),
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "event_type",
+            "ts",
+            "value",
+            "expected",
+            F.round(F.col("value") - F.col("expected"), 6).alias("residual"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

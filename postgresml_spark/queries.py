@@ -5282,3 +5282,211 @@ def q131_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_lines"),
         )
     )
+
+
+from postgresml_spark.operators import graph as GR  # noqa: E402
+
+
+@query(
+    "q132_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(floor(extract(hour FROM ts) / 6) AS INT) AS band,
+             CAST(count(*) AS DOUBLE) AS obs
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, sum(obs) AS row_tot FROM cells GROUP BY 1),
+    ct AS (SELECT band, sum(obs) AS col_tot FROM cells GROUP BY 1),
+    n AS (SELECT sum(obs) AS tot,
+                 CAST(count(DISTINCT event_type) AS INT) AS n_rows,
+                 CAST(count(DISTINCT band) AS INT) AS n_cols
+          FROM cells)
+    SELECT round(sum((c.obs - rt.row_tot * ct.col_tot / n.tot)
+                     * (c.obs - rt.row_tot * ct.col_tot / n.tot)
+                     / (rt.row_tot * ct.col_tot / n.tot)), 4) AS chi2,
+           CAST(max((n.n_rows - 1) * (n.n_cols - 1)) AS INT) AS dof,
+           CAST(max(n.tot) AS BIGINT) AS n
+    FROM cells c
+    JOIN rt ON c.event_type = rt.event_type
+    JOIN ct ON c.band = ct.band
+    CROSS JOIN n
+    """,
+)
+def q132_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and 6-hour
+    time-of-day band — the screen for 'does behavior depend on
+    daypart' (and the same construction as sklearn's chi2 feature
+    selector the reference exposes via metrics). Marginals are
+    integer-exact; only the final 20-cell sum is rounded.
+
+    Scale: one contingency agg on the fact scan (map-side combined);
+    marginals and totals are cell-table aggregates — everything after
+    the first groupBy operates on |types|×|bands| rows."""
+    e = _t(spark, sf_dir, "events")
+    band = F.floor(F.hour("ts") / 6).cast("int")
+    cells = e.groupBy(
+        "event_type", band.alias("band")
+    ).agg(F.count("*").cast("double").alias("obs"))
+    cells = cells.localCheckpoint()
+    rt = cells.groupBy("event_type").agg(F.sum("obs").alias("row_tot"))
+    ct = cells.groupBy("band").agg(F.sum("obs").alias("col_tot"))
+    n = cells.agg(
+        F.sum("obs").alias("tot"),
+        F.count_distinct("event_type").cast("int").alias("n_rows"),
+        F.count_distinct("band").cast("int").alias("n_cols"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("tot")
+    return (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "band")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.round(F.sum((F.col("obs") - exp) * (F.col("obs") - exp) / exp), 4).alias("chi2"),
+            F.max((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("int").alias("dof"),
+            F.max("tot").cast("bigint").alias("n"),
+        )
+    )
+
+
+@query(
+    "q134_spearman_corr",
+    oracle="""
+    WITH qd AS (
+      SELECT l_quantity AS q, l_discount AS d FROM lineitem
+    ),
+    qr AS (
+      SELECT q, cum_before + (cnt + 1) / 2.0 AS rq FROM (
+        SELECT q, CAST(count(*) AS DOUBLE) AS cnt,
+               coalesce(sum(count(*)) OVER (ORDER BY q
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM qd GROUP BY q) t
+    ),
+    dr AS (
+      SELECT d, cum_before + (cnt + 1) / 2.0 AS rd FROM (
+        SELECT d, CAST(count(*) AS DOUBLE) AS cnt,
+               coalesce(sum(count(*)) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM qd GROUP BY d) t
+    )
+    SELECT round(corr(qr.rq, dr.rd), 6) AS spearman_rho,
+           CAST(count(*) AS BIGINT) AS n
+    FROM qd JOIN qr USING (q) JOIN dr USING (d)
+    """,
+)
+def q134_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between quantity and
+    discount: average ranks computed on the DISTINCT-value frames
+    (cumulative counts over ≤50 rows — never a 60M-row global rank),
+    broadcast back onto the fact scan, then Pearson corr of the ranks.
+    The scale-safe construction for low-cardinality columns; for
+    continuous columns substitute the ventile sketch first."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("q"), F.col("l_discount").alias("d")
+    )
+
+    def avg_ranks(col: str, out: str) -> DataFrame:
+        cnts = li.groupBy(col).agg(F.count("*").cast("double").alias("cnt"))
+        w = (
+            Window.orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return cnts.select(
+            col,
+            (
+                F.coalesce(F.sum("cnt").over(w), F.lit(0.0))
+                + (F.col("cnt") + 1) / 2.0
+            ).alias(out),
+        )
+
+    qr = avg_ranks("q", "rq")
+    dr = avg_ranks("d", "rd")
+    return (
+        li.join(F.broadcast(qr), "q")
+        .join(F.broadcast(dr), "d")
+        .agg(
+            F.round(F.corr("rq", "rd"), 6).alias("spearman_rho"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+
+
+@query(
+    "q135_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS.format(t='text')}) AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5('fh:' || tok), 1, 15)) AS BIGINT) % 64 AS INT)
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM toks GROUP BY 1, 2
+    """,
+)
+def q135_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009): token →
+    md5-derived bucket in [0,64), tf = in-doc count. The fixed-width
+    sparse text features a linear model trains on without a vocabulary
+    pass — and the md5 hash is portable, so the oracle checks every
+    (doc, bucket) cell. Scale: explode + one groupBy(doc, bucket);
+    no vocabulary state, no driver structures."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(TX.tokenize("text")).alias("tok"))
+    bucket = (CO.hash_key("fh", F.col("tok")) % 64).cast("int")
+    return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+
+
+@query(
+    "q136_pagerank_events",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS n
+          FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+    w AS (SELECT src, dst, n / sum(n) OVER (PARTITION BY src) AS p FROM e),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS nc FROM nodes),
+    r0 AS (SELECT node, 1.0 / nc AS r FROM nodes CROSS JOIN nn),
+    it1 AS (SELECT nd.node, 0.15 / (SELECT nc FROM nn)
+                   + 0.85 * coalesce(sum(r0.r * w.p), 0) AS r
+            FROM nodes nd
+            LEFT JOIN w ON w.dst = nd.node
+            LEFT JOIN r0 ON r0.node = w.src
+            GROUP BY nd.node),
+    it2 AS (SELECT nd.node, 0.15 / (SELECT nc FROM nn)
+                   + 0.85 * coalesce(sum(it1.r * w.p), 0) AS r
+            FROM nodes nd
+            LEFT JOIN w ON w.dst = nd.node
+            LEFT JOIN it1 ON it1.node = w.src
+            GROUP BY nd.node),
+    it3 AS (SELECT nd.node, 0.15 / (SELECT nc FROM nn)
+                   + 0.85 * coalesce(sum(it2.r * w.p), 0) AS r
+            FROM nodes nd
+            LEFT JOIN w ON w.dst = nd.node
+            LEFT JOIN it2 ON it2.node = w.src
+            GROUP BY nd.node)
+    SELECT node, round(r, 6) AS pagerank FROM it3
+    """,
+)
+def q136_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (3 unrolled
+    power-iteration steps, d=0.85): which behavioral state holds
+    long-run attention. The unrolled form keeps the whole computation
+    one lazy Catalyst plan — the oracle unrolls the same three CTEs.
+
+    Scale: rank state lives in DataFrames keyed by node (broadcast for
+    bounded node sets like event types or domains; shuffle-on-node-key
+    for web-scale graphs); no driver-side rank vector."""
+    e = _t(spark, sf_dir, "events")
+    edges = GR.transition_edges(
+        e, "event_type", ["ts", "event_id"], "user_id"
+    ).localCheckpoint()
+    nodes = e.select(F.col("event_type").alias("node")).distinct().localCheckpoint()
+    ranks = GR.pagerank(nodes, edges, iterations=3, damping=0.85)
+    return ranks.select("node", F.round("r", 6).alias("pagerank"))

@@ -1,0 +1,56 @@
+"""Graph operators: transition edges + unrolled PageRank."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresml_spark.operators.graph import pagerank, transition_edges
+
+
+@pytest.fixture(scope="module")
+def chain(spark):
+    # two users walking A->B->C and A->B->A
+    rows = [
+        (1, 1, "A"), (1, 2, "B"), (1, 3, "C"),
+        (2, 1, "A"), (2, 2, "B"), (2, 3, "A"),
+    ]
+    return spark.createDataFrame(rows, ["uid", "step", "state"])
+
+
+def test_transition_edges_row_normalized(chain):
+    e = transition_edges(chain, "state", ["step"], "uid")
+    rows = {(r["src"], r["dst"]): (r["n"], r["p"]) for r in e.collect()}
+    assert rows[("A", "B")][0] == 2.0
+    assert rows[("B", "C")] == (1.0, 0.5)
+    assert rows[("B", "A")] == (1.0, 0.5)
+    # out-probabilities sum to 1 per src
+    sums = (
+        e.groupBy("src").agg(F.sum("p").alias("s")).collect()
+    )
+    assert all(abs(r["s"] - 1.0) < 1e-12 for r in sums)
+
+
+def test_pagerank_conserves_mass_without_dangling(chain):
+    # strongly-connected 2-cycle: A<->B; total rank mass must stay 1
+    edges = chain.sparkSession.createDataFrame(
+        [("A", "B", 1.0), ("B", "A", 1.0)], ["src", "dst", "p"]
+    )
+    nodes = chain.sparkSession.createDataFrame([("A",), ("B",)], ["node"])
+    r = pagerank(nodes, edges, iterations=5)
+    vals = {row["node"]: row["r"] for row in r.collect()}
+    assert abs(sum(vals.values()) - 1.0) < 1e-9
+    # symmetric cycle → equal ranks
+    assert abs(vals["A"] - vals["B"]) < 1e-12
+
+
+def test_pagerank_sink_attracts_mass(chain):
+    # A->B only (B re-feeds A to avoid dangling): B gets more than A
+    edges = chain.sparkSession.createDataFrame(
+        [("A", "B", 1.0), ("B", "A", 0.5), ("B", "B", 0.5)],
+        ["src", "dst", "p"],
+    )
+    nodes = chain.sparkSession.createDataFrame([("A",), ("B",)], ["node"])
+    vals = {
+        row["node"]: row["r"]
+        for row in pagerank(nodes, edges, iterations=10).collect()
+    }
+    assert vals["B"] > vals["A"]

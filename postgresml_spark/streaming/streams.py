@@ -431,3 +431,51 @@ def stateful_ewma_anomaly(
     return src.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_interval_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    key: str = "user_id",
+    gap_hours: int = 24,
+    watermark: str = "48 hours",
+) -> DataFrame:
+    """Stream-stream interval join: every (view, purchase) pair for the
+    same user where the purchase lands within ``gap_hours`` after the
+    view — streaming attribution, the live twin of the batch
+    q116_timed_conversion metric.
+
+    Both sides are watermarked and the join condition bounds event time
+    on BOTH streams, so Spark can expire state: a buffered view is
+    dropped once the purchase-side watermark passes view_ts +
+    gap_hours; a buffered purchase once the view-side watermark passes
+    purchase_ts (state is O(watermark-horizon × arrival rate), never
+    unbounded). Works identically on batch DataFrames (watermarks are
+    skipped; the join is a plain interval join).
+    """
+    v = views.select(
+        F.col(key).alias("v_uid"), F.col("ts").alias("view_ts")
+    )
+    p = purchases.select(
+        F.col(key).alias("p_uid"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if v.isStreaming:
+        v = v.withWatermark("view_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("v_uid") == F.col("p_uid"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {gap_hours} HOURS")
+        )
+    )
+    return v.join(p, cond).select(
+        F.col("v_uid").alias(key),
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

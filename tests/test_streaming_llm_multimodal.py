@@ -400,3 +400,34 @@ def test_stateful_ewma_anomaly_live_stream(spark, tmp_path):
     assert rows[500.0]["is_anomaly"] is True     # spike vs batch-1 state
     assert rows[10.0]["is_anomaly"] is False
     assert all(not r["is_anomaly"] for v, r in rows.items() if v < 20 and v != 11.0)
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    from postgresml_spark.streaming.streams import stream_interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purch")
+    views.write.parquet(vdir)
+    purchases.write.parquet(pdir)
+
+    # batch reference on the same data
+    expected = stream_interval_join(views, purchases).count()
+    assert expected > 0
+
+    vs = spark.readStream.schema(EVENT_SCHEMA).parquet(vdir)
+    ps = spark.readStream.schema(EVENT_SCHEMA).parquet(pdir)
+    joined = stream_interval_join(vs, ps)
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT count(*) FROM attrib_out").head()[0]
+    assert got == expected

@@ -22,6 +22,8 @@ __all__ = [
     "write_ivf_store",
     "read_ivf_probe",
     "salted_join",
+    "morton_code",
+    "zorder_write",
 ]
 
 
@@ -143,3 +145,64 @@ def skew_report(df, key, top_n: int = 10):
         "key", F.col("n").cast("bigint").alias("n")
     )
     return summary, top
+
+
+def morton_code(
+    x,
+    y,
+    x_min: float,
+    x_max: float,
+    y_min: float,
+    y_max: float,
+    bits: int = 8,
+) -> "F.Column":
+    """Z-order (Morton) key: quantize two columns to ``bits``-bit cells
+    over EXPLICIT bounds and interleave their bits (x gets the even bit
+    positions). Explicit bounds keep the code a pure deterministic
+    expression — no data-dependent min/max pass, and the same literal
+    arithmetic runs on any engine.
+
+    Why: sorting by a Morton key clusters BOTH dimensions at once, so
+    parquet row-group min/max stats become selective for predicates on
+    either (or both) columns — the open-table-format Z-ORDER feature as
+    plain Spark expressions. The interleave is an unrolled OR of
+    2·bits codegen terms (no UDF, no loop at runtime).
+    """
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+
+    def quant(c, lo, hi):
+        cells = (1 << bits) - 1
+        q = F.floor((c - F.lit(lo)) / F.lit(hi - lo) * (cells + 1))
+        return F.least(F.greatest(q, F.lit(0)), F.lit(cells)).cast("long")
+
+    qx, qy = quant(xc, x_min, x_max), quant(yc, y_min, y_max)
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        # Column.bitwiseOR, not `|` (PySpark overloads `|` as boolean OR)
+        code = code.bitwiseOR(
+            F.shiftleft(F.shiftright(qx, i) % 2, 2 * i)
+        ).bitwiseOR(F.shiftleft(F.shiftright(qy, i) % 2, 2 * i + 1))
+    return code
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    code,
+    num_files: int = 16,
+) -> None:
+    """Write ``df`` clustered by a Morton key: range-repartition into
+    ``num_files`` code ranges + sort inside each — every output file
+    covers a compact Z-curve segment, i.e. a small rectangle in
+    (x, y) space, so file- and row-group-level min/max pruning works
+    for both dimensions. The cheap stand-in for Delta/Iceberg Z-ORDER
+    on a plain parquet store."""
+    (
+        df.withColumn("__z", code)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -5490,3 +5490,54 @@ def q136_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = e.select(F.col("event_type").alias("node")).distinct().localCheckpoint()
     ranks = GR.pagerank(nodes, edges, iterations=3, damping=0.85)
     return ranks.select("node", F.round("r", 6).alias("pagerank"))
+
+
+from postgresml_spark.operators.partitioning import morton_code  # noqa: E402
+
+
+def _morton_sql(bits: int = 8) -> str:
+    def quant(col, lo, hi):
+        cells = (1 << bits) - 1
+        return (
+            f"CAST(least(greatest(floor(({col} - {lo}) / {hi - lo} * "
+            f"{cells + 1}), 0), {cells}) AS BIGINT)"
+        )
+
+    qx = quant("CAST(user_id AS DOUBLE)", 0.0, 160.0)
+    qy = quant("value", 0.0, 512.0)
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({qx} >> {i}) % 2) << {2 * i})")
+        terms.append(f"((({qy} >> {i}) % 2) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@query(
+    "q137_zorder_key",
+    oracle=f"""
+    SELECT event_id, ({_morton_sql()}) AS zcode
+    FROM events
+    """,
+)
+def q137_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, value): quantize
+    both to 8-bit cells over explicit bounds, interleave bits — pure
+    integer expressions, bit-identical on any engine (the oracle runs
+    the same unrolled arithmetic).
+
+    Why it matters at 100 TB: sort-by-zcode clusters two dimensions at
+    once, so parquet min/max stats prune files for predicates on either
+    column — the Delta/Iceberg Z-ORDER layout lever as plain Spark
+    expressions (tests/test_zorder.py measures the actual file-pruning
+    win vs natural layout)."""
+    e = _t(spark, sf_dir, "events")
+    code = morton_code(
+        F.col("user_id").cast("double"),
+        "value",
+        0.0,
+        160.0,
+        0.0,
+        512.0,
+        bits=8,
+    )
+    return e.select("event_id", code.alias("zcode"))

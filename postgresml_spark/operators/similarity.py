@@ -39,6 +39,7 @@ __all__ = [
     "ivf_assign",
     "knn_ivf",
     "ServedIndex",
+    "ResidentANN",
     "binary_signature",
     "binary_signature_py",
     "hamming_distance_lit",
@@ -580,3 +581,96 @@ def knn_ivf_pq(
     )
     probed = assigned.filter(F.col("centroid_id").isin(order[:nprobe]))
     return pq_topk(probed, codebooks, query_vec, k=k, id_col=id_col, code_col=code_col)
+
+
+class ResidentANN:
+    """Driver-resident ANN serving tier — the actual architectural
+    analog of the reference's number: pgvector's 18-31 ms/query is
+    measured against an ivfflat index resident in Postgres shared
+    memory, not against a per-query table scan. The matching Spark
+    design splits roles: Spark BUILDS/refreshes the index (scan,
+    normalize, optional IVF assignment — all distributed), and serving
+    happens from process-local numpy state with one BLAS matvec +
+    argpartition per query — no Spark job, no scheduler on the hot
+    path.
+
+    Memory honesty at scale: exact float32 state is d×4 B/vector
+    (5M×1024 ≈ 20 GB — fits one serving host; 100 TB-scale corpora
+    shard by IVF centroid across serving processes, each holding its
+    partitions, exactly how a distributed pgvector deployment shards).
+    ``nlist``>0 adds IVF pruning: queries scan ~nprobe/nlist of rows.
+
+    The one-time ``toPandas`` build hop moves O(corpus) bytes through
+    Arrow ONCE — the same bytes any index build reads; it is not a
+    per-query driver collect.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        nlist: int = 0,
+        nprobe: int = 4,
+        seed: int = 42,
+    ):
+        pdf = df.select(id_col, vec_col).toPandas()
+        self.ids = pdf[id_col].to_numpy()
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]]
+        )
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        self.mat = mat / norms  # cosine = dot on unit vectors
+        self.nprobe = nprobe
+        self.assign = None
+        self.centroids = None
+        if nlist:
+            cent = _lloyd(self.mat.astype(np.float64), nlist, seed, 20)
+            cn = np.linalg.norm(cent, axis=1, keepdims=True)
+            cn[cn == 0.0] = 1.0
+            self.centroids = (cent / cn).astype(np.float32)
+            self.assign = np.argmax(self.mat @ self.centroids.T, axis=1)
+            order = np.argsort(self.assign, kind="stable")
+            # cluster rows by centroid for contiguous probe slices
+            self.ids, self.mat = self.ids[order], self.mat[order]
+            self.assign = self.assign[order]
+            self.offsets = np.searchsorted(
+                self.assign, np.arange(nlist + 1)
+            )
+
+    def search(self, query_vec, k: int = 10) -> list[tuple]:
+        """Top-k (id, cosine) — pure numpy, ~µs-to-ms per call."""
+        q = np.asarray(query_vec, dtype=np.float32)
+        qn = np.linalg.norm(q)
+        if qn:
+            q = q / qn
+        if self.centroids is None:
+            mat, ids = self.mat, self.ids
+        else:
+            probe = np.argsort(-(self.centroids @ q))[: self.nprobe]
+            slices = [
+                np.arange(self.offsets[c], self.offsets[c + 1]) for c in probe
+            ]
+            idx = np.concatenate(slices) if slices else np.arange(0)
+            mat, ids = self.mat[idx], self.ids[idx]
+        if len(ids) == 0:
+            return []
+        scores = mat @ q
+        kk = min(k, len(scores))
+        top = np.argpartition(-scores, kk - 1)[:kk]
+        top = top[np.argsort(-scores[top], kind="stable")]
+        return [(ids[i].item(), float(scores[i])) for i in top]
+
+    def search_df(self, spark: SparkSession, query_vec, k: int = 10) -> DataFrame:
+        """DataFrame wrapper for API parity with knn_exact."""
+        from pyspark.sql import types as T
+
+        rows = [(int(i), float(s)) for i, s in self.search(query_vec, k)]
+        schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)

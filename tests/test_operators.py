@@ -462,3 +462,46 @@ def test_ngram_jaccard_shingle_df_cap(spark):
     cap = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
     for k in cap:
         assert cap[k] <= unc[k] + 1e-12
+
+
+def test_resident_ann_matches_knn_exact(spark, sf_dir):
+    from postgresml_spark.operators.similarity import ResidentANN, knn_exact
+    from postgresml_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.orderBy("vec_id").head()["embedding"]]
+    expected = [
+        (r["vec_id"], round(r["score"], 4))
+        for r in knn_exact(emb, qv, k=10).collect()
+    ]
+    idx = ResidentANN(emb)
+    got = [(i, round(s, 4)) for i, s in idx.search(qv, k=10)]
+    # float32 resident state vs float64 Spark scoring: compare at 4dp
+    assert [i for i, _ in got] == [i for i, _ in expected]
+    assert all(abs(a[1] - b[1]) <= 1e-3 for a, b in zip(got, expected))
+
+
+def test_resident_ann_ivf_recall(spark, sf_dir):
+    from postgresml_spark.operators.similarity import ResidentANN
+    from postgresml_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.orderBy("vec_id").head()["embedding"]]
+    exact = ResidentANN(emb)
+    ivf = ResidentANN(emb, nlist=8, nprobe=4)
+    exact_ids = {i for i, _ in exact.search(qv, k=10)}
+    ivf_ids = {i for i, _ in ivf.search(qv, k=10)}
+    assert len(ivf_ids) == 10
+    # probing half the lists must recover most true neighbors
+    assert len(exact_ids & ivf_ids) >= 7
+
+
+def test_resident_ann_search_df_shape(spark, sf_dir):
+    from postgresml_spark.operators.similarity import ResidentANN
+    from postgresml_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.orderBy("vec_id").head()["embedding"]]
+    out = ResidentANN(emb).search_df(spark, qv, k=5)
+    assert out.columns == ["vec_id", "score"]
+    assert out.count() == 5

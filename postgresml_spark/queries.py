@@ -5541,3 +5541,288 @@ def q137_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=8,
     )
     return e.select("event_id", code.alias("zcode"))
+
+
+@query(
+    "q138_ks_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT CAST(least(255, floor(value / 512.0 * 256)) AS INT) AS bin,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    cells AS (
+      SELECT bin,
+             CAST(sum(is_a) AS DOUBLE) AS na,
+             CAST(sum(1 - is_a) AS DOUBLE) AS nb
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM cells),
+    ecdf AS (
+      SELECT sum(na) OVER (ORDER BY bin) / ta AS fa,
+             sum(nb) OVER (ORDER BY bin) / tb AS fb
+      FROM cells CROSS JOIN tot
+    )
+    SELECT round(max(abs(fa - fb)), 6) AS ks_d,
+           CAST(max(ta) AS BIGINT) AS n_a,
+           CAST(max(tb) AS BIGINT) AS n_b
+    FROM ecdf CROSS JOIN tot
+    """,
+)
+def q138_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between the
+    'view' and 'purchase' value distributions, computed over a 256-bin
+    quantization (the sketch that makes KS scale: ECDFs come from ONE
+    contingency aggregate; the window runs over ≤256 bin rows, never
+    the fact table). Bin counts are integer-exact → D is exact for the
+    binned distributions on both engines. Complements PSI (q100):
+    KS is the sup-norm screen, PSI the per-bin attribution."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    bin_c = F.least(F.lit(255), F.floor(F.col("value") / 512.0 * 256)).cast("int")
+    is_a = (F.col("event_type") == "view").cast("int")
+    cells = (
+        e.select(bin_c.alias("bin"), is_a.alias("is_a"))
+        .groupBy("bin")
+        .agg(
+            F.sum("is_a").cast("double").alias("na"),
+            F.sum(1 - F.col("is_a")).cast("double").alias("nb"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = cells.crossJoin(F.broadcast(tot)).select(
+        (F.sum("na").over(w) / F.col("ta")).alias("fa"),
+        (F.sum("nb").over(w) / F.col("tb")).alias("fb"),
+        "ta",
+        "tb",
+    )
+    return ecdf.agg(
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_d"),
+        F.max("ta").cast("bigint").alias("n_a"),
+        F.max("tb").cast("bigint").alias("n_b"),
+    )
+
+
+@query(
+    "q139_mann_whitney",
+    oracle="""
+    WITH s AS (
+      SELECT value, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    vr AS (
+      SELECT value, cum_before + (cnt + 1) / 2.0 AS avg_rank FROM (
+        SELECT value, CAST(count(*) AS DOUBLE) AS cnt,
+               coalesce(sum(count(*)) OVER (ORDER BY value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM s GROUP BY value) t
+    ),
+    agg AS (
+      SELECT CAST(sum(s.is_a) AS DOUBLE) AS n1,
+             CAST(sum(1 - s.is_a) AS DOUBLE) AS n2,
+             sum(CASE WHEN s.is_a = 1 THEN vr.avg_rank ELSE 0 END) AS r1
+      FROM s JOIN vr USING (value)
+    )
+    SELECT round(r1 - n1 * (n1 + 1) / 2.0, 2) AS u_stat,
+           round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0), 6) AS z_score,
+           CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b
+    FROM agg
+    """,
+)
+def q139_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test: does 'view' stochastically
+    dominate 'purchase' in value? The nonparametric A/B readout that
+    doesn't assume normality (complement of the Welch t in q102).
+    Average ranks come from the distinct-value frame (same scale-safe
+    construction as Spearman q134 — the cumulative window never sees
+    the fact table); the rank-sum and closed-form z use integer-exact
+    counts. No tie-correction in the variance (documented: matched on
+    both engines)."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    s = e.select(
+        "value", (F.col("event_type") == "view").cast("int").alias("is_a")
+    )
+    cnts = s.groupBy("value").agg(F.count("*").cast("double").alias("cnt"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    vr = cnts.select(
+        "value",
+        (
+            F.coalesce(F.sum("cnt").over(w), F.lit(0.0))
+            + (F.col("cnt") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    agg = (
+        s.join(F.broadcast(vr), "value")
+        .agg(
+            F.sum("is_a").cast("double").alias("n1"),
+            F.sum(1 - F.col("is_a")).cast("double").alias("n2"),
+            F.sum(
+                F.when(F.col("is_a") == 1, F.col("avg_rank")).otherwise(0.0)
+            ).alias("r1"),
+        )
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    mu = F.col("n1") * F.col("n2") / 2.0
+    sd = F.sqrt(
+        F.col("n1") * F.col("n2") * (F.col("n1") + F.col("n2") + 1) / 12.0
+    )
+    return agg.select(
+        F.round(u, 2).alias("u_stat"),
+        F.round((u - mu) / sd, 6).alias("z_score"),
+        F.col("n1").cast("bigint").alias("n_a"),
+        F.col("n2").cast("bigint").alias("n_b"),
+    )
+
+
+@query(
+    "q140_next_event_examples",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type, 1) OVER w AS prev1,
+             lag(event_type, 2) OVER w AS prev2,
+             lag(event_type, 3) OVER w AS prev3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, ts, prev3, prev2, prev1, event_type AS label
+    FROM seq WHERE prev3 IS NOT NULL
+    """,
+)
+def q140_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised training-example generation for a next-event model:
+    each row pairs the user's previous 3 events (ordered context) with
+    the event that actually followed — the classic sequence-model data
+    prep (sessionized next-item prediction). One shuffle on user_id;
+    the three lags share a single window sort."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "ts",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+        F.lag("event_type", 3).over(w).alias("prev3"),
+        F.col("event_type").alias("label"),
+    )
+    return seq.filter(F.col("prev3").isNotNull()).select(
+        "user_id", "ts", "prev3", "prev2", "prev1", "label"
+    )
+
+
+@query(
+    "q141_negative_sampling",
+    oracle=f"""
+    WITH pos AS (
+      SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    np AS (SELECT max(p_partkey) AS n_items FROM part),
+    cand AS (
+      SELECT u.user_id, t.i,
+             1 + ({_sql_hash60('neg', "u.user_id || ':' || t.i")} % (SELECT n_items FROM np))
+               AS item_id
+      FROM (SELECT DISTINCT user_id FROM pos) u
+      CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS i) t
+    ),
+    neg AS (
+      SELECT c.user_id, c.item_id, c.i
+      FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM pos p
+                        WHERE p.user_id = c.user_id AND p.item_id = c.item_id)
+    ),
+    ranked AS (
+      SELECT user_id, item_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY i) AS rn
+      FROM neg
+    )
+    SELECT user_id, item_id AS negative_item, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 2
+    """,
+)
+def q141_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded negative sampling for contrastive/recommender training:
+    per customer, draw candidate part ids from the seeded md5 hash
+    (6 draws), anti-join away true interactions, keep the first 2
+    survivors. This is the AT-SCALE shape: candidates are GENERATED
+    (O(users × k) rows), never enumerated as users × items — the naive
+    cross-join twin is quadratic and unshippable at 100 TB. The draw
+    is deterministic, so the oracle checks every sampled pair."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pos = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .distinct()
+    )
+    n_items = _t(spark, sf_dir, "part").agg(
+        F.max("p_partkey").alias("n_items")
+    )
+    users = pos.select("user_id").distinct()
+    draws = F.explode(F.sequence(F.lit(0), F.lit(5))).alias("i")
+    cand = (
+        users.select("user_id", draws)
+        .crossJoin(F.broadcast(n_items))
+        .select(
+            "user_id",
+            "i",
+            (
+                1
+                + CO.hash_key(
+                    "neg",
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit(":"),
+                        F.col("i").cast("string"),
+                    ),
+                )
+                % F.col("n_items")
+            ).alias("item_id"),
+        )
+    )
+    neg = cand.join(pos, ["user_id", "item_id"], "left_anti")
+    w = Window.partitionBy("user_id").orderBy("i")
+    return (
+        neg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "user_id",
+            F.col("item_id").alias("negative_item"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+@query(
+    "q142_quantile_normalize",
+    oracle="""
+    SELECT event_id, event_type,
+           round(percent_rank() OVER (PARTITION BY event_type
+                                      ORDER BY value), 6) AS value_qnorm
+    FROM events
+    """,
+)
+def q142_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series quantile normalization: replace each value with its
+    percent-rank within its series — the rank-uniform feature transform
+    robust to arbitrary skew (and the robust twin of q43's standard
+    scaling). percent_rank assigns ties identically in both engines.
+    Scale: partitioned window per series; for unbounded series use the
+    ventile-sketch interpolation in the preprocessor instead."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("value_qnorm"),
+    )

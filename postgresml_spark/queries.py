@@ -5826,3 +5826,284 @@ def q142_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.percent_rank().over(w), 6).alias("value_qnorm"),
     )
+
+
+@query(
+    "q143_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.05), 4) AS lo,
+             round(quantile_cont(value, 0.95), 4) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, b.lo, b.hi,
+           CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+           CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+           round(sum(least(greatest(e.value, b.lo), b.hi)), 2) AS sum_winsorized
+    FROM events e JOIN b USING (event_type)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q143_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series winsorization at [P5, P95]: the outlier-robust
+    preprocessing step between plain clipping and quantile
+    normalization (q142). Exact interpolated percentiles (Spark
+    `percentile` ≡ DuckDB `quantile_cont`, both type-7), ROUNDED to 4dp
+    before the clip comparison so both engines clip the identical row
+    set. Bounds are a tiny per-series frame broadcast back onto the
+    fact scan — one stats pass + one transform pass."""
+    e = _t(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 4).alias("lo"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("hi"),
+    )
+    j = e.join(F.broadcast(b), "event_type")
+    return j.groupBy("event_type", "lo", "hi").agg(
+        F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clip_low"),
+        F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clip_high"),
+        F.round(
+            F.sum(F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))), 2
+        ).alias("sum_winsorized"),
+    )
+
+
+@query(
+    "q144_kl_divergence",
+    oracle="""
+    WITH split AS (
+      SELECT event_type,
+             CASE WHEN extract(hour FROM ts) < 12 THEN 'am' ELSE 'pm' END AS half
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN half = 'am' THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+             CAST(sum(CASE WHEN half = 'pm' THEN 1 ELSE 0 END) AS DOUBLE) AS nb
+      FROM split GROUP BY event_type
+    ),
+    tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM cells)
+    SELECT round(sum((na / ta) * ln((na / ta) / (nb / tb))), 6) AS kl_am_pm,
+           round(sum((nb / tb) * ln((nb / tb) / (na / ta))), 6) AS kl_pm_am,
+           CAST(max(ta) AS BIGINT) AS n_am, CAST(max(tb) AS BIGINT) AS n_pm
+    FROM cells CROSS JOIN tot
+    """,
+)
+def q144_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence (both directions) between the daytime and
+    nighttime event-type mixes — the information-theoretic drift
+    number that complements PSI (q100: binned values) and KS (q138:
+    continuous sup-norm) with a categorical-mix measure. One
+    contingency aggregate; everything after runs on |types| rows.
+    Assumes both halves observe every type (true here; at scale add
+    Laplace smoothing — documented, mirrored on both engines)."""
+    e = _t(spark, sf_dir, "events")
+    is_am = (F.hour("ts") < 12).cast("int")
+    cells = e.groupBy("event_type").agg(
+        F.sum(is_am).cast("double").alias("na"),
+        F.sum(1 - is_am).cast("double").alias("nb"),
+    )
+    tot = cells.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    c = cells.crossJoin(F.broadcast(tot))
+    p = F.col("na") / F.col("ta")
+    q = F.col("nb") / F.col("tb")
+    return c.agg(
+        F.round(F.sum(p * F.log(p / q)), 6).alias("kl_am_pm"),
+        F.round(F.sum(q * F.log(q / p)), 6).alias("kl_pm_am"),
+        F.max("ta").cast("bigint").alias("n_am"),
+        F.max("tb").cast("bigint").alias("n_pm"),
+    )
+
+
+@query(
+    "q145_association_rules",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l.l_orderkey AS oid, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n AS (SELECT CAST(count(DISTINCT oid) AS DOUBLE) AS n_orders FROM basket),
+    supp1 AS (SELECT item, CAST(count(*) AS DOUBLE) AS s FROM basket GROUP BY item),
+    pairs AS (
+      SELECT a.item AS ante, b.item AS cons, CAST(count(*) AS DOUBLE) AS s_ab
+      FROM basket a JOIN basket b ON a.oid = b.oid AND a.item < b.item
+      GROUP BY 1, 2
+    )
+    SELECT p.ante, p.cons,
+           CAST(p.s_ab AS BIGINT) AS support_n,
+           round(p.s_ab / sa.s, 6) AS confidence,
+           round((p.s_ab / sa.s) / (sc.s / n.n_orders), 6) AS lift
+    FROM pairs p
+    JOIN supp1 sa ON p.ante = sa.item
+    JOIN supp1 sc ON p.cons = sc.item
+    CROSS JOIN n
+    WHERE p.s_ab >= 50
+    """,
+)
+def q145_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules with confidence and lift over order baskets
+    (brand granularity) — the rule-quality layer on top of q117's
+    frequent itemsets, computed exactly: pair supports from a
+    self-equi-join on the basket key (bounded: |items-per-basket|²
+    pairs per order, never corpus²), marginals and lift derived from
+    the pair table + broadcast item supports."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("oid"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    basket = basket.localCheckpoint()
+    n = basket.agg(
+        F.count_distinct("oid").cast("double").alias("n_orders")
+    )
+    supp1 = basket.groupBy("item").agg(F.count("*").cast("double").alias("s"))
+    a = basket.alias("a")
+    b = basket.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.oid") == F.col("b.oid"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("ante"), F.col("b.item").alias("cons")
+        )
+        .agg(F.count("*").cast("double").alias("s_ab"))
+        .filter(F.col("s_ab") >= 50)
+    )
+    sa = supp1.select(F.col("item").alias("ante"), F.col("s").alias("s_a"))
+    sc = supp1.select(F.col("item").alias("cons"), F.col("s").alias("s_c"))
+    return (
+        pairs.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sc), "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ante",
+            "cons",
+            F.col("s_ab").cast("bigint").alias("support_n"),
+            F.round(F.col("s_ab") / F.col("s_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("s_ab") / F.col("s_a")) / (F.col("s_c") / F.col("n_orders")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q146_ranking_metrics",
+    oracle="""
+    WITH train AS (
+      SELECT DISTINCT o.o_custkey AS uid, p.p_brand AS item
+      FROM orders o
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE o.o_orderdate < TIMESTAMP '1999-01-01'
+    ),
+    test AS (
+      SELECT DISTINCT o.o_custkey AS uid, p.p_brand AS item
+      FROM orders o
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE o.o_orderdate >= TIMESTAMP '1999-01-01'
+    ),
+    rec AS (
+      SELECT item, row_number() OVER (ORDER BY count(*) DESC, item) AS pos
+      FROM train GROUP BY item
+      ORDER BY count(*) DESC, item LIMIT 10
+    ),
+    per_user AS (
+      SELECT t.uid,
+             CAST(count(r.pos) AS DOUBLE) AS hits,
+             CAST(count(*) AS DOUBLE) AS n_rel,
+             coalesce(sum(1.0 / log2(r.pos + 1)), 0) AS dcg
+      FROM test t LEFT JOIN rec r ON t.item = r.item
+      GROUP BY t.uid
+    ),
+    idcg AS (
+      SELECT n.n, sum(1.0 / log2(p.pos + 1)) AS v
+      FROM (SELECT DISTINCT least(n_rel, 10) AS n FROM per_user) n
+      JOIN (SELECT unnest(generate_series(1, 10)) AS pos) p ON p.pos <= n.n
+      GROUP BY n.n
+    )
+    SELECT round(avg(pu.hits / 10.0), 6) AS precision_at_10,
+           round(avg(pu.hits / pu.n_rel), 6) AS recall_at_10,
+           round(avg(pu.dcg / i.v), 6) AS ndcg_at_10,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM per_user pu JOIN idcg i ON least(pu.n_rel, 10) = i.n
+    """,
+)
+def q146_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender evaluation: precision@10 / recall@10 / NDCG@10 of a
+    popularity recommender (top-10 train-period brands) against each
+    customer's holdout purchases — the ranking-metric surface the
+    reference's sklearn metrics don't cover, exact and oracle-checked.
+    The rec list is 10 broadcast rows; per-user stats are one grouped
+    pass over the holdout; IDCG comes from a 10-row generated frame
+    (no factorial math, no UDF)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cut = F.lit("1999-01-01").cast("timestamp")
+
+    def interactions(pred):
+        return (
+            o.filter(pred)
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .select(
+                F.col("o_custkey").alias("uid"), F.col("p_brand").alias("item")
+            )
+            .distinct()
+        )
+
+    train = interactions(F.col("o_orderdate") < cut)
+    test = interactions(F.col("o_orderdate") >= cut)
+    wpop = Window.orderBy(F.desc("cnt"), F.asc("item"))
+    rec = (
+        train.groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("pos", F.row_number().over(wpop))
+        .filter(F.col("pos") <= 10)
+        .select("item", "pos")
+    )
+    per_user = (
+        test.join(F.broadcast(rec), "item", "left")
+        .groupBy("uid")
+        .agg(
+            F.count("pos").cast("double").alias("hits"),
+            F.count("*").cast("double").alias("n_rel"),
+            F.coalesce(
+                F.sum(1.0 / F.log2(F.col("pos") + 1)), F.lit(0.0)
+            ).alias("dcg"),
+        )
+    )
+    pos_frame = spark.range(1, 11).select(
+        F.col("id").cast("int").alias("pos")
+    )
+    idcg = (
+        per_user.select(
+            F.least(F.col("n_rel"), F.lit(10.0)).cast("int").alias("n")
+        )
+        .distinct()
+        .join(F.broadcast(pos_frame), F.col("pos") <= F.col("n"))
+        .groupBy("n")
+        .agg(F.sum(1.0 / F.log2(F.col("pos") + 1)).alias("v"))
+    )
+    return (
+        per_user.withColumn(
+            "n", F.least(F.col("n_rel"), F.lit(10.0)).cast("int")
+        )
+        .join(F.broadcast(idcg), "n")
+        .agg(
+            F.round(F.avg(F.col("hits") / 10.0), 6).alias("precision_at_10"),
+            F.round(F.avg(F.col("hits") / F.col("n_rel")), 6).alias("recall_at_10"),
+            F.round(F.avg(F.col("dcg") / F.col("v")), 6).alias("ndcg_at_10"),
+            F.count("*").cast("bigint").alias("n_users"),
+        )
+    )

@@ -263,3 +263,45 @@ def brier_score(df, prob_col: str, label_col: str) -> float:
             )
         ).head()[0]
     )
+
+
+def fit_isotonic_calibration(
+    df,
+    score_col: str,
+    label_col: str,
+):
+    """Isotonic calibration: monotone non-parametric p(y=1|s) fit on
+    held-out (score, label) pairs — sklearn's
+    CalibratedClassifierCV(method='isotonic') analog, the
+    shape-free alternative to Platt when the miscalibration isn't
+    sigmoid-shaped. MLlib's IsotonicRegression runs PAVA on the
+    aggregated (score, mean-label) series distributed. Returns the
+    fitted model; apply with :func:`apply_isotonic_calibration`."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+    from pyspark.sql import functions as F
+
+    feats = VectorAssembler(inputCols=["__s"], outputCol="__f").transform(
+        df.select(
+            F.col(score_col).cast("double").alias("__s"),
+            F.col(label_col).cast("double").alias("__y"),
+        )
+    )
+    return IsotonicRegression(
+        featuresCol="__f", labelCol="__y", isotonic=True
+    ).fit(feats)
+
+
+def apply_isotonic_calibration(model, df, score_col: str, out_col: str = "calibrated"):
+    """Apply a fitted isotonic calibrator to a score column."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.sql import functions as F
+
+    feats = VectorAssembler(inputCols=["__s"], outputCol="__f").transform(
+        df.withColumn("__s", F.col(score_col).cast("double"))
+    )
+    return (
+        model.transform(feats)
+        .withColumnRenamed("prediction", out_col)
+        .drop("__s", "__f")
+    )

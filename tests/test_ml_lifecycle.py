@@ -276,3 +276,35 @@ def test_platt_calibration_improves_brier(spark):
     )
     cal = df.withColumn("p", apply_platt_calibration("score", a, b))
     assert brier_score(cal, "p", "label") < brier_score(naive, "p", "label") - 0.01
+
+
+def test_isotonic_calibration_improves_brier(spark):
+    import math
+
+    from postgresml_spark.ml.metrics import (
+        apply_isotonic_calibration,
+        brier_score,
+        fit_isotonic_calibration,
+    )
+
+    # scores s in [0,1]; true p(y=1|s) = s^2 (miscalibrated identity)
+    rows = []
+    rnd = __import__("random").Random(7)
+    for i in range(4000):
+        s = rnd.random()
+        y = 1.0 if rnd.random() < s * s else 0.0
+        rows.append((s, y))
+    df = spark.createDataFrame(rows, ["score", "label"])
+    model = fit_isotonic_calibration(df, "score", "label")
+    out = apply_isotonic_calibration(model, df, "score")
+    raw = brier_score(df, "score", "label")
+    cal = brier_score(out, "calibrated", "label")
+    assert cal < raw  # isotonic must beat the raw miscalibrated score
+    # calibrated output is monotone in the score
+    got = (
+        out.select("score", "calibrated")
+        .orderBy("score")
+        .collect()
+    )
+    vals = [r["calibrated"] for r in got]
+    assert all(b >= a - 1e-12 for a, b in zip(vals, vals[1:]))

@@ -6107,3 +6107,91 @@ def q146_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_users"),
         )
     )
+
+
+@query(
+    "q147_orderkey_islands",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT min(o_orderkey) AS island_start,
+           max(o_orderkey) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM u GROUP BY o_orderkey - rn
+    """,
+)
+def q147_orderkey_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive order keys within
+    the URGENT subset (the classic completeness/sequence-audit shape —
+    'which id ranges are fully urgent', 'where are the gaps in this
+    feed'). Island id = key − row_number, grouped to (start, end, n).
+
+    The global rank here runs over the filtered subset; at 100 TB
+    partition by key range first and stitch boundary islands (same
+    two-pass trick as the scale-safe split) — the island arithmetic is
+    unchanged."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    w = Window.orderBy("o_orderkey")
+    u = o.select(
+        "o_orderkey", (F.col("o_orderkey") - F.row_number().over(w)).alias("grp")
+    )
+    return u.groupBy("grp").agg(
+        F.min("o_orderkey").alias("island_start"),
+        F.max("o_orderkey").alias("island_end"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    ).drop("grp")
+
+
+@query(
+    "q148_scd2_history",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM marked
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to
+    FROM changes
+    """,
+)
+def q148_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse each user's
+    event stream into state intervals — one row per state CHANGE with
+    [valid_from, valid_to) (open for the current state). The warehouse
+    history-tracking primitive (and the input shape for as-of joins,
+    q35). Two windows share one (user_id, ts) sort; rows out =
+    #changes, not #events."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = marked.filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        "user_id", "event_type", F.col("ts").alias("valid_from"), "event_id"
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )

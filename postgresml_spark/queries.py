@@ -6195,3 +6195,209 @@ def q148_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         F.lead("valid_from").over(w2).alias("valid_to"),
     )
+
+
+@query(
+    "q149_large_volume_customers",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(sum(l.l_quantity), 2) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q149_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): IN-subquery over a
+    grouped HAVING threshold on the same fact table. Decorrelated: the
+    per-order quantity sums are computed ONCE and reused as both the
+    qualifying filter and the output measure (the SQL form scans
+    lineitem twice); customer is a broadcast dim.
+
+    Scale: one shuffle on l_orderkey for the sums; the qualifying set
+    (p99 tail, ~1% of orders) joins back as a small broadcast semi-join
+    side, so the fact table is never shuffled a second time.
+    Reference analog: top-k heavy-hitter selection in corpus curation.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    sums = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 250)
+    )
+    return (
+        o.join(sums, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sq", 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q150_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - p.p_retailprice * l.l_quantity * 0.1 AS DECIMAL(28,6))) AS DOUBLE), 2) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def q150_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year), adapted:
+    the testdata has no partsupp, so supply cost is proxied as 10% of
+    p_retailprice — the join/agg DAG (fact ⋈ 3 dims ⋈ orders, grouped
+    rollup) is the shape under test, not the cost model.
+
+    Scale: part/supplier/nation broadcast; the only big-big join is
+    lineitem⋈orders on orderkey (one shuffle). The part-name LIKE
+    filter semi-reduces the fact side BEFORE that shuffle because the
+    broadcast inner join runs map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    # decimal per-row term: the products are bit-identical per row in
+    # both engines; only SUM accumulation order differs — decimal sums
+    # are exact and order-free (same idiom as q99/q93).
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    ).cast("decimal(28,6)")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit).cast("double"), 2).alias("profit"))
+    )
+
+
+@query(
+    "q151_important_parts",
+    oracle="""
+    WITH v AS (
+      SELECT l.l_partkey, sum(l.l_extendedprice * l.l_quantity) AS value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey AS partkey, round(value, 2) AS value
+    FROM v
+    WHERE value > (SELECT sum(value) * 0.002 FROM v)
+    """,
+)
+def q151_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): grouped value per part with a
+    HAVING threshold that is a scalar subquery over the SAME aggregate
+    (share-of-total cut). Decorrelated: the per-part sums
+    localCheckpoint once; the global total reads the materialized
+    aggregate instead of re-scanning the fact table, then broadcasts as
+    a 1-row threshold.
+
+    Scale: one shuffle on l_partkey; the nation restriction
+    semi-reduces map-side via broadcast supplier⋈nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    sn = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey"
+    )
+    v = (
+        li.join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+        .localCheckpoint()
+    )
+    thr = v.agg((F.sum("value") * 0.002).alias("thr"))
+    return (
+        v.crossJoin(F.broadcast(thr))
+        .filter(F.col("value") > F.col("thr"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
+@query(
+    "q152_kmv_distinct",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM orders
+    ),
+    top AS (SELECT hv FROM h ORDER BY hv LIMIT 128),
+    s AS (SELECT count(*) AS n, max(hv) AS hk FROM top)
+    SELECT CASE WHEN s.n < 128 THEN CAST(s.n AS BIGINT)
+                ELSE CAST(round((128 - 1) / (CAST(s.hk AS DOUBLE) / 1152921504606846976.0), 0) AS BIGINT)
+           END AS kmv_estimate,
+           (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS exact_distinct
+    FROM s
+    """,
+)
+def q152_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=128 — a
+    DETERMINISTIC approximate-distinct that hash-matches across engines
+    (unlike HLL, whose register layout is implementation-defined; Spark
+    approx_count_distinct and DuckDB approx_count_distinct cannot be
+    oracle-compared). Estimator: (k-1)/h_(k) with md5-derived hashes
+    normalized to [0,1); exact count emitted alongside for the error
+    readout.
+
+    Scale: this is the mergeable-sketch pattern — at 100 TB each
+    partition keeps its k smallest hashes (TakeOrdered, no full
+    distinct shuffle needed in the sketch-only form); here the exact
+    count is also computed, which dominates the plan. The sketch path
+    alone touches each value once and moves k×partitions rows."""
+    o = _t(spark, sf_dir, "orders")
+    hv = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    top = o.select(hv.alias("hv")).distinct().orderBy("hv").limit(128)
+    s = top.agg(F.count("*").alias("n"), F.max("hv").alias("hk"))
+    exact = o.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        s.crossJoin(F.broadcast(exact))
+        .select(
+            F.when(F.col("n") < 128, F.col("n").cast("bigint"))
+            .otherwise(
+                F.round(
+                    (128 - 1)
+                    / (F.col("hk").cast("double") / F.lit(1152921504606846976.0)),
+                    0,
+                ).cast("long")
+            )
+            .alias("kmv_estimate"),
+            "exact_distinct",
+        )
+    )

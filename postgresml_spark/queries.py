@@ -4171,9 +4171,17 @@ def q110_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle states the naive normalized-LIKE spec instead, proving the
     positional form equals substring semantics at word boundaries.
     Pure codegen, zero shuffle, and the gram test composes with the
-    bucketed posting index for index-served phrase queries."""
+    bucketed posting index for index-served phrase queries.
+
+    A substring contains() pre-filter per phrase word prunes docs
+    BEFORE the O(tokens × n) gram construction: every normalized
+    token is a contiguous substring of lower(text), so token-stream
+    membership implies substring membership — the pre-filter is a
+    strict superset and cannot drop a match."""
     d = _t(spark, sf_dir, "documents")
     n = len(_PHRASE.split())
+    for w in _PHRASE.split():
+        d = d.filter(F.lower(F.col("text")).contains(w))
     toks = d.select("doc_id", TX.tokenize(F.col("text")).alias("t"))
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size("t") - n, F.lit(0))),
@@ -6480,4 +6488,100 @@ def q153_int8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("approx_dot"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+@query(
+    "q154_kmv_set_ops",
+    oracle="""
+    WITH ha AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM orders
+    ),
+    hb AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM customer WHERE c_acctbal > 5000
+    ),
+    u AS (
+      SELECT hv,
+             hv IN (SELECT hv FROM ha) AS in_a,
+             hv IN (SELECT hv FROM hb) AS in_b
+      FROM (SELECT hv FROM ha UNION SELECT hv FROM hb)
+      ORDER BY hv LIMIT 128
+    ),
+    s AS (
+      SELECT count(*) AS n, max(hv) AS hk,
+             sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS nboth
+      FROM u
+    )
+    SELECT CASE WHEN s.n < 128 THEN CAST(s.n AS BIGINT)
+                ELSE CAST(round((128 - 1) / (CAST(s.hk AS DOUBLE) / 1152921504606846976.0), 0) AS BIGINT)
+           END AS union_estimate,
+           round(CAST(s.nboth AS DOUBLE) / s.n, 6) AS jaccard,
+           CAST(s.nboth AS BIGINT) AS k_overlap
+    FROM s
+    """,
+)
+def q154_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET OPERATIONS: union cardinality and Jaccard overlap
+    of two populations (customers-with-orders vs high-balance
+    customers) estimated from two 128-value sketches ALONE — the
+    min-k of a union of min-k sets IS the union's min-k, so sketches
+    built independently (per table, per partition, per day) merge
+    without rescanning either input. That mergeability is the whole
+    100 TB argument: distinct/overlap dashboards over any slice
+    combination from kilobyte sketches.
+
+    Jaccard = |K(A∪B) ∩ A ∩ B| / k (exact integer ratio —
+    deterministic, hash-matches); intersection ≈ jaccard × union.
+    Plan: two distinct-hash scans, full-outer sketch merge,
+    TakeOrdered(k)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+
+    def _h(col: str):
+        return F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+
+    ha = (
+        o.select(_h("o_custkey").alias("hv"))
+        .distinct()
+        .withColumn("in_a", F.lit(True))
+    )
+    hb = (
+        c.filter(F.col("c_acctbal") > 5000)
+        .select(_h("c_custkey").alias("hv"))
+        .distinct()
+        .withColumn("in_b", F.lit(True))
+    )
+    u = (
+        ha.join(hb, "hv", "full_outer")
+        .select(
+            "hv",
+            F.coalesce("in_a", F.lit(False)).alias("in_a"),
+            F.coalesce("in_b", F.lit(False)).alias("in_b"),
+        )
+        .orderBy("hv")
+        .limit(128)
+    )
+    s = u.agg(
+        F.count("*").alias("n"),
+        F.max("hv").alias("hk"),
+        F.sum(
+            F.when(F.col("in_a") & F.col("in_b"), 1).otherwise(0)
+        ).alias("nboth"),
+    )
+    return s.select(
+        F.when(F.col("n") < 128, F.col("n").cast("bigint"))
+        .otherwise(
+            F.round(
+                (128 - 1)
+                / (F.col("hk").cast("double") / F.lit(1152921504606846976.0)),
+                0,
+            ).cast("long")
+        )
+        .alias("union_estimate"),
+        F.round(F.col("nboth").cast("double") / F.col("n"), 6).alias("jaccard"),
+        F.col("nboth").cast("bigint").alias("k_overlap"),
     )

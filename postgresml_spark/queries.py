@@ -6585,3 +6585,75 @@ def q154_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("nboth").cast("double") / F.col("n"), 6).alias("jaccard"),
         F.col("nboth").cast("bigint").alias("k_overlap"),
     )
+
+
+@query(
+    "q155_grouped_kmv",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n, max(hv) AS hk
+      FROM r WHERE rn <= 64 GROUP BY event_type
+    ),
+    x AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CASE WHEN s.n < 64 THEN CAST(s.n AS BIGINT)
+                ELSE CAST(round((64 - 1) / (CAST(s.hk AS DOUBLE) / 1152921504606846976.0), 0) AS BIGINT)
+           END AS kmv_users,
+           x.exact_users
+    FROM s JOIN x USING (event_type)
+    """,
+)
+def q155_grouped_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED KMV sketches: one distinct-user sketch PER event_type in
+    a single pass (k=64) — the 'distinct users per segment per day'
+    dashboard primitive. Per-group sketches merge across
+    days/partitions exactly like q154's set sketches, so a year of
+    dashboards reads kilobytes per segment instead of rescanning the
+    fact table.
+
+    Plan: distinct (type, hash) → partitioned window rank ≤ k →
+    per-group agg. The window partitions by group key (no global
+    sort); at 100 TB the rank-≤-k form is replaced by the same
+    per-partition k-min + merge, which this plan's shuffle already
+    colocates. Exact counts emitted alongside for the error readout."""
+    e = _t(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    h = e.select("event_type", hv.alias("hv")).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    s = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.max("hv").alias("hk"))
+    )
+    x = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return s.join(x, "event_type").select(
+        "event_type",
+        F.when(F.col("n") < 64, F.col("n").cast("bigint"))
+        .otherwise(
+            F.round(
+                (64 - 1)
+                / (F.col("hk").cast("double") / F.lit(1152921504606846976.0)),
+                0,
+            ).cast("long")
+        )
+        .alias("kmv_users"),
+        "exact_users",
+    )

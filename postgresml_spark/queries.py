@@ -6595,10 +6595,16 @@ def q154_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
       FROM events
     ),
+    r1 AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type, hv % 16
+                                ORDER BY hv) AS rn1
+      FROM h
+    ),
     r AS (
       SELECT event_type, hv,
              row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
-      FROM h
+      FROM r1 WHERE rn1 <= 64
     ),
     s AS (
       SELECT event_type, count(*) AS n, max(hv) AS hk
@@ -6624,19 +6630,26 @@ def q155_grouped_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     dashboards reads kilobytes per segment instead of rescanning the
     fact table.
 
-    Plan: distinct (type, hash) → partitioned window rank ≤ k →
-    per-group agg. The window partitions by group key (no global
-    sort); at 100 TB the rank-≤-k form is replaced by the same
-    per-partition k-min + merge, which this plan's shuffle already
-    colocates. Exact counts emitted alongside for the error readout."""
+    Plan: distinct (type, hash) → TWO-LEVEL k-min: rank within
+    (type, hv%16) keeps ≤ k per salt bucket (16× the parallelism,
+    each reducer sees ~1/16 of a group), then the final rank runs
+    over at most 16k surviving rows per group. With few groups and
+    billions of distinct users, a single-level per-group window
+    would funnel whole groups through one reducer — this is the
+    per-partition k-min + merge form, and it stays oracle-portable
+    because the salt is the deterministic hv % 16. Exact counts
+    emitted alongside for the error readout."""
     e = _t(spark, sf_dir, "events")
     hv = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
     h = e.select("event_type", hv.alias("hv")).distinct()
+    w1 = Window.partitionBy("event_type", F.col("hv") % 16).orderBy("hv")
     w = Window.partitionBy("event_type").orderBy("hv")
     s = (
-        h.withColumn("rn", F.row_number().over(w))
+        h.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= 64)
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 64)
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), F.max("hv").alias("hk"))

@@ -536,9 +536,17 @@ def build_text_index(
 
     from pyspark.sql import functions as F
 
-    base = df.select(
-        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("t")
-    ).select("doc_id", F.size("t").alias("dl"), "t")
+    # One tokenize pass: the stats agg and the postings shuffle both
+    # read the persisted tokenized frame (at cluster scale swap the
+    # persist for deriving (n_docs, avgdl) from the written index —
+    # one pass over the compact postings instead of the corpus).
+    base = (
+        df.select(
+            F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("t")
+        )
+        .select("doc_id", F.size("t").alias("dl"), "t")
+        .persist()
+    )
     consts = base.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     ).head()
@@ -553,6 +561,7 @@ def build_text_index(
         .repartition(n_buckets, F.col("__bucket"))
     )
     postings.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    base.unpersist()
     stats = {"n_docs": int(consts["n_docs"]), "avgdl": float(consts["avgdl"]),
              "n_buckets": n_buckets}
     with open(os.path.join(path, "_stats.json"), "w") as f:

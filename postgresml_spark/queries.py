@@ -6670,3 +6670,53 @@ def q155_grouped_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kmv_users"),
         "exact_users",
     )
+
+
+@query(
+    "q156_jsonl_roundtrip",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS text_xor
+    FROM documents
+    """,
+)
+def q156_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus interchange roundtrip: export documents as sharded
+    gzip JSONL (the LLM-training interchange format), re-read with an
+    ENFORCED schema (no inference pass, corrupt lines captured), and
+    prove losslessness — count, char mass, and an order-free XOR of
+    per-document text hashes must equal the oracle computed straight
+    from the parquet table. Any mangled newline/unicode/escape in the
+    writer or reader flips text_xor.
+
+    Scale: write shards by maxRecordsPerFile (no repartition, no
+    driver funnel); read is schema-enforced so 100 TB is one pass."""
+    import shutil
+    import tempfile
+
+    from postgresml_spark.sources.corpus_io import read_jsonl, write_jsonl
+
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="pgml_jsonl_q156_")
+    try:
+        write_jsonl(
+            d.select("doc_id", "text", "lang", "source", "n_chars"),
+            path,
+            max_records_per_file=2000,
+        )
+        back = read_jsonl(
+            spark,
+            path,
+            schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
+            drop_corrupt=True,
+        )
+        hv = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long")
+        out = back.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.bit_xor(hv).alias("text_xor"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out

@@ -196,3 +196,39 @@ def test_query_registry_contract():
     for name, sql in o.items():
         assert len(sql) > 40, name
         assert any(t in sql for t in tables), name
+
+
+def test_jsonl_roundtrip_and_corrupt_lines(spark, tmp_path):
+    """JSONL corpus IO: write→read is lossless under an enforced
+    schema; a corrupt line is captured (not job-fatal), countable,
+    and droppable."""
+    import gzip
+    import os
+
+    from postgresml_spark.sources.corpus_io import (
+        corrupt_line_count,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 'a "quoted"\nline', 7), (2, "unicode é中", 9)],
+        "doc_id bigint, text string, n int",
+    )
+    p = str(tmp_path / "corpus")
+    write_jsonl(df, p, max_records_per_file=1)
+    back = read_jsonl(spark, p, schema="doc_id bigint, text string, n int")
+    assert corrupt_line_count(back) == 0
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == {1: 'a "quoted"\nline', 2: "unicode é中"}
+
+    # inject a corrupt shard
+    with gzip.open(os.path.join(p, "bad.json.gz"), "wt") as f:
+        f.write('{"doc_id": 3, "text": "ok", "n": 1}\n')
+        f.write("{not json at all\n")
+    back2 = read_jsonl(spark, p, schema="doc_id bigint, text string, n int")
+    assert corrupt_line_count(back2) == 1
+    clean = read_jsonl(
+        spark, p, schema="doc_id bigint, text string, n int", drop_corrupt=True
+    )
+    assert clean.count() == 3 and "_corrupt_record" not in clean.columns

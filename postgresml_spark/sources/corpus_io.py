@@ -86,3 +86,121 @@ def corrupt_line_count(df: DataFrame) -> int:
         return df.filter(F.col("_corrupt_record").isNotNull()).count()
     finally:
         df.unpersist()
+
+
+def read_tar_shards(
+    spark: SparkSession,
+    path: str,
+    key_from_name: bool = True,
+) -> DataFrame:
+    """Read WebDataset-style tar shards into (shard, key, member, data)
+    rows — the standard multimodal-corpus layout (each sample is a
+    group of same-stem members: 000123.jpg / 000123.json / 000123.txt).
+
+    Plan shape: `binaryFile` scan distributes WHOLE shards to
+    executors (one task per shard — shards are the parallelism unit,
+    exactly how WebDataset loaders consume them), and a mapInPandas
+    iterator expands members with stdlib tarfile — no driver hop, no
+    non-stdlib codec. Pair with operators/multimodal.py decoders for
+    the decode/extract stages.
+
+    key = member stem (sample grouping key), member = extension.
+    """
+    import io
+    import os
+    import tarfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    shards = spark.read.format("binaryFile").load(path)
+
+    out_schema = "shard string, key string, member string, data binary"
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                shard = os.path.basename(row["path"])
+                rows = []
+                with tarfile.open(
+                    fileobj=io.BytesIO(row["content"]), mode="r:*"
+                ) as tf:
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue
+                        stem, ext = os.path.splitext(m.name)
+                        rows.append(
+                            (
+                                shard,
+                                stem if key_from_name else m.name,
+                                ext.lstrip("."),
+                                tf.extractfile(m).read(),
+                            )
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["shard", "key", "member", "data"]
+                )
+
+    return shards.select("path", "content").mapInPandas(
+        expand, schema=out_schema
+    )
+
+
+def write_tar_shards(
+    df: DataFrame,
+    path: str,
+    samples_per_shard: int = 1000,
+) -> int:
+    """Write (key, member, data) rows as WebDataset tar shards, one
+    shard per output partition (repartitioned so each holds ~
+    samples_per_shard whole samples; rows of one key hash to the same
+    shard). Returns the number of shards written.
+
+    Executors write shards directly to `path` — suitable for a shared
+    filesystem; at cluster scale point this at the mounted object
+    store. Not transactional (no _SUCCESS semantics) — corpus export,
+    not a table format."""
+    import math
+    import os
+    import tarfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+    n_samples = df.select("key").distinct().count()
+    n_shards = max(1, math.ceil(n_samples / samples_per_shard))
+
+    out_schema = "shard string, n_members long"
+
+    def write_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import uuid
+
+        buf: dict[str, list[tuple[str, bytes]]] = {}
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                buf.setdefault(row["key"], []).append(
+                    (f"{row['key']}.{row['member']}", bytes(row["data"]))
+                )
+        if not buf:
+            yield pd.DataFrame([], columns=["shard", "n_members"])
+            return
+        name = f"shard-{uuid.uuid4().hex[:12]}.tar"
+        n = 0
+        with tarfile.open(os.path.join(path, name), "w") as tf:
+            for key in sorted(buf):
+                for member_name, data in sorted(buf[key]):
+                    import io as _io
+
+                    ti = tarfile.TarInfo(member_name)
+                    ti.size = len(data)
+                    tf.addfile(ti, _io.BytesIO(data))
+                    n += 1
+        yield pd.DataFrame([(name, n)], columns=["shard", "n_members"])
+
+    written = (
+        df.repartition(n_shards, "key")
+        .mapInPandas(write_shard, schema=out_schema)
+        .collect()
+    )
+    return sum(1 for r in written if r["n_members"] > 0)

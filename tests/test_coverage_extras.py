@@ -232,3 +232,36 @@ def test_jsonl_roundtrip_and_corrupt_lines(spark, tmp_path):
         spark, p, schema="doc_id bigint, text string, n int", drop_corrupt=True
     )
     assert clean.count() == 3 and "_corrupt_record" not in clean.columns
+
+
+def test_tar_shard_roundtrip(spark, tmp_path):
+    """WebDataset tar shards: write (key, member, data) samples to tar
+    shards, re-read distributed, byte-exact roundtrip with whole
+    samples kept in one shard."""
+    from postgresml_spark.sources.corpus_io import (
+        read_tar_shards,
+        write_tar_shards,
+    )
+
+    rows = []
+    for i in range(20):
+        rows.append((f"{i:06d}", "bin", bytes([i % 256]) * (i + 1)))
+        rows.append((f"{i:06d}", "json", f'{{"id": {i}}}'.encode()))
+    df = spark.createDataFrame(rows, "key string, member string, data binary")
+    p = str(tmp_path / "shards")
+    n_shards = write_tar_shards(df, p, samples_per_shard=8)
+    assert n_shards >= 3  # 20 samples / 8 per shard
+
+    back = read_tar_shards(spark, p)
+    got = back.collect()
+    assert len(got) == 40
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["key"], {})[r["member"]] = (bytes(r["data"]), r["shard"])
+    assert set(by_key) == {f"{i:06d}" for i in range(20)}
+    for i in range(20):
+        k = f"{i:06d}"
+        assert by_key[k]["bin"][0] == bytes([i % 256]) * (i + 1)
+        assert by_key[k]["json"][0] == f'{{"id": {i}}}'.encode()
+        # whole sample in one shard
+        assert by_key[k]["bin"][1] == by_key[k]["json"][1]

@@ -614,11 +614,22 @@ class ResidentANN:
         nprobe: int = 4,
         seed: int = 42,
     ):
-        pdf = df.select(id_col, vec_col).toPandas()
-        self.ids = pdf[id_col].to_numpy()
-        mat = np.asarray(
-            [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]]
-        )
+        sel = df.select(id_col, vec_col)
+        try:
+            pdf = sel.toPandas()
+            self.ids = pdf[id_col].to_numpy()
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]]
+            )
+        except Exception as e:  # maxResultSize: stream partitions instead
+            if "maxResultSize" not in str(e):
+                raise
+            ids_parts, mat_parts = [], []
+            for row in sel.toLocalIterator(prefetchPartitions=True):
+                ids_parts.append(row[0])
+                mat_parts.append(np.asarray(row[1], dtype=np.float32))
+            self.ids = np.asarray(ids_parts)
+            mat = np.asarray(mat_parts)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
         self.mat = mat / norms  # cosine = dot on unit vectors
@@ -626,11 +637,28 @@ class ResidentANN:
         self.assign = None
         self.centroids = None
         if nlist:
-            cent = _lloyd(self.mat.astype(np.float64), nlist, seed, 20)
+            # Fit on a bounded sample (the FAISS/ivfflat design): Lloyd
+            # over the full corpus is O(n·nlist·d·iters) and dominates
+            # the build far past where the sample stops improving
+            # centroids. Assignment still covers every row, chunked so
+            # the n×nlist score block never materializes whole.
+            rng = np.random.default_rng(seed)
+            max_fit = max(nlist * 64, 16384)
+            fit = (
+                self.mat
+                if len(self.mat) <= max_fit
+                else self.mat[rng.choice(len(self.mat), max_fit, replace=False)]
+            )
+            cent = _lloyd(fit.astype(np.float64), nlist, seed, 20)
             cn = np.linalg.norm(cent, axis=1, keepdims=True)
             cn[cn == 0.0] = 1.0
             self.centroids = (cent / cn).astype(np.float32)
-            self.assign = np.argmax(self.mat @ self.centroids.T, axis=1)
+            self.assign = np.empty(len(self.mat), dtype=np.int64)
+            step = max(1, 2**24 // max(nlist, 1))
+            for lo in range(0, len(self.mat), step):
+                self.assign[lo : lo + step] = np.argmax(
+                    self.mat[lo : lo + step] @ self.centroids.T, axis=1
+                )
             order = np.argsort(self.assign, kind="stable")
             # cluster rows by centroid for contiguous probe slices
             self.ids, self.mat = self.ids[order], self.mat[order]

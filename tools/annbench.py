@@ -1,0 +1,122 @@
+"""Resident-ANN bench at reference-comparable scale.
+
+The reference's headline vector number is 18-31 ms/query for a warm
+pgvector ivfflat index over 5M x 1024 vectors (BASELINE.md, from
+generating-llm-embeddings blog). sf0.1 is 2k x 64 — three orders of
+magnitude smaller — so bench.py's resident_knn_ms is not a like-for-
+like claim. This harness builds the Spark side (distributed synthesis
++ normalization) at configurable N x d, ships it ONCE into the
+ResidentANN serving tier, and measures:
+
+  - brute-force (exact) median latency,
+  - IVF-probed latency at nlist/nprobe,
+  - recall@10 of the probed path vs exact.
+
+Usage: python tools/annbench.py [N] [dim] [nlist] [nprobe]
+Defaults: 1_000_000 256 1024 32
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from postgresml_spark.operators.similarity import ResidentANN
+from postgresml_spark.session import get_spark
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    nlist = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+    nprobe = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+
+    # serving-host config: the index build intentionally moves O(corpus)
+    # bytes to the driver once, so size the result cap to the corpus
+    spark = get_spark(
+        "annbench", extra_conf={"spark.driver.maxResultSize": "8g"}
+    )
+    # Distributed synthesis with REAL cluster structure: embedding
+    # corpora are strongly clustered (that's why ivfflat works at all);
+    # isotropic Gaussian is IVF's degenerate worst case. Each vector =
+    # a deterministic mode center (golden-angle sin spread across
+    # dims) + small noise.
+    n_modes = max(nlist, 64)
+    t0 = time.perf_counter()
+    mode = (F.col("vec_id") % n_modes + 1).cast("double")
+    df = (
+        spark.range(n)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: F.sin(mode * i.cast("double") * 2.39996)
+                + F.randn(42) * 0.15,
+            ),
+        )
+    )
+    synth_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    exact = ResidentANN(df)
+    build_exact_s = time.perf_counter() - t0
+
+    rng = np.random.default_rng(7)
+    qidx = rng.integers(0, n, size=64)
+    queries = [exact.mat[i] * 2.0 + rng.normal(0, 0.05, dim) for i in qidx]
+
+    def median_ms(idx, reps=None):
+        ts = []
+        for q in queries:
+            t0 = time.perf_counter()
+            idx.search(q, k=10)
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return round(ts[len(ts) // 2] * 1000, 3)
+
+    exact_ms = median_ms(exact)
+    truth = [set(i for i, _ in exact.search(q, k=10)) for q in queries]
+
+    t0 = time.perf_counter()
+    probed = ResidentANN(df, nlist=nlist, nprobe=nprobe)
+    build_probed_s = time.perf_counter() - t0
+    probed_ms = median_ms(probed)
+    rec = np.mean(
+        [
+            len(truth[j] & set(i for i, _ in probed.search(q, k=10))) / 10
+            for j, q in enumerate(queries)
+        ]
+    )
+
+    import json
+
+    print(
+        json.dumps(
+            {
+                "n": n,
+                "dim": dim,
+                "nlist": nlist,
+                "nprobe": nprobe,
+                "synth_s": round(synth_s, 2),
+                "build_exact_s": round(build_exact_s, 2),
+                "build_ivf_s": round(build_probed_s, 2),
+                "exact_median_ms": exact_ms,
+                "ivf_median_ms": probed_ms,
+                "ivf_recall_at_10": round(float(rec), 4),
+                "reference_ivfflat_ms": "18-31 (5M x 1024, warm)",
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

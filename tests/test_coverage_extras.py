@@ -265,3 +265,22 @@ def test_tar_shard_roundtrip(spark, tmp_path):
         assert by_key[k]["json"][0] == f'{{"id": {i}}}'.encode()
         # whole sample in one shard
         assert by_key[k]["bin"][1] == by_key[k]["json"][1]
+
+
+def test_kmv_estimator_error_bound(spark):
+    """KMV distinct sketch: relative error on a known-cardinality set
+    stays within 4/sqrt(k) (k=128 → 35%); typical is ~1/sqrt(k)."""
+    from pyspark.sql import functions as F
+
+    k = 128
+    n_true = 10_000
+    df = spark.range(n_true).select(
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hv")
+    )
+    top = df.distinct().orderBy("hv").limit(k)
+    row = top.agg(F.count("*").alias("n"), F.max("hv").alias("hk")).head()
+    assert row["n"] == k
+    est = (k - 1) / (row["hk"] / float(1 << 60))
+    assert abs(est - n_true) / n_true < 4 / (k ** 0.5), est

@@ -72,6 +72,31 @@ def write_ivf_store(
     assigned.write.mode("overwrite").partitionBy(centroid_col).parquet(path)
 
 
+def append_ivf_store(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    centroid_col: str = "centroid_id",
+) -> None:
+    """Incremental IVF maintenance: assign NEW vectors against the
+    FROZEN centroids and append them into their `centroid_id=K/`
+    partitions — no refit, no rewrite of existing lists (the
+    append-only posting discipline of the text index, applied to the
+    vector index; pgvector-ivfflat likewise inserts into existing
+    lists without retraining). Probes see appended vectors
+    immediately because pruning is directory-listing-based.
+
+    Centroid drift is the retrain trigger, not a correctness issue:
+    recall degrades only as the appended distribution drifts from the
+    fitted one — monitor with the same PSI/KS drift ops the serving
+    layer uses, and rebuild with write_ivf_store when flagged."""
+    from postgresml_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, out_col=centroid_col)
+    assigned.write.mode("append").partitionBy(centroid_col).parquet(path)
+
+
 def read_ivf_probe(
     spark: SparkSession,
     path: str,

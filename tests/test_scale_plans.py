@@ -192,3 +192,41 @@ def test_bm25_index_prunes_term_buckets(spark, sf_dir, tmp_path):
     a = {r["doc_id"]: round(r["score"], 9) for r in served.collect()}
     b = {r["doc_id"]: round(r["score"], 9) for r in scan.collect()}
     assert a == b
+
+
+def test_ivf_store_incremental_append(spark, sf_dir, tmp_path):
+    """append_ivf_store: new vectors join frozen-centroid partitions
+    without touching existing files; probes see them immediately and
+    results equal a full rebuild over the combined corpus."""
+    import os
+
+    from postgresml_spark.operators.partitioning import append_ivf_store
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") < 300)
+    new = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    cents = fit_ivf_centroids(old, nlist=8)
+
+    store = str(tmp_path / "ivf_inc")
+    write_ivf_store(old, store, cents)
+
+    def file_set():
+        out = set()
+        for root, _, files in os.walk(store):
+            out |= {os.path.join(root, f) for f in files if f.endswith(".parquet")}
+        return out
+
+    before = file_set()
+    append_ivf_store(new, store, cents)
+    after = file_set()
+    assert before <= after and len(after) > len(before)  # append-only
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 350).head()["embedding"]]
+    probe = read_ivf_probe(spark, store, cents, qv, k=10, nprobe=8)
+    got = [r["vec_id"] for r in probe.collect()]
+    assert got[0] == 350  # appended vector served
+
+    rebuilt = str(tmp_path / "ivf_full")
+    write_ivf_store(old.unionByName(new), rebuilt, cents)
+    full = [r["vec_id"] for r in read_ivf_probe(spark, rebuilt, cents, qv, k=10, nprobe=8).collect()]
+    assert got == full  # incremental == rebuild at same centroids

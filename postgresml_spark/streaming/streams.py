@@ -479,3 +479,42 @@ def stream_interval_join(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def stream_vectors_into_ivf(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    centroids: list[list[float]],
+    vec_schema: str = "vec_id long, embedding array<float>",
+    checkpoint: str | None = None,
+):
+    """Continuous ANN-index ingest: vector batches (JSON files landing
+    in source_dir) are assigned against FROZEN centroids and appended
+    into their centroid partitions per micro-batch
+    (append_ivf_store) — probes see new vectors at the next file
+    listing, no refit, no rewrite of existing lists.
+
+    This is the serving-side twin of the reference's 'insert rows,
+    ivfflat index stays warm' behavior; centroid retrain is a
+    scheduled offline job triggered by drift monitors, not part of
+    the hot ingest path. Returns the StreamingQuery.
+    """
+    import tempfile
+
+    from postgresml_spark.operators.partitioning import append_ivf_store
+
+    stream = spark.readStream.schema(vec_schema).json(source_dir)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            append_ivf_store(batch_df, store_path, centroids)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix="pgml_ckpt_ivf_"),
+        )
+        .start()
+    )

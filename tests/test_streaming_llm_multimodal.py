@@ -431,3 +431,54 @@ def test_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     q.stop()
     got = spark.sql("SELECT count(*) FROM attrib_out").head()[0]
     assert got == expected
+
+
+def test_stream_vectors_into_ivf(spark, sf_dir, tmp_path):
+    """Live streaming ANN ingest: vectors dropped as JSON files land in
+    their centroid partitions and are immediately probe-servable."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from postgresml_spark.operators.partitioning import (
+        read_ivf_probe,
+        write_ivf_store,
+    )
+    from postgresml_spark.operators.similarity import fit_ivf_centroids
+    from postgresml_spark.session import load_table
+    from postgresml_spark.streaming.streams import stream_vectors_into_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") < 200)
+    cents = fit_ivf_centroids(old, nlist=4)
+    store = str(tmp_path / "ivf_stream")
+    write_ivf_store(old, store, cents)
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    newrows = emb.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 210)
+    ).collect()
+    with open(os.path.join(src, "batch1.json"), "w") as f:
+        for r in newrows:
+            f.write(
+                _json.dumps(
+                    {"vec_id": r["vec_id"], "embedding": [float(x) for x in r["embedding"]]}
+                )
+                + "\n"
+            )
+
+    q = stream_vectors_into_ivf(spark, src, store, cents)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    target = newrows[0]
+    qv = [float(x) for x in target["embedding"]]
+    got = [
+        r["vec_id"]
+        for r in read_ivf_probe(spark, store, cents, qv, k=5, nprobe=4).collect()
+    ]
+    assert got[0] == target["vec_id"]

@@ -6720,3 +6720,72 @@ def q156_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+@query(
+    "q157_sampled_sum",
+    oracle="""
+    WITH s AS (
+      SELECT l_extendedprice
+      FROM lineitem
+      WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+                                      || '-' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)
+            < CAST(0.1 * 1152921504606846976.0 AS BIGINT)
+    ),
+    x AS (SELECT sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS exact_sum FROM lineitem)
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 0.1, 2) AS estimated_sum,
+           round(CAST(x.exact_sum AS DOUBLE), 2) AS exact_sum,
+           CAST(count(*) AS BIGINT) AS n_sampled
+    FROM s, x
+    GROUP BY x.exact_sum
+    """,
+)
+def q157_sampled_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing by DETERMINISTIC Bernoulli
+    sampling: a 10% hash sample (md5 of the row key under a fixed
+    threshold — reproducible across engines, runs, and partitionings,
+    unlike rand()-based TABLESAMPLE) with Horvitz-Thompson inverse-
+    probability scale-up. Companion to the KMV sketches: sketches
+    answer distinct/overlap, hash samples answer SUM/AVG-shaped
+    dashboards at 10x less scan.
+
+    Scale: the sample predicate is pure codegen on key columns —
+    evaluated at scan time, combinable with column pruning, and the
+    same rows are selected no matter how the table is partitioned, so
+    sampled aggregates are reproducible AND incrementally
+    maintainable (a new partition's sample never changes old rows').
+    Exact sum emitted alongside for the error readout."""
+    li = _t(spark, sf_dir, "lineitem")
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    thr = int(0.1 * 1152921504606846976.0)
+    s = li.filter(hv < thr)
+    dec = F.col("l_extendedprice").cast("decimal(28,6)")
+    x = li.agg(F.sum(dec).alias("exact_sum"))
+    return (
+        s.agg(
+            F.sum(dec).alias("samp_sum"),
+            F.count("*").cast("bigint").alias("n_sampled"),
+        )
+        .crossJoin(F.broadcast(x))
+        .select(
+            F.round(F.col("samp_sum").cast("double") / 0.1, 2).alias(
+                "estimated_sum"
+            ),
+            F.round(F.col("exact_sum").cast("double"), 2).alias("exact_sum"),
+            "n_sampled",
+        )
+    )

@@ -3331,18 +3331,23 @@ def q92_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q93_rolling_window_features",
     oracle="""
-    SELECT user_id, event_id,
-           CAST(count(*) OVER w AS BIGINT) AS n_1h,
-           round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 4)
-             AS sum_1h,
-           round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w24 AS DOUBLE)
-                 / count(*) OVER w24, 4) AS avg_24h
-    FROM events
-    WHERE user_id < 20
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
-           w24 AS (PARTITION BY user_id ORDER BY ts
-                 RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+    WITH base AS (
+      SELECT user_id, event_id,
+             CAST(count(*) OVER w AS BIGINT) AS n_1h,
+             round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 4)
+               AS sum_1h,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w24 * 10000 AS BIGINT) AS s24,
+             CAST(count(*) OVER w24 AS BIGINT) AS n24
+      FROM events
+      WHERE user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+             w24 AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, n_1h, sum_1h,
+           CAST((2 * s24 + n24) // (2 * n24) AS DOUBLE) / 10000.0 AS avg_24h
+    FROM base
     """,
 )
 def q93_rolling_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3367,16 +3372,28 @@ def q93_rolling_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # decimal window sums: float accumulation ORDER differs between
     # engines (segment tree vs running), which flips round() at exact
-    # .xxxx5 boundaries; decimal sums are exact and order-free, and the
-    # final double division by an identical integer count is bit-stable
+    # .xxxx5 boundaries; decimal sums are exact and order-free. The
+    # rolling AVERAGE is rounded in INTEGER arithmetic — (2S+n) div
+    # (2n) on the 10^4-scaled sum — because an exact half-case average
+    # (83.35125, hit at sf0.1) rounds differently through Spark's
+    # BigDecimal shortest-repr round vs DuckDB's float round, and the
+    # two engines' decimal-division result types differ too.
     dec = F.col("value").cast("decimal(18,4)")
-    return e.select(
+    base = e.select(
         "user_id",
         "event_id",
         F.count("*").over(w1).cast("bigint").alias("n_1h"),
         F.round(F.sum(dec).over(w1).cast("double"), 4).alias("sum_1h"),
-        F.round(
-            F.sum(dec).over(w24).cast("double") / F.count("*").over(w24), 4
+        (F.sum(dec).over(w24) * 10000).cast("bigint").alias("s24"),
+        F.count("*").over(w24).cast("bigint").alias("n24"),
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        "n_1h",
+        "sum_1h",
+        (
+            F.expr("(2 * s24 + n24) div (2 * n24)").cast("double") / 10000.0
         ).alias("avg_24h"),
     )
 
@@ -3421,7 +3438,7 @@ def q94_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv),
              p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) AS dist
     FROM embeddings e, q
-    WHERE e.vec_id != 0
+    WHERE e.vec_id != 0 AND e.vec_id <= 500
     ORDER BY dist, e.vec_id
     LIMIT 10
     """,
@@ -3431,9 +3448,12 @@ def q95_pq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a degenerate codebook large enough that every distinct
     subvector is its own centroid, asymmetric-distance scoring over
     codes reconstructs EXACT L2 — so the full fit→encode→ADC machinery
-    must hash-match the oracle's plain exact-L2 top-10. Production use
-    sets k_codebook=256 (lossy, 16× memory cut); the plan and code path
-    are identical."""
+    must hash-match the oracle's plain exact-L2 top-10. The candidate
+    set is bounded to 500 vectors so n ≤ k holds at EVERY sf (the
+    closure breaks the moment the codebook is smaller than the
+    distinct-subvector count — caught at sf0.1). Production use sets
+    k_codebook=256 over the full corpus (lossy, 16× memory cut); the
+    plan and code path are identical."""
     from postgresml_spark.operators.similarity import fit_pq, pq_encode, pq_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -3441,7 +3461,7 @@ def q95_pq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in e.filter(F.col("vec_id") == 0).head()["embedding"]
     ]
-    cand = e.filter(F.col("vec_id") != 0)
+    cand = e.filter((F.col("vec_id") != 0) & (F.col("vec_id") <= 500))
     books = fit_pq(cand, "embedding", m=4, k=512)
     enc = pq_encode(cand, books, "embedding")
     out = pq_topk(enc, books, qv, k=10, id_col="vec_id")
@@ -6260,8 +6280,8 @@ def q149_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                     - p.p_retailprice * l.l_quantity * 0.1 AS DECIMAL(28,6))) AS DOUBLE), 2) AS profit
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - p.p_retailprice * l.l_quantity * 0.1 AS DECIMAL(28,6))), 2) AS DOUBLE) AS profit
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -6302,7 +6322,11 @@ def q150_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit).cast("double"), 2).alias("profit"))
+        # round IN DECIMAL, then cast: the exact sum can be a true
+        # .xx5 half-case (hit at sf0.001), and rounding its nearest
+        # DOUBLE is representation-dependent while decimal rounding
+        # is HALF_UP in both engines
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
     )
 
 

@@ -230,3 +230,42 @@ def test_ivf_store_incremental_append(spark, sf_dir, tmp_path):
     write_ivf_store(old.unionByName(new), rebuilt, cents)
     full = [r["vec_id"] for r in read_ivf_probe(spark, rebuilt, cents, qv, k=10, nprobe=8).collect()]
     assert got == full  # incremental == rebuild at same centroids
+
+
+def test_runtime_bloom_filter_injects(spark, sf_dir):
+    """Runtime bloom-filter join pruning: with a selective dim-side
+    filter, Catalyst injects a bloom filter on the fact side's join
+    key so non-matching fact rows drop at the scan, pre-shuffle. The
+    default activation gate is a 10 GB application-side scan — i.e.
+    this turns itself on exactly at the scale we design for; the test
+    lowers the size gates to observe injection at test scale."""
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 400000)
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+        assert j.count() >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        )

@@ -204,3 +204,42 @@ def write_tar_shards(
         .collect()
     )
     return sum(1 for r in written if r["n_members"] > 0)
+
+
+def read_csv_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    drop_corrupt: bool = False,
+    **options,
+) -> DataFrame:
+    """CSV twin of read_jsonl: schema-enforced, PERMISSIVE, corrupt
+    lines captured in `_corrupt_record`. Defaults cover real corpus
+    dumps: header, quoted multiline fields, escaped quotes."""
+    opts = {
+        "mode": "PERMISSIVE",
+        "header": "true",
+        "multiLine": "true",
+        "escape": '"',
+    }
+    opts.update(options)
+    r = spark.read.options(**opts)
+    if schema is not None:
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        if "_corrupt_record" not in schema.fieldNames():
+            schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField("_corrupt_record", T.StringType(), True)]
+            )
+        r = r.schema(schema).option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        )
+        out = r.csv(path)
+        if drop_corrupt:
+            out = out.cache()
+            out = out.filter(F.col("_corrupt_record").isNull()).drop(
+                "_corrupt_record"
+            )
+        return out
+    return r.csv(path)

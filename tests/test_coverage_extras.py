@@ -284,3 +284,40 @@ def test_kmv_estimator_error_bound(spark):
     assert row["n"] == k
     est = (k - 1) / (row["hk"] / float(1 << 60))
     assert abs(est - n_true) / n_true < 4 / (k ** 0.5), est
+
+
+def test_csv_corpus_and_schema_evolution(spark, tmp_path):
+    """CSV corpus read (quoted multiline, corrupt capture) and JSONL
+    schema evolution: later shards add a field; an evolved read
+    null-fills old rows instead of failing."""
+    import os
+
+    from postgresml_spark.sources.corpus_io import (
+        read_csv_corpus,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    # CSV with a quoted multiline field and an embedded quote
+    p = str(tmp_path / "csv")
+    os.makedirs(p)
+    with open(os.path.join(p, "a.csv"), "w") as f:
+        f.write('doc_id,text\n1,"line one\nline two"\n2,"said ""hi"""\n')
+    df = read_csv_corpus(spark, p, schema="doc_id bigint, text string")
+    got = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert got == {1: "line one\nline two", 2: 'said "hi"'}
+
+    # JSONL schema evolution: v2 shards add `lang`
+    j = str(tmp_path / "jsonl")
+    v1 = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    v2 = spark.createDataFrame(
+        [(2, "b", "en")], "doc_id bigint, text string, lang string"
+    )
+    write_jsonl(v1, os.path.join(j, "v1"))
+    write_jsonl(v2, os.path.join(j, "v2"))
+    evolved = read_jsonl(
+        spark, os.path.join(j, "*"),
+        schema="doc_id bigint, text string, lang string", drop_corrupt=True,
+    )
+    rows = {r["doc_id"]: (r["text"], r["lang"]) for r in evolved.collect()}
+    assert rows == {1: ("a", None), 2: ("b", "en")}

@@ -505,3 +505,34 @@ def test_resident_ann_search_df_shape(spark, sf_dir):
     out = ResidentANN(emb).search_df(spark, qv, k=5)
     assert out.columns == ["vec_id", "score"]
     assert out.count() == 5
+
+
+def test_resident_hnsw_recall_and_exact_parity(spark, sf_dir):
+    """ResidentHNSW: (a) at full-corpus ef the beam search IS exact
+    (every reachable candidate scored — graph connectivity check);
+    (b) at practical ef, recall vs brute force >= 0.9 over multiple
+    queries on both corpus and perturbed queries."""
+    import numpy as np
+
+    from postgresml_spark.operators.similarity import ResidentANN, ResidentHNSW
+    from postgresml_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = ResidentANN(emb)
+    hnsw = ResidentHNSW(emb, m=12, ef_construction=48)
+    n = len(exact.ids)
+
+    qv = [float(x) for x in emb.orderBy("vec_id").head()["embedding"]]
+    full = {i for i, _ in hnsw.search(qv, k=10, ef=n)}
+    truth = {i for i, _ in exact.search(qv, k=10)}
+    assert full == truth  # ef=n ⇒ exhaustive over the connected graph
+
+    rng = np.random.default_rng(3)
+    hits = tot = 0
+    for qi in rng.integers(0, n, 12):
+        q = exact.mat[qi] + rng.normal(scale=0.05, size=exact.mat.shape[1])
+        t = {i for i, _ in exact.search(q, k=10)}
+        g = {i for i, _ in hnsw.search(q, k=10, ef=80)}
+        hits += len(t & g)
+        tot += 10
+    assert hits / tot >= 0.9, hits / tot

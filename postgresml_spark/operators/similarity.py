@@ -883,3 +883,40 @@ class ResidentHNSW:
                 cur = self._greedy(q, cur, lvl)
         found = self._beam(q, cur, 0, ef)[:k]
         return [(self.ids[i].item(), float(1.0 - d)) for d, i in found]
+
+
+def _hnsw_add(self, new_ids, new_vecs, seed: int = 43):
+    """Incremental inserts into a live ResidentHNSW — the serving-tier
+    twin of append_ivf_store (pgvector HNSW likewise inserts into the
+    built graph without a rebuild). New vectors are normalized,
+    appended to the matrix, and inserted with the same level
+    distribution and beam construction as the initial build."""
+    new_vecs = np.asarray(new_vecs, dtype=np.float32)
+    if new_vecs.ndim == 1:
+        new_vecs = new_vecs[None, :]
+    norms = np.linalg.norm(new_vecs, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    new_vecs = new_vecs / norms
+    start = len(self.mat)
+    self.mat = np.concatenate([self.mat, new_vecs])
+    self.ids = np.concatenate([self.ids, np.asarray(new_ids)])
+    rng = np.random.default_rng(seed + start)
+    ml = 1.0 / np.log(self.m)
+    for j in range(len(new_vecs)):
+        node = start + j
+        lvl = min(int(-np.log(rng.uniform(1e-12, 1.0)) * ml), 32)
+        while lvl > self.max_level:
+            self.max_level += 1
+            self.links.append([None] * node)
+            self.links[-1][self.entry] = []
+            # new top level: current entry gains an (empty) list there
+        for l_ in range(self.max_level + 1):
+            if len(self.links[l_]) < node + 1:
+                self.links[l_].extend(
+                    [None] * (node + 1 - len(self.links[l_]))
+                )
+        self._insert(node, lvl)
+
+
+ResidentHNSW.add = _hnsw_add
+del _hnsw_add

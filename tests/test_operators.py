@@ -536,3 +536,42 @@ def test_resident_hnsw_recall_and_exact_parity(spark, sf_dir):
         hits += len(t & g)
         tot += 10
     assert hits / tot >= 0.9, hits / tot
+
+
+def test_resident_hnsw_incremental_add(spark, sf_dir):
+    """Incremental HNSW inserts: vectors added after the build are
+    immediately findable (their own query returns them first) and
+    recall over mixed old/new queries stays high."""
+    import numpy as np
+
+    from postgresml_spark.operators.similarity import ResidentANN, ResidentHNSW
+    from postgresml_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import functions as F
+
+    n_total = emb.count()
+    cut = int(n_total * 0.8)
+    old = emb.filter(F.col("vec_id") < cut)
+    new = emb.filter(F.col("vec_id") >= cut)
+    hnsw = ResidentHNSW(old, m=12, ef_construction=48)
+    newrows = new.collect()
+    assert len(newrows) > 0
+    hnsw.add(
+        [r["vec_id"] for r in newrows],
+        [[float(x) for x in r["embedding"]] for r in newrows],
+    )
+    exact = ResidentANN(emb)
+    rng = np.random.default_rng(5)
+    # an appended vector's own query returns it first
+    r0 = newrows[0]
+    got = hnsw.search([float(x) for x in r0["embedding"]], k=3, ef=64)
+    assert got[0][0] == r0["vec_id"]
+    hits = tot = 0
+    for qi in rng.integers(0, len(exact.ids), 10):
+        q = exact.mat[qi] + rng.normal(scale=0.05, size=exact.mat.shape[1])
+        t = {i for i, _ in exact.search(q, k=10)}
+        g = {i for i, _ in hnsw.search(q, k=10, ef=80)}
+        hits += len(t & g)
+        tot += 10
+    assert hits / tot >= 0.85, hits / tot

@@ -12,8 +12,9 @@ ResidentANN serving tier, and measures:
   - IVF-probed latency at nlist/nprobe,
   - recall@10 of the probed path vs exact.
 
-Usage: python tools/annbench.py [N] [dim] [nlist] [nprobe]
-Defaults: 1_000_000 256 1024 32
+Usage: python tools/annbench.py [N] [dim] [nlist] [nprobe] [hnsw]
+Defaults: 1_000_000 256 1024 32 0  (hnsw=1 adds a ResidentHNSW
+measurement — build is ~1.2 ms/vector, so use N <= ~200k)
 """
 
 from __future__ import annotations
@@ -95,25 +96,41 @@ def main() -> int:
         ]
     )
 
+    out = {
+        "n": n,
+        "dim": dim,
+        "nlist": nlist,
+        "nprobe": nprobe,
+        "synth_s": round(synth_s, 2),
+        "build_exact_s": round(build_exact_s, 2),
+        "build_ivf_s": round(build_probed_s, 2),
+        "exact_median_ms": exact_ms,
+        "ivf_median_ms": probed_ms,
+        "ivf_recall_at_10": round(float(rec), 4),
+        "reference_ivfflat_ms": "18-31 (5M x 1024, warm)",
+    }
+
+    if len(sys.argv) > 5 and int(sys.argv[5]):
+        from postgresml_spark.operators.similarity import ResidentHNSW
+
+        t0 = time.perf_counter()
+        hnsw = ResidentHNSW((exact.ids, exact.mat))
+        out["build_hnsw_s"] = round(time.perf_counter() - t0, 2)
+        hnsw.search(queries[0], k=10, ef=80)
+        ts = []
+        hrec = []
+        for j, q in enumerate(queries):
+            t0 = time.perf_counter()
+            got = hnsw.search(q, k=10, ef=80)
+            ts.append(time.perf_counter() - t0)
+            hrec.append(len(truth[j] & {i for i, _ in got}) / 10)
+        ts.sort()
+        out["hnsw_median_ms"] = round(ts[len(ts) // 2] * 1000, 3)
+        out["hnsw_recall_at_10"] = round(float(np.mean(hrec)), 4)
+
     import json
 
-    print(
-        json.dumps(
-            {
-                "n": n,
-                "dim": dim,
-                "nlist": nlist,
-                "nprobe": nprobe,
-                "synth_s": round(synth_s, 2),
-                "build_exact_s": round(build_exact_s, 2),
-                "build_ivf_s": round(build_probed_s, 2),
-                "exact_median_ms": exact_ms,
-                "ivf_median_ms": probed_ms,
-                "ivf_recall_at_10": round(float(rec), 4),
-                "reference_ivfflat_ms": "18-31 (5M x 1024, warm)",
-            }
-        )
-    )
+    print(json.dumps(out))
     spark.stop()
     return 0
 

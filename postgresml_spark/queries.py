@@ -6813,3 +6813,64 @@ def q157_sampled_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sampled",
         )
     )
+
+
+@query(
+    "q158_decayed_activity",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS tmax FROM events),
+    w AS (
+      SELECT e.user_id,
+             CAST(1.0 / (1.0 + date_diff('microseconds', e.ts, mx.tmax) / 86400000000.0)
+                  AS DECIMAL(18,9)) AS wt
+      FROM events e, mx
+    )
+    SELECT user_id,
+           round(CAST(sum(wt) AS DOUBLE), 4) AS decayed_score,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM w GROUP BY user_id
+    ORDER BY decayed_score DESC, user_id LIMIT 20
+    """,
+)
+def q158_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed activity scoring (trending/recency primitive):
+    each event contributes 1/(1 + age_days) — a RATIONAL decay chosen
+    over exp() because division is bit-identical across engines while
+    libm exponentials can differ in the last ulp. Integer-MICROSECOND
+    ages (second-granularity date_diff counts boundary crossings in
+    DuckDB but elapsed seconds in Spark — off by one on sub-second
+    components)
+    → identical per-row doubles → decimal-cast → exact order-free
+    sums. Top-20 most-recently-active users.
+
+    Scale: one groupBy shuffle on user_id with map-side partial
+    decimal sums; the reference timestamp broadcasts as a 1-row agg.
+    Decayed counters are the batch twin of the streaming EWMA
+    operator (streams.py stateful_ewma_anomaly)."""
+    e = _t(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("tmax"))
+    w = (
+        e.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            (
+                1.0
+                / (
+                    1.0
+                    + F.expr("timestampdiff(MICROSECOND, ts, tmax)")
+                    / 86400000000.0
+                )
+            )
+            .cast("decimal(18,9)")
+            .alias("wt"),
+        )
+    )
+    return (
+        w.groupBy("user_id")
+        .agg(
+            F.round(F.sum("wt").cast("double"), 4).alias("decayed_score"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .orderBy(F.desc("decayed_score"), F.asc("user_id"))
+        .limit(20)
+    )

@@ -6874,3 +6874,61 @@ def q158_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("decayed_score"), F.asc("user_id"))
         .limit(20)
     )
+
+
+@query(
+    "q159_activity_bitmap",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day_idx
+      FROM events
+    ),
+    bm AS (
+      SELECT user_id,
+             bit_or(CAST(1 AS BIGINT) << CAST(day_idx % 64 AS INTEGER)) AS bitmap
+      FROM base WHERE day_idx >= 0 AND day_idx < 64
+      GROUP BY user_id
+    )
+    SELECT user_id, bitmap, CAST(bit_count(bitmap) AS BIGINT) AS active_days
+    FROM bm
+    ORDER BY active_days DESC, user_id LIMIT 25
+    """,
+)
+def q159_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presence BITMAPS (the roaring-bitmap analytics pattern): each
+    user's first-64-day activity packed into one int64 via
+    bit_or(1 << day) — retention/streak/overlap questions then become
+    bitwise ops on 8-byte values instead of rescans (DAU∩WAU =
+    bit_and, streaks = shifts). Pure integer plan: calendar-day
+    indexes (date subtraction — identical calendar semantics in both
+    engines, unlike sub-day date_diff), one groupBy with map-side
+    partial bit_or.
+
+    At 100 TB this is the segment-presence encoding: 10^9 users × 8 B
+    per epoch window, mergeable across windows by bit_or."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_idx"),
+    )
+    bm = (
+        base.filter((F.col("day_idx") >= 0) & (F.col("day_idx") < 64))
+        .groupBy("user_id")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(day_idx % 64 AS INT))")
+            ).alias("bitmap")
+        )
+    )
+    return (
+        bm.select(
+            "user_id",
+            "bitmap",
+            F.bit_count("bitmap").cast("bigint").alias("active_days"),
+        )
+        .orderBy(F.desc("active_days"), F.asc("user_id"))
+        .limit(25)
+    )

@@ -1482,7 +1482,12 @@ def q44_kmeans_k1_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("features")
     )
-    model = KMeans(k=4, seed=42, maxIter=20, featuresCol="features").fit(feats)
+    # random init: the centroid-identity oracle holds at ANY converged
+    # solution, and k-means|| init costs 2+ extra distributed passes
+    # that only improve WHICH local optimum is found
+    model = KMeans(
+        k=4, seed=42, maxIter=20, initMode="random", featuresCol="features"
+    ).fit(feats)
     sizes = model.summary.clusterSizes
     cents = model.clusterCenters()
     n = sum(sizes)

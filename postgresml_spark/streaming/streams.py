@@ -502,19 +502,45 @@ def stream_vectors_into_ivf(
     """
     import tempfile
 
-    from postgresml_spark.operators.partitioning import append_ivf_store
-
     stream = spark.readStream.schema(vec_schema).json(source_dir)
-
-    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.isEmpty():
-            append_ivf_store(batch_df, store_path, centroids)
+    sink = ivf_epoch_fenced_sink(store_path, centroids)
 
     return (
-        stream.writeStream.foreachBatch(_sink)
+        stream.writeStream.foreachBatch(sink)
         .option(
             "checkpointLocation",
             checkpoint or tempfile.mkdtemp(prefix="pgml_ckpt_ivf_"),
         )
         .start()
     )
+
+
+def ivf_epoch_fenced_sink(store_path: str, centroids: list[list[float]]):
+    """foreachBatch sink appending vectors into the IVF store behind an
+    epoch fence: a replayed micro-batch (same epoch id after a crash)
+    is skipped instead of appended twice — the same exactly-once-shaped
+    discipline as idempotent_sink, needed here because raw appends
+    (unlike upserts) are NOT naturally idempotent."""
+    import os
+
+    from postgresml_spark.operators.partitioning import append_ivf_store
+
+    fence = os.path.join(store_path, "_ivf_last_epoch")
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        last = -1
+        try:
+            with open(fence) as f:
+                last = int(f.read().strip())
+        except FileNotFoundError:
+            pass
+        if epoch_id <= last:
+            return  # replayed batch - already appended
+        if not batch_df.isEmpty():
+            append_ivf_store(batch_df, store_path, centroids)
+        tmp = fence + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(epoch_id))
+        os.replace(tmp, fence)
+
+    return _sink

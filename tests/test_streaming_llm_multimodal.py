@@ -482,3 +482,29 @@ def test_stream_vectors_into_ivf(spark, sf_dir, tmp_path):
         for r in read_ivf_probe(spark, store, cents, qv, k=5, nprobe=4).collect()
     ]
     assert got[0] == target["vec_id"]
+
+
+def test_ivf_sink_epoch_fence(spark, sf_dir, tmp_path):
+    """A replayed micro-batch (same epoch id) must NOT double-append."""
+    from pyspark.sql import functions as F
+
+    from postgresml_spark.operators.partitioning import write_ivf_store
+    from postgresml_spark.operators.similarity import fit_ivf_centroids
+    from postgresml_spark.session import load_table
+    from postgresml_spark.streaming.streams import ivf_epoch_fenced_sink
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") < 100)
+    cents = fit_ivf_centroids(old, nlist=4)
+    store = str(tmp_path / "ivf_fence")
+    write_ivf_store(old, store, cents)
+    base = spark.read.parquet(store).count()
+
+    batch = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 120))
+    sink = ivf_epoch_fenced_sink(store, cents)
+    sink(batch, 7)
+    sink(batch, 7)  # replay - must be skipped
+    n = spark.read.parquet(store).count()
+    assert n == base + 20, n
+    sink(batch.filter(F.col("vec_id") >= 110), 8)  # next epoch applies
+    assert spark.read.parquet(store).count() == base + 30

@@ -579,17 +579,38 @@ def simhash_candidate_pairs(
     over-cap buckets are saturated duplicate clusters — dedup them
     exactly, don't enumerate them.
     """
-    n_chunks = max_hamming + 1
-    chunk_bits = 64 // n_chunks
     sh_col = (
         simhash_batch()(F.col(text_col)) if impl == "batch" else simhash(F.col(text_col))
     )
     df = _widen(df)
+    sig = df.select(F.col(id_col).alias("id"), sh_col.alias("sh"))
+    return hamming_ball_pairs(sig, max_hamming=max_hamming, max_bucket_size=max_bucket_size)
+
+
+def hamming_ball_pairs(
+    sig_df: DataFrame,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a, id_b, hamming) with hamming ≤ max_hamming from an
+    (id, sh) frame where `sh` is a 64-char '0'/'1' bit string — the
+    signature-agnostic core of simhash_candidate_pairs, reused for any
+    64-bit perceptual signature (text simhash, image aHash/pHash).
+
+    Pigeonhole banding: split 64 bits into (max_hamming+1) chunks; a
+    pair inside the ball has ≤ max_hamming differing bits, so at least
+    one chunk is difference-free → equi-join per chunk, then exact
+    hamming filter. (With 64 % n_chunks leftover bits uncovered the
+    argument still holds: differences inside covered chunks ≤
+    max_hamming < n_chunks.)
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
     # Parse the bit string into two 32-bit ints ONCE per row so the
     # per-pair hamming is two XOR+bit_count integer ops (a per-pair
     # 64-element array zip is interpreted and dominates at high
     # candidate counts).
-    sh = df.select(F.col(id_col).alias("id"), sh_col.alias("sh")).select(
+    sh = sig_df.select(
         "id",
         "sh",
         F.conv(F.substring("sh", 1, 32), 2, 10).cast("long").alias("h_hi"),

@@ -65,6 +65,19 @@ def strict_decoder(data: bytes, meta: dict) -> np.ndarray:
     )
 
 
+def raw_decoder(data: bytes, meta: dict) -> np.ndarray:
+    """REAL decoder for format='raw' assets: `data` is row-major uint8
+    pixels of the declared (height, width) — the layout `resize()`
+    emits. Needs no external codec, so every downstream op (hashing,
+    features) runs for real in this image on raw-format corpora."""
+    h = int(meta.get("height") or 0)
+    w = int(meta.get("width") or 0)
+    arr = np.frombuffer(data or b"", dtype=np.uint8)
+    if h * w != arr.size:
+        raise ValueError(f"raw asset size {arr.size} != {h}x{w}")
+    return arr.reshape(h, w)
+
+
 def extract_features(
     assets: DataFrame,
     decoder: Callable[[bytes, dict], np.ndarray] = strict_decoder,
@@ -125,6 +138,100 @@ def resize(
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(op, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (aHash / pHash) + banded near-dup pairs.
+#
+# The hash math runs on DECODED pixel arrays, so with raw_decoder the
+# whole pipeline is real here; compressed codecs stay behind the
+# decoder callable like every other op in this module. Signatures are
+# 64-char bit strings — the same convention as dedup.simhash — so pair
+# enumeration reuses dedup.hamming_ball_pairs (pigeonhole banding,
+# never O(n²)).
+# ---------------------------------------------------------------------------
+
+
+def _nn_resize(arr: np.ndarray, h: int, w: int) -> np.ndarray:
+    ys = (np.arange(h) * arr.shape[0] // h).clip(0, arr.shape[0] - 1)
+    xs = (np.arange(w) * arr.shape[1] // w).clip(0, arr.shape[1] - 1)
+    return arr[np.ix_(ys, xs)]
+
+
+def ahash_reference(arr: np.ndarray) -> str:
+    """Average hash: nearest-resize to 8×8, 1 bit per pixel strictly
+    above the 8×8 mean. Invariant to uniform brightness shifts (mean
+    moves with the pixels). Plain-numpy reference — also the executor
+    kernel (it IS the implementation; no separate twin needed)."""
+    small = _nn_resize(arr, 8, 8).astype(np.float64)
+    bits = (small > small.mean()).astype(np.uint8).ravel()
+    return "".join("1" if b else "0" for b in bits)
+
+
+def _dct_mat(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None].astype(np.float64)
+    i = np.arange(n)[None, :].astype(np.float64)
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+def phash_reference(arr: np.ndarray) -> str:
+    """Perceptual hash: nearest-resize to 32×32, orthonormal 2-D DCT-II
+    (one matmul per side — no scipy needed), keep the top-left 8×8
+    low-frequency block, threshold strictly above the median of the 63
+    AC coefficients; the DC slot is pinned to 0 (brightness-invariant)."""
+    small = _nn_resize(arr, 32, 32).astype(np.float64)
+    d = _dct_mat(32)
+    low = (d @ small @ d.T)[:8, :8].ravel()
+    med = float(np.median(low[1:]))
+    bits = (low > med).astype(np.uint8)
+    bits[0] = 0
+    return "".join("1" if b else "0" for b in bits)
+
+
+def image_hash(
+    assets: DataFrame,
+    decoder: Callable[[bytes, dict], np.ndarray] = strict_decoder,
+    method: str = "ahash",
+) -> DataFrame:
+    """Per-asset 64-bit perceptual signature via mapInPandas.
+    Output: (asset_id, sh string[64] of '0'/'1')."""
+    if method not in ("ahash", "phash"):
+        raise ValueError(f"unknown image hash method: {method}")
+    ref = ahash_reference if method == "ahash" else phash_reference
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            shs = []
+            for _, row in pdf.iterrows():
+                meta = dict(row["meta"]) if row["meta"] is not None else {}
+                shs.append(ref(decoder(row["data"], meta)))
+            yield pd.DataFrame({"asset_id": pdf["asset_id"], "sh": shs})
+
+    return assets.mapInPandas(op, schema="asset_id long, sh string")
+
+
+def image_near_dup_pairs(
+    assets: DataFrame,
+    decoder: Callable[[bytes, dict], np.ndarray] = strict_decoder,
+    method: str = "ahash",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Image near-duplicate pairs: perceptual hash → pigeonhole-banded
+    Hamming-ball self-join (dedup.hamming_ball_pairs — equi-join on
+    band chunks, exact XOR/bit_count verify, never a cartesian plan).
+    Output: (id_a, id_b, hamming). The standard image-dedup shape for
+    multimodal training corpora (CLIP/LAION-style pipelines)."""
+    from .dedup import hamming_ball_pairs
+
+    sig = image_hash(assets, decoder=decoder, method=method).select(
+        F.col("asset_id").alias("id"), "sh"
+    )
+    return hamming_ball_pairs(
+        sig, max_hamming=max_hamming, max_bucket_size=max_bucket_size
+    )
 
 
 def frame_sample(

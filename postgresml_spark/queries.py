@@ -6937,3 +6937,98 @@ def q159_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("active_days"), F.asc("user_id"))
         .limit(25)
     )
+
+
+@query(
+    "q160_image_ahash_pairs",
+    oracle="""
+    WITH docs AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200),
+    assets AS (
+      SELECT doc_id AS asset_id,
+             md5(text || '0') || md5(text || '1') || md5(text || '2') || md5(text || '3') AS hx
+      FROM docs
+      UNION ALL
+      SELECT doc_id + 100000,
+             md5(text || '0') || md5(text || '1') || md5(text || '2') || md5(text || 'twin')
+      FROM docs WHERE doc_id % 4 = 0
+    ),
+    pix AS (
+      SELECT asset_id, p,
+             (strpos('0123456789abcdef', substr(hx, 2 * p + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(hx, 2 * p + 2, 1)) - 1) AS v
+      FROM assets, (SELECT unnest(generate_series(0, 63)) AS p)
+    ),
+    stats AS (SELECT asset_id, avg(v) AS m FROM pix GROUP BY asset_id),
+    bits AS (
+      SELECT pix.asset_id,
+             string_agg(CASE WHEN v > m THEN '1' ELSE '0' END, '' ORDER BY p) AS sh
+      FROM pix JOIN stats USING (asset_id)
+      GROUP BY pix.asset_id
+    )
+    SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+           CAST(hamming(a.sh, b.sh) AS INTEGER) AS hamming
+    FROM bits a JOIN bits b ON a.asset_id < b.asset_id
+    WHERE hamming(a.sh, b.sh) <= 12
+    """,
+)
+def q160_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal image near-dup UNDER THE ORACLE GATE: synthesize
+    raw-format image assets (64 md5-derived pixel bytes + an 8x8 meta
+    struct) from the documents table, run the REAL pipeline —
+    mapInPandas raw_decoder decode → aHash (multimodal.ahash_reference)
+    → pigeonhole-banded Hamming-ball self-join
+    (dedup.hamming_ball_pairs, the simhash machinery) — while DuckDB
+    recomputes the identical hash arithmetically from the md5 hex
+    (hex-digit lookup → pixel bytes → mean threshold → bit string →
+    hamming()). Every doc_id % 4 == 0 doc gets a twin sharing 3 of 4
+    md5 blocks (48 of 64 pixels), i.e. a deterministic near-duplicate
+    population; whichever twins land inside the hamming<=12 ball land
+    identically in both engines, so the decode→hash→band→verify chain
+    is value-hash-checked, not just rows-only.
+
+    Scale shape: hashing is one Arrow-batched pass (no shuffle); pair
+    enumeration is the banded equi-join (13 chunks x 4 bits here) —
+    the image-dedup plan for a LAION-style multimodal corpus, where
+    the hash pass is IO-bound over object-store blobs and the join
+    stays inverted-index-shaped.
+
+    Reference analog: none (postgresml is text+tabular) — this is the
+    brief's multimodal-pipeline requirement made oracle-checkable."""
+    from postgresml_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        raw_decoder,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(200)
+        .select("doc_id", "text")
+    )
+    meta = F.struct(
+        F.lit(8).alias("width"),
+        F.lit(8).alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.lit("raw").alias("format"),
+    )
+
+    def mk(df: DataFrame, suffixes: list[str], id_off: int) -> DataFrame:
+        hx = F.concat(
+            *[F.md5(F.concat(F.col("text"), F.lit(s))) for s in suffixes]
+        )
+        return df.select(
+            (F.col("doc_id") + id_off).cast("long").alias("asset_id"),
+            F.lit("image").alias("kind"),
+            F.unhex(hx).alias("data"),
+            meta.alias("meta"),
+        )
+
+    assets = mk(d, ["0", "1", "2", "3"], 0).unionByName(
+        mk(d.filter(F.col("doc_id") % 4 == 0), ["0", "1", "2", "twin"], 100000)
+    )
+    pairs = image_near_dup_pairs(
+        assets, decoder=raw_decoder, method="ahash", max_hamming=12
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )

@@ -1,0 +1,143 @@
+"""Perceptual image hashing + near-dup over multimodal assets.
+
+The hash math (aHash 8x8 mean-threshold, pHash 32x32 DCT-II low-band
+median-threshold) runs on DECODED pixel arrays, so with `raw_decoder`
+(a real decoder for format='raw' byte layouts, no codec needed) the
+whole pipeline is real in this image — only compressed-codec decode
+stays behind `strict_decoder`.
+
+Covers: python-reference parity, brightness-shift invariance, banded
+pair enumeration vs brute force, and raw_decoder round-trip through
+resize().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from postgresml_spark.operators.multimodal import (
+    ASSET_SCHEMA,
+    ahash_reference,
+    image_hash,
+    image_near_dup_pairs,
+    phash_reference,
+    raw_decoder,
+    resize,
+)
+
+
+def _asset(asset_id: int, arr: np.ndarray) -> dict:
+    h, w = arr.shape
+    return {
+        "asset_id": asset_id,
+        "kind": "image",
+        "data": arr.astype(np.uint8).tobytes(),
+        "meta": {"width": w, "height": h, "duration_ms": None, "format": "raw"},
+    }
+
+
+def _gradient(h: int = 16, w: int = 16, tilt: float = 1.0) -> np.ndarray:
+    # max value 200 so the +10 brightness-shift twin (asset 4) never
+    # clips — exact invariance is part of the contract under test
+    ys, xs = np.mgrid[0:h, 0:w]
+    return ((ys * tilt + xs) * 200 / (tilt * (h - 1) + (w - 1))).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    base = _gradient()
+    near = base.copy()
+    near[0, 0:3] ^= 0xFF  # flip a few pixels: perceptually the same
+    far = 255 - base  # inverted: maximally different
+    rng = np.random.default_rng(9)
+    noise = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    rows = [
+        _asset(0, base),
+        _asset(1, near),
+        _asset(2, far),
+        _asset(3, noise),
+        _asset(4, (base.astype(int) + 10).clip(0, 255).astype(np.uint8)),
+    ]
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+def test_raw_decoder_roundtrip(assets):
+    out = resize(assets, 8, 8, decoder=raw_decoder).collect()
+    assert len(out) == 5
+    for r in out:
+        arr = raw_decoder(bytes(r["data"]), r["meta"].asDict())
+        assert arr.shape == (8, 8)
+
+
+def test_raw_decoder_size_mismatch():
+    with pytest.raises(ValueError, match="raw asset"):
+        raw_decoder(b"\x00" * 10, {"height": 8, "width": 8})
+
+
+@pytest.mark.parametrize("method", ["ahash", "phash"])
+def test_hash_python_reference_parity(assets, method):
+    got = {
+        r["asset_id"]: r["sh"]
+        for r in image_hash(assets, decoder=raw_decoder, method=method).collect()
+    }
+    ref_fn = ahash_reference if method == "ahash" else phash_reference
+    for row in assets.collect():
+        arr = raw_decoder(bytes(row["data"]), row["meta"].asDict())
+        assert got[row["asset_id"]] == ref_fn(arr), f"asset {row['asset_id']}"
+    for sh in got.values():
+        assert len(sh) == 64 and set(sh) <= {"0", "1"}
+
+
+@pytest.mark.parametrize("method", ["ahash", "phash"])
+def test_brightness_shift_invariance(assets, method):
+    """+10 uniform brightness moves the mean/median threshold equally →
+    identical perceptual hash (asset 4 vs asset 0)."""
+    got = {
+        r["asset_id"]: r["sh"]
+        for r in image_hash(assets, decoder=raw_decoder, method=method).collect()
+    }
+    assert got[4] == got[0]
+
+
+def _brute_pairs(assets_df, method, max_hamming):
+    ref_fn = ahash_reference if method == "ahash" else phash_reference
+    hs = {
+        r["asset_id"]: ref_fn(raw_decoder(bytes(r["data"]), r["meta"].asDict()))
+        for r in assets_df.collect()
+    }
+    ids = sorted(hs)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = sum(x != y for x, y in zip(hs[a], hs[b]))
+            if d <= max_hamming:
+                out.add((a, b, d))
+    return out
+
+
+@pytest.mark.parametrize("method", ["ahash", "phash"])
+def test_near_dup_pairs_match_brute_force(assets, method):
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in image_near_dup_pairs(
+            assets, decoder=raw_decoder, method=method, max_hamming=8
+        ).collect()
+    }
+    assert got == _brute_pairs(assets, method, 8)
+    # the perceptual contract: brightness twin pairs with the base,
+    # the inverted image doesn't
+    flat = {(a, b) for a, b, _ in got}
+    assert (0, 4) in flat
+    assert (0, 2) not in flat
+    if method == "ahash":
+        # 3 flipped pixels touch ≤2 of the 64 sampled positions
+        assert (0, 1) in flat
+
+
+def test_near_dup_plan_is_banded(assets):
+    plan = image_near_dup_pairs(
+        assets, decoder=raw_decoder, max_hamming=3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

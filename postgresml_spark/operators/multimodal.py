@@ -23,7 +23,7 @@ from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -231,6 +231,131 @@ def image_near_dup_pairs(
     )
     return hamming_ball_pairs(
         sig, max_hamming=max_hamming, max_bucket_size=max_bucket_size
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio spectral fingerprinting (peak-constellation, Shazam-style).
+#
+# Real numpy DSP — framing, Hann window, rfft magnitude, per-frame
+# spectral peaks, anchor→target pair hashes — over raw PCM, so with
+# pcm16_decoder the whole pipeline runs codec-free (compressed audio
+# stays behind the decoder callable). Matching is the classic
+# inverted-index shape: equi-join on the 24-bit constellation hash,
+# then an offset-histogram vote — never a cross join, and at 100 TB
+# the fingerprint table shuffles on `fp` like any posting list.
+# ---------------------------------------------------------------------------
+
+
+def pcm16_decoder(data: bytes, meta: dict) -> np.ndarray:
+    """REAL decoder for format='pcm16' audio assets: little-endian
+    int16 mono samples. Needs no codec; sample rate is irrelevant to
+    the fingerprint (frame/bin indexes are scale-free)."""
+    return np.frombuffer(data or b"", dtype="<i2").astype(np.float64)
+
+
+def audio_fingerprint_array(
+    x: np.ndarray,
+    frame: int = 256,
+    hop: int = 128,
+    peaks_per_frame: int = 3,
+    fanout: int = 3,
+    window_frames: int = 16,
+) -> list[tuple[int, int]]:
+    """Constellation fingerprints of one signal: STFT magnitude →
+    per-frame top spectral peaks → each anchor peak paired with the
+    next `fanout` peaks within `window_frames` → 24-bit hash
+    (f_anchor<<16 | f_target<<8 | dt). Returns [(fp, t_anchor), ...].
+    Plain-numpy kernel shared by the Spark UDF and unit tests."""
+    if x.size < frame:
+        return []
+    n = np.arange(frame)
+    w = 0.5 - 0.5 * np.cos(2 * np.pi * n / (frame - 1))
+    starts = np.arange(0, x.size - frame + 1, hop)
+    frames = x[starts[:, None] + n[None, :]] * w
+    mag = np.abs(np.fft.rfft(frames, axis=1))
+    mag[:, 0] = 0.0  # ignore DC
+    k = min(peaks_per_frame, mag.shape[1] - 1)
+    top = np.argpartition(-mag, k, axis=1)[:, :k]
+    peaks: list[tuple[int, int]] = []  # (t, f), t in frames
+    for t in range(mag.shape[0]):
+        for f in sorted(int(b) for b in top[t] if mag[t, b] > 0.0):
+            peaks.append((t, f))
+    out: list[tuple[int, int]] = []
+    for i, (t1, f1) in enumerate(peaks):
+        taken = 0
+        for t2, f2 in peaks[i + 1 :]:
+            dt = t2 - t1
+            if dt <= 0:
+                continue
+            if dt > window_frames:
+                break
+            out.append(((f1 << 16) | (f2 << 8) | dt, t1))
+            taken += 1
+            if taken >= fanout:
+                break
+    return out
+
+
+def audio_fingerprints(
+    assets: DataFrame,
+    decoder: Callable[[bytes, dict], np.ndarray] = strict_decoder,
+    frame: int = 256,
+    hop: int = 128,
+    peaks_per_frame: int = 3,
+    fanout: int = 3,
+    window_frames: int = 16,
+) -> DataFrame:
+    """Per-asset constellation fingerprints via mapInPandas.
+    Output: (asset_id, fp long, t int) — the audio posting list."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps, ts = [], [], []
+            for _, row in pdf.iterrows():
+                meta = dict(row["meta"]) if row["meta"] is not None else {}
+                sig = decoder(row["data"], meta)
+                for fp, t in audio_fingerprint_array(
+                    sig, frame, hop, peaks_per_frame, fanout, window_frames
+                ):
+                    ids.append(row["asset_id"])
+                    fps.append(fp)
+                    ts.append(t)
+            yield pd.DataFrame({"asset_id": ids, "fp": fps, "t": ts})
+
+    return assets.mapInPandas(op, schema="asset_id long, fp long, t int")
+
+
+def audio_match(
+    db_fp: DataFrame,
+    query_fp: DataFrame,
+    min_votes: int = 5,
+) -> DataFrame:
+    """Match query audio against a fingerprint database: equi-join on
+    the hash, vote on the (db asset, query asset, frame-offset)
+    histogram, keep each query's best-voted db asset. A genuine match
+    concentrates its joined hashes at ONE offset (the excerpt's
+    position); chance collisions scatter. Output:
+    (query_id, db_id, offset, votes)."""
+    j = query_fp.alias("q").hint("SHUFFLE_HASH").join(
+        db_fp.alias("d"), F.col("q.fp") == F.col("d.fp")
+    )
+    votes = (
+        j.groupBy(
+            F.col("q.asset_id").alias("query_id"),
+            F.col("d.asset_id").alias("db_id"),
+            (F.col("d.t") - F.col("q.t")).alias("offset"),
+        )
+        .agg(F.count("*").alias("votes"))
+        .filter(F.col("votes") >= min_votes)
+    )
+    best = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("db_id"), F.asc("offset")
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(best))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
 
 

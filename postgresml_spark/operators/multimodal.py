@@ -359,6 +359,82 @@ def audio_match(
     )
 
 
+# ---------------------------------------------------------------------------
+# Video visual fingerprinting: per-frame aHash sequence + offset voting.
+#
+# A raw-format video is the concatenation of row-major uint8 frames of
+# the declared (height, width) — duration_ms under a nominal fps gives
+# the frame count, or it is derived from the byte length. Each frame's
+# 64-bit aHash becomes one (asset_id, fp, t=frame_idx) posting row, so
+# excerpt-of-video detection is EXACTLY the audio match problem:
+# equi-join on fp + offset-histogram vote (audio_match, re-exported as
+# sequence_match). Near-identical frames (fades, static scenes) hash
+# equal — harmless: they vote for the same alignment.
+# ---------------------------------------------------------------------------
+
+
+def raw_video_decoder(data: bytes, meta: dict) -> np.ndarray:
+    """REAL decoder for format='rawvideo' assets: N concatenated
+    row-major uint8 frames of the declared (height, width). Returns
+    (n_frames, h, w). Codec-free, like raw_decoder/pcm16_decoder."""
+    h = int(meta.get("height") or 0)
+    w = int(meta.get("width") or 0)
+    buf = np.frombuffer(data or b"", dtype=np.uint8)
+    if h <= 0 or w <= 0 or buf.size % (h * w) != 0:
+        raise ValueError(f"rawvideo asset size {buf.size} not a multiple of {h}x{w}")
+    return buf.reshape(-1, h, w)
+
+
+def video_fingerprints(
+    assets: DataFrame,
+    decoder: Callable[[bytes, dict], np.ndarray] = strict_decoder,
+    method: str = "ahash",
+) -> DataFrame:
+    """Per-frame perceptual hash as an int64 posting list via
+    mapInPandas. Output: (asset_id, fp long, t int) — same shape as
+    audio_fingerprints, so sequence_match works unchanged. The decoder
+    must return (n_frames, h, w)."""
+    ref = ahash_reference if method == "ahash" else phash_reference
+    if method not in ("ahash", "phash"):
+        raise ValueError(f"unknown video hash method: {method}")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps, ts = [], [], []
+            for _, row in pdf.iterrows():
+                meta = dict(row["meta"]) if row["meta"] is not None else {}
+                frames = decoder(row["data"], meta)
+                for t in range(frames.shape[0]):
+                    bits = ref(frames[t])
+                    # int64 via two 32-bit halves (a full 64-bit parse
+                    # would overflow signed int64 when bit 0 is set)
+                    fp = (int(bits[:32], 2) << 32) | int(bits[32:], 2)
+                    fp -= 1 << 64 if fp >= 1 << 63 else 0
+                    ids.append(row["asset_id"])
+                    fps.append(fp)
+                    ts.append(t)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "fp": pd.Series(fps, dtype="int64"),
+                    "t": pd.Series(ts, dtype="int32"),
+                }
+            )
+
+    return assets.mapInPandas(op, schema="asset_id long, fp long, t int")
+
+
+def sequence_match(
+    db_fp: DataFrame,
+    query_fp: DataFrame,
+    min_votes: int = 5,
+) -> DataFrame:
+    """Temporal-alignment match over any (asset_id, fp, t) posting
+    list — audio constellations or video frame-hash sequences share
+    the same inverted-index + offset-vote plan."""
+    return audio_match(db_fp, query_fp, min_votes=min_votes)
+
+
 def frame_sample(
     assets: DataFrame,
     every_ms: int = 1000,

@@ -7032,3 +7032,137 @@ def q160_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+@query(
+    "q161_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, supplycost
+    FROM ps
+    JOIN eu ON ps.l_suppkey = eu.s_suppkey
+    JOIN part ON ps.l_partkey = p_partkey
+    WHERE p_size BETWEEN 20 AND 30 AND p_type IN ('STANDARD', 'ECONOMY')
+      AND supplycost = (
+        SELECT min(ps2.supplycost)
+        FROM ps ps2 JOIN eu eu2 ON ps2.l_suppkey = eu2.s_suppkey
+        WHERE ps2.l_partkey = ps.l_partkey
+      )
+    ORDER BY s_acctbal DESC, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q161_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier per part, correlated scalar
+    min subquery) over this schema's tables — lineitem stands in for
+    partsupp via groupBy(l_partkey, l_suppkey) → min unit price.
+
+    Spark plan: the correlated `= (SELECT min ...)` is hand-decorrelated
+    into a per-part min aggregate joined back on p_partkey, the same
+    rewrite Catalyst applies to scalar correlated subqueries — one
+    shuffle for ps, one for the per-part min, supplier/nation/region
+    and the filtered part dim all broadcast. supplycost is min() of an
+    exact IEEE division — order-free, so no rounding is needed for
+    cross-engine hash parity. Completes the TPC-H shape sweep
+    (Q1-Q22) together with q162.
+
+    Reference analog: none directly (postgresml delegates joins to
+    Postgres); this is §2.C breadth for the relational surface."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size").between(20, 30) & F.col("p_type").isin("STANDARD", "ECONOMY"))
+        .select("p_partkey", "p_brand")
+    )
+    cand = ps.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    min_cost = cand.groupBy("l_partkey").agg(
+        F.min("supplycost").alias("__min_cost")
+    )
+    return (
+        cand.join(min_cost, "l_partkey")
+        .filter(F.col("supplycost") == F.col("__min_cost"))
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "supplycost")
+        .orderBy(F.desc("s_acctbal"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q162_parts_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34, 39, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 50
+    """,
+)
+def q162_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part group with a
+    NOT-IN exclusion set. The NOT IN compiles to a broadcast LEFT ANTI
+    join (s_suppkey is non-null, so anti-join ≡ NOT IN), the part dim
+    broadcasts with its filters pushed into the scan, and the distinct
+    aggregate is the only shuffle — count(DISTINCT) expands to a
+    two-phase partial/final plan under AQE. With q161 this completes
+    all 22 TPC-H query shapes under the oracle gate."""
+    li = _t(spark, sf_dir, "lineitem")
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#45")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excluded = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+        .limit(50)
+    )

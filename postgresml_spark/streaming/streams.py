@@ -544,3 +544,50 @@ def ivf_epoch_fenced_sink(store_path: str, centroids: list[list[float]]):
         os.replace(tmp, fence)
 
     return _sink
+
+
+def stream_predict(
+    stream_df: DataFrame,
+    project: str,
+    output_path: str,
+    checkpoint: str,
+    registry=None,
+    output_col: str = "prediction",
+):
+    """Continuous inference: pgml.predict over a live stream.
+
+    Each micro-batch runs the deployed model of `project` via
+    ml.predict (snapshot preprocessing replayed, model.transform
+    native batch) and appends results to a parquet sink. Deployment
+    resolution happens PER BATCH through the process-local deploy map
+    (predict._DEPLOY_CACHE, invalidated by Registry.add_deployment) —
+    so `pgml.deploy` takes effect on the next micro-batch without
+    restarting the query, the Structured-Streaming analog of the
+    reference's shared-memory PROJECT_ID_TO_DEPLOYED_MODEL_ID
+    (project.rs:78-165). Model bytes load once per artifact per
+    process (predict._MODEL_CACHE), so re-resolution is a map lookup,
+    not a deserialize.
+
+    Scale shape: the model is a fitted MLlib transformer — pure
+    column expressions appended to the micro-batch plan, executed
+    executor-side with zero extra shuffle; the sink is an append-only
+    parquet stream (swap for the bucketed store / Delta at cluster
+    scale). Returns the StreamingQuery.
+    """
+    from postgresml_spark.ml.predict import predict as _predict
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = _predict(
+            batch_df.sparkSession, project, batch_df,
+            registry=registry, output_col=output_col,
+        )
+        out.write.mode("append").parquet(output_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime="1 second")
+        .start()
+    )

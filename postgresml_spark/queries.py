@@ -7166,3 +7166,65 @@ def q162_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@query(
+    "q163_dp_release",
+    oracle="""
+    WITH g AS (
+      SELECT lang, source, count(*) AS n
+      FROM documents GROUP BY lang, source
+    ),
+    u AS (
+      SELECT lang, source, n,
+             (CAST('0x' || substr(md5(lang || '|' || source || '|dp-salt-1'), 1, 8)
+                   AS BIGINT) + 0.5) / 4294967296.0 AS uu
+      FROM g WHERE n >= 5
+    )
+    SELECT lang, source,
+           round(n - sign(uu - 0.5) * ln(1 - 2 * abs(uu - 0.5)), 4) AS noised_count
+    FROM u
+    """,
+)
+def q163_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving aggregate release: k-anonymity suppression
+    (groups with < k members are dropped) + the Laplace mechanism
+    (noise ~ Lap(sensitivity/epsilon), here 1/1.0 for a count query)
+    on what survives — the standard governance gate before publishing
+    per-segment statistics from a training corpus.
+
+    The Laplace draw is DETERMINISTIC-BY-HASH: uniform u from the
+    md5 of the salted group key (inverse-CDF −sign(u−½)·ln(1−2|u−½|)),
+    which makes the release reproducible run-to-run AND lets DuckDB
+    recompute it bit-for-bit — the oracle-checkable twin of a
+    true-random mechanism, same pattern as hash_embed. (A production
+    release would draw real randomness; the plan is identical.)
+
+    Scale shape: one groupBy shuffle over the corpus; suppression and
+    noise are per-GROUP scalar expressions on the tiny aggregate
+    frame, pure codegen, no second shuffle, no driver hop.
+
+    Reference analog: none — governance breadth for the platform."""
+    d = _t(spark, sf_dir, "documents")
+    k, eps = 5, 1.0
+    g = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("lang"), F.col("source"), F.lit("dp-salt-1"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(16 ** 8))
+    s = u - F.lit(0.5)
+    noise = -(1.0 / eps) * F.signum(s) * F.log(F.lit(1.0) - 2.0 * F.abs(s))
+    return (
+        g.filter(F.col("n") >= k)
+        .select(
+            "lang",
+            "source",
+            F.round(F.col("n") + noise, 4).alias("noised_count"),
+        )
+    )

@@ -269,3 +269,37 @@ def test_runtime_bloom_filter_injects(spark, sf_dir):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
         )
+
+
+def test_tpch_q2_q16_and_dp_plan_shapes(spark, sf_dir):
+    """q161/q162 (TPC-H Q2/Q16 shapes) and q163 keep their promised
+    physical shapes: dims broadcast, NOT-IN as a broadcast anti join,
+    no cartesian products, and the DP release adds no shuffle beyond
+    its one aggregate."""
+    from postgresml_spark import queries as Q
+
+    p161 = _plan(Q.q161_min_cost_supplier(spark, sf_dir))
+    assert "BroadcastHashJoin" in p161          # eu suppliers + part dim
+    assert "CartesianProduct" not in p161
+    assert "TakeOrderedAndProject" in p161      # top-100, never global sort
+
+    p162 = _plan(Q.q162_parts_supplier_counts(spark, sf_dir))
+    assert "LeftAnti" in p162                   # NOT IN → anti join
+    assert "BroadcastHashJoin" in p162
+    assert "TakeOrderedAndProject" in p162
+
+    p163 = _plan(Q.q163_dp_release(spark, sf_dir))
+    # one aggregate exchange over the corpus; noise is scalar exprs
+    assert p163.count("Exchange hashpartitioning") == 1
+    assert "Window" not in p163
+
+
+def test_image_near_dup_query_plan_is_banded(spark, sf_dir):
+    """q160's pair stage must be the banded equi-join, never a
+    broadcast-nested-loop/cartesian pair enumeration."""
+    from postgresml_spark import queries as Q
+
+    p160 = _plan(Q.q160_image_ahash_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in p160
+    assert "BroadcastNestedLoopJoin" not in p160
+    assert "ShuffledHashJoin" in p160 or "SortMergeJoin" in p160

@@ -231,3 +231,35 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def rendezvous_bucket(key_col, n_buckets: int):
+    """Highest-random-weight (rendezvous) bucket assignment: the key
+    routes to argmax over buckets of md5(key ':' bucket).
+
+    Why not hash(key) % n: under modulo routing a bucket-count change
+    remaps ~(1 - 1/n) of ALL keys — at 100 TB that is a full-store
+    rewrite to grow the bucketed document store. Under rendezvous
+    routing only the keys whose new argmax IS the added bucket move:
+    ~1/(n+1) of them, and every mover lands on the new bucket, so a
+    reshard is an O(moved) partial rewrite through the same
+    BucketedVersionedTable machinery. Deterministic md5 scores make
+    assignments reproducible across engines (SQL-portable twin:
+    row_number over md5 per key) and across cluster topologies.
+
+    Pure codegen expression (an array of structs + array_max — struct
+    comparison is lexicographic, hash then bucket id, and md5 ties are
+    impossible); no shuffle, no UDF. n_buckets is bounded by plan
+    size — for thousands of shards move the argmax into a pandas UDF.
+    """
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    scored = F.array(
+        *[
+            F.struct(
+                F.md5(F.concat(c.cast("string"), F.lit(f":{i}"))).alias("h"),
+                F.lit(i).alias("b"),
+            )
+            for i in range(n_buckets)
+        ]
+    )
+    return F.array_max(scored)["b"]

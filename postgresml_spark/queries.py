@@ -7228,3 +7228,63 @@ def q163_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") + noise, 4).alias("noised_count"),
         )
     )
+
+
+@query(
+    "q164_rendezvous_routing",
+    oracle="""
+    WITH k AS (SELECT doc_id FROM documents),
+    r8 AS (
+      SELECT doc_id, i AS b,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)) DESC
+             ) AS rn
+      FROM k, range(8) t(i)
+    ),
+    b8 AS (SELECT doc_id, b FROM r8 WHERE rn = 1),
+    r9 AS (
+      SELECT doc_id, i AS b,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)) DESC
+             ) AS rn
+      FROM k, range(9) t(i)
+    ),
+    b9 AS (SELECT doc_id, b FROM r9 WHERE rn = 1)
+    SELECT b8.b AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN b9.b <> b8.b THEN 1 ELSE 0 END) AS BIGINT) AS moved_on_grow
+    FROM b8 JOIN b9 ON b8.doc_id = b9.doc_id
+    GROUP BY b8.b
+    """,
+)
+def q164_rendezvous_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshard-friendly shard routing (rendezvous/HRW hashing,
+    partitioning.rendezvous_bucket): per-bucket document counts at
+    n=8, plus how many of each bucket's keys would MOVE if the store
+    grew to n=9. The HRW property under test: movers are exactly the
+    keys whose argmax becomes the new bucket — ~1/9 of the corpus —
+    versus ~8/9 remapped under hash(key) % n. That difference is what
+    makes growing a 100 TB bucketed store an O(moved) partial rewrite
+    instead of a full one.
+
+    Plan: both assignments are pure codegen expressions on the scan
+    (array of md5 structs + array_max — no join against a shard
+    table), one aggregate shuffle for the counts. The DuckDB oracle
+    computes the same argmax as row_number-over-md5 per key — string
+    comparison of fixed-width lowercase hex is identical in both
+    engines."""
+    from postgresml_spark.operators.partitioning import rendezvous_bucket
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    assigned = d.select(
+        rendezvous_bucket("doc_id", 8).alias("bucket"),
+        (rendezvous_bucket("doc_id", 9) != rendezvous_bucket("doc_id", 8))
+        .cast("long")
+        .alias("moved"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("moved").alias("moved_on_grow"),
+    )

@@ -303,3 +303,23 @@ def test_image_near_dup_query_plan_is_banded(spark, sf_dir):
     assert "CartesianProduct" not in p160
     assert "BroadcastNestedLoopJoin" not in p160
     assert "ShuffledHashJoin" in p160 or "SortMergeJoin" in p160
+
+
+def test_rendezvous_reshard_movement(spark):
+    """HRW property: growing 8→9 buckets moves ~1/9 of keys, every
+    mover lands ON the new bucket (an O(moved) partial rewrite), and
+    assignment stays balanced. Modulo routing would remap ~8/9."""
+    from postgresml_spark.operators.partitioning import rendezvous_bucket
+
+    n = 9000
+    a = spark.range(n).select(
+        rendezvous_bucket("id", 8).alias("b8"),
+        rendezvous_bucket("id", 9).alias("b9"),
+    )
+    moved = a.filter(F.col("b8") != F.col("b9")).cache()
+    frac = moved.count() / n
+    assert 0.08 < frac < 0.15
+    assert moved.filter(F.col("b9") != 8).count() == 0
+    counts = [r["c"] for r in a.groupBy("b8").agg(F.count("*").alias("c")).collect()]
+    assert len(counts) == 8 and min(counts) > n / 8 * 0.7
+    moved.unpersist()

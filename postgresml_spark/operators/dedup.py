@@ -159,6 +159,109 @@ def minhash_signature_batch(num_perm: int = 64, shingle_n: int = 3):
     return _sig
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    impl: str = "batch",
+) -> DataFrame:
+    """(id, band, bucket) LSH posting rows — the persistable band
+    index. minhash_candidate_pairs self-joins these; the incremental
+    path (incremental_minhash_pairs) appends a batch's rows to a
+    stored index and joins batch-vs-all instead of re-banding the
+    corpus. Bucket = xxhash64 over the band's signature slice, so
+    rows are engine-stable for a given (num_perm, bands, shingle_n)."""
+    r = num_perm // bands
+    if impl == "batch":
+        sig_col = minhash_signature_batch(num_perm, shingle_n)(F.col(text_col))
+    else:
+        sig_col = minhash_signature(F.col(text_col), num_perm, shingle_n)
+    sig = _widen(df).select(F.col(id_col).alias("id"), sig_col.alias("sig"))
+    return sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.slice(F.col("sig"), b * r + 1, r)), F.lit(-1)
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def incremental_minhash_pairs(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    impl: str = "batch",
+    max_bucket_size: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup candidates for a NEW batch against all history,
+    without re-banding the corpus.
+
+    `index` is the stored (id, band, bucket) posting table built by
+    minhash_band_rows with the SAME parameters (empty for a first
+    batch). Returns (pairs, new_index_rows): `pairs` = every candidate
+    pair with at least one side in the batch (batch↔history and
+    batch↔batch, id_a < id_b, deduplicated); `new_index_rows` = the
+    batch's posting rows to append to the index (append-only, like
+    incremental_exact_dedup's fingerprint index and the IVF store's
+    frozen-centroid appends).
+
+    This is the production dedup shape at 100 TB: the daily crawl
+    increment is banded once (Arrow-batched signature UDF over the
+    batch only), then one equi-join of batch postings against the
+    bucketed index — work scales with |batch| × bucket density, never
+    with |history|². History-internal pairs are by construction
+    already known from earlier batches. The completeness invariant
+    (incremental ≡ full-corpus pairs restricted to pairs touching the
+    batch) is pinned by test.
+
+    max_bucket_size caps hot buckets counted over index ∪ batch —
+    same saturated-cluster argument as minhash_candidate_pairs.
+    """
+    new_rows = minhash_band_rows(
+        batch, text_col=text_col, id_col=id_col, num_perm=num_perm,
+        bands=bands, shingle_n=shingle_n, impl=impl,
+    )
+    all_rows = index.select("id", "band", "bucket").unionByName(new_rows)
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "bucket")
+        all_rows = (
+            all_rows.withColumn("__bs", F.count("*").over(wb))
+            .filter(F.col("__bs") <= max_bucket_size)
+            .drop("__bs")
+        )
+        new_side = all_rows.join(
+            new_rows.select("id").distinct(), "id", "left_semi"
+        )
+    else:
+        new_side = new_rows
+    a, b = new_side.alias("a"), all_rows.alias("b")
+    pairs = (
+        a.hint("SHUFFLE_HASH").join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs, new_rows
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -189,22 +292,9 @@ def minhash_candidate_pairs(
     clusters; run exact_dedup first (or treat an over-cap bucket itself
     as a duplicate group) rather than enumerating its pairs.
     """
-    r = num_perm // bands
-    if impl == "batch":
-        sig_col = minhash_signature_batch(num_perm, shingle_n)(F.col(text_col))
-    else:
-        sig_col = minhash_signature(F.col(text_col), num_perm, shingle_n)
-    sig = _widen(df).select(F.col(id_col).alias("id"), sig_col.alias("sig"))
-    banded = sig.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.slice(F.col("sig"), b * r + 1, r)), F.lit(-1)
-                ),
-            )
-        ).alias("band", "bucket"),
+    banded = minhash_band_rows(
+        df, text_col=text_col, id_col=id_col, num_perm=num_perm,
+        bands=bands, shingle_n=shingle_n, impl=impl,
     )
     if max_bucket_size is not None:
         # same partition key as the join → the count window reuses the

@@ -575,3 +575,47 @@ def test_resident_hnsw_incremental_add(spark, sf_dir):
         hits += len(t & g)
         tot += 10
     assert hits / tot >= 0.85, hits / tot
+
+
+def test_incremental_minhash_pairs_completeness(spark, sf_dir):
+    """Incremental LSH ≡ full-corpus LSH restricted to pairs touching
+    the batch — banding only the increment loses nothing. Two
+    consecutive increments together recover every pair a full rebuild
+    finds."""
+    from postgresml_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_band_rows,
+        minhash_candidate_pairs,
+    )
+    from postgresml_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = docs.approxQuantile("doc_id", [0.6], 0.0)[0]
+    hist = docs.filter(F.col("doc_id") <= cut)
+    batch = docs.filter(F.col("doc_id") > cut)
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidate_pairs(docs, num_perm=32, bands=8).collect()
+    }
+    batch_ids = {r["doc_id"] for r in batch.collect()}
+    expected = {p for p in full if p[0] in batch_ids or p[1] in batch_ids}
+    assert expected, "fixture must contain near-dups touching the batch"
+
+    index = minhash_band_rows(hist, num_perm=32, bands=8)
+    pairs, new_rows = incremental_minhash_pairs(
+        batch, index, num_perm=32, bands=8
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == expected
+
+    # appending the new rows makes the NEXT increment see this batch
+    # as history: an empty next batch finds nothing, a re-sent doc
+    # finds its own duplicate in the appended index
+    grown = index.unionByName(new_rows)
+    resent = batch.limit(1).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    pairs2, _ = incremental_minhash_pairs(resent, grown, num_perm=32, bands=8)
+    re_row = resent.head()
+    assert (re_row["doc_id"] - 10_000_000, re_row["doc_id"]) in {
+        (r["id_a"], r["id_b"]) for r in pairs2.collect()
+    }

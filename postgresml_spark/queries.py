@@ -7288,3 +7288,52 @@ def q164_rendezvous_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("moved").alias("moved_on_grow"),
     )
+
+
+@query(
+    "q165_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT digit, count(*) AS observed FROM d GROUP BY digit),
+    tot AS (SELECT sum(observed) AS n FROM obs)
+    SELECT digit, observed,
+           round(n * log10(1.0 + 1.0 / digit), 4) AS expected,
+           round(pow(observed - n * log10(1.0 + 1.0 / digit), 2)
+                 / (n * log10(1.0 + 1.0 / digit)), 6) AS chi2_term
+    FROM obs, tot
+    """,
+)
+def q165_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    data-quality / fraud screen for financial-ish columns: observed
+    first-significant-digit counts vs the log10(1+1/d) expectation,
+    with each digit's chi-square contribution (sum them for the test
+    statistic; a synthetic or truncated column jumps out immediately).
+
+    Plan: one 9-group aggregate over the scan; the expectation and
+    chi-square terms are scalar expressions against the broadcast
+    1-row total (BroadcastNestedLoopJoin of a single row, like the
+    other scalar-subquery shapes). First digit is taken from the
+    integer part's decimal rendering — identical semantics in both
+    engines for values ≥ 1 (explicit floor then leading digit —
+    a bare double→BIGINT cast ROUNDS in DuckDB but TRUNCATES in
+    Spark, a real cross-engine trap), avoiding any float-format
+    divergence."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count("*").alias("observed"))
+    tot = obs.agg(F.sum("observed").alias("n"))
+    exp = F.col("n") * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "observed",
+        F.round(exp, 4).alias("expected"),
+        F.round(F.pow(F.col("observed") - exp, 2) / exp, 6).alias("chi2_term"),
+    )

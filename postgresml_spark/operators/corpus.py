@@ -53,6 +53,7 @@ __all__ = [
     "pack_sequences",
     "greedy_pack",
     "unigram_lm_scores",
+    "heavy_hitters",
 ]
 
 
@@ -562,4 +563,66 @@ def weighted_take(
         .orderBy(F.desc("__es"), *_cols(key_cols))
         .limit(int(k))
         .drop("__es")
+    )
+
+
+def heavy_hitters(
+    items: DataFrame,
+    col: str,
+    k: int = 20,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Exact top-k most frequent values with a bounded shuffle.
+
+    A plain ``groupBy(col).count()`` shuffles one row per DISTINCT
+    value per partition — at corpus scale (10^9+ word types) that
+    shuffle dwarfs the answer. This runs the classic two-pass
+    frequent-items scheme instead:
+
+    1. **Candidate pass** — each partition keeps a Misra–Gries summary
+       of ``capacity`` counters (Arrow-batched: per-batch value_counts
+       folded into the counter map; on overflow the summary is
+       decremented by the (size−capacity)-th smallest count, the
+       batched form of the MG decrement). Emitted rows per partition ≤
+       capacity, so the candidate shuffle is ``partitions × capacity``
+       regardless of value cardinality.
+    2. **Verify pass** — candidate values (deduped, broadcast) filter
+       the item stream map-side; exact counts of the survivors come
+       from a normal partial-agg groupBy bounded by |candidates|.
+
+    Guarantee (standard MG bound): any value with true frequency >
+    N_partition/capacity survives its partition's summary, so the
+    result is the EXACT top-k whenever the k-th true frequency exceeds
+    every partition's N_p/capacity — at capacity 4096 that is items
+    whose share exceeds 0.02% of a partition. Sizing rule at 100 TB:
+    capacity ≥ partitions-agnostic 1/(target share). Output:
+    (``col``, cnt), ordered cnt desc then value, limited to k.
+    """
+    vals = items.select(F.col(col).alias("__v"))
+
+    def _mg(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for v, c in pdf["__v"].value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+            if len(counts) > capacity:
+                cut = sorted(counts.values())[len(counts) - capacity - 1]
+                counts = {
+                    v: c - cut for v, c in counts.items() if c > cut
+                }
+        yield pd.DataFrame({"__v": list(counts.keys())})
+
+    cand = (
+        vals.mapInPandas(_mg, "__v string")
+        .distinct()
+    )
+    exact = (
+        vals.join(F.broadcast(cand), "__v")
+        .groupBy("__v")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        exact.orderBy(F.desc("cnt"), F.asc("__v"))
+        .limit(int(k))
+        .select(F.col("__v").alias(col), "cnt")
     )

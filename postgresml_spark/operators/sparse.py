@@ -1,0 +1,196 @@
+"""Sparse-vector features and retrieval (pgvector ``sparsevec`` analog).
+
+The reference stack stores sparse embeddings (SPLADE-style learned
+lexical vectors) in pgvector's ``sparsevec`` type and scores them with
+the inner-product operator; the SDK's pipeline schema accepts a sparse
+index on an embeddings field the same way it accepts HNSW on dense
+ones. Spark has no sparse-vector type — and doesn't need one: the
+natural *distributed* representation of a sparse matrix is its posting
+list, one row per ``(id, index, weight)``. This module builds
+deterministic sparse features from text (portable-hash indices,
+log-saturated tf × idf — the no-model twin of a SPLADE encoder,
+exactly as ``functions/embed.py::hash_embed`` is the no-model twin of
+a dense encoder) and retrieves by sparse inner product via a
+posting-list equi-join.
+
+Scale shape (100 TB):
+
+- Featurization is ONE corpus scan: explode tokens → groupBy (id,
+  term) tf (map-side partial) → broadcast idf join → portable-hash
+  index → groupBy (id, idx) collision merge. Every exchange carries
+  (id, term/idx) rows — reduced relative to corpus text, uniform keys.
+- Retrieval broadcasts the QUERY postings (bounded by query length),
+  so the corpus posting store is filtered map-side; the only shuffle
+  is the per-(id) partial-sum, bounded by |matching postings|, and the
+  final top-k is TakeOrdered (no global sort).
+- The posting store is write-once and appendable; index maintenance is
+  the same append-only posting discipline as the BM25 inverted index
+  (functions/text.py) and the IVF store (operators/partitioning.py).
+
+Reference parity: pgvector sparsevec inner product (`<#>`), pgml SDK
+sparse-embedding pipeline fields (pgml-sdks/pgml/src/models.rs
+pipeline schema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from postgresml_spark.functions.text import tokenize
+from postgresml_spark.operators.corpus import hash_key
+
+__all__ = [
+    "sparse_features",
+    "sparse_query",
+    "sparse_topk",
+    "to_sparsevec",
+    "SPARSE_IDF_SQL",
+]
+
+
+# DuckDB twin of the idf used below (ln((N+1)/(df+1)) + 1, positive,
+# smoothed — sklearn's TfidfVectorizer smooth_idf form):
+SPARSE_IDF_SQL = "(ln((n_docs + 1.0) / (df_t + 1.0)) + 1.0)"
+
+
+def _term_index(term: Column, dim: int, seed: int | str) -> Column:
+    """Portable hash index in [0, dim): md5-derived, bit-equal in
+    DuckDB via corpus.hash_key's documented SQL twin ``% dim``."""
+    return (hash_key(seed, term) % F.lit(dim)).cast("bigint")
+
+
+def sparse_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1 << 18,
+    seed: int | str = "sparse",
+) -> DataFrame:
+    """Posting-list sparse features: one row per (id, idx, weight).
+
+    weight(term) = (1 + ln(tf)) · (ln((N+1)/(df+1)) + 1) — log-saturated
+    term frequency (BM25/SPLADE-style saturation) times smoothed idf.
+    Hash collisions (two terms → one index) sum, as in feature hashing.
+
+    Columns out: ``id_col``, ``idx`` (bigint in [0, dim)), ``weight``.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("__term")
+    )
+    tf = toks.groupBy(id_col, "__term").agg(F.count("*").alias("__tf"))
+    dft = tf.groupBy("__term").agg(F.count("*").alias("__df"))
+    n_docs = df.select(F.count("*").alias("__n"))
+    w = (
+        tf.join(F.broadcast(dft), "__term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            _term_index(F.col("__term"), dim, seed).alias("idx"),
+            (
+                (F.lit(1.0) + F.log(F.col("__tf").cast("double")))
+                * (
+                    F.log(
+                        (F.col("__n") + F.lit(1.0))
+                        / (F.col("__df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("__w"),
+        )
+    )
+    return w.groupBy(id_col, "idx").agg(F.sum("__w").alias("weight"))
+
+
+def sparse_query(
+    corpus: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    dim: int = 1 << 18,
+    seed: int | str = "sparse",
+) -> DataFrame:
+    """Sparse query vector for a bag of terms, weighted by the CORPUS
+    idf (the standard tf-idf query form; repeated query terms saturate
+    like document terms). Returns (idx, qweight) — small by
+    construction (≤ |terms| rows), intended for broadcast.
+    """
+    spark = corpus.sparkSession
+    tf: dict[str, int] = {}
+    for t in terms:
+        t = t.lower()
+        tf[t] = tf.get(t, 0) + 1
+    qdf = spark.createDataFrame(
+        [(t, n) for t, n in sorted(tf.items())], "__term string, __tf int"
+    )
+    toks = corpus.select(
+        F.col(text_col).alias("__t")
+    ).select(F.explode(F.array_distinct(tokenize(F.col("__t")))).alias("__term"))
+    dft = (
+        toks.join(F.broadcast(qdf.select("__term")), "__term")
+        .groupBy("__term")
+        .agg(F.count("*").alias("__df"))
+    )
+    n_docs = corpus.select(F.count("*").alias("__n"))
+    return (
+        qdf.join(dft, "__term", "left")
+        .crossJoin(n_docs)
+        .select(
+            _term_index(F.col("__term"), dim, seed).alias("idx"),
+            (
+                (F.lit(1.0) + F.log(F.col("__tf").cast("double")))
+                * (
+                    F.log(
+                        (F.col("__n") + F.lit(1.0))
+                        / (F.coalesce(F.col("__df"), F.lit(0)) + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("qweight"),
+        )
+        .groupBy("idx")
+        .agg(F.sum("qweight").alias("qweight"))
+    )
+
+
+def sparse_topk(
+    postings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Top-k documents by sparse inner product ⟨query, doc⟩.
+
+    ``postings``: (id_col, idx, weight); ``query``: (idx, qweight) —
+    broadcast (a query has O(query length) non-zeros). The corpus side
+    is filtered to matching indices MAP-SIDE by the broadcast hash
+    join, the per-doc sum is a map-side-partial groupBy, and the top-k
+    is TakeOrdered. Nothing global touches non-matching postings.
+
+    Ties break on id. ``round_to`` rounds the score BEFORE ordering —
+    duplicate documents score identically up to float summation order,
+    so rank-then-tiebreak on the rounded score is reproducible across
+    engines/partitionings where the raw float order is not.
+    """
+    score = F.sum(F.col("weight") * F.col("qweight"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = (
+        postings.join(F.broadcast(query), "idx")
+        .groupBy(id_col)
+        .agg(score.alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def to_sparsevec(postings: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Collect a posting frame into pgvector-sparsevec-shaped rows:
+    (id, array<struct<i,w>> sorted by index). The per-row form for
+    storage/interchange; computation stays on the posting form."""
+    return (
+        postings.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("idx").alias("i"), F.col("weight").alias("w")))
+            ).alias("sparsevec")
+        )
+    )

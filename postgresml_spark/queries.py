@@ -7337,3 +7337,90 @@ def q165_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp, 4).alias("expected"),
         F.round(F.pow(F.col("observed") - exp, 2) / exp, 6).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q166+ — sparse vectors and bounded-shuffle frequency (round-2 cont.)
+# ---------------------------------------------------------------------------
+
+_SPARSE_DIM = 262144
+_SPARSE_IDX = (
+    "CAST(('0x' || substr(md5('sparse:' || {t}), 1, 15)) AS BIGINT) % 262144"
+)
+_SPARSE_TERMS = ("vector", "merge", "stream", "hash")
+
+
+@query(
+    "q166_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKENS.format(t='text')}) AS term FROM documents
+    )
+    SELECT term, count(*) AS cnt
+    FROM toks GROUP BY term
+    ORDER BY cnt DESC, term
+    LIMIT 20
+    """,
+)
+def q166_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 corpus tokens via the two-pass frequent-items
+    scheme (Misra–Gries partition summaries → candidate broadcast →
+    exact verify). The ORACLE is the naive GROUP BY — identical
+    answer; the Spark plan's difference is the shuffle bound:
+    candidates are ≤ partitions×capacity rows instead of one row per
+    distinct token per partition (at 10^9+ word types the naive
+    shuffle IS the cost). corpus.heavy_hitters docstring carries the
+    exactness guarantee arithmetic."""
+    import postgresml_spark.operators.corpus as CO
+
+    d = _t(spark, sf_dir, "documents")
+    items = d.select(F.explode(TX.tokenize(F.col("text"))).alias("term"))
+    return CO.heavy_hitters(items, "term", k=20, capacity=4096)
+
+
+@query(
+    "q167_sparse_retrieval",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, t AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_SQL_TOKENS.format(t='text')}) AS t
+            FROM documents)
+      GROUP BY doc_id, t
+    ), dft AS (
+      SELECT term, count(*) AS df_t FROM tf GROUP BY term
+    ), nd AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), post AS (
+      SELECT doc_id, {_SPARSE_IDX.format(t='term')} AS idx,
+             sum((1.0 + ln(tf)) * (ln((n_docs + 1.0) / (df_t + 1.0)) + 1.0)) AS weight
+      FROM tf JOIN dft USING (term) CROSS JOIN nd
+      GROUP BY doc_id, idx
+    ), q(term) AS (
+      VALUES {", ".join(f"('{t}')" for t in _SPARSE_TERMS)}
+    ), qv AS (
+      SELECT {_SPARSE_IDX.format(t='q.term')} AS idx,
+             sum(1.0 * (ln((n_docs + 1.0) / (coalesce(df_t, 0) + 1.0)) + 1.0)) AS qweight
+      FROM q LEFT JOIN dft ON q.term = dft.term CROSS JOIN nd
+      GROUP BY idx
+    )
+    SELECT doc_id, round(sum(weight * qweight), 4) AS score
+    FROM post JOIN qv USING (idx)
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q167_sparse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector retrieval — the pgvector `sparsevec` inner-product
+    path (SPLADE-style lexical vectors, no model: hash-indexed
+    log-saturated tf·idf, operators/sparse.py). Query postings are
+    broadcast so the corpus posting store filters map-side; the only
+    shuffles carry (doc, term/idx) rows; top-k is TakeOrdered on the
+    ROUNDED score (duplicate docs tie exactly, so cross-engine rank is
+    deterministic)."""
+    from postgresml_spark.operators import sparse as SP
+
+    d = _t(spark, sf_dir, "documents")
+    post = SP.sparse_features(d, "text", "doc_id", dim=_SPARSE_DIM, seed="sparse")
+    qv = SP.sparse_query(d, list(_SPARSE_TERMS), "text", dim=_SPARSE_DIM, seed="sparse")
+    return SP.sparse_topk(post, qv, k=10, id_col="doc_id", round_to=4)

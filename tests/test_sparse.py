@@ -1,0 +1,149 @@
+"""Sparse-vector retrieval (pgvector sparsevec analog) + exact
+heavy hitters: semantics against naive references, and the promised
+physical shapes (broadcast query side, TakeOrdered top-k, bounded
+candidate shuffle)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from postgresml_spark.operators import corpus as CO
+from postgresml_spark.operators import sparse as SP
+from postgresml_spark.session import load_table
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# -- sparse features --------------------------------------------------------
+
+
+def test_sparse_features_match_manual_tfidf(spark):
+    docs = spark.createDataFrame(
+        [(1, "red red blue"), (2, "blue green"), (3, "red")],
+        "doc_id long, text string",
+    )
+    post = SP.sparse_features(docs, "text", "doc_id", dim=1 << 18).collect()
+    import math
+
+    n = 3
+    df_t = {"red": 2, "blue": 2, "green": 1}
+
+    def w(tf, df):
+        return (1 + math.log(tf)) * (math.log((n + 1) / (df + 1)) + 1)
+
+    by_doc = {}
+    for r in post:
+        by_doc.setdefault(r["doc_id"], []).append(r["weight"])
+    # doc 1: red tf=2, blue tf=1
+    got = sorted(by_doc[1])
+    want = sorted([w(2, df_t["red"]), w(1, df_t["blue"])])
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got, want))
+    # idx values live in [0, dim) and hash deterministically
+    assert all(0 <= r["idx"] < (1 << 18) for r in post)
+
+
+def test_sparse_topk_matches_dense_dot(spark):
+    """Posting-join scores equal the explicit dense dot product."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["spark shuffle join", "join join filter", "spark spark spark",
+             "filter scan", "shuffle shuffle join scan"]
+        )],
+        "doc_id long, text string",
+    )
+    post = SP.sparse_features(docs, "text", "doc_id")
+    qv = SP.sparse_query(docs, ["join", "scan"], "text")
+    got = {r["doc_id"]: r["score"] for r in SP.sparse_topk(post, qv, k=5).collect()}
+
+    pw = {(r["doc_id"], r["idx"]): r["weight"] for r in post.collect()}
+    qw = {r["idx"]: r["qweight"] for r in qv.collect()}
+    want = {}
+    for (d, i), w in pw.items():
+        if i in qw:
+            want[d] = want.get(d, 0.0) + w * qw[i]
+    for d, s in got.items():
+        assert abs(s - want[d]) < 1e-9
+    assert set(got) == set(want)  # k=5 covers all matching docs
+
+
+def test_sparse_hash_collisions_sum(spark):
+    """dim=1 forces every term onto index 0: weights must sum, and the
+    single posting per doc equals the sum of per-term weights."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e")], "doc_id long, text string"
+    )
+    post = SP.sparse_features(docs, "text", "doc_id", dim=1)
+    rows = post.collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    assert all(r["idx"] == 0 for r in rows)
+    wide = SP.sparse_features(docs, "text", "doc_id", dim=1 << 20)
+    sums = {
+        r["doc_id"]: r["s"]
+        for r in wide.groupBy("doc_id").agg(F.sum("weight").alias("s")).collect()
+    }
+    for r in rows:
+        assert abs(r["weight"] - sums[r["doc_id"]]) < 1e-9
+
+
+def test_sparse_topk_plan_broadcasts_query_and_takeordered(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    post = SP.sparse_features(d, "text", "doc_id")
+    qv = SP.sparse_query(d, ["vector", "merge"], "text")
+    plan = _plan(SP.sparse_topk(post, qv, k=10))
+    assert "TakeOrderedAndProject" in plan  # no global sort
+    # the query side reaches the posting join as a broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_to_sparsevec_rows(spark):
+    docs = spark.createDataFrame([(1, "x y x")], "doc_id long, text string")
+    post = SP.sparse_features(docs, "text", "doc_id")
+    row = SP.to_sparsevec(post, "doc_id").head()
+    vec = row["sparsevec"]
+    assert len(vec) == 2
+    assert [e["i"] for e in vec] == sorted(e["i"] for e in vec)
+
+
+# -- heavy hitters ----------------------------------------------------------
+
+
+def test_heavy_hitters_exact_topk(spark, sf_dir):
+    """Two-pass result == naive groupBy top-k (same ordering)."""
+    d = load_table(spark, sf_dir, "documents")
+    from postgresml_spark.functions.text import tokenize
+
+    items = d.select(F.explode(tokenize(F.col("text"))).alias("term"))
+    got = [(r["term"], r["cnt"]) for r in CO.heavy_hitters(items, "term", k=15).collect()]
+    want = [
+        (r["term"], r["cnt"])
+        for r in items.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(15)
+        .collect()
+    ]
+    assert got == want
+
+
+def test_heavy_hitters_candidate_pass_bounds_emission(spark):
+    """With capacity < distinct values, each partition emits at most
+    ``capacity`` candidates — and frequent values still win exactly."""
+    # 2 heavy values + 500 singletons, capacity 16
+    rows = [("heavy_a",)] * 300 + [("heavy_b",)] * 200 + [
+        (f"rare_{i}",) for i in range(500)
+    ]
+    items = spark.createDataFrame(rows, "term string").repartition(4)
+    out = CO.heavy_hitters(items, "term", k=2, capacity=16).collect()
+    assert [(r["term"], r["cnt"]) for r in out] == [("heavy_a", 300), ("heavy_b", 200)]
+
+
+def test_heavy_hitters_survives_skewed_partitioning(spark):
+    """All copies of the heavy value in ONE partition (worst case for
+    per-partition summaries) still surface it."""
+    rows = [(("hot" if i < 400 else f"cold_{i}"),) for i in range(1000)]
+    items = spark.createDataFrame(rows, "term string").repartition(8, F.col("term"))
+    out = CO.heavy_hitters(items, "term", k=1, capacity=64).collect()
+    assert out[0]["term"] == "hot" and out[0]["cnt"] == 400

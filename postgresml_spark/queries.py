@@ -7424,3 +7424,106 @@ def q167_sparse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = SP.sparse_features(d, "text", "doc_id", dim=_SPARSE_DIM, seed="sparse")
     qv = SP.sparse_query(d, list(_SPARSE_TERMS), "text", dim=_SPARSE_DIM, seed="sparse")
     return SP.sparse_topk(post, qv, k=10, id_col="doc_id", round_to=4)
+
+
+def _q168_dense_sql() -> str:
+    from postgresml_spark.functions.embed import hash_embed_sql
+
+    return hash_embed_sql(f"'{' '.join(_SPARSE_TERMS)}'", _EMB_DIM)
+
+
+_Q168_SPARSE_CTES = f"""
+    tf AS (
+      SELECT doc_id, t AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_SQL_TOKENS.format(t='text')}) AS t
+            FROM documents)
+      GROUP BY doc_id, t
+    ), dft AS (
+      SELECT term, count(*) AS df_t FROM tf GROUP BY term
+    ), nd AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), post AS (
+      SELECT doc_id, {_SPARSE_IDX.format(t='term')} AS idx,
+             sum((1.0 + ln(tf)) * (ln((n_docs + 1.0) / (df_t + 1.0)) + 1.0)) AS weight
+      FROM tf JOIN dft USING (term) CROSS JOIN nd
+      GROUP BY doc_id, idx
+    ), q(term) AS (
+      VALUES {", ".join(f"('{t}')" for t in _SPARSE_TERMS)}
+    ), qv AS (
+      SELECT {_SPARSE_IDX.format(t='q.term')} AS idx,
+             sum(1.0 * (ln((n_docs + 1.0) / (coalesce(df_t, 0) + 1.0)) + 1.0)) AS qweight
+      FROM q LEFT JOIN dft ON q.term = dft.term CROSS JOIN nd
+      GROUP BY idx
+    )"""
+
+
+@query(
+    "q168_sparse_dense_hybrid",
+    oracle=f"""
+    WITH {_Q168_SPARSE_CTES},
+    sparse AS (
+      SELECT doc_id, round(sum(weight * qweight), 4) AS score
+      FROM post JOIN qv USING (idx)
+      GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 50
+    ), dq AS (SELECT {_q168_dense_sql()} AS qvec),
+    dense AS (
+      SELECT doc_id,
+             round(COALESCE(list_sum(list_transform(generate_series(1, {_EMB_DIM}),
+               i -> ({_DOC_EMB_SQL})[i] * dq.qvec[i])), 0.0), 6) AS score
+      FROM documents, dq
+      ORDER BY score DESC, doc_id LIMIT 50
+    ), ranked AS (
+      SELECT doc_id,
+             1.0 / (60 + row_number() OVER (ORDER BY score DESC, doc_id)) AS rrf
+      FROM sparse
+      UNION ALL
+      SELECT doc_id,
+             1.0 / (60 + row_number() OVER (ORDER BY score DESC, doc_id)) AS rrf
+      FROM dense
+    )
+    SELECT doc_id, round(sum(rrf), 6) AS rrf_score
+    FROM ranked GROUP BY doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q168_sparse_dense_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse+dense hybrid retrieval: RRF fusion of the sparsevec
+    inner-product list (q167) with the dense hash-embedding cosine
+    list (q51's path) — the SDK's multi-field hybrid search when one
+    pipeline field carries a sparse (SPLADE-style) index and another a
+    dense one. Both lists are LIMIT-bounded before their rank windows
+    (k-row frames, not corpus-sized); the fusion itself shuffles ≤ 100
+    rows. Scores are rounded BEFORE ranking so the rank-then-fuse is
+    reproducible across engines."""
+    from postgresml_spark.collections.search import rrf_fuse
+    from postgresml_spark.functions.embed import hash_embed_batch, hash_embed_py
+    from postgresml_spark.operators import sparse as SP
+
+    d = _t(spark, sf_dir, "documents")
+    post = SP.sparse_features(d, "text", "doc_id", dim=_SPARSE_DIM, seed="sparse")
+    qsp = SP.sparse_query(d, list(_SPARSE_TERMS), "text", dim=_SPARSE_DIM, seed="sparse")
+    sparse_list = SP.sparse_topk(post, qsp, k=50, id_col="doc_id", round_to=4)
+
+    qtext = " ".join(_SPARSE_TERMS)
+    qvec = hash_embed_py(qtext, _EMB_DIM)
+    dense_list = (
+        d.select(
+            "doc_id", hash_embed_batch(_EMB_DIM)(F.col("text")).alias("__emb")
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(V.dot_product_lit("__emb", qvec), F.lit(0.0)), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+    )
+    fused = rrf_fuse([sparse_list, dense_list], id_col="doc_id", score_col="score")
+    return (
+        fused.select("doc_id", F.round("rrf_score", 6).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(10)
+    )

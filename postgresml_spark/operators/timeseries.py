@@ -81,3 +81,142 @@ def gapfill_locf(
             F.col("__n").isNull().alias("filled"),
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | str,
+    value_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: str | float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join: for each left row, the single right row per key that
+    is nearest in ``on`` — ``backward`` (latest right ≤ left, the
+    kdb/pandas default and the q35 inline pattern), ``forward``
+    (earliest right ≥ left), or ``nearest`` (closer of the two; exact
+    ties resolve backward). ``tolerance`` voids matches farther than an
+    interval string ('30 minutes') for time columns or a number for
+    numeric ones — the pandas ``merge_asof`` surface, built scale-first.
+
+    Output: every left row (all columns) plus ``{on}{suffix}`` (the
+    matched right time, NULL when unmatched/out-of-tolerance) and each
+    value column as ``{c}{suffix}``.
+
+    Plan shape: union the two sides, ONE hash exchange on ``by``, and
+    per-key sorted window passes — never a range-explosion join, never
+    a global sort. ``nearest`` needs both scan directions; the two
+    windows share the exchange (same partitioning) and differ only in
+    sort, so the cost is one extra per-partition sort, not a shuffle.
+
+    Right rows should be unique per (by, on): equal-time right rows
+    sort by their payload struct, so results stay deterministic, but
+    which duplicate wins is a struct-order artifact — dedupe upstream
+    (e.g. min id per key/time) when it matters.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest: {direction!r}")
+    by = [by] if isinstance(by, str) else list(by)
+    rvals = value_cols or [c for c in right.columns if c not in (*by, on)]
+
+    lpay = F.struct(*[F.col(c) for c in left.columns]).alias("__l")
+    rpay = F.struct(
+        F.col(on).alias("__rt"), *[F.col(c) for c in rvals]
+    ).alias("__r")
+    lpart = left.select(
+        *[F.col(c).alias(f"__k{i}") for i, c in enumerate(by)],
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        lpay,
+        F.lit(None).alias("__rp"),
+    )
+    # align __rp's struct type with the right payload via a self-typed
+    # null (lit(None).cast needs the DDL; simplest is a when() that is
+    # never true on the left side — resolved below by unionByName with
+    # allowMissingColumns=False after typing both sides explicitly)
+    rpart = right.select(
+        *[F.col(c).alias(f"__k{i}") for i, c in enumerate(by)],
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).alias("__l"),
+        rpay.alias("__rp"),
+    )
+    # typed-null alignment: rebuild each side's null column with the
+    # other side's schema
+    ltype = lpart.schema["__l"].dataType
+    rtype = rpart.schema["__rp"].dataType
+    lpart = lpart.withColumn("__rp", F.lit(None).cast(rtype))
+    rpart = rpart.withColumn("__l", F.lit(None).cast(ltype))
+    u = lpart.unionByName(rpart)
+
+    keys = [F.col(f"__k{i}") for i in range(len(by))]
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+
+    def _pick(matched: Column) -> list[Column]:
+        t_r = matched["__rt"]
+        if tolerance is not None:
+            if isinstance(tolerance, (int, float)):
+                dist = F.abs(F.col("__t") - t_r)
+                ok = dist <= F.lit(float(tolerance))
+            else:
+                dist = F.when(t_r <= F.col("__t"), F.col("__t") - t_r).otherwise(
+                    t_r - F.col("__t")
+                )
+                ok = dist <= F.expr(f"INTERVAL {tolerance}")
+            matched = F.when(ok, matched)
+            t_r = matched["__rt"]
+        return [t_r.alias(f"{on}{suffix}")] + [
+            matched[c].alias(f"{c}{suffix}") for c in rvals
+        ]
+
+    if direction in ("backward", "forward"):
+        if direction == "backward":
+            # right rows sort BEFORE left at equal __t → `<=` semantics
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), F.col("__rp").asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            matched = F.last("__rp", ignorenulls=True).over(w)
+        else:
+            # left rows sort BEFORE right at equal __t → `>=` semantics
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy(F.col("__t").asc(), F.col("__is_left").desc(), F.col("__rp").asc())
+                .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+            matched = F.first("__rp", ignorenulls=True).over(w)
+        return (
+            u.withColumn("__m", matched)
+            .filter(F.col("__is_left") == 1)
+            .select(*out_cols, *_pick(F.col("__m")))
+        )
+
+    # nearest: both scans over the SAME partitioning (exchange reuse)
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), F.col("__rp").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc(), F.col("__is_left").desc(), F.col("__rp").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    two = (
+        u.withColumn("__b", F.last("__rp", ignorenulls=True).over(wb))
+        .withColumn("__f", F.first("__rp", ignorenulls=True).over(wf))
+        .filter(F.col("__is_left") == 1)
+    )
+    bt, ft = F.col("__b.__rt"), F.col("__f.__rt")
+    use_b = (
+        F.col("__f").isNull()
+        | (
+            F.col("__b").isNotNull()
+            & ((F.col("__t") - bt) <= (ft - F.col("__t")))
+        )
+    )
+    chosen = F.when(use_b, F.col("__b")).otherwise(F.col("__f"))
+    return two.select(*out_cols, *_pick(chosen))

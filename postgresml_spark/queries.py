@@ -7527,3 +7527,56 @@ def q168_sparse_dense_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "q169_asof_nearest",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, ts, event_id AS pid FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, ts, min(event_id) AS err_id
+      FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    )
+    SELECT l.pid, m.err_id, m.diff_us
+    FROM l LEFT JOIN LATERAL (
+      SELECT r.err_id, epoch_us(l.ts) - epoch_us(r.ts) AS diff_us
+      FROM r
+      WHERE r.user_id = l.user_id
+        AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 1800000000
+      ORDER BY abs(epoch_us(l.ts) - epoch_us(r.ts)),
+               CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END
+      LIMIT 1
+    ) m ON TRUE
+    """,
+)
+def q169_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join with a tolerance — every purchase
+    matched to its closest error event per user within 30 minutes
+    (pandas merge_asof / kdb aj surface; q35 is the inline backward
+    pattern, this is the reusable operator with both scan directions).
+    The oracle is the obviously-correct per-row LATERAL; the Spark
+    plan is ONE hash exchange on user_id + two per-key sorted window
+    passes — no range-explosion join, plan-asserted in
+    tests/test_operators.py."""
+    from postgresml_spark.operators.timeseries import asof_join
+    from postgresml_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid")
+    )
+    right = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("err_id"))
+    )
+    out = asof_join(
+        left, right, on="ts", by="user_id",
+        direction="nearest", tolerance="30 MINUTES",
+    )
+    return out.select(
+        "pid",
+        "err_id_r",
+        F.timestamp_diff("MICROSECOND", F.col("ts_r"), F.col("ts")).alias("diff_us"),
+    ).withColumnRenamed("err_id_r", "err_id")

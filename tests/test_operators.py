@@ -619,3 +619,97 @@ def test_incremental_minhash_pairs_completeness(spark, sf_dir):
     assert (re_row["doc_id"] - 10_000_000, re_row["doc_id"]) in {
         (r["id_a"], r["id_b"]) for r in pairs2.collect()
     }
+
+
+# -- as-of join (backward/forward/nearest + tolerance) ----------------------
+
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 20.0, "b"), (1, 35.0, "c"), (2, 5.0, "d"), (3, 7.0, "e")],
+        "k long, t double, lbl string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8.0, 100), (1, 20.0, 200), (1, 30.0, 300), (2, 6.0, 400)],
+        "k long, t double, rv int",
+    )
+    return left, right
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    import pandas as pd
+    from postgresml_spark.operators.timeseries import asof_join
+
+    left, right = _asof_fixture(spark)
+    lp = left.toPandas().sort_values("t")
+    rp = right.toPandas().sort_values("t")
+    for direction in ("backward", "forward", "nearest"):
+        got = (
+            asof_join(left, right, on="t", by="k", direction=direction)
+            .orderBy("k", "t")
+            .toPandas()
+        )
+        want = pd.merge_asof(
+            lp, rp, on="t", by="k", direction=direction, suffixes=("", "_r")
+        ).sort_values(["k", "t"])
+        assert list(got["rv_r"].fillna(-1)) == list(
+            want["rv"].fillna(-1).astype(int)
+        ), direction
+
+
+def test_asof_join_tolerance_numeric(spark):
+    import pandas as pd
+    from postgresml_spark.operators.timeseries import asof_join
+
+    left, right = _asof_fixture(spark)
+    got = (
+        asof_join(left, right, on="t", by="k", direction="backward", tolerance=3.0)
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    want = pd.merge_asof(
+        left.toPandas().sort_values("t"),
+        right.toPandas().sort_values("t"),
+        on="t", by="k", direction="backward",
+        tolerance=3.0, suffixes=("", "_r"),
+    ).sort_values(["k", "t"])
+    assert list(got["rv_r"].fillna(-1)) == list(want["rv"].fillna(-1).astype(int))
+
+
+def test_asof_join_timestamps_and_interval_tolerance(spark, sf_dir):
+    """Timestamp (NTZ) on-column with an interval tolerance; nearest
+    matches are within the bound, and at least one far row is voided."""
+    from postgresml_spark.operators.timeseries import asof_join
+    from postgresml_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    right = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("err_id"))
+    )
+    out = asof_join(
+        left, right, on="ts", by="user_id",
+        direction="nearest", tolerance="30 MINUTES",
+    )
+    rows = out.collect()
+    assert len(rows) == left.count()  # every left row survives
+    matched = [r for r in rows if r["ts_r"] is not None]
+    assert matched, "no matches at all is implausible in events"
+    for r in matched:
+        assert abs((r["ts"] - r["ts_r"]).total_seconds()) <= 1800
+
+
+def test_asof_join_single_exchange_for_nearest(spark):
+    from postgresml_spark.operators.timeseries import asof_join
+
+    left, right = _asof_fixture(spark)
+    df = asof_join(left, right, on="t", by="k", direction="nearest")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # both window directions run off ONE hash exchange on the key
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert tree.count("Window") == 2

@@ -591,3 +591,72 @@ def stream_predict(
         .trigger(processingTime="1 second")
         .start()
     )
+
+
+def streaming_heavy_hitters(
+    stream_df: DataFrame,
+    col: str,
+    capacity: int = 1024,
+    n_shards: int = 16,
+    emit_top: int = 20,
+) -> DataFrame:
+    """Continuous frequent-items over an unbounded stream — the
+    streaming twin of ``operators.corpus.heavy_hitters`` (same
+    batch→streaming pairing as exact dedup / IVF ingest / predict).
+
+    Items shard by hash(value) so EVERY occurrence of a value lands in
+    one shard group; each shard carries a Misra–Gries summary of
+    ``capacity`` counters in ``applyInPandasWithState`` and, per
+    micro-batch, emits its current top ``emit_top`` as
+    (shard, seq, value-col, cnt, max_undercount). Because shards
+    partition the value space, the global top-k at any moment is a
+    top-k over the latest emission of every shard — no cross-shard
+    merge state. ``cnt`` is exact while the shard's summary has never
+    overflowed (max_undercount 0); after overflow it is a lower bound
+    within ``max_undercount`` (the shard's cumulative MG decrement).
+
+    State per shard is ≤ capacity (value, count) pairs + two longs —
+    bounded for the life of the stream regardless of cardinality; at
+    10^9 distinct values the state store holds n_shards × capacity
+    entries while a naive streaming groupBy-count's state grows
+    without bound.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"shard int, seq long, {col} string, cnt long, max_undercount long"
+    )
+    state_schema = "terms array<string>, counts array<long>, decr long, seq long"
+
+    def fn(key, pdf_iter, state):
+        (shard,) = key
+        if state.exists:
+            terms, counts, decr, seq = state.get
+            m = dict(zip(list(terms), [int(c) for c in counts]))
+        else:
+            m, decr, seq = {}, 0, 0
+        for pdf in pdf_iter:
+            for v, c in pdf["__v"].value_counts().items():
+                m[v] = m.get(v, 0) + int(c)
+            if len(m) > capacity:
+                cut = sorted(m.values())[len(m) - capacity - 1]
+                m = {v: c - cut for v, c in m.items() if c > cut}
+                decr += cut
+        seq += 1
+        state.update((list(m.keys()), list(m.values()), decr, seq))
+        top = sorted(m.items(), key=lambda kv: (-kv[1], kv[0]))[:emit_top]
+        yield pd.DataFrame(
+            [(shard, seq, v, c, decr) for v, c in top],
+            columns=["shard", "seq", col, "cnt", "max_undercount"],
+        )
+
+    src = stream_df.select(
+        F.col(col).cast("string").alias("__v"),
+        F.pmod(F.hash(F.col(col).cast("string")), F.lit(n_shards))
+        .cast("int")
+        .alias("__shard"),
+    )
+    return src.groupBy("__shard").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -508,3 +508,82 @@ def test_ivf_sink_epoch_fence(spark, sf_dir, tmp_path):
     assert n == base + 20, n
     sink(batch.filter(F.col("vec_id") >= 110), 8)  # next epoch applies
     assert spark.read.parquet(store).count() == base + 30
+
+
+def test_streaming_heavy_hitters_exact_and_accumulating(spark, tmp_path):
+    """First batch: counts exact (= naive counts), undercount 0.
+    Second batch: counts accumulate across batches via shard state."""
+    from postgresml_spark.streaming.streams import streaming_heavy_hitters
+
+    src = str(tmp_path / "hh_in")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for w, n in (("alpha", 5), ("beta", 3), ("gamma", 1)):
+            for _ in range(n):
+                f.write(json.dumps({"w": w}) + "\n")
+    stream = spark.readStream.schema("w string").json(src)
+    out = streaming_heavy_hitters(stream, "w", capacity=64, n_shards=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select * from hh_out where seq = 1"
+        ).collect()
+        got = {r["w"]: r["cnt"] for r in rows}
+        assert got == {"alpha": 5, "beta": 3, "gamma": 1}
+        assert all(r["max_undercount"] == 0 for r in rows)
+
+        with open(os.path.join(src, "b.json"), "w") as f:
+            for _ in range(4):
+                f.write(json.dumps({"w": "beta"}) + "\n")
+        q.processAllAvailable()
+        latest = {}
+        for r in spark.sql("select * from hh_out").collect():
+            cur = latest.get(r["w"])
+            if cur is None or r["seq"] > cur[0]:
+                latest[r["w"]] = (r["seq"], r["cnt"])
+        assert latest["beta"][1] == 7  # 3 + 4 across batches
+        assert latest["alpha"][1] == 5
+    finally:
+        q.stop()
+
+
+def test_streaming_heavy_hitters_state_bounded(spark, tmp_path):
+    """500 distinct singletons through capacity-8 shards: emissions
+    stay <= capacity per shard and the heavy value survives with a
+    bounded undercount."""
+    from postgresml_spark.streaming.streams import streaming_heavy_hitters
+
+    src = str(tmp_path / "hh_bound_in")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        for i in range(500):
+            f.write(json.dumps({"w": f"rare_{i}"}) + "\n")
+        for _ in range(100):
+            f.write(json.dumps({"w": "hot"}) + "\n")
+    stream = spark.readStream.schema("w string").json(src)
+    out = streaming_heavy_hitters(stream, "w", capacity=8, n_shards=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_bound_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from hh_bound_out").collect()
+    per_shard = {}
+    for r in rows:
+        per_shard.setdefault(r["shard"], []).append(r)
+    assert all(len(v) <= 8 for v in per_shard.values())
+    hot = [r for r in rows if r["w"] == "hot"]
+    assert hot, "heavy value must survive its shard's MG summary"
+    # lower bound + undercount brackets the true count
+    assert hot[0]["cnt"] <= 100 <= hot[0]["cnt"] + hot[0]["max_undercount"]

@@ -239,6 +239,45 @@ def main() -> int:
             lambda: stratified_take(docs, "source", 10, ["doc_id"]).count(),
         )
 
+        # round-2 continuation: sparse retrieval, heavy hitters, as-of
+        from postgresml_spark.operators import sparse as SP
+        from postgresml_spark.operators.corpus import heavy_hitters
+        from postgresml_spark.operators.timeseries import asof_join
+
+        bench(
+            "sparse_features_build",
+            factor,
+            lambda: SP.sparse_features(docs, "text", "doc_id").count(),
+        )
+        post = SP.sparse_features(docs, "text", "doc_id").localCheckpoint()
+        qv = SP.sparse_query(docs, ["vector", "merge", "stream"], "text")
+        bench(
+            "sparse_topk_on_built",
+            factor,
+            lambda: SP.sparse_topk(post, qv, k=10).count(),
+        )
+        toks = docs.select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("t"))
+        bench(
+            "heavy_hitters_k20",
+            factor,
+            lambda: heavy_hitters(toks, "t", k=20, capacity=4096).count(),
+        )
+        half = n_docs // 2
+        aleft = docs.filter(F.col("doc_id") < half).select(
+            "source", F.col("doc_id").alias("t"), "n_chars"
+        )
+        aright = docs.filter(F.col("doc_id") >= half).select(
+            "source", (F.col("doc_id") - half).alias("t"),
+            F.col("n_chars").alias("rv"),
+        )
+        bench(
+            "asof_nearest_by_source",
+            factor,
+            lambda: asof_join(
+                aleft, aright, on="t", by="source", direction="nearest"
+            ).count(),
+        )
+
     print(json.dumps(results))
     spark.stop()
     return 0

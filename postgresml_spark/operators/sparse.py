@@ -42,7 +42,9 @@ from postgresml_spark.operators.corpus import hash_key
 __all__ = [
     "sparse_features",
     "sparse_query",
+    "sparse_queries",
     "sparse_topk",
+    "sparse_topk_join",
     "to_sparsevec",
     "SPARSE_IDF_SQL",
 ]
@@ -151,6 +153,60 @@ def sparse_query(
     )
 
 
+def sparse_queries(
+    corpus: DataFrame,
+    qdefs: list[tuple[int, list[str]]],
+    text_col: str = "text",
+    dim: int = 1 << 18,
+    seed: int | str = "sparse",
+    qid_col: str = "qid",
+) -> DataFrame:
+    """Batched form of :func:`sparse_query`: (qid, terms) pairs →
+    one (qid, idx, qweight) frame with ONE corpus scan for the df
+    stats (per-query scans would cost N corpus passes). All queries'
+    distinct terms share the document-frequency aggregate; the result
+    stays broadcast-sized (Σ query lengths rows)."""
+    spark = corpus.sparkSession
+    rows = []
+    for qid, terms in qdefs:
+        tf: dict[str, int] = {}
+        for t in terms:
+            t = t.lower()
+            tf[t] = tf.get(t, 0) + 1
+        rows.extend((int(qid), t, n) for t, n in sorted(tf.items()))
+    qdf = spark.createDataFrame(rows, f"{qid_col} int, __term string, __tf int")
+    all_terms = qdf.select("__term").distinct()
+    toks = corpus.select(
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("__term")
+    )
+    dft = (
+        toks.join(F.broadcast(all_terms), "__term")
+        .groupBy("__term")
+        .agg(F.count("*").alias("__df"))
+    )
+    n_docs = corpus.select(F.count("*").alias("__n"))
+    return (
+        qdf.join(F.broadcast(dft), "__term", "left")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(qid_col),
+            _term_index(F.col("__term"), dim, seed).alias("idx"),
+            (
+                (F.lit(1.0) + F.log(F.col("__tf").cast("double")))
+                * (
+                    F.log(
+                        (F.col("__n") + F.lit(1.0))
+                        / (F.coalesce(F.col("__df"), F.lit(0)) + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("qweight"),
+        )
+        .groupBy(qid_col, "idx")
+        .agg(F.sum("qweight").alias("qweight"))
+    )
+
+
 def sparse_topk(
     postings: DataFrame,
     query: DataFrame,
@@ -180,6 +236,42 @@ def sparse_topk(
         .agg(score.alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def sparse_topk_join(
+    postings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    qid_col: str = "qid",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Batched sparse retrieval: top-k docs for EVERY query in one
+    corpus pass (the sparse analog of similarity.knn_join).
+
+    ``queries``: (qid_col, idx, qweight) — the union of all query
+    posting lists, still tiny (Σ query lengths), broadcast as one
+    map-side filter. One shuffle carries (qid, doc) partial sums; the
+    per-query top-k is a window over the per-(qid,doc) aggregate,
+    partitioned by qid — never global. Amortizes exactly like the
+    dense batched kNN join: N queries cost one scan, not N jobs.
+    """
+    from pyspark.sql import Window
+
+    score = F.sum(F.col("weight") * F.col("qweight"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = (
+        postings.join(F.broadcast(queries), "idx")
+        .groupBy(qid_col, id_col)
+        .agg(score.alias("score"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "score", F.col("rank").cast("bigint").alias("rank"))
+    )
 
 
 def to_sparsevec(postings: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -7580,3 +7580,42 @@ def q169_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "err_id_r",
         F.timestamp_diff("MICROSECOND", F.col("ts_r"), F.col("ts")).alias("diff_us"),
     ).withColumnRenamed("err_id_r", "err_id")
+
+
+@query(
+    "q170_sparse_batch_retrieval",
+    oracle=f"""
+    WITH {_Q168_SPARSE_CTES},
+    queries AS (
+      SELECT qid, {_SPARSE_IDX.format(t='term')} AS idx,
+             sum(1.0 * (ln((n_docs + 1.0) / (coalesce(df_t, 0) + 1.0)) + 1.0)) AS qweight
+      FROM (VALUES (0, 'vector'), (0, 'merge'), (1, 'stream'), (1, 'hash'), (2, 'table'))
+           AS qt(qid, term)
+      LEFT JOIN dft USING (term) CROSS JOIN nd
+      GROUP BY qid, idx
+    ), scored AS (
+      SELECT qid, doc_id, round(sum(weight * qweight), 4) AS score
+      FROM post JOIN queries USING (idx)
+      GROUP BY qid, doc_id
+    )
+    SELECT qid, doc_id, score, rank FROM (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q170_sparse_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched sparse retrieval: top-5 docs for THREE queries in one
+    corpus pass (sparse analog of the dense batched kNN join, q71).
+    All query postings broadcast together; one shuffle carries
+    (qid, doc) partial sums; per-query ranks are a qid-partitioned
+    window over the k-bounded aggregate — N queries cost one scan."""
+    from postgresml_spark.operators import sparse as SP
+
+    d = _t(spark, sf_dir, "documents")
+    post = SP.sparse_features(d, "text", "doc_id", dim=_SPARSE_DIM, seed="sparse")
+    qdefs = [(0, ["vector", "merge"]), (1, ["stream", "hash"]), (2, ["table"])]
+    queries = SP.sparse_queries(d, qdefs, "text", dim=_SPARSE_DIM, seed="sparse")
+    out = SP.sparse_topk_join(post, queries, k=5, id_col="doc_id", qid_col="qid", round_to=4)
+    return out.select(F.col("qid").cast("int").alias("qid"), "doc_id", "score", "rank")

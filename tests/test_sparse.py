@@ -147,3 +147,50 @@ def test_heavy_hitters_survives_skewed_partitioning(spark):
     items = spark.createDataFrame(rows, "term string").repartition(8, F.col("term"))
     out = CO.heavy_hitters(items, "term", k=1, capacity=64).collect()
     assert out[0]["term"] == "hot" and out[0]["cnt"] == 400
+
+
+def test_sparse_queries_single_pass_matches_per_query(spark):
+    """Batched (qid, idx, qweight) frame equals N independent
+    sparse_query builds."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["spark shuffle join", "join filter", "scan filter scan"]
+        )],
+        "doc_id long, text string",
+    )
+    qdefs = [(0, ["join", "scan"]), (1, ["filter", "filter", "spark"])]
+    batched = {
+        (r["qid"], r["idx"]): r["qweight"]
+        for r in SP.sparse_queries(docs, qdefs).collect()
+    }
+    for qid, terms in qdefs:
+        single = {
+            r["idx"]: r["qweight"] for r in SP.sparse_query(docs, terms).collect()
+        }
+        for idx, w in single.items():
+            assert abs(batched[(qid, idx)] - w) < 1e-9
+    assert len(batched) == sum(
+        len(set(t.lower() for t in terms)) for _, terms in qdefs
+    )
+
+
+def test_sparse_topk_join_matches_per_query_topk(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["spark shuffle join", "join join filter", "spark spark spark",
+             "filter scan", "shuffle shuffle join scan"]
+        )],
+        "doc_id long, text string",
+    )
+    post = SP.sparse_features(docs, "text", "doc_id")
+    qdefs = [(0, ["join"]), (1, ["scan", "spark"])]
+    qs = SP.sparse_queries(docs, qdefs)
+    got = {
+        (r["qid"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+        for r in SP.sparse_topk_join(post, qs, k=3).collect()
+    }
+    for qid, terms in qdefs:
+        single = SP.sparse_topk(post, SP.sparse_query(docs, terms), k=3).collect()
+        for rank, r in enumerate(single, start=1):
+            d, s = got[(qid, rank)]
+            assert d == r["doc_id"] and abs(s - r["score"]) < 1e-9

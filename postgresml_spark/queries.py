@@ -7619,3 +7619,114 @@ def q170_sparse_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = SP.sparse_queries(d, qdefs, "text", dim=_SPARSE_DIM, seed="sparse")
     out = SP.sparse_topk_join(post, queries, k=5, id_col="doc_id", qid_col="qid", round_to=4)
     return out.select(F.col("qid").cast("int").alias("qid"), "doc_id", "score", "rank")
+
+
+@query(
+    "q171_point_in_time_features",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id AS pid, value AS label
+      FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'view'
+    ), err AS (
+      SELECT user_id, ts, max(value) AS err_val
+      FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    ), f1 AS (
+      SELECT p.pid, count(v.ts) AS views_24h
+      FROM p LEFT JOIN v ON v.user_id = p.user_id
+         AND v.ts >= p.ts - INTERVAL 24 HOUR AND v.ts < p.ts
+      GROUP BY p.pid
+    ), f2 AS (
+      SELECT p.pid, m.err_val
+      FROM p LEFT JOIN LATERAL (
+        SELECT err.err_val FROM err
+        WHERE err.user_id = p.user_id AND err.ts <= p.ts
+        ORDER BY err.ts DESC LIMIT 1
+      ) m ON TRUE
+    ), f3 AS (
+      SELECT pid,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, pid) AS purchase_seq
+      FROM p
+    )
+    SELECT p.pid, round(p.label, 2) AS label,
+           f1.views_24h,
+           round(f2.err_val, 2) AS last_error_val,
+           f3.purchase_seq
+    FROM p JOIN f1 USING (pid) JOIN f2 USING (pid) JOIN f3 USING (pid)
+    """,
+)
+def q171_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time training-example assembly — the feature-store
+    correctness contract: every feature value is computed strictly from
+    data at-or-before the label row's own timestamp (no leakage), per
+    entity. Three feature families over the purchase labels:
+
+    - views_24h: event count in [ts−24h, ts) — a RANGE-frame window in
+      MICROSECOND units over the union of labels and view events (one
+      exchange on user_id; the frame is time-bounded, never global);
+    - last_error_val: the most recent error value ≤ ts — the reusable
+      as-of backward join (operators/timeseries.asof_join);
+    - purchase_seq: the label's 1-based index in the entity's own
+      label history (leakage-safe cumulative feature).
+
+    The oracle states each feature as its naive spec (interval
+    self-join, per-row LATERAL, window). Reference frame: snapshot
+    training-relation assembly (snapshot.rs:496-629) has no time
+    dimension — this is the operator a temporally-correct pgml
+    training snapshot needs at any scale."""
+    from postgresml_spark.operators.timeseries import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    t_us = F.timestamp_diff("MICROSECOND", epoch, F.col("ts"))
+
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid"),
+        F.col("value").alias("label"),
+    )
+    v = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+
+    lab = p.select(
+        "user_id", "ts", t_us.alias("__t"), F.lit(1).alias("__is_label"),
+        "pid", "label",
+    )
+    views = v.select(
+        "user_id", "ts", t_us.alias("__t"), F.lit(0).alias("__is_label"),
+        F.lit(None).cast("long").alias("pid"),
+        F.lit(None).cast("double").alias("label"),
+    )
+    day_us = 24 * 3600 * 1_000_000
+    w24 = (
+        Window.partitionBy("user_id")
+        .orderBy("__t")
+        .rangeBetween(-day_us, -1)
+    )
+    f1 = (
+        lab.unionByName(views)
+        .withColumn("views_24h", F.sum(1 - F.col("__is_label")).over(w24))
+        .filter(F.col("__is_label") == 1)
+        .select(
+            "user_id", "ts", "pid", "label",
+            F.coalesce(F.col("views_24h"), F.lit(0)).cast("bigint").alias("views_24h"),
+        )
+    )
+
+    err = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_val"))
+    )
+    f12 = asof_join(f1, err, on="ts", by="user_id", direction="backward")
+
+    wseq = Window.partitionBy("user_id").orderBy("ts", "pid")
+    return (
+        f12.withColumn("purchase_seq", F.row_number().over(wseq).cast("bigint"))
+        .select(
+            "pid",
+            F.round("label", 2).alias("label"),
+            "views_24h",
+            F.round("err_val_r", 2).alias("last_error_val"),
+            "purchase_seq",
+        )
+    )

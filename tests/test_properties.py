@@ -142,3 +142,89 @@ def test_rrf_scores_bounded_and_order_free(spark, scores):
     b = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse([l2, l1], k=60).collect()}
     assert a == b
     assert all(0 < v <= 2 / 61 for v in a.values())
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1, max_size=20,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=0, max_size=20,
+    ),
+    st.sampled_from(["backward", "forward", "nearest"]),
+)
+@settings(max_examples=12, deadline=None)
+def test_asof_join_matches_pandas_randomized(spark, lrows, rrows, direction):
+    """Random (key, t) layouts, all three directions, vs pd.merge_asof.
+    Right side deduped per (key, t) — the operator's determinism
+    contract."""
+    import pandas as pd
+
+    from postgresml_spark.operators.timeseries import asof_join
+
+    rdedup = {}
+    for i, (k, t) in enumerate(rrows):
+        rdedup.setdefault((k, t), i)
+    left = spark.createDataFrame(
+        [(k, float(t), i) for i, (k, t) in enumerate(lrows)],
+        "k long, t double, lid long",
+    )
+    if rdedup:
+        right = spark.createDataFrame(
+            [(k, float(t), v) for (k, t), v in sorted(rdedup.items())],
+            "k long, t double, rv long",
+        )
+    else:
+        right = spark.createDataFrame([], "k long, t double, rv long")
+    got = (
+        asof_join(left, right, on="t", by="k", direction=direction)
+        .orderBy("k", "t", "lid")
+        .toPandas()
+    )
+    lp = left.toPandas().sort_values(["t", "lid"], kind="stable")
+    rp = right.toPandas().sort_values("t", kind="stable")
+    want = pd.merge_asof(
+        lp, rp, on="t", by="k", direction=direction, suffixes=("", "_r")
+    ).sort_values(["k", "t", "lid"], kind="stable")
+    got_vals = list(got["rv_r"].fillna(-1).astype(int))
+    want_vals = list(want["rv"].fillna(-1).astype(int))
+    if direction == "nearest":
+        # tie semantics at equal distance may differ (we pin backward);
+        # accept either side of an exact tie
+        lp_t = list(want["t"])
+        for i, (g, w) in enumerate(zip(got_vals, want_vals)):
+            if g == w:
+                continue
+            k, t = int(want.iloc[i]["k"]), float(lp_t[i])
+            cand = rp[rp["k"] == k]
+            dists = {int(r.rv): abs(float(r.t) - t) for r in cand.itertuples()}
+            assert g in dists and w in dists and abs(dists[g] - dists[w]) < 1e-12
+    else:
+        assert got_vals == want_vals
+
+
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=300),
+    st.integers(2, 16),
+)
+@settings(max_examples=10, deadline=None)
+def test_heavy_hitters_exact_vs_counter(spark, vals, capacity):
+    """Whatever the capacity and layout, the verified top-k equals the
+    Counter ground truth whenever the MG guarantee holds (k-th count >
+    N/capacity); we pick k=3 and only assert on inputs satisfying it."""
+    from collections import Counter
+
+    from postgresml_spark.operators.corpus import heavy_hitters
+
+    c = Counter(str(v) for v in vals)
+    truth = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    if len(truth) < 3 or truth[-1][1] <= len(vals) / capacity:
+        return  # guarantee not applicable at this capacity
+    items = spark.createDataFrame([(str(v),) for v in vals], "term string")
+    got = [
+        (r["term"], r["cnt"])
+        for r in heavy_hitters(items, "term", k=3, capacity=capacity).collect()
+    ]
+    assert got == truth

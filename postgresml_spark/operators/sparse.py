@@ -46,6 +46,9 @@ __all__ = [
     "sparse_topk",
     "sparse_topk_join",
     "to_sparsevec",
+    "build_sparse_index",
+    "sparse_search_index",
+    "append_to_sparse_index",
     "SPARSE_IDF_SQL",
 ]
 
@@ -286,3 +289,146 @@ def to_sparsevec(postings: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ).alias("sparsevec")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Materialized sparse index: build once, serve by bucket-pruned postings.
+# ---------------------------------------------------------------------------
+
+
+def build_sparse_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 1 << 18,
+    n_buckets: int = 32,
+    seed: int | str = "sparse",
+) -> dict:
+    """Materialize a servable sparse-vector index (the persisted-store
+    step `functions/text.build_text_index` does for BM25): postings
+    (doc_id, idx, tflog) hash-bucketed BY INDEX so a query touches only
+    its indices' buckets at file listing, plus an N sidecar.
+
+    Postings store the idf-FREE log-saturated tf (1 + ln tf) at hashed-
+    index granularity; idf is derived at query time from the pruned
+    postings themselves (df per idx = posting count), so APPENDS are
+    visible immediately and never go stale against a frozen idf — the
+    same freshness argument as the BM25 index's query-time df_t.
+    Granularity note: terms colliding into one idx pool their tf and
+    share one df; identical to the per-term pipeline whenever no
+    collision touches a scored doc (dim 2^18 makes that the common
+    case), and the consistent feature-hashing semantics otherwise.
+    """
+    import json
+    import os
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("__term"),
+    ).select("doc_id", _term_index(F.col("__term"), dim, seed).alias("idx"))
+    postings = (
+        toks.groupBy("doc_id", "idx")
+        .agg((F.lit(1.0) + F.log(F.count("*").cast("double"))).alias("tflog"))
+        .withColumn("__bucket", F.pmod(F.col("idx"), F.lit(n_buckets)).cast("int"))
+        .repartition(n_buckets, F.col("__bucket"))
+    )
+    postings.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    n_docs = df.count()
+    stats = {"n_docs": n_docs, "dim": dim, "n_buckets": n_buckets, "seed": str(seed)}
+    with open(os.path.join(path, "_stats.json"), "w") as f:
+        json.dump(stats, f)
+    return stats
+
+
+def _py_term_index(term: str, dim: int, seed: str) -> int:
+    """Driver-side twin of _term_index (md5 60-bit prefix % dim)."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{term}".encode()).hexdigest()
+    return int(h[:15], 16) % dim
+
+
+def sparse_search_index(
+    spark,
+    path: str,
+    terms: list[str],
+    k: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Sparse top-k against a materialized index. The query embeds
+    CLIENT-SIDE (hash indices + log-saturated tf — no corpus scan, no
+    job), prunes to its indices' buckets at file listing, derives idf
+    from the pruned postings (df per idx) + the N sidecar, and scores
+    score(d) = Σ_idx (1+ln tf_d)·(1+ln tf_q)·idf², the served form of
+    sparse_features∘sparse_query (idf applied to both sides)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_stats.json")) as f:
+        stats = json.load(f)
+    dim, seed = int(stats["dim"]), stats["seed"]
+    tf: dict[int, int] = {}
+    for t in terms:
+        i = _py_term_index(t.lower(), dim, seed)
+        tf[i] = tf.get(i, 0) + 1
+    import math
+
+    qrows = [(i, 1.0 + math.log(c)) for i, c in sorted(tf.items())]
+    buckets = sorted({i % stats["n_buckets"] for i, _ in qrows})
+    qdf = spark.createDataFrame(qrows, "idx bigint, qtflog double")
+    post = (
+        spark.read.parquet(path)
+        .filter(F.col("__bucket").isin(buckets))
+        .join(F.broadcast(qdf), "idx")
+    )
+    dfi = post.groupBy("idx").agg(F.count("*").alias("__df"))
+    idf = (
+        F.log(
+            (F.lit(float(stats["n_docs"])) + 1.0) / (F.col("__df") + 1.0)
+        )
+        + 1.0
+    )
+    score = F.sum(F.col("tflog") * F.col("qtflog") * idf * idf)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = (
+        post.join(F.broadcast(dfi), "idx")
+        .groupBy("doc_id")
+        .agg(score.alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def append_to_sparse_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Incrementally add documents: the batch's postings APPEND into
+    their index buckets (no file rewritten; idf is query-time so new
+    postings shift it correctly and immediately) and N updates in the
+    sidecar. Batch-sized work per ingest wave; compact on a
+    maintenance schedule like the other append-only stores."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_stats.json")) as f:
+        stats = json.load(f)
+    dim, seed, n_buckets = int(stats["dim"]), stats["seed"], int(stats["n_buckets"])
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("__term"),
+    ).select("doc_id", _term_index(F.col("__term"), dim, seed).alias("idx"))
+    postings = (
+        toks.groupBy("doc_id", "idx")
+        .agg((F.lit(1.0) + F.log(F.count("*").cast("double"))).alias("tflog"))
+        .withColumn("__bucket", F.pmod(F.col("idx"), F.lit(n_buckets)).cast("int"))
+        .repartition(n_buckets, F.col("__bucket"))
+    )
+    postings.write.mode("append").partitionBy("__bucket").parquet(path)
+    stats["n_docs"] = int(stats["n_docs"]) + df.count()
+    with open(os.path.join(path, "_stats.json"), "w") as f:
+        json.dump(stats, f)
+    return stats

@@ -7730,3 +7730,56 @@ def q171_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_seq",
         )
     )
+
+
+@query(
+    "q172_sparse_index_served",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SPARSE_IDX.format(t='t')} AS idx
+      FROM (SELECT doc_id, unnest({_SQL_TOKENS.format(t='text')}) AS t
+            FROM documents)
+    ), tfd AS (
+      SELECT doc_id, idx, 1.0 + ln(count(*)) AS tflog
+      FROM toks GROUP BY doc_id, idx
+    ), nd AS (SELECT count(*) AS n_docs FROM documents),
+    q AS (
+      SELECT {_SPARSE_IDX.format(t='term')} AS idx,
+             1.0 + ln(count(*)) AS qtflog
+      FROM (VALUES {", ".join(f"('{t}')" for t in _SPARSE_TERMS)}) AS t(term)
+      GROUP BY idx
+    ), dfi AS (
+      SELECT idx, count(*) AS df_i FROM tfd
+      WHERE idx IN (SELECT idx FROM q) GROUP BY idx
+    )
+    SELECT doc_id,
+           round(sum(tflog * qtflog
+                     * pow(ln((n_docs + 1.0) / (df_i + 1.0)) + 1.0, 2)), 4) AS score
+    FROM tfd JOIN q USING (idx) JOIN dfi USING (idx) CROSS JOIN nd
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q172_sparse_index_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse retrieval served from the MATERIALIZED posting index
+    (the sparsevec counterpart of q109's BM25 GIN analog): build the
+    idx-bucketed store once, then the query embeds client-side, prunes
+    to its indices' buckets at file listing, and derives idf from the
+    pruned postings + N sidecar. The oracle recomputes from raw text
+    at the same hashed-index granularity, so the hash-match proves
+    index-served ≡ corpus-scan scoring (and stays true after appends,
+    since idf is query-time — tests cover the append path)."""
+    import shutil
+    import tempfile
+
+    from postgresml_spark.operators import sparse as SP
+
+    d = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="pgml_sidx_q172_")
+    SP.build_sparse_index(d, path, "text", "doc_id", dim=_SPARSE_DIM, seed="sparse")
+    out = SP.sparse_search_index(
+        spark, path, list(_SPARSE_TERMS), k=10, round_to=4
+    ).localCheckpoint()
+    shutil.rmtree(path, ignore_errors=True)
+    return out

@@ -194,3 +194,78 @@ def test_sparse_topk_join_matches_per_query_topk(spark):
         for rank, r in enumerate(single, start=1):
             d, s = got[(qid, rank)]
             assert d == r["doc_id"] and abs(s - r["score"]) < 1e-9
+
+
+# -- materialized sparse index ----------------------------------------------
+
+
+def _collision_free(terms, dim=1 << 18):
+    from postgresml_spark.operators.sparse import _py_term_index
+
+    idxs = [_py_term_index(t, dim, "sparse") for t in terms]
+    return len(set(idxs)) == len(idxs)
+
+
+def test_sparse_index_serves_same_scores_as_corpus_pipeline(spark, tmp_path):
+    """On a collision-free vocabulary the served index reproduces the
+    corpus-pipeline scores exactly (same idf form, idx == term)."""
+    vocab = ["spark", "shuffle", "join", "filter", "scan", "merge"]
+    assert _collision_free(vocab)
+    docs = spark.createDataFrame(
+        [(0, "spark shuffle join"), (1, "join join filter"),
+         (2, "spark spark spark scan"), (3, "filter scan merge"),
+         (4, "shuffle shuffle join scan")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "sidx")
+    SP.build_sparse_index(docs, path)
+    terms = ["join", "scan"]
+    served = {
+        r["doc_id"]: r["score"]
+        for r in SP.sparse_search_index(spark, path, terms, k=10).collect()
+    }
+    want = {
+        r["doc_id"]: r["score"]
+        for r in SP.sparse_topk(
+            SP.sparse_features(docs, "text", "doc_id"),
+            SP.sparse_query(docs, terms, "text"),
+            k=10,
+        ).collect()
+    }
+    assert set(served) == set(want)
+    for d in served:
+        assert abs(served[d] - want[d]) < 1e-9
+
+
+def test_sparse_index_prunes_buckets(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common") for i in range(50)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "sidx_prune")
+    SP.build_sparse_index(docs, path, n_buckets=16)
+    df = SP.sparse_search_index(spark, path, ["common"], k=5)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "__bucket" in plan
+    assert df.count() == 5
+
+
+def test_sparse_index_append_visible_and_idf_fresh(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "sidx_app")
+    SP.build_sparse_index(docs, path)
+    before = {r["doc_id"]: r["score"]
+              for r in SP.sparse_search_index(spark, path, ["alpha"], k=10).collect()}
+    assert set(before) == {0}
+    batch = spark.createDataFrame([(2, "alpha alpha")], "doc_id long, text string")
+    stats = SP.append_to_sparse_index(batch, path)
+    assert stats["n_docs"] == 3
+    after = {r["doc_id"]: r["score"]
+             for r in SP.sparse_search_index(spark, path, ["alpha"], k=10).collect()}
+    assert set(after) == {0, 2}
+    # idf went stale-free: df(alpha) rose 1→2 and N 2→3, so doc 0's
+    # score must CHANGE relative to the pre-append serve
+    assert abs(after[0] - before[0]) > 1e-12
+    # and doc 2 (tf=2) outscores doc 0 (tf=1)
+    assert after[2] > after[0]

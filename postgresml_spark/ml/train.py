@@ -42,6 +42,17 @@ from postgresml_spark.ml.registry import Registry
 from postgresml_spark.preprocess.snapshot import Snapshot
 
 
+def group_fold(group_col: str, k: int, seed: int = 42):
+    """Group-coherent fold id in [0, k): every row of a group lands in
+    the SAME fold (GroupKFold semantics — the leakage-safe assignment
+    when near-duplicate rows / repeated entities exist, which is
+    exactly what the dedup operators say real corpora look like).
+    Hash-based, so layout-independent like the rand() folds."""
+    return F.pmod(
+        F.abs(F.hash(F.col(group_col).cast("string"), F.lit(seed))), F.lit(k)
+    ).cast("int")
+
+
 def _prep_ml_df(snap: Snapshot, which: str, task: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
@@ -145,10 +156,20 @@ def train(
         # monotonically_increasing_id correlates folds with partition /
         # row position, so sorted input yields contiguous-block folds
         # and biased CV estimates. rand(seed) buckets are uniform
-        # regardless of layout.
-        folded = train_ml.withColumn(
-            "__fold", F.floor(F.rand(42) * cv).cast("int")
-        ).cache()
+        # regardless of layout. search_args["cv_group"] switches to
+        # group-coherent folds (GroupKFold): duplicated/near-duplicate
+        # entities stay within one fold, so validation scores aren't
+        # inflated by train/val twins.
+        cv_group = (search_args or {}).get("cv_group")
+        if cv_group:
+            if cv_group not in train_ml.columns:
+                raise ValueError(
+                    f"cv_group column {cv_group!r} not in training relation"
+                )
+            fold_expr = group_fold(cv_group, cv)
+        else:
+            fold_expr = F.floor(F.rand(42) * cv).cast("int")
+        folded = train_ml.withColumn("__fold", fold_expr).cache()
         for combo in combos:
             est, runtime = make_estimator(task, algorithm, combo)
             scores = []

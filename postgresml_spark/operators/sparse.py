@@ -46,6 +46,7 @@ __all__ = [
     "sparse_topk",
     "sparse_topk_join",
     "to_sparsevec",
+    "postings_to_vectors",
     "build_sparse_index",
     "sparse_search_index",
     "append_to_sparse_index",
@@ -432,3 +433,40 @@ def append_to_sparse_index(
     with open(os.path.join(path, "_stats.json"), "w") as f:
         json.dump(stats, f)
     return stats
+
+
+def postings_to_vectors(
+    postings: DataFrame,
+    dim: int,
+    id_col: str = "doc_id",
+    out_col: str = "features_vec",
+) -> DataFrame:
+    """Bridge posting-list sparse features into MLlib: one row per id
+    with a SparseVector column — what LogisticRegression / linear
+    models / NaiveBayes consume. This is the fasttext-style text-
+    classifier data path (hashed lexical features → linear model)
+    with no vocabulary file to ship.
+
+    The groupBy collects each id's postings (bounded by that doc's
+    distinct terms, not the corpus); vector construction crosses the
+    Python boundary once per DOC on the already-reduced frame —
+    VectorUDT has no Arrow codec, so a row UDF over (indices, values)
+    pairs is the available boundary, and it is per-doc, never
+    per-posting.
+    """
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+
+    @F.udf(returnType=VectorUDT())
+    def _sv(pairs):
+        pairs = sorted((int(p["i"]), float(p["w"])) for p in pairs)
+        return SparseVector(dim, [i for i, _ in pairs], [w for _, w in pairs])
+
+    return (
+        postings.groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(F.col("idx").alias("i"), F.col("weight").alias("w"))
+            ).alias("__p")
+        )
+        .select(F.col(id_col), _sv("__p").alias(out_col))
+    )

@@ -269,3 +269,47 @@ def test_sparse_index_append_visible_and_idf_fresh(spark, tmp_path):
     assert abs(after[0] - before[0]) > 1e-12
     # and doc 2 (tf=2) outscores doc 0 (tf=1)
     assert after[2] > after[0]
+
+
+# -- MLlib bridge: hashed-text-feature classifier ---------------------------
+
+
+def test_postings_to_vectors_trains_text_classifier(spark):
+    """fasttext-style path: sparse hashed features → LogisticRegression.
+    Two separable vocabularies must classify near-perfectly."""
+    from pyspark.ml.classification import LogisticRegression
+
+    rows = []
+    for i in range(60):
+        rows.append((i, "spark shuffle exchange partition stage", 0.0))
+        rows.append((100 + i, "tomato basil garlic pasta olive", 1.0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    dim = 1 << 12
+    post = SP.sparse_features(docs, "text", "doc_id", dim=dim)
+    vec = SP.postings_to_vectors(post, dim)
+    train = vec.join(docs.select("doc_id", "label"), "doc_id")
+    model = LogisticRegression(featuresCol="features_vec", labelCol="label").fit(train)
+    pred = model.transform(train)
+    acc = pred.filter(F.col("prediction") == F.col("label")).count() / train.count()
+    assert acc >= 0.99
+    # vectors really are sparse: dim large, stored entries per doc small
+    sv = vec.head()["features_vec"]
+    assert sv.size == dim and len(sv.indices) <= 5
+
+
+def test_group_fold_is_group_coherent_and_balanced(spark):
+    from postgresml_spark.ml.train import group_fold
+
+    df = spark.createDataFrame(
+        [(i % 50, i) for i in range(1000)], "grp long, row_id long"
+    )
+    folded = df.withColumn("fold", group_fold("grp", 5))
+    # coherence: one fold per group
+    per_group = folded.groupBy("grp").agg(
+        F.countDistinct("fold").alias("nf")
+    )
+    assert per_group.filter(F.col("nf") != 1).count() == 0
+    # balance: every fold non-trivial (hash-uniform over 50 groups)
+    sizes = {r["fold"]: r["n"] for r in
+             folded.groupBy("fold").agg(F.count("*").alias("n")).collect()}
+    assert len(sizes) == 5 and min(sizes.values()) >= 60

@@ -439,6 +439,7 @@ def stream_interval_join(
     key: str = "user_id",
     gap_hours: int = 24,
     watermark: str = "48 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: every (view, purchase) pair for the
     same user where the purchase lands within ``gap_hours`` after the
@@ -452,6 +453,14 @@ def stream_interval_join(
     purchase_ts (state is O(watermark-horizon × arrival rate), never
     unbounded). Works identically on batch DataFrames (watermarks are
     skipped; the join is a plain interval join).
+
+    ``how="left_outer"`` additionally emits every UN-matched view with
+    null purchase columns once both watermarks have passed its match
+    window — the "didn't convert" cohort, which is the label stream an
+    abandonment/churn model actually trains on. Outer rows are
+    watermark-gated by construction (they can only be declared
+    unmatched after no purchase can still arrive), so they surface one
+    micro-batch after the horizon closes.
     """
     v = views.select(
         F.col(key).alias("v_uid"), F.col("ts").alias("view_ts")
@@ -473,7 +482,7 @@ def stream_interval_join(
             <= F.col("view_ts") + F.expr(f"INTERVAL {gap_hours} HOURS")
         )
     )
-    return v.join(p, cond).select(
+    return v.join(p, cond, how).select(
         F.col("v_uid").alias(key),
         "view_ts",
         "purchase_ts",

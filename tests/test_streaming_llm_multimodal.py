@@ -587,3 +587,65 @@ def test_streaming_heavy_hitters_state_bounded(spark, tmp_path):
     assert hot, "heavy value must survive its shard's MG summary"
     # lower bound + undercount brackets the true count
     assert hot[0]["cnt"] <= 100 <= hot[0]["cnt"] + hot[0]["max_undercount"]
+
+
+def test_stream_interval_join_left_outer_emits_unconverted(spark, tmp_path):
+    """Views with no purchase inside the window surface with NULL
+    purchase columns once both watermarks pass — the churn-label
+    stream. Matched rows appear too, identical to inner."""
+    from postgresml_spark.streaming.streams import stream_interval_join
+
+    vdir = str(tmp_path / "lo_views")
+    pdir = str(tmp_path / "lo_purch")
+    os.makedirs(vdir); os.makedirs(pdir)
+    schema = "user_id long, ts timestamp, value double"
+
+    def _write(d, name, rows):
+        import glob
+        import shutil
+        import tempfile
+
+        tmp = tempfile.mkdtemp()
+        spark.createDataFrame(
+            [(u, t, v) for u, t, v in rows],
+            "user_id long, ts string, value double",
+        ).select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(d, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # user 1 converts inside 1h; user 2 never converts
+    _write(vdir, "b1.parquet", [(1, "2024-01-01 00:00:00", 0.0),
+                                (2, "2024-01-01 00:10:00", 0.0)])
+    _write(pdir, "b1.parquet", [(1, "2024-01-01 00:30:00", 9.5)])
+
+    vs = spark.readStream.schema(schema).parquet(vdir)
+    ps = spark.readStream.schema(schema).parquet(pdir)
+    joined = stream_interval_join(
+        vs, ps, gap_hours=1, watermark="1 hour", how="left_outer"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lo_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance BOTH watermarks far past the window, then one more
+        # batch so the outer results flush
+        _write(vdir, "b2.parquet", [(9, "2024-01-02 12:00:00", 0.0)])
+        _write(pdir, "b2.parquet", [(9, "2024-01-02 12:00:00", 1.0)])
+        q.processAllAvailable()
+        _write(vdir, "b3.parquet", [(9, "2024-01-02 13:00:00", 0.0)])
+        _write(pdir, "b3.parquet", [(9, "2024-01-02 13:00:00", 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from lo_out").collect()
+    matched = [r for r in rows if r["user_id"] == 1 and r["purchase_ts"] is not None]
+    unmatched = [r for r in rows if r["user_id"] == 2]
+    assert matched and abs(matched[0]["purchase_value"] - 9.5) < 1e-9
+    assert unmatched and unmatched[0]["purchase_ts"] is None

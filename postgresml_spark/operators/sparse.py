@@ -45,6 +45,7 @@ __all__ = [
     "sparse_queries",
     "sparse_topk",
     "sparse_topk_join",
+    "sparse_cosine_topk",
     "to_sparsevec",
     "postings_to_vectors",
     "build_sparse_index",
@@ -470,3 +471,40 @@ def postings_to_vectors(
         )
         .select(F.col(id_col), _sv("__p").alias(out_col))
     )
+
+
+def sparse_cosine_topk(
+    postings: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Top-k by sparse COSINE — pgvector's `sparsevec <=>` operator
+    (sparse_topk is `<#>`, inner product). Document norms come from
+    ONE groupBy over the full posting store (norms include components
+    the query never touches); the query norm is a 1-row aggregate.
+    Both joins key on id_col, so the norm join reuses the score
+    aggregation's partitioning. Cosine ranks differ from inner-product
+    ranks exactly where document length does — length-invariant
+    matching, the standard choice for near-dup retrieval."""
+    qn = query.agg(
+        F.sqrt(F.sum(F.col("qweight") * F.col("qweight"))).alias("__qn")
+    )
+    dn = postings.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("__dn")
+    )
+    dots = (
+        postings.join(F.broadcast(query), "idx")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("weight") * F.col("qweight")).alias("__dot"))
+    )
+    score = F.col("__dot") / (F.col("__dn") * F.col("__qn"))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = (
+        dots.join(dn, id_col)
+        .crossJoin(F.broadcast(qn))
+        .select(F.col(id_col), score.alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

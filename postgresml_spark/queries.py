@@ -7783,3 +7783,36 @@ def q172_sparse_index_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+@query(
+    "q173_sparse_cosine",
+    oracle=f"""
+    WITH {_Q168_SPARSE_CTES},
+    dn AS (
+      SELECT doc_id, sqrt(sum(weight * weight)) AS dnorm FROM post GROUP BY doc_id
+    ), qn AS (
+      SELECT sqrt(sum(qweight * qweight)) AS qnorm FROM qv
+    )
+    SELECT p.doc_id,
+           round(sum(p.weight * qv.qweight) / (dn.dnorm * qn.qnorm), 4) AS score
+    FROM post p JOIN qv USING (idx)
+    JOIN dn ON dn.doc_id = p.doc_id CROSS JOIN qn
+    GROUP BY p.doc_id, dn.dnorm, qn.qnorm
+    ORDER BY score DESC, p.doc_id
+    LIMIT 10
+    """,
+)
+def q173_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse COSINE retrieval — pgvector's `sparsevec <=>` (q167 is
+    `<#>`): inner product over matching indices normalized by the FULL
+    document norm (one groupBy over the posting store, reusing the
+    same id partitioning as the score aggregate) and the 1-row query
+    norm. Length-invariant ranking — long documents stop winning on
+    mass alone."""
+    from postgresml_spark.operators import sparse as SP
+
+    d = _t(spark, sf_dir, "documents")
+    post = SP.sparse_features(d, "text", "doc_id", dim=_SPARSE_DIM, seed="sparse")
+    qv = SP.sparse_query(d, list(_SPARSE_TERMS), "text", dim=_SPARSE_DIM, seed="sparse")
+    return SP.sparse_cosine_topk(post, qv, k=10, id_col="doc_id", round_to=4)

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["transition_edges", "pagerank"]
+__all__ = ["transition_edges", "pagerank", "bfs_levels"]
 
 
 def transition_edges(
@@ -83,3 +83,48 @@ def pagerank(
             )
         )
     return ranks
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: list,
+    max_depth: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Breadth-first shortest-path levels from a source set: (node,
+    level) where level = minimum hop count, sources at 0. Completes
+    the graph trio beside pagerank (influence) and dup_clusters
+    (components): reachability/radius questions — lineage fan-out,
+    contamination spread from a bad shard, link-distance features.
+
+    Execution is level-synchronous frontier expansion: each round
+    joins the frontier to the edge list on src (one hash shuffle of
+    FRONTIER-sized rows — the edge side partitioning is reused round
+    to round), anti-joins the visited set, and localCheckpoints the
+    (small) frontier/visited frames so the plan never accretes across
+    rounds. Rounds = min(max_depth, eccentricity); each round's cost
+    is O(frontier out-edges), the PREGEL/GraphX BFS shape without the
+    RDD API. Early-exits when the frontier empties.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+    frontier = spark.createDataFrame(
+        [(s,) for s in sources], "node string"
+    ).withColumn("level", F.lit(0))
+    visited = frontier.localCheckpoint()
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(depth))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

@@ -7816,3 +7816,57 @@ def q173_sparse_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = SP.sparse_features(d, "text", "doc_id", dim=_SPARSE_DIM, seed="sparse")
     qv = SP.sparse_query(d, list(_SPARSE_TERMS), "text", dim=_SPARSE_DIM, seed="sparse")
     return SP.sparse_cosine_topk(post, qv, k=10, id_col="doc_id", round_to=4)
+
+
+@query(
+    "q174_bfs_levels",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT 'R' || r_regionkey AS src, 'N' || n_nationkey AS dst
+      FROM region JOIN nation ON n_regionkey = r_regionkey
+      UNION ALL
+      SELECT 'N' || n_nationkey, 'S' || s_suppkey
+      FROM nation JOIN supplier ON s_nationkey = n_nationkey
+      UNION ALL
+      SELECT DISTINCT 'S' || l_suppkey, 'P' || l_partkey FROM lineitem
+    ), walk(node, lvl) AS (
+      SELECT 'R0', 0
+      UNION
+      SELECT e.dst, w.lvl + 1
+      FROM walk w JOIN e ON e.src = w.node
+      WHERE w.lvl < 3
+    )
+    SELECT node, CAST(min(lvl) AS BIGINT) AS level
+    FROM walk GROUP BY node
+    """,
+)
+def q174_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-path levels over the region→nation→supplier→part
+    supply graph from region R0 (graph.bfs_levels): level-synchronous
+    frontier expansion, one frontier-sized shuffle per round,
+    checkpointed so the plan never accretes — the Pregel BFS shape in
+    DataFrame ops. The oracle is DuckDB's recursive CTE with min-level
+    aggregation; matching it proves the frontier/anti-join iteration
+    computes true shortest-hop distances."""
+    from postgresml_spark.operators.graph import bfs_levels
+
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    e1 = r.join(n, n["n_regionkey"] == r["r_regionkey"]).select(
+        F.concat(F.lit("R"), "r_regionkey").alias("src"),
+        F.concat(F.lit("N"), "n_nationkey").alias("dst"),
+    )
+    e2 = n.join(s, s["s_nationkey"] == n["n_nationkey"]).select(
+        F.concat(F.lit("N"), "n_nationkey").alias("src"),
+        F.concat(F.lit("S"), "s_suppkey").alias("dst"),
+    )
+    e3 = li.select(
+        F.concat(F.lit("S"), "l_suppkey").alias("src"),
+        F.concat(F.lit("P"), "l_partkey").alias("dst"),
+    ).distinct()
+    edges = e1.unionByName(e2).unionByName(e3)
+    return bfs_levels(edges, ["R0"], max_depth=3).select(
+        "node", F.col("level").cast("bigint").alias("level")
+    )

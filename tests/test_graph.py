@@ -54,3 +54,20 @@ def test_pagerank_sink_attracts_mass(chain):
         for row in pagerank(nodes, edges, iterations=10).collect()
     }
     assert vals["B"] > vals["A"]
+
+
+def test_bfs_levels_shortest_paths_with_cycle(spark):
+    from postgresml_spark.operators.graph import bfs_levels
+
+    # a→b→c→a cycle, plus a→d, d→e; f unreachable
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "e"),
+         ("f", "a")],
+        "src string, dst string",
+    )
+    got = {r["node"]: r["level"] for r in bfs_levels(edges, ["a"], max_depth=10).collect()}
+    assert got == {"a": 0, "b": 1, "d": 1, "c": 2, "e": 2}
+    # multi-source: min distance over sources
+    got2 = {r["node"]: r["level"]
+            for r in bfs_levels(edges, ["a", "e"], max_depth=10).collect()}
+    assert got2["e"] == 0 and got2["a"] == 0 and got2["b"] == 1

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import itertools
 import json
+import math
 import os
 import random as _random
 import time
@@ -178,10 +179,16 @@ def train(
                 va = folded.filter(F.col("__fold") == k)
                 m = _eval(est.fit(tr), va)
                 s = m.get(target_metric)
-                if s is not None:
+                # empty validation folds (fewer distinct groups than
+                # cv under cv_group, or a hash gap) yield NaN from the
+                # evaluators — NaN would poison every later comparison
+                # (NaN > x is always False), silently freezing model
+                # selection on the first combo. Skip, don't propagate.
+                if s is not None and not math.isnan(s):
                     scores.append(s if higher_better else -s)
             mean_s = sum(scores) / len(scores) if scores else None
-            if best is None or (mean_s is not None and mean_s > (best[0] or -1e18)):
+            prev = best[0] if best is not None and best[0] is not None else -1e18
+            if best is None or (mean_s is not None and mean_s > prev):
                 best = (mean_s, combo, runtime, None)
         folded.unpersist()
         combos = [best[1]]  # refit winner on the full train partition

@@ -54,6 +54,7 @@ __all__ = [
     "greedy_pack",
     "unigram_lm_scores",
     "heavy_hitters",
+    "mg_fold",
 ]
 
 
@@ -566,6 +567,25 @@ def weighted_take(
     )
 
 
+def mg_fold(counts: dict, series, capacity: int) -> tuple[dict, int]:
+    """Fold one batch of values into a Misra–Gries summary of at most
+    ``capacity`` counters. Returns (summary, decrement) where
+    ``decrement`` is the amount subtracted from every counter this
+    fold (0 when no trim happened) — callers accumulate it for the
+    undercount bound. Shared by the batch and streaming heavy-hitter
+    operators so the trim arithmetic lives in exactly one place."""
+    for v, c in series.value_counts().items():
+        counts[v] = counts.get(v, 0) + int(c)
+    cut = 0
+    if len(counts) > capacity:
+        cut = sorted(counts.values())[len(counts) - capacity - 1]
+        for v in [v for v, c in counts.items() if c <= cut]:
+            del counts[v]
+        for v in counts:
+            counts[v] -= cut
+    return counts, cut
+
+
 def heavy_hitters(
     items: DataFrame,
     col: str,
@@ -581,48 +601,43 @@ def heavy_hitters(
 
     1. **Candidate pass** — each partition keeps a Misra–Gries summary
        of ``capacity`` counters (Arrow-batched: per-batch value_counts
-       folded into the counter map; on overflow the summary is
-       decremented by the (size−capacity)-th smallest count, the
-       batched form of the MG decrement). Emitted rows per partition ≤
-       capacity, so the candidate shuffle is ``partitions × capacity``
-       regardless of value cardinality.
+       folded via ``mg_fold``; on overflow the summary is decremented
+       by the (size−capacity)-th smallest count, the batched form of
+       the MG decrement). Emitted rows per partition ≤ capacity, so
+       the candidate shuffle is ``partitions × capacity`` regardless
+       of value cardinality.
     2. **Verify pass** — candidate values (deduped, broadcast) filter
        the item stream map-side; exact counts of the survivors come
        from a normal partial-agg groupBy bounded by |candidates|.
 
-    Guarantee (standard MG bound): any value with true frequency >
-    N_partition/capacity survives its partition's summary, so the
-    result is the EXACT top-k whenever the k-th true frequency exceeds
-    every partition's N_p/capacity — at capacity 4096 that is items
-    whose share exceeds 0.02% of a partition. Sizing rule at 100 TB:
-    capacity ≥ partitions-agnostic 1/(target share). Output:
-    (``col``, cnt), ordered cnt desc then value, limited to k.
+    Guarantee (MG bound, stated carefully): a partition's summary
+    keeps every value whose LOCAL frequency exceeds
+    N_p/(capacity+1), so a value can be lost only if its count in
+    EVERY partition is below that partition's N_p/(capacity+1) —
+    i.e. its GLOBAL share is below 1/(capacity+1). The result is
+    therefore the exact top-k whenever the k-th true frequency
+    exceeds N/(capacity+1). Sizing rule: capacity ≥ N/f_k, where
+    f_k is the smallest frequency you must not miss — at the default
+    4096, any value above ~0.025% of the corpus is safe; raise
+    capacity (cheap: candidates stay partition-bounded) for longer
+    tails. Values are compared as strings inside the sketch; the
+    output column keeps the input type. Output: (``col``, cnt),
+    ordered cnt desc then value, limited to k.
     """
-    vals = items.select(F.col(col).alias("__v"))
+    vals = items.select(F.col(col).cast("string").alias("__v"))
 
     def _mg(batches):
         counts: dict = {}
         for pdf in batches:
-            for v, c in pdf["__v"].value_counts().items():
-                counts[v] = counts.get(v, 0) + int(c)
-            if len(counts) > capacity:
-                cut = sorted(counts.values())[len(counts) - capacity - 1]
-                counts = {
-                    v: c - cut for v, c in counts.items() if c > cut
-                }
+            counts, _ = mg_fold(counts, pdf["__v"], capacity)
         yield pd.DataFrame({"__v": list(counts.keys())})
 
-    cand = (
-        vals.mapInPandas(_mg, "__v string")
-        .distinct()
-    )
+    cand = vals.mapInPandas(_mg, "__v string").distinct()
     exact = (
-        vals.join(F.broadcast(cand), "__v")
-        .groupBy("__v")
+        items.join(
+            F.broadcast(cand), F.col(col).cast("string") == F.col("__v")
+        )
+        .groupBy(col)
         .agg(F.count("*").alias("cnt"))
     )
-    return (
-        exact.orderBy(F.desc("cnt"), F.asc("__v"))
-        .limit(int(k))
-        .select(F.col("__v").alias(col), "cnt")
-    )
+    return exact.orderBy(F.desc("cnt"), F.asc(col)).limit(int(k))

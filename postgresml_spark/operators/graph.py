@@ -107,10 +107,18 @@ def bfs_levels(
     is O(frontier out-edges), the PREGEL/GraphX BFS shape without the
     RDD API. Early-exits when the frontier empties.
     """
+    from pyspark.sql import types as T
+
     spark = edges.sparkSession
-    e = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+    # persist: the edge lineage (often joins/distinct over fact tables)
+    # must not re-execute every round
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).persist()
+    node_t = edges.schema[src_col].dataType
     frontier = spark.createDataFrame(
-        [(s,) for s in sources], "node string"
+        [(s,) for s in sources],
+        T.StructType([T.StructField("node", node_t)]),
     ).withColumn("level", F.lit(0))
     visited = frontier.localCheckpoint()
     frontier = visited
@@ -127,4 +135,5 @@ def bfs_levels(
             break
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
+    e.unpersist()
     return visited

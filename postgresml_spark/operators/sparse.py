@@ -66,6 +66,14 @@ def _term_index(term: Column, dim: int, seed: int | str) -> Column:
     return (hash_key(seed, term) % F.lit(dim)).cast("bigint")
 
 
+def _tfidf_weight(tf: Column, df: Column, n: Column) -> Column:
+    """(1 + ln tf) · (ln((N+1)/(df+1)) + 1) — THE weight form of this
+    module (docs, queries, and the DuckDB twin all state it once)."""
+    return (F.lit(1.0) + F.log(tf.cast("double"))) * (
+        F.log((n + F.lit(1.0)) / (df + F.lit(1.0))) + F.lit(1.0)
+    )
+
+
 def sparse_features(
     df: DataFrame,
     text_col: str = "text",
@@ -93,16 +101,7 @@ def sparse_features(
         .select(
             F.col(id_col),
             _term_index(F.col("__term"), dim, seed).alias("idx"),
-            (
-                (F.lit(1.0) + F.log(F.col("__tf").cast("double")))
-                * (
-                    F.log(
-                        (F.col("__n") + F.lit(1.0))
-                        / (F.col("__df") + F.lit(1.0))
-                    )
-                    + F.lit(1.0)
-                )
-            ).alias("__w"),
+            _tfidf_weight(F.col("__tf"), F.col("__df"), F.col("__n")).alias("__w"),
         )
     )
     return w.groupBy(id_col, "idx").agg(F.sum("__w").alias("weight"))
@@ -118,44 +117,11 @@ def sparse_query(
     """Sparse query vector for a bag of terms, weighted by the CORPUS
     idf (the standard tf-idf query form; repeated query terms saturate
     like document terms). Returns (idx, qweight) — small by
-    construction (≤ |terms| rows), intended for broadcast.
-    """
-    spark = corpus.sparkSession
-    tf: dict[str, int] = {}
-    for t in terms:
-        t = t.lower()
-        tf[t] = tf.get(t, 0) + 1
-    qdf = spark.createDataFrame(
-        [(t, n) for t, n in sorted(tf.items())], "__term string, __tf int"
-    )
-    toks = corpus.select(
-        F.col(text_col).alias("__t")
-    ).select(F.explode(F.array_distinct(tokenize(F.col("__t")))).alias("__term"))
-    dft = (
-        toks.join(F.broadcast(qdf.select("__term")), "__term")
-        .groupBy("__term")
-        .agg(F.count("*").alias("__df"))
-    )
-    n_docs = corpus.select(F.count("*").alias("__n"))
-    return (
-        qdf.join(dft, "__term", "left")
-        .crossJoin(n_docs)
-        .select(
-            _term_index(F.col("__term"), dim, seed).alias("idx"),
-            (
-                (F.lit(1.0) + F.log(F.col("__tf").cast("double")))
-                * (
-                    F.log(
-                        (F.col("__n") + F.lit(1.0))
-                        / (F.coalesce(F.col("__df"), F.lit(0)) + F.lit(1.0))
-                    )
-                    + F.lit(1.0)
-                )
-            ).alias("qweight"),
-        )
-        .groupBy("idx")
-        .agg(F.sum("qweight").alias("qweight"))
-    )
+    construction (≤ |terms| rows), intended for broadcast. Thin
+    single-query wrapper over :func:`sparse_queries`."""
+    return sparse_queries(
+        corpus, [(0, terms)], text_col, dim, seed
+    ).drop("qid")
 
 
 def sparse_queries(
@@ -196,15 +162,10 @@ def sparse_queries(
         .select(
             F.col(qid_col),
             _term_index(F.col("__term"), dim, seed).alias("idx"),
-            (
-                (F.lit(1.0) + F.log(F.col("__tf").cast("double")))
-                * (
-                    F.log(
-                        (F.col("__n") + F.lit(1.0))
-                        / (F.coalesce(F.col("__df"), F.lit(0)) + F.lit(1.0))
-                    )
-                    + F.lit(1.0)
-                )
+            _tfidf_weight(
+                F.col("__tf"),
+                F.coalesce(F.col("__df"), F.lit(0)),
+                F.col("__n"),
             ).alias("qweight"),
         )
         .groupBy(qid_col, "idx")

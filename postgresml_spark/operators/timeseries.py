@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["gapfill_locf"]
+__all__ = ["gapfill_locf", "asof_join"]
 
 
 def gapfill_locf(
@@ -125,30 +125,24 @@ def asof_join(
     rpay = F.struct(
         F.col(on).alias("__rt"), *[F.col(c) for c in rvals]
     ).alias("__r")
+    # each side carries the other's payload as a typed null so the
+    # union lines up
+    ltype = left.select(lpay).schema["__l"].dataType
+    rtype = right.select(rpay).schema["__r"].dataType
     lpart = left.select(
         *[F.col(c).alias(f"__k{i}") for i, c in enumerate(by)],
         F.col(on).alias("__t"),
         F.lit(1).alias("__is_left"),
         lpay,
-        F.lit(None).alias("__rp"),
+        F.lit(None).cast(rtype).alias("__rp"),
     )
-    # align __rp's struct type with the right payload via a self-typed
-    # null (lit(None).cast needs the DDL; simplest is a when() that is
-    # never true on the left side — resolved below by unionByName with
-    # allowMissingColumns=False after typing both sides explicitly)
     rpart = right.select(
         *[F.col(c).alias(f"__k{i}") for i, c in enumerate(by)],
         F.col(on).alias("__t"),
         F.lit(0).alias("__is_left"),
-        F.lit(None).alias("__l"),
+        F.lit(None).cast(ltype).alias("__l"),
         rpay.alias("__rp"),
     )
-    # typed-null alignment: rebuild each side's null column with the
-    # other side's schema
-    ltype = lpart.schema["__l"].dataType
-    rtype = rpart.schema["__rp"].dataType
-    lpart = lpart.withColumn("__rp", F.lit(None).cast(rtype))
-    rpart = rpart.withColumn("__l", F.lit(None).cast(ltype))
     u = lpart.unionByName(rpart)
 
     keys = [F.col(f"__k{i}") for i in range(len(by))]

@@ -639,6 +639,8 @@ def streaming_heavy_hitters(
     state_schema = "terms array<string>, counts array<long>, decr long, seq long"
 
     def fn(key, pdf_iter, state):
+        from postgresml_spark.operators.corpus import mg_fold
+
         (shard,) = key
         if state.exists:
             terms, counts, decr, seq = state.get
@@ -646,12 +648,8 @@ def streaming_heavy_hitters(
         else:
             m, decr, seq = {}, 0, 0
         for pdf in pdf_iter:
-            for v, c in pdf["__v"].value_counts().items():
-                m[v] = m.get(v, 0) + int(c)
-            if len(m) > capacity:
-                cut = sorted(m.values())[len(m) - capacity - 1]
-                m = {v: c - cut for v, c in m.items() if c > cut}
-                decr += cut
+            m, cut = mg_fold(m, pdf["__v"], capacity)
+            decr += cut
         seq += 1
         state.update((list(m.keys()), list(m.values()), decr, seq))
         top = sorted(m.items(), key=lambda kv: (-kv[1], kv[0]))[:emit_top]

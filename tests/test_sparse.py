@@ -313,3 +313,13 @@ def test_group_fold_is_group_coherent_and_balanced(spark):
     sizes = {r["fold"]: r["n"] for r in
              folded.groupBy("fold").agg(F.count("*").alias("n")).collect()}
     assert len(sizes) == 5 and min(sizes.values()) >= 60
+
+
+def test_heavy_hitters_preserves_numeric_type(spark):
+    """Non-string value columns (top user_ids — the canonical use) work
+    and keep their dtype through the verify pass."""
+    rows = [(7,)] * 30 + [(11,)] * 20 + [(i,) for i in range(100, 140)]
+    items = spark.createDataFrame(rows, "uid long")
+    out = CO.heavy_hitters(items, "uid", k=2, capacity=16)
+    assert dict(out.dtypes)["uid"] == "bigint"
+    assert [(r["uid"], r["cnt"]) for r in out.collect()] == [(7, 30), (11, 20)]

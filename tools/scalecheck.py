@@ -256,7 +256,8 @@ def main() -> int:
             factor,
             lambda: SP.sparse_topk(post, qv, k=10).count(),
         )
-        toks = docs.select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("t"))
+        from postgresml_spark.functions.text import tokenize as _tok
+        toks = docs.select(F.explode(_tok(F.col("text"))).alias("t"))
         bench(
             "heavy_hitters_k20",
             factor,

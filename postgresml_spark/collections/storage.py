@@ -215,15 +215,32 @@ def compact_parquet_dir(
     fingerprint index, which gains one small file per micro-batch) into
     ceil(rows / target_rows_per_file) files. Returns the new file count.
 
-    The rewrite goes to a sibling temp dir and swaps in via two renames
-    — readers opening the directory between the renames see a complete
-    old or complete new listing, never a mix. Not safe concurrently
-    with a WRITER (run between micro-batches or from the maintenance
-    job that also calls vacuum); at cluster scale the same job would be
-    a Delta OPTIMIZE.
+    PARTITION- and SIDECAR-AWARE: a ``key=value``-partitioned store
+    (the text/sparse/IVF indexes) compacts each partition directory in
+    place — the layout that queries prune on survives — and top-level
+    non-parquet sidecars (_stats.json, epoch fences) always carry
+    over. A flat dir rewrites to a sibling temp dir and swaps in via
+    two renames, so readers between the renames see a complete old or
+    complete new listing, never a mix. Not safe concurrently with a
+    WRITER (run between micro-batches or from the maintenance job that
+    also calls vacuum); at cluster scale the same job would be a Delta
+    OPTIMIZE.
     """
     import math
     import shutil
+
+    part_dirs = [
+        e
+        for e in sorted(os.listdir(path))
+        if "=" in e and os.path.isdir(os.path.join(path, e))
+    ]
+    if part_dirs:
+        total = 0
+        for d in part_dirs:
+            total += compact_parquet_dir(
+                spark, os.path.join(path, d), target_rows_per_file
+            )
+        return total
 
     df = spark.read.parquet(path)
     rows = df.count()
@@ -231,6 +248,12 @@ def compact_parquet_dir(
     tmp = path.rstrip("/") + ".compact_tmp"
     old = path.rstrip("/") + ".compact_old"
     df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    # sidecars (stats, fences) are part of the store, not of any one
+    # parquet file set — they must survive the rewrite
+    for fn in os.listdir(path):
+        fp = os.path.join(path, fn)
+        if os.path.isfile(fp) and not fn.endswith(".parquet") and not fn.startswith(("_SUCCESS", ".")):
+            shutil.copy2(fp, os.path.join(tmp, fn))
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

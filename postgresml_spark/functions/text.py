@@ -562,7 +562,10 @@ def build_text_index(
     )
     postings.write.mode("overwrite").partitionBy("__bucket").parquet(path)
     base.unpersist()
-    stats = {"n_docs": int(consts["n_docs"]), "avgdl": float(consts["avgdl"]),
+    stats = {"n_docs": int(consts["n_docs"]),
+             # empty corpus → avg is NULL; 0.0 bootstraps the
+             # build-empty-then-append incremental pattern
+             "avgdl": float(consts["avgdl"] or 0.0),
              "n_buckets": n_buckets}
     with open(os.path.join(path, "_stats.json"), "w") as f:
         json.dump(stats, f)
@@ -590,12 +593,20 @@ def bm25_search_index(
     with open(os.path.join(path, "_stats.json")) as f:
         stats = json.load(f)
     terms = sorted({t.lower() for t in query_terms})
-    buckets = list(
+    # ONE job hashes all terms (a per-term collect would launch
+    # O(|terms|) jobs on the serving path)
+    buckets = sorted(
         {
-            spark.createDataFrame([(t,) for t in terms], "term string")
-            .select(F.pmod(F.xxhash64("term"), F.lit(stats["n_buckets"])).cast("int").alias("b"))
-            .collect()[i]["b"]
-            for i in range(len(terms))
+            r["b"]
+            for r in spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(
+                F.pmod(F.xxhash64("term"), F.lit(stats["n_buckets"]))
+                .cast("int")
+                .alias("b")
+            )
+            .collect()
         }
     )
     post = (

@@ -132,6 +132,12 @@ def build_text_dataset(
     label_col = "class" if "class" in role_names else None
     if sampling == "stratified" and label_col is None:
         sampling = "random"
+    # the reference splits head/tail over SNAPSHOT order; with no
+    # order column to define that order, 'last' would raise deep in
+    # train_test_split — fall back to the seeded random split so the
+    # documented defaults work out of the box
+    if sampling == "last" and order_col is None:
+        sampling = "random"
     train_df, test_df = train_test_split(
         sel, test_size, sampling,
         label_col=label_col if sampling == "stratified" else None,

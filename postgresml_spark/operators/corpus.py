@@ -559,8 +559,12 @@ def weighted_take(
     """
     u = uniform_unit(seed, *key_cols)
     es = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    # E-S requires w > 0: u^(1/w) for w<0 is >= 1 (negative rows would
+    # deterministically win) and w=0 degenerates to key 0. Non-positive
+    # weights mean "never sample" — filter, don't invert.
     return (
-        df.withColumn("__es", es)
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("__es", es)
         .orderBy(F.desc("__es"), *_cols(key_cols))
         .limit(int(k))
         .drop("__es")

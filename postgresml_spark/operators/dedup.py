@@ -870,6 +870,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     group_col: str | None = None,
     impl: str = "block",
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """SemDeDup-style keep-first semantic dedup: drop every row whose
     embedding is cosine-≥-threshold similar to ANY lower-id row in its
@@ -889,7 +890,9 @@ def semantic_dedup(
         threshold=threshold,
         group_col=group_col,
         impl=impl,
-        allow_all_pairs=group_col is None,
+        # the O(n^2) guard propagates: ungrouped semantic dedup needs
+        # the same explicit opt-in as the pair enumerator it wraps
+        allow_all_pairs=allow_all_pairs,
     )
     dupes = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dupes, id_col, "left_anti")

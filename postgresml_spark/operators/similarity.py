@@ -501,6 +501,8 @@ def pq_encode(
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _enc(vs: pd.Series) -> pd.Series:
         x = np.asarray(vs.tolist(), dtype="float64")
+        if x.size == 0:  # empty Arrow batch (same guard as ivf_assign)
+            return pd.Series([], dtype=object)
         codes = np.empty((x.shape[0], len(cb)), dtype="int32")
         for j, c in enumerate(cb):
             blk = x[:, j * sub : (j + 1) * sub]
@@ -536,6 +538,8 @@ def pq_topk(
     @F.pandas_udf(T.DoubleType())
     def _adc(codes: pd.Series) -> pd.Series:
         cc = np.asarray(codes.tolist(), dtype="int64")  # (n, m)
+        if cc.size == 0:  # empty Arrow batch
+            return pd.Series([], dtype="float64")
         d2 = table[np.arange(cc.shape[1])[None, :], cc].sum(axis=1)
         return pd.Series(np.sqrt(d2))
 

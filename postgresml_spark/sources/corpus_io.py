@@ -55,7 +55,7 @@ def read_jsonl(
     if schema is not None:
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
-        if drop_corrupt or "_corrupt_record" not in schema.fieldNames():
+        if "_corrupt_record" not in schema.fieldNames():
             schema = T.StructType(
                 list(schema.fields)
                 + [T.StructField("_corrupt_record", T.StringType(), True)]

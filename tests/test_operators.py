@@ -713,3 +713,29 @@ def test_asof_join_single_exchange_for_nearest(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1
     assert tree.count("Window") == 2
+
+
+def test_weighted_take_excludes_nonpositive_weights(spark):
+    from postgresml_spark.operators.corpus import weighted_take
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -3.0), (3, 0.0), (4, 2.0)], "id long, w double"
+    )
+    got = {r["id"] for r in weighted_take(df, 4, "w", key_cols=["id"]).collect()}
+    # negative/zero weights can never be sampled (E-S requires w > 0;
+    # the old behavior deterministically selected the negative row)
+    assert got == {1, 4}
+
+
+def test_semantic_dedup_requires_optin_for_all_pairs(spark):
+    import pytest
+
+    from postgresml_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        semantic_dedup(df).collect()
+    out = semantic_dedup(df, allow_all_pairs=True)
+    assert {r["vec_id"] for r in out.collect()} == {1}

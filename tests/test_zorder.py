@@ -88,3 +88,61 @@ def test_zorder_write_prunes_both_dimensions(events, tmp_path):
     # A two-sided box can only tighten the z-ordered match set
     z_box, _ = _files_matching(zpath, lo_uid, hi_uid, hi_v / 4, hi_v / 2)
     assert z_box <= z_uid
+
+
+def test_compact_preserves_index_layout_and_sidecar(spark, tmp_path):
+    """Compacting a materialized text index must keep the __bucket
+    partition layout and the _stats.json sidecar — and the index must
+    still serve identical scores afterwards."""
+    import os
+
+    from postgresml_spark.collections.storage import compact_parquet_dir
+    from postgresml_spark.functions.text import (
+        append_to_text_index,
+        bm25_search_index,
+        build_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i} gamma") for i in range(30)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "ftidx")
+    build_text_index(docs, path, "text", "doc_id", n_buckets=4)
+    batch = spark.createDataFrame(
+        [(100, "alpha alpha beta"), (101, "beta gamma")],
+        "doc_id long, text string",
+    )
+    append_to_text_index(batch, path, "text", "doc_id")
+    before = sorted(
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_search_index(spark, path, ["alpha", "beta"]).collect()
+    )
+    compact_parquet_dir(spark, path, target_rows_per_file=1_000_000)
+    assert os.path.exists(os.path.join(path, "_stats.json"))
+    assert any(e.startswith("__bucket=") for e in os.listdir(path))
+    after = sorted(
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_search_index(spark, path, ["alpha", "beta"]).collect()
+    )
+    assert after == before
+
+
+def test_build_text_index_empty_then_append(spark, tmp_path):
+    """Bootstrap pattern: build an empty index, append waves into it."""
+    from postgresml_spark.functions.text import (
+        append_to_text_index,
+        bm25_search_index,
+        build_text_index,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    path = str(tmp_path / "ftidx_empty")
+    _, stats = build_text_index(empty, path, "text", "doc_id", n_buckets=4)
+    assert stats["n_docs"] == 0 and stats["avgdl"] == 0.0
+    batch = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha")], "doc_id long, text string"
+    )
+    append_to_text_index(batch, path, "text", "doc_id")
+    got = {r["doc_id"] for r in bm25_search_index(spark, path, ["alpha"]).collect()}
+    assert got == {1, 2}

@@ -238,3 +238,44 @@ def test_remote_embed_import_gate(spark):
     pipe.attach(coll)
     with _pytest.raises(NotImplementedError, match="openai"):
         pipe.embed_query("hello", "text")
+
+
+def test_catalog_plan_lint(spark):
+    """Plan-lint over the ENTIRE query catalog: no CartesianProduct
+    anywhere, and unpartitioned (global) windows appear only in the
+    whitelisted queries where the windowed frame is provably bounded
+    (LIMIT-bounded top-N lists, distinct-value/statistic frames) —
+    the WindowExec-suppression contract in session.py, now pinned so
+    a future query can't silently regress into a corpus-sized global
+    sort or an accidental cross join."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    from conftest import SF_DIR
+
+    # every global window here runs over a bounded frame:
+    #   q92/q168/q146 — LIMIT-bounded top-N result lists
+    #   q134/q138/q139 — distinct-value / per-bin statistic frames
+    #   q118 — aggregated event-time axis (K-M curve rows)
+    #   q147 — filtered per-customer sequence audit
+    bounded_global_windows = {
+        "q92_rrf_hybrid", "q168_sparse_dense_hybrid", "q146_ranking_metrics",
+        "q134_spearman_corr", "q138_ks_drift", "q139_mann_whitney",
+        "q118_kaplan_meier", "q147_orderkey_islands",
+    }
+    gw = re.compile(r"windowspecdefinition\([^,()]+ (?:ASC|DESC) NULLS \w+,")
+    offenders = {}
+    for name, fn in sorted(entry_mod.queries().items()):
+        df = fn(spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CartesianProduct")
+        if gw.search(plan) and name not in bounded_global_windows:
+            flags.append("unpartitioned window")
+        if flags:
+            offenders[name] = flags
+    assert offenders == {}, offenders

@@ -667,3 +667,91 @@ def streaming_heavy_hitters(
     return src.groupBy("__shard").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_documents_into_sparse_index(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    doc_schema: str = "doc_id long, text string",
+    checkpoint: str | None = None,
+):
+    """Continuous sparse-index ingest: document batches (JSON files
+    landing in ``source_dir``) hash-featurize and APPEND into their
+    index buckets per micro-batch (`append_to_sparse_index`) — the
+    sparsevec counterpart of `stream_vectors_into_ivf`, closing the
+    loop so every index store here (IVF, BM25, sparse) has a live
+    ingest path. Because the sparse index derives idf at query time,
+    streamed documents shift scores correctly the moment their
+    postings land; no stats refresh job exists to forget. Returns the
+    StreamingQuery.
+    """
+    import tempfile
+
+    from postgresml_spark.operators.sparse import append_to_sparse_index
+
+    stream = spark.readStream.schema(doc_schema).json(source_dir)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_to_sparse_index(batch_df, index_path)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix="pgml_ckpt_sparse_"),
+        )
+        .start()
+    )
+
+
+def expectations_quarantine_stream(
+    stream_df: DataFrame,
+    rules: dict,
+    good_sink,
+    quarantine_sink,
+    checkpoint: str | None = None,
+):
+    """Streaming data-contract enforcement: each micro-batch splits on
+    the conjunction of ``rules`` (name → boolean Column); passing rows
+    go to ``good_sink(df, epoch)``, failing rows to
+    ``quarantine_sink(df, epoch)`` with a ``violated`` column naming
+    every failed rule — the live twin of q115's batch expectations
+    report. Bad rows are never dropped silently and never poison the
+    good stream; reprocessing the quarantine after a rule fix is a
+    batch job over its sink. Returns the StreamingQuery.
+
+    Scale: the rule predicates are codegen expressions evaluated once
+    per row inside the micro-batch plan — no second pass, no shuffle
+    added beyond what the sinks do.
+    """
+    import tempfile
+
+    names = sorted(rules)
+    violated = F.array_compact(
+        F.array(
+            *[
+                F.when(~rules[n].cast("boolean"), F.lit(n))
+                for n in names
+            ]
+        )
+    )
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        tagged = batch_df.withColumn("violated", violated).localCheckpoint()
+        good_sink(
+            tagged.filter(F.size("violated") == 0).drop("violated"), epoch_id
+        )
+        bad = tagged.filter(F.size("violated") > 0)
+        quarantine_sink(bad, epoch_id)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix="pgml_ckpt_expect_"),
+        )
+        .start()
+    )

@@ -649,3 +649,69 @@ def test_stream_interval_join_left_outer_emits_unconverted(spark, tmp_path):
     unmatched = [r for r in rows if r["user_id"] == 2]
     assert matched and abs(matched[0]["purchase_value"] - 9.5) < 1e-9
     assert unmatched and unmatched[0]["purchase_ts"] is None
+
+
+def test_stream_documents_into_sparse_index(spark, tmp_path):
+    """Live sparse-index ingest: streamed documents become searchable
+    with query-time idf reflecting the grown corpus."""
+    from postgresml_spark.operators.sparse import (
+        build_sparse_index,
+        sparse_search_index,
+    )
+    from postgresml_spark.streaming.streams import (
+        stream_documents_into_sparse_index,
+    )
+
+    idx = str(tmp_path / "s_idx")
+    seed_docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], "doc_id long, text string"
+    )
+    build_sparse_index(seed_docs, idx)
+    src = str(tmp_path / "s_src")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write(json.dumps({"doc_id": 2, "text": "alpha alpha epsilon"}) + "\n")
+        f.write(json.dumps({"doc_id": 3, "text": "zeta eta"}) + "\n")
+    q = stream_documents_into_sparse_index(spark, src, idx)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"] for r in sparse_search_index(spark, idx, ["alpha"]).collect()}
+    assert got == {0, 2}
+    import os as _os
+
+    import json as _json
+    with open(_os.path.join(idx, "_stats.json")) as f:
+        assert _json.load(f)["n_docs"] == 4
+
+
+def test_expectations_quarantine_stream_splits(spark, tmp_path):
+    from postgresml_spark.streaming.streams import (
+        expectations_quarantine_stream,
+    )
+
+    src = str(tmp_path / "eq_in")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write(json.dumps({"id": 1, "v": 10.0, "lang": "en"}) + "\n")
+        f.write(json.dumps({"id": 2, "v": -3.0, "lang": "en"}) + "\n")
+        f.write(json.dumps({"id": 3, "v": 5.0, "lang": None}) + "\n")
+    stream = spark.readStream.schema("id long, v double, lang string").json(src)
+    good, bad = [], []
+    rules = {
+        "v_nonneg": F.col("v") >= 0,
+        "lang_present": F.col("lang").isNotNull(),
+    }
+    q = expectations_quarantine_stream(
+        stream, rules,
+        lambda df, e: good.extend(df.collect()),
+        lambda df, e: bad.extend(df.collect()),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert [r["id"] for r in good] == [1]
+    got_bad = {r["id"]: list(r["violated"]) for r in bad}
+    assert got_bad == {2: ["v_nonneg"], 3: ["lang_present"]}

@@ -686,16 +686,34 @@ def stream_documents_into_sparse_index(
     postings land; no stats refresh job exists to forget. Returns the
     StreamingQuery.
     """
+    import os
     import tempfile
 
     from postgresml_spark.operators.sparse import append_to_sparse_index
 
     stream = spark.readStream.schema(doc_schema).json(source_dir)
 
+    # raw appends are NOT naturally idempotent: fence replayed epochs
+    # exactly as ivf_epoch_fenced_sink does for the IVF store (a
+    # crash-replayed batch would double postings AND double-count
+    # n_docs, skewing query-time idf)
+    fence = os.path.join(index_path, "_sparse_last_epoch")
+
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        append_to_sparse_index(batch_df, index_path)
+        last = -1
+        try:
+            with open(fence) as f:
+                last = int(f.read().strip())
+        except FileNotFoundError:
+            pass
+        if epoch_id <= last:
+            return  # replayed batch — already appended
+        if not batch_df.isEmpty():
+            append_to_sparse_index(batch_df, index_path)
+        tmp = fence + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(epoch_id))
+        os.replace(tmp, fence)
 
     return (
         stream.writeStream.foreachBatch(_sink)
@@ -730,21 +748,31 @@ def expectations_quarantine_stream(
     import tempfile
 
     names = sorted(rules)
+    # a rule evaluating to SQL NULL must FAIL, not slip through
+    # three-valued logic into the good stream
     violated = F.array_compact(
         F.array(
             *[
-                F.when(~rules[n].cast("boolean"), F.lit(n))
+                F.when(
+                    ~F.coalesce(rules[n].cast("boolean"), F.lit(False)),
+                    F.lit(n),
+                )
                 for n in names
             ]
         )
     )
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
-        tagged = batch_df.withColumn("violated", violated).localCheckpoint()
+        # internal column name: never clobbers user data (a requeued
+        # quarantine feed may itself carry a 'violated' column)
+        tagged = batch_df.withColumn("__violated", violated).localCheckpoint()
         good_sink(
-            tagged.filter(F.size("violated") == 0).drop("violated"), epoch_id
+            tagged.filter(F.size("__violated") == 0).drop("__violated"),
+            epoch_id,
         )
-        bad = tagged.filter(F.size("violated") > 0)
+        bad = tagged.filter(F.size("__violated") > 0).withColumnRenamed(
+            "__violated", "violated"
+        )
         quarantine_sink(bad, epoch_id)
 
     return (

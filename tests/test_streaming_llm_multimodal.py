@@ -679,11 +679,25 @@ def test_stream_documents_into_sparse_index(spark, tmp_path):
         q.stop()
     got = {r["doc_id"] for r in sparse_search_index(spark, idx, ["alpha"]).collect()}
     assert got == {0, 2}
-    import os as _os
+    with open(os.path.join(idx, "_stats.json")) as f:
+        assert json.load(f)["n_docs"] == 4
+    # crash-replay of the committed epoch is fenced: re-running the
+    # sink with the same epoch id must not double-append
+    import glob
 
-    import json as _json
-    with open(_os.path.join(idx, "_stats.json")) as f:
-        assert _json.load(f)["n_docs"] == 4
+    n_files = len(glob.glob(os.path.join(idx, "**", "*.parquet"), recursive=True))
+    with open(os.path.join(idx, "_sparse_last_epoch")) as f:
+        assert int(f.read()) >= 0
+    q2 = stream_documents_into_sparse_index(spark, src, idx)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    # note: q2 uses a FRESH checkpoint so its epoch 0 replays the same
+    # files; the fence must reject it
+    with open(os.path.join(idx, "_stats.json")) as f:
+        assert json.load(f)["n_docs"] == 4
+    assert len(glob.glob(os.path.join(idx, "**", "*.parquet"), recursive=True)) == n_files
 
 
 def test_expectations_quarantine_stream_splits(spark, tmp_path):
@@ -697,6 +711,7 @@ def test_expectations_quarantine_stream_splits(spark, tmp_path):
         f.write(json.dumps({"id": 1, "v": 10.0, "lang": "en"}) + "\n")
         f.write(json.dumps({"id": 2, "v": -3.0, "lang": "en"}) + "\n")
         f.write(json.dumps({"id": 3, "v": 5.0, "lang": None}) + "\n")
+        f.write(json.dumps({"id": 4, "v": None, "lang": "en"}) + "\n")
     stream = spark.readStream.schema("id long, v double, lang string").json(src)
     good, bad = [], []
     rules = {
@@ -714,4 +729,6 @@ def test_expectations_quarantine_stream_splits(spark, tmp_path):
         q.stop()
     assert [r["id"] for r in good] == [1]
     got_bad = {r["id"]: list(r["violated"]) for r in bad}
-    assert got_bad == {2: ["v_nonneg"], 3: ["lang_present"]}
+    # id 4: NULL predicate fails closed (three-valued logic must not
+    # leak nulls into the good stream)
+    assert got_bad == {2: ["v_nonneg"], 3: ["lang_present"], 4: ["v_nonneg"]}

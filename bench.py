@@ -139,6 +139,32 @@ def main() -> int:
     except Exception as e:
         print(f"bench sparse-served error: {e}", file=sys.stderr)
 
+    # Batched sparse retrieval: the amortized form — N queries share
+    # one corpus pass (broadcast union of query postings), so per-query
+    # cost at batch volume is scan/N, the number that actually matters
+    # for recall-stage retrieval in a training pipeline.
+    try:
+        from postgresml_spark.operators.sparse import (
+            sparse_features,
+            sparse_queries,
+            sparse_topk_join,
+        )
+
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        post = sparse_features(d, "text", "doc_id").localCheckpoint()
+        words = ["vector", "merge", "stream", "hash", "table", "row",
+                 "scan", "key", "value", "sort", "spark", "fast"]
+        qdefs = [(i, [words[i % 12], words[(i * 5 + 1) % 12]]) for i in range(64)]
+        qs = sparse_queries(d, qdefs)
+        sparse_topk_join(post, qs, k=10).count()  # warm
+        t0 = time.perf_counter()
+        sparse_topk_join(post, qs, k=10).count()
+        dt = time.perf_counter() - t0
+        derived["sparse_batch64_sec"] = round(dt, 3)
+        derived["sparse_batch_qps"] = round(64 / dt, 1)
+    except Exception as e:
+        print(f"bench sparse-batch error: {e}", file=sys.stderr)
+
     # Served-index latency: the reference's 18-31 ms ivfflat number is
     # against a RESIDENT index, so serve from a persisted corpus — the
     # honest apples-to-apples warm-path metric.

@@ -188,7 +188,8 @@ def test_semantic_dedup_keep_first(spark):
         (3, [0.0, 0.999, 0.01, 0.0]),   # near-dup of 2 -> dropped
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    kept = semantic_dedup(df, threshold=0.95, group_col=None, impl="block")
+    kept = semantic_dedup(df, threshold=0.95, group_col=None, impl="block",
+                          allow_all_pairs=True)  # small fixture opts in
     ids = sorted(r["vec_id"] for r in kept.collect())
     assert ids == [0, 2]
     # column set preserved

@@ -7870,3 +7870,80 @@ def q174_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_levels(edges, ["R0"], max_depth=3).select(
         "node", F.col("level").cast("bigint").alias("level")
     )
+
+
+@query(
+    "q175_scd2_pit_lookup",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events WHERE event_type <> 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM marked
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    states AS (
+      SELECT user_id, valid_from, event_type AS state FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, valid_from
+                                     ORDER BY event_id DESC) AS rn
+        FROM changes
+      ) WHERE rn = 1
+    ),
+    p AS (
+      SELECT user_id, ts, event_id AS pid FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.pid, m.state, m.valid_from AS state_since
+    FROM p LEFT JOIN LATERAL (
+      SELECT s.state, s.valid_from FROM states s
+      WHERE s.user_id = p.user_id AND s.valid_from <= p.ts
+      ORDER BY s.valid_from DESC LIMIT 1
+    ) m ON TRUE
+    """,
+)
+def q175_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 dimension lookup: each purchase fact joined
+    to the user's browsing state valid AT the purchase timestamp —
+    q148's history build composed with the as-of backward join, the
+    warehouse pattern for temporally-correct fact enrichment (and the
+    dimension-side twin of q171's feature-store contract). The SCD2
+    side dedupes to one state per (user, valid_from) so the lookup is
+    deterministic; plan is two user_id exchanges (history build +
+    as-of), windows all key-partitioned."""
+    from postgresml_spark.operators.timeseries import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = marked.filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        "user_id", F.col("ts").alias("valid_from"), "event_type", "event_id"
+    )
+    wd = Window.partitionBy("user_id", "valid_from").orderBy(F.desc("event_id"))
+    states = (
+        changes.withColumn("__rn", F.row_number().over(wd))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "valid_from", F.col("event_type").alias("state"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid")
+    )
+    looked = asof_join(
+        p,
+        states.withColumnRenamed("valid_from", "ts"),
+        on="ts", by="user_id", direction="backward",
+    )
+    return looked.select(
+        "pid",
+        F.col("state_r").alias("state"),
+        F.col("ts_r").alias("state_since"),
+    )

@@ -255,6 +255,28 @@ class Collection:
         self._mark_pipelines_stale()
         return n
 
+    def purge_documents(self, filter: dict) -> int:
+        """Right-to-be-forgotten delete: remove matching documents, all
+        DERIVED rows (chunks/embeddings/tsvectors rebuild without
+        them), and every retained historical version that still
+        embodies them — after this returns, no file under the
+        collection contains the purged content. delete_documents alone
+        is a logical delete (prior versions keep the bytes for
+        reader-in-flight safety); purge is the compliance-grade form.
+
+        Scale: the delete rewrites only the touched hash buckets; the
+        resync is the pipelines' normal full-build path; vacuum is
+        file-system unlink. Cost is O(derived tables), the price any
+        engine pays to physically forget."""
+        n = self.delete_documents(filter)
+        for p in self._pipelines.values():
+            p.resync()
+        self.documents.vacuum(keep_versions=1)
+        for p in self._pipelines.values():
+            for t in p._tables.values():
+                t.vacuum(keep_versions=1)
+        return n
+
     def archive(self) -> str:
         """Rename the collection dir out of the way (collection.rs:1264)."""
         dst = f"{self.root}_archived_{int(time.time())}"

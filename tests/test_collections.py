@@ -417,3 +417,45 @@ def test_table_diff_with_time_travel(spark, tmp_path):
     diff = {r["k"]: r["change"] for r in
             table_diff(t.read_version(1), t.read_version(2), key="k").collect()}
     assert diff == {1: "removed", 2: "changed", 4: "added"}
+
+
+def test_purge_documents_physically_forgets(spark, tmp_path):
+    """After purge, NO parquet file anywhere under the collection —
+    current or historical version, documents or derived tables —
+    contains the purged document's content."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from postgresml_spark.collections import Collection, Pipeline
+
+    coll = Collection("purge_me", spark, warehouse=str(tmp_path / "wh"))
+    pipe = Pipeline("p", {"body": {"semantic_search": {"model": "hash:16"}}})
+    coll.add_pipeline(pipe)
+    coll.upsert_documents([
+        {"id": "keep1", "body": "ordinary text that stays"},
+        {"id": "gone1", "body": "SECRET_TOKEN_XYZZY must vanish"},
+        {"id": "keep2", "body": "another surviving document"},
+    ])
+    assert len(coll.get_documents()) == 3
+    # the secret exists on disk before the purge (control)
+    root = os.path.join(str(tmp_path / "wh"), "collections", "purge_me")
+
+    def _disk_contains(needle: bytes) -> bool:
+        for fp in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True):
+            t = pq.read_table(fp)
+            for col in t.column_names:
+                if needle in str(t[col].to_pylist()).encode():
+                    return True
+        return False
+
+    assert _disk_contains(b"XYZZY")
+    n = coll.purge_documents({"id": "gone1"})
+    assert n == 1
+    assert len(coll.get_documents()) == 2
+    assert not _disk_contains(b"XYZZY")
+    # survivors intact and still searchable
+    assert _disk_contains(b"surviving")
+    hits = coll.vector_search({"query": {"fields": {"body": {"query": "ordinary text"}}}}, pipe)
+    assert len(hits) >= 1

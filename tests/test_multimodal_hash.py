@@ -141,3 +141,108 @@ def test_near_dup_plan_is_banded(assets):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -- stdlib PNG codec -------------------------------------------------------
+
+
+def _filtered_png(arr, ftype):
+    """Hand-build a grayscale PNG whose every scanline uses `ftype` —
+    exercises each decoder filter path independently."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape
+
+    def chunk(ct, body):
+        return (struct.pack(">I", len(body)) + ct + body
+                + struct.pack(">I", zlib.crc32(ct + body) & 0xFFFFFFFF))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = b""
+    prev = [0] * w
+    for y in range(h):
+        cur = [int(v) for v in arr[y]]
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:
+            enc = [(cur[i] - (cur[i - 1] if i else 0)) & 0xFF for i in range(w)]
+        elif ftype == 2:
+            enc = [(cur[i] - prev[i]) & 0xFF for i in range(w)]
+        elif ftype == 3:
+            enc = [(cur[i] - (((cur[i - 1] if i else 0) + prev[i]) >> 1)) & 0xFF
+                   for i in range(w)]
+        else:
+            enc = [(cur[i] - paeth((cur[i - 1] if i else 0), prev[i],
+                                   (prev[i - 1] if i else 0))) & 0xFF
+                   for i in range(w)]
+        raw += bytes([ftype]) + bytes(enc)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    from postgresml_spark.operators.multimodal import _PNG_SIG
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_decode_all_filter_types():
+    import numpy as np
+
+    from postgresml_spark.operators.multimodal import png_decode
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (6, 11), dtype=np.uint8)
+    for ftype in range(5):
+        got = png_decode(_filtered_png(arr, ftype))
+        assert np.array_equal(got, arr), f"filter {ftype}"
+
+
+def test_png_decoder_drives_real_image_pipeline(spark):
+    """End to end on REAL PNGs: encode arrays, run the Spark hash +
+    feature operators with png_decoder, verify against reference math
+    on the original pixels."""
+    import numpy as np
+
+    from postgresml_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(9)
+    imgs = {i: rng.integers(0, 256, (16, 16), dtype=np.uint8) for i in (1, 2)}
+    rows = [
+        (i, "image", bytearray(MM.png_encode(a)),
+         {"width": 16, "height": 16, "duration_ms": None, "format": "png"})
+        for i, a in imgs.items()
+    ]
+    assets = spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+    ah = {r["asset_id"]: r["sh"] for r in
+          MM.image_hash(assets, decoder=MM.png_decoder, method="ahash").collect()}
+    ph = {r["asset_id"]: r["sh"] for r in
+          MM.image_hash(assets, decoder=MM.png_decoder, method="phash").collect()}
+    for i, a in imgs.items():
+        assert ah[i] == MM.ahash_reference(a)
+        assert ph[i] == MM.phash_reference(a)
+
+
+def test_png_decode_rejects_unsupported():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from postgresml_spark.operators.multimodal import _PNG_SIG, png_decode
+
+    def chunk(ct, body):
+        return (struct.pack(">I", len(body)) + ct + body
+                + struct.pack(">I", zlib.crc32(ct + body) & 0xFFFFFFFF))
+
+    with pytest.raises(ValueError, match="signature"):
+        png_decode(b"JFIF....")
+    bad_depth = (_PNG_SIG
+                 + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)))
+    with pytest.raises(ValueError, match="bit depth"):
+        png_decode(bad_depth)

@@ -12,8 +12,9 @@ Not in the reference (postgresml is text+tabular); required for a
   via maxRecordsPerBatch).
 - decoders are pluggable callables. REAL in this image: `png_decoder`
   (full stdlib PNG codec below — all five scanline filters, gray/RGB/
-  RGBA, plus `png_encode` for sinks) and `raw_decoder` (raw uint8
-  frames). `fake_decoder` is the deterministic stand-in for formats
+  RGBA, plus `png_encode` for sinks), `wav_decoder` (RIFF/WAVE
+  16-bit PCM incl. stereo mixdown), `pcm16_decoder`, and
+  `raw_decoder` (raw uint8 frames). `fake_decoder` is the deterministic stand-in for formats
   whose codecs (JPEG/av/soundfile) are absent here, and
   `strict_decoder` raises NotImplementedError to mark that
   integration point.
@@ -255,6 +256,28 @@ def pcm16_decoder(data: bytes, meta: dict) -> np.ndarray:
     int16 mono samples. Needs no codec; sample rate is irrelevant to
     the fingerprint (frame/bin indexes are scale-free)."""
     return np.frombuffer(data or b"", dtype="<i2").astype(np.float64)
+
+
+def wav_decoder(data: bytes, meta: dict) -> np.ndarray:
+    """REAL decoder for format='wav' assets: RIFF/WAVE container with
+    16-bit PCM payload, parsed with the stdlib `wave` module — no
+    audio libs. Multi-channel audio mixes down to mono (mean), which
+    is what the constellation fingerprint wants; compressed WAV
+    (non-PCM format codes) raises with the limitation named."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data or b""), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"unsupported WAV sample width {w.getsampwidth()*8}-bit (16 only)"
+            )
+        nch = w.getnchannels()
+        frames = w.readframes(w.getnframes())
+    x = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+    if nch > 1:
+        x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return x
 
 
 def audio_fingerprint_array(

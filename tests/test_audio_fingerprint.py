@@ -128,3 +128,38 @@ def test_match_plan_is_hash_join(spark, signals):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wav_decoder_roundtrip_and_match(spark):
+    """Stdlib WAV container decode: write real WAV bytes (mono + a
+    stereo mixdown case), decode, and verify the fingerprint matcher
+    still identifies an excerpt — codec-free end to end on real WAVs."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from postgresml_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(5)
+    sig = (rng.standard_normal(4096) * 3000).astype("<i2")
+
+    def wav_bytes(samples, nch=1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(samples.tobytes())
+        return buf.getvalue()
+
+    mono = MM.wav_decoder(wav_bytes(sig), {})
+    assert np.array_equal(mono, sig.astype(np.float64))
+    # stereo: identical channels mix back to the same signal
+    stereo = np.repeat(sig, 2).astype("<i2")
+    mixed = MM.wav_decoder(wav_bytes(stereo, nch=2), {})
+    assert np.allclose(mixed, sig.astype(np.float64))
+    # excerpt of the real WAV matches its source track
+    full_fp = MM.audio_fingerprint_array(mono)
+    exc_fp = MM.audio_fingerprint_array(mono[1024:3072])
+    assert set(h for h, _ in exc_fp) & set(h for h, _ in full_fp)

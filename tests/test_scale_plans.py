@@ -323,3 +323,30 @@ def test_rendezvous_reshard_movement(spark):
     counts = [r["c"] for r in a.groupBy("b8").agg(F.count("*").alias("c")).collect()]
     assert len(counts) == 8 and min(counts) > n / 8 * 0.7
     moved.unpersist()
+
+
+def test_continuation_query_plan_shapes(spark, sf_dir):
+    """Round-2-continuation flagships keep their promised shapes."""
+    from postgresml_spark import queries as Q
+
+    def tree(df):
+        return _plan(df).split("\n\n")[0]
+
+    # sparse retrieval: broadcast query postings, TakeOrdered top-k
+    t = tree(Q.q167_sparse_retrieval(spark, sf_dir))
+    assert "TakeOrderedAndProject" in t and "BroadcastHashJoin" in t
+    assert "CartesianProduct" not in t and "SortMergeJoin" not in t
+
+    # heavy hitters: candidates broadcast into the exact verify pass
+    t = tree(Q.q166_heavy_hitters(spark, sf_dir))
+    assert "TakeOrderedAndProject" in t and "BroadcastHashJoin" in t
+
+    # point-in-time features: every window key-partitioned (the plan
+    # lint already guarantees no global window; pin the shuffle budget)
+    t = tree(Q.q171_point_in_time_features(spark, sf_dir))
+    assert t.count("Exchange") <= 4
+
+    # SCD2 PIT lookup: history build + as-of share the user_id
+    # partitioning — two exchanges total
+    t = tree(Q.q175_scd2_pit_lookup(spark, sf_dir))
+    assert t.count("Exchange") <= 2

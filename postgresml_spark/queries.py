@@ -1360,7 +1360,8 @@ def q40_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(quantile_cont(o_totalprice, 0.30), 4) AS p30,
            round(quantile_cont(o_totalprice, 0.80), 4) AS p80,
            count(DISTINCT o_totalprice) AS distinct_v,
-           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS missing_v
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS missing_v
     FROM orders
     """,
 )

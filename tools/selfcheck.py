@@ -76,15 +76,26 @@ def main() -> int:
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            rel = con.sql(oracles[name])
+            # Driver-canonicalizer hazard: HUGEINT (sum over integers)
+            # coerces to float64 under pandas while Spark stays int64 —
+            # hash-mismatch even with identical values (VERDICT r2 #1).
+            hazards = [
+                (c, str(ty))
+                for c, ty in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(ty).upper()
+            ]
+            d_cols = list(rel.columns)
+            d_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
         ok = True
         msgs = []
+        if hazards:
+            ok = False
+            msgs.append(f"oracle emits HUGEINT (pandas->float64): {hazards}")
         if sorted(s_cols) != sorted(d_cols):
             ok = False
             msgs.append(f"cols spark={sorted(s_cols)} duckdb={sorted(d_cols)}")

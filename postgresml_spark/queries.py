@@ -929,46 +929,139 @@ def q28_bucketed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
-@query("q15_knn_ivf")  # rows-only: KMeans centroids aren't SQL-expressible
+@query(
+    "q15_knn_ivf",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round({_DOT.format(a='e.embedding', b='q.qv')}
+                 / ({_NORM2.format(a='e.embedding')} * {_NORM2.format(a='q.qv')}), 6) AS score
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+    """,
+)
 def q15_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-pruned ANN (pgvector-ivfflat analog): KMeans centroids →
-    partition assignment → probe nprobe nearest lists. Driver records a
-    rows-only check; recall-vs-exact is asserted in tests."""
-    from postgresml_spark.operators.similarity import (
-        fit_ivf_centroids,
-        ivf_assign,
-        knn_ivf,
+    """IVF-pruned ANN through the PERSISTED store (pgvector-ivfflat
+    analog): KMeans centroids → `centroid_id=K/` partitioned parquet →
+    directory-listing-pruned probe → exact re-rank inside the lists.
+    Probed at nprobe = nlist, the scan is exhaustive, so the result
+    must equal exact brute-force top-k — that closure is the oracle
+    (q66 proves the in-memory knn_ivf path the same way; this one
+    round-trips the on-disk store). The production pruned-probe plan
+    (nprobe < nlist reading only probed partitions) is pinned by
+    tests/test_operators.py IVF pruning assertions + recall tests."""
+    import shutil
+    import tempfile
+
+    from postgresml_spark.operators.partitioning import (
+        read_ivf_probe,
+        write_ivf_store,
     )
+    from postgresml_spark.operators.similarity import fit_ivf_centroids
 
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
     # fit on a 25% sample, 8 Lloyd iterations — list quality, not
     # convergence, is what IVF needs (recall asserted in tests)
     cents = fit_ivf_centroids(e, nlist=8, sample_fraction=0.25, max_iter=8)
-    assigned = ivf_assign(e, cents)
-    return knn_ivf(assigned, cents, qv, k=10, nprobe=4).select(
-        "vec_id", F.round("score", 6).alias("score")
+    path = tempfile.mkdtemp(prefix="q15_ivf_store_")
+    try:
+        write_ivf_store(e.filter(F.col("vec_id") != 0), path, cents)
+        out = read_ivf_probe(spark, path, cents, qv, k=10, nprobe=8)
+        # materialize before the temp store vanishes (lazy scan)
+        rows = out.select(
+            "vec_id", F.round("score", 6).alias("score")
+        ).collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, "vec_id bigint, score double")
+
+
+_Q24_MINHASH_SQL = """
+    WITH toks AS (
+      SELECT doc_id, {tokens} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(0, greatest(len(t) - 3, 0)),
+                                   i -> array_to_string(t[i+1:i+3], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS shingles
+      FROM toks
+    ), hv AS (
+      SELECT doc_id, perm,
+             CAST(('0x' || substr(md5(CAST(perm AS VARCHAR) || '|' || shingle), 1, 15))
+                  AS BIGINT) AS hv
+      FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+      CROSS JOIN (SELECT unnest(range(64)) AS perm)
+    ), sig AS (
+      SELECT doc_id, perm, min(hv) AS mh FROM hv GROUP BY doc_id, perm
+    ), banded AS (
+      SELECT doc_id, CAST(floor(perm / 4) AS INT) AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm) AS bucket
+      FROM sig GROUP BY 1, 2
     )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+"""
 
 
-@query("q24_minhash_candidates")  # rows-only: xxhash64 differs across engines
+@query(
+    "q24_minhash_candidates",
+    oracle=_Q24_MINHASH_SQL.format(tokens=_SQL_TOKENS.format(t="text")),
+)
 def q24_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (shingle → signature → bands →
-    bucket equi-join). Deterministic (seeded xxhash64) but not
-    SQL-portable; exact-Jaccard verification is q23 (oracle-checked)."""
+    bucket equi-join) with the engine-portable md5 permutation hash,
+    under the full oracle gate (r2 VERDICT next-steps #2 — the seeded
+    xxhash64 production twin stays pytest-covered; exact-Jaccard
+    verification is q23). Whole plan codegen: md5/conv/min/collect."""
     d = _t(spark, sf_dir, "documents")
-    return DD.minhash_candidate_pairs(
-        d, "text", "doc_id", num_perm=64, bands=16
+    return DD.minhash_candidate_pairs_portable(
+        d, "text", "doc_id", num_perm=64, bands=16, shingle_n=3
     ).orderBy("id_a", "id_b")
 
 
-@query("q25_simhash_pairs")  # rows-only: xxhash64 bit patterns not SQL-portable
-def q25_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming-ball near-dups via chunk pigeonhole banding."""
-    d = _t(spark, sf_dir, "documents")
-    return DD.simhash_candidate_pairs(d, "text", "doc_id", max_hamming=3).orderBy(
-        "id_a", "id_b"
+@query(
+    "q25_simhash_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKENS.format(t='text')}) AS tok
+      FROM documents
+    ), hv AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hv
+      FROM toks
+    ), per_bit AS (
+      SELECT doc_id, b, sum(((hv >> b) & 1) * 2 - 1) AS s
+      FROM hv CROSS JOIN (SELECT unnest(range(32)) AS b)
+      GROUP BY 1, 2
+    ), sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+      FROM per_bit GROUP BY 1
     )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def q25_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-ball near-dups with the portable md5 token hash
+    under the full oracle gate (r2 VERDICT next-steps #2). The ORACLE
+    states the all-pairs spec (bit_count(xor) <= 3 over every pair);
+    the SPARK side runs pigeonhole LSH banding — 4 slices, so any pair
+    within hamming 3 must share a slice: perfect recall, and the
+    hash-match proves the banded plan computes the all-pairs answer.
+    The crc32/numpy production twin stays pytest-covered."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash_pairs_portable(
+        d, "text", "doc_id", bits=32, bands=4, max_hamming=3
+    ).orderBy("id_a", "id_b")
 
 
 @query(

@@ -92,6 +92,52 @@ def main() -> int:
             derived[key] = v
             derived[key.replace("_ms", "_qps")] = round(1000.0 / v, 2) if v else None
 
+    # SDK vector_search through the resident HNSW tier (VERDICT r2 #3):
+    # build once at sync (reported separately), then serve with no
+    # Spark job on the query path — the apples-to-apples number against
+    # the reference's 18-31 ms warm indexed query.
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as Fb
+
+        from postgresml_spark.collections import Collection, Pipeline
+
+        wh = tempfile.mkdtemp(prefix="bench_vsidx_")
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).filter(
+            Fb.col("text").isNotNull()
+        )
+        coll = Collection("bench_vs", spark, warehouse=wh)
+        coll.upsert_documents_df(d.select(Fb.col("doc_id").alias("id"), "text"))
+        pipe = Pipeline(
+            "p",
+            {"text": {"semantic_search": {"model": "hash:16",
+                                          "hnsw": {"m": 16, "ef_construction": 64}}}},
+        )
+        coll.add_pipeline(pipe)
+        t0 = time.perf_counter()
+        pipe.served_index("text")  # Arrow hop + graph build
+        derived["vector_search_index_build_sec"] = round(time.perf_counter() - t0, 3)
+        probes = ["distributed query engine", "vector similarity search",
+                  "stream processing state", "columnar storage format",
+                  "hash join strategy", "window aggregate partition",
+                  "sorted merge spill", "shuffle exchange reuse"]
+        q = lambda t: {"query": {"fields": {"text": {"query": t}}}, "limit": 10}
+        coll.vector_search(q(probes[0]), pipe, method="index")  # warm
+        ts = []
+        for p in probes:
+            t0 = time.perf_counter()
+            coll.vector_search(q(p), pipe, method="index")
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        v = round(ts[len(ts) // 2] * 1000, 2)
+        derived["vector_search_indexed_ms"] = v
+        derived["vector_search_indexed_qps"] = round(1000.0 / v, 1) if v else None
+        shutil.rmtree(wh, ignore_errors=True)
+    except Exception as e:
+        print(f"bench vector-indexed error: {e}", file=sys.stderr)
+
     # Corpus-pipeline throughput: hygiene + dedup + shuffle end-to-end
     # (q72 runs the full 5-stage pipeline over a fixed 400-doc slice;
     # the per-doc number amortizes codegen/JIT fixed costs visible in
@@ -138,6 +184,39 @@ def main() -> int:
         shutil.rmtree(spath, ignore_errors=True)
     except Exception as e:
         print(f"bench sparse-served error: {e}", file=sys.stderr)
+
+    # BM25 served index, build/serve split (VERDICT r2 #4): q109's
+    # catalog timing bundles the index build+write with the query; the
+    # honest serving number is the warm term-bucket-pruned read alone.
+    try:
+        import shutil
+        import tempfile
+
+        from postgresml_spark.functions.text import (
+            bm25_search_index,
+            build_text_index,
+        )
+
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        bpath = tempfile.mkdtemp(prefix="bench_bm25_")
+        t0 = time.perf_counter()
+        build_text_index(d, bpath, "text", "doc_id")
+        derived["bm25_build_sec"] = round(time.perf_counter() - t0, 3)
+        tprobes = [["vector", "merge"], ["stream", "hash"], ["table", "scan"],
+                   ["spark", "row"], ["sort", "value"]]
+        bm25_search_index(spark, bpath, tprobes[0], k=10).collect()  # warm
+        ts = []
+        for p in tprobes:
+            t0 = time.perf_counter()
+            bm25_search_index(spark, bpath, p, k=10).collect()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        v = round(ts[len(ts) // 2] * 1000, 1)
+        derived["bm25_served_ms"] = v
+        derived["bm25_served_qps"] = round(1000.0 / v, 2) if v else None
+        shutil.rmtree(bpath, ignore_errors=True)
+    except Exception as e:
+        print(f"bench bm25-served error: {e}", file=sys.stderr)
 
     # Batched sparse retrieval: the amortized form — N queries share
     # one corpus pass (broadcast union of query postings), so per-query

@@ -49,6 +49,7 @@ class Pipeline:
         self.schema = schema
         self.collection = None
         self._tables: dict[str, VersionedTable] = {}
+        self._served: dict[str, object] = {}  # field -> ServedPipelineIndex
 
     def attach(self, collection) -> None:
         self.collection = collection
@@ -212,6 +213,35 @@ class Pipeline:
             df = spark.createDataFrame([(text,)], "chunk string")
             row = df.select(embed_udf(model)(F.col("chunk")).alias("e")).head()
             return list(row["e"])
+
+    # -- ANN serving tier ------------------------------------------------------
+
+    def hnsw_params(self, field: str) -> dict[str, int]:
+        """Per-field HNSW index parameters from the pipeline schema —
+        `semantic_search: {model, hnsw: {m, ef_construction}}`
+        (pipeline.rs:61-94; index DDL queries.rs:117-119). Defaults are
+        pgvector's (m=16, ef_construction=64)."""
+        cfg = self.schema.get(field, {}).get("semantic_search") or {}
+        h = cfg.get("hnsw") or {}
+        return {
+            "m": int(h.get("m", 16)),
+            "ef_construction": int(h.get("ef_construction", 64)),
+        }
+
+    def served_index(self, field: str):
+        """Lazy, version-checked resident HNSW index for one field
+        (collections/serving.py). Built on first use after a sync,
+        cached for the process lifetime, auto-rebuilt when any
+        underlying VersionedTable version moves — the consistency
+        contract the reference gets from trigger-maintained pgvector
+        indexes."""
+        from postgresml_spark.collections.serving import ServedPipelineIndex
+
+        idx = self._served.get(field)
+        if idx is None or idx.is_stale():
+            idx = ServedPipelineIndex(self.collection, self, field)
+            self._served[field] = idx
+        return idx
 
     def status(self) -> dict:
         """Per-field {stage: {synced, not_synced, total}} matching the

@@ -95,21 +95,63 @@ def _tsrank_col(tokens_col, query_terms: list[str], normalization: int = 32):
     return rank
 
 
+def _served_applicable(spec: dict) -> bool:
+    """The resident-index path serves unfiltered semantic queries; a
+    metadata filter or full_text_filter needs the table-side plan
+    (filtered ANN — the same boundary pgvector draws: the index scan
+    can't see the WHERE clause's selectivity)."""
+    if spec.get("filter"):
+        return False
+    return not any(f.get("full_text_filter") for f in spec.get("fields", {}).values())
+
+
 def vector_search(
     collection,
     pipeline,
     query: dict,
     rerank: bool = False,
     num_documents_to_rerank: int = 10,
+    method: str = "exact",
 ) -> list[dict]:
     """query = {"query": {"fields": {field: {"query": str, "boost"?: float,
     "full_text_filter"?: str}}, "filter"?: {...}}, "limit"?: int}
     → [{document, chunk, score, document_id}] sorted by score desc.
+
+    method: "exact" (default — the full DataFrame plan, what the
+    oracle-gated queries use), "index" (resident HNSW serving tier,
+    collections/serving.py — no Spark job on the query path; raises if
+    the query needs a filter the index can't serve), or "auto" (index
+    when applicable, exact otherwise).
     """
     spec = query.get("query", {})
     fields = spec.get("fields", {})
     filt = spec.get("filter")
     limit = int(query.get("limit", 10))
+
+    if method not in ("exact", "index", "auto"):
+        raise ValueError(f"unknown vector_search method {method!r}")
+    if method in ("index", "auto"):
+        if _served_applicable(spec):
+            merged: list[dict] = []
+            for field, fcfg in fields.items():
+                idx = pipeline.served_index(field)
+                merged.extend(
+                    idx.search(
+                        fcfg["query"], limit=limit,
+                        boost=float(fcfg.get("boost", 1.0)),
+                    )
+                )
+            merged.sort(key=lambda r: (-r["score"], r["document_id"]))
+            out = merged[:limit]
+            if rerank and out:
+                out = _lexical_rerank(out, fields, num_documents_to_rerank)
+            return out
+        if method == "index":
+            raise ValueError(
+                "method='index' cannot serve filtered queries (metadata "
+                "filter / full_text_filter need the table-side plan); "
+                "use method='auto' or 'exact'"
+            )
 
     per_field: list[DataFrame] = []
     for field, fcfg in fields.items():
@@ -149,20 +191,24 @@ def vector_search(
         for r in rows
     ]
     if rerank and out:
-        # cross-encoder rerank stub (vector_search_query_builder.rs:331-360):
-        # deterministic lexical-overlap reranker standing in for pgml.rank;
-        # swap for a real cross-encoder pandas UDF when available.
-        qtext = " ".join(fcfg["query"] for fcfg in fields.values())
-        qterms = set(qtext.lower().split())
-        head = out[:num_documents_to_rerank]
-        for item in head:
-            cterms = set(item["chunk"].lower().split())
-            item["rerank_score"] = (
-                len(qterms & cterms) / len(qterms | cterms) if qterms | cterms else 0.0
-            )
-        head.sort(key=lambda x: (-x["rerank_score"], x["document_id"]))
-        out = head + out[num_documents_to_rerank:]
+        out = _lexical_rerank(out, fields, num_documents_to_rerank)
     return out
+
+
+def _lexical_rerank(out: list[dict], fields: dict, num_documents_to_rerank: int):
+    """cross-encoder rerank stub (vector_search_query_builder.rs:331-360):
+    deterministic lexical-overlap reranker standing in for pgml.rank;
+    swap for a real cross-encoder pandas UDF when available."""
+    qtext = " ".join(fcfg["query"] for fcfg in fields.values())
+    qterms = set(qtext.lower().split())
+    head = out[:num_documents_to_rerank]
+    for item in head:
+        cterms = set(item["chunk"].lower().split())
+        item["rerank_score"] = (
+            len(qterms & cterms) / len(qterms | cterms) if qterms | cterms else 0.0
+        )
+    head.sort(key=lambda x: (-x["rerank_score"], x["document_id"]))
+    return head + out[num_documents_to_rerank:]
 
 
 def hybrid_search(collection, pipeline, query: dict) -> list[dict]:

@@ -1,0 +1,153 @@
+"""Served ANN tier for SDK vector search (VERDICT r2 next-steps #3).
+
+The reference's `vector_search` latency (18-31 ms, BASELINE.md) is
+measured against a pgvector index RESIDENT in Postgres shared memory —
+the per-field `semantic_search.hnsw {m, ef_construction}` block of the
+pipeline schema (pgml-sdks/pgml/src/pipeline.rs:61-94) becomes an
+`CREATE INDEX ... USING hnsw (embedding vector_cosine_ops)` DDL at
+sync time (queries.rs:117-119), and queries run
+`ORDER BY embedding <=> $1 LIMIT k` against that index.
+
+The Spark-first analog splits roles the same way the reference splits
+Postgres-the-store from pgvector-the-index:
+
+- Spark BUILDS: the embeddings/chunks/documents tables are synced
+  distributed (pipeline.sync), and one Arrow hop materializes the
+  serving shard — the same bytes any index build reads, paid once per
+  sync, never per query.
+- The serving process HOLDS: a ResidentHNSW graph over chunk
+  embeddings (operators/similarity.py) plus the chunk→document payload
+  maps, versioned against the underlying VersionedTables so a sync
+  invalidates the index exactly like the reference's index stays
+  consistent under trigger-maintained inserts.
+- Queries NEVER launch a Spark job: client-side query embed → beam
+  search (~ef·log n candidate gathers) → float64 exact re-score of the
+  candidates (so served scores agree with the exact DataFrame path to
+  well past the 6-decimal oracle rounding) → top-k.
+
+Memory honesty at 100 TB: a serving host holds its shard —
+d×(4+8) B/vector (float32 graph matrix + float64 re-score copy) plus
+~M·8 B/node of links plus the chunk/document payload maps. Corpora
+past one host shard by IVF centroid or document hash range across
+serving processes (the ResidentANN/ResidentHNSW docstrings carry the
+same budget math); the Spark build side is already partition-parallel.
+
+Exactness contract: HNSW is approximate by nature — recall@10 >= 0.95
+is asserted in tests (tests/test_serving_index.py) and the oracle-gated
+queries (q51/q53/q54) keep using the exact DataFrame path. The served
+path is what `collection.vector_search(..., method="index")` and the
+steady-state bench metric use.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+__all__ = ["ServedPipelineIndex"]
+
+
+class ServedPipelineIndex:
+    """Resident HNSW + payload maps for one (pipeline, field)."""
+
+    def __init__(self, collection, pipeline, field: str):
+        cfg = pipeline.schema.get(field, {})
+        if "semantic_search" not in cfg:
+            raise ValueError(f"field {field!r} has no semantic_search config")
+        params = pipeline.hnsw_params(field)
+        self.collection = collection
+        self.pipeline = pipeline
+        self.field = field
+        self.version_token = self._version_token()
+
+        emb = pipeline.table(f"{field}_embeddings")
+        chunks = pipeline.table(f"{field}_chunks").select(
+            "chunk_id", "document_id", "chunk"
+        )
+        docs = collection.documents.read().select(
+            "id", "document"
+        )
+        # ONE Arrow hop per build: embeddings ⋈ chunks (executor-side
+        # join, then columnar transfer). Document payloads ride a
+        # second small frame keyed by id.
+        pdf = emb.join(chunks, "chunk_id").toPandas()
+        ddf = docs.toPandas()
+
+        self.chunk_ids = pdf["chunk_id"].to_numpy()
+        self.doc_ids = pdf["document_id"].to_numpy()
+        self.chunks = pdf["chunk"].tolist()
+        self.mat64 = (
+            np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            if len(pdf)
+            else np.zeros((0, 1))
+        )
+        self.norms64 = np.linalg.norm(self.mat64, axis=1)
+        self.doc_json = dict(zip(ddf["id"].tolist(), ddf["document"].tolist()))
+        self.row_of = {int(c): i for i, c in enumerate(self.chunk_ids)}
+
+        from postgresml_spark.operators.similarity import ResidentHNSW
+
+        self.hnsw = ResidentHNSW(
+            (self.chunk_ids, self.mat64.astype(np.float32)),
+            m=params["m"],
+            ef_construction=params["ef_construction"],
+        )
+
+    # -- staleness ---------------------------------------------------------
+
+    def _version_token(self):
+        toks = [
+            ("documents", self.collection.documents._current_version())
+        ]
+        for name, tbl in sorted(self.pipeline._tables.items()):
+            if name.startswith(self.field + "_"):
+                toks.append((name, tbl._current_version()))
+        return tuple(toks)
+
+    def is_stale(self) -> bool:
+        return self._version_token() != self.version_token
+
+    # -- serving -----------------------------------------------------------
+
+    def search(
+        self,
+        query_text: str,
+        limit: int = 10,
+        boost: float = 1.0,
+        ef: int | None = None,
+    ) -> list[dict]:
+        """Top-`limit` results, exact-rescored. No Spark job."""
+        qv = np.asarray(
+            self.pipeline.embed_query(query_text, self.field), dtype=np.float64
+        )
+        qn = float(np.linalg.norm(qv))
+        if not len(self.mat64) or qn == 0.0:
+            return []
+        # beam for extra candidates, then float64 exact re-score: the
+        # approximate layer only GENERATES, the exact layer RANKS — so
+        # float32 graph error can't perturb the returned ordering.
+        n_cand = min(max(4 * limit, limit + 10), len(self.chunk_ids))
+        found = self.hnsw.search(qv, k=n_cand, ef=ef or max(4 * n_cand, 64))
+        rows = np.asarray([self.row_of[int(cid)] for cid, _ in found])
+        dots = self.mat64[rows] @ qv
+        denom = self.norms64[rows] * qn
+        denom[denom == 0.0] = 1.0
+        scores = dots / denom * boost
+        order = sorted(
+            range(len(rows)),
+            key=lambda i: (-scores[i], int(self.doc_ids[rows[i]])),
+        )[:limit]
+        out = []
+        for i in order:
+            r = rows[i]
+            did = int(self.doc_ids[r])
+            out.append(
+                {
+                    "document_id": did,
+                    "document": json.loads(self.doc_json[did]),
+                    "chunk": self.chunks[r],
+                    "score": float(scores[i]),
+                }
+            )
+        return out

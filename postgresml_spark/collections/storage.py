@@ -219,12 +219,19 @@ def compact_parquet_dir(
     (the text/sparse/IVF indexes) compacts each partition directory in
     place — the layout that queries prune on survives — and top-level
     non-parquet sidecars (_stats.json, epoch fences) always carry
-    over. A flat dir rewrites to a sibling temp dir and swaps in via
-    two renames, so readers between the renames see a complete old or
-    complete new listing, never a mix. Not safe concurrently with a
-    WRITER (run between micro-batches or from the maintenance job that
-    also calls vacuum); at cluster scale the same job would be a Delta
-    OPTIMIZE.
+    over. A flat dir rewrites to a DOT-PREFIXED sibling temp dir and
+    swaps in via two renames. The in-flight dirs are invisible to
+    Spark's listing (hidden-path filter), so a concurrent reader of a
+    partitioned store can never discover them as phantom partition
+    values — it sees each partition's complete old or complete new
+    file set, never a mix or a duplicate (pinned by
+    tests/test_collections.py::test_compact_partitioned_no_phantoms).
+    Between the two renames of one partition a reader may TRANSIENTLY
+    miss that partition (POSIX rename can't exchange two dirs
+    atomically) — a visible gap, not silent duplication. Not safe
+    concurrently with a WRITER (run between micro-batches or from the
+    maintenance job that also calls vacuum); at cluster scale the same
+    job would be a Delta OPTIMIZE.
     """
     import math
     import shutil
@@ -245,8 +252,15 @@ def compact_parquet_dir(
     df = spark.read.parquet(path)
     rows = df.count()
     n_files = max(1, math.ceil(rows / target_rows_per_file))
-    tmp = path.rstrip("/") + ".compact_tmp"
-    old = path.rstrip("/") + ".compact_old"
+    # Dot-prefixed siblings: Spark's hidden-path filter skips any
+    # listing entry starting with '.'/'_', so a concurrent reader of a
+    # PARTITIONED store never discovers the in-flight dirs as phantom
+    # `key=value...` partition values during the swap window (a
+    # `key=value.compact_tmp` sibling WOULD be picked up — the '='
+    # makes it parse as a partition; ADVICE r2 #1).
+    parent, leaf = os.path.split(path.rstrip("/"))
+    tmp = os.path.join(parent, f".compact_tmp.{leaf}")
+    old = os.path.join(parent, f".compact_old.{leaf}")
     df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
     # sidecars (stats, fences) are part of the store, not of any one
     # parquet file set — they must survive the rewrite

@@ -95,8 +95,17 @@ def sparse_features(
     tf = toks.groupBy(id_col, "__term").agg(F.count("*").alias("__tf"))
     dft = tf.groupBy("__term").agg(F.count("*").alias("__df"))
     n_docs = df.select(F.count("*").alias("__n"))
+    # dft is corpus-vocabulary-sized: at web scale (10^9+ word types,
+    # the bound this module's scale contract cites) a forced broadcast
+    # would exceed the broadcast limit and take down the job — and the
+    # hint also blocks fallback to a shuffle join. Unhinted, AQE picks
+    # broadcast only when the RUNTIME vocab stat is actually small and
+    # otherwise shuffle-joins on __term — dft's groupBy already leaves
+    # it partitioned on __term, so the fallback costs one exchange of
+    # tf (ADVICE r2 #2). The single-row n_docs broadcast is
+    # unconditionally safe.
     w = (
-        tf.join(F.broadcast(dft), "__term")
+        tf.join(dft, "__term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),

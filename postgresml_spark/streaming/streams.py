@@ -770,10 +770,13 @@ def expectations_quarantine_stream(
             tagged.filter(F.size("__violated") == 0).drop("__violated"),
             epoch_id,
         )
-        bad = tagged.filter(F.size("__violated") > 0).withColumnRenamed(
-            "__violated", "violated"
-        )
-        quarantine_sink(bad, epoch_id)
+        bad = tagged.filter(F.size("__violated") > 0)
+        # a requeued quarantine feed already carries 'violated' from
+        # its previous trip — preserve it as 'violated_prev' instead of
+        # emitting two ambiguous same-name columns (ADVICE r2 #3)
+        if "violated" in bad.columns:
+            bad = bad.withColumnRenamed("violated", "violated_prev")
+        quarantine_sink(bad.withColumnRenamed("__violated", "violated"), epoch_id)
 
     return (
         stream_df.writeStream.foreachBatch(_sink)

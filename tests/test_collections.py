@@ -333,6 +333,49 @@ def test_compact_parquet_dir(spark, tmp_path):
     assert sorted(r["fp"] for r in spark.read.parquet(path).collect()) == content_before
 
 
+def test_compact_partitioned_no_phantoms(spark, tmp_path, monkeypatch):
+    """ADVICE r2 #1: during compaction of a `key=value`-partitioned
+    store, the in-flight temp/old dirs must be invisible to a
+    concurrent reader's partition discovery — a `key=A.compact_tmp`
+    sibling would parse as a phantom partition value. Intercept every
+    rename and assert the store root never lists an unexpected
+    '='-containing entry."""
+    import os as os_mod
+
+    from postgresml_spark.collections.storage import compact_parquet_dir
+
+    path = str(tmp_path / "pstore")
+    df = spark.range(40).selectExpr("id", "cast(id % 2 as int) as k")
+    for _ in range(3):  # several small appends per partition
+        df.write.mode("append").partitionBy("k").parquet(path)
+
+    real_parts = {"k=0", "k=1"}
+    seen_roots = []
+    real_rename = os_mod.rename
+
+    def spy_rename(src, dst):
+        seen_roots.append(sorted(os_mod.listdir(path)))
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os_mod, "rename", spy_rename)
+    compact_parquet_dir(spark, path, target_rows_per_file=1000)
+    monkeypatch.undo()
+
+    assert seen_roots, "rename spy never fired"
+    for listing in seen_roots:
+        # Spark's listing drops entries whose NAME starts with '.' or
+        # '_' (hidden-path filter) — only the rest reach partition
+        # discovery, and those must be exactly the real partitions.
+        visible = [e for e in listing if not e.startswith((".", "_"))]
+        phantom = [e for e in visible if "=" in e and e not in real_parts]
+        assert not phantom, f"phantom partition entries visible: {phantom}"
+    # store reads back complete and deduplicated
+    got = spark.read.parquet(path)
+    assert got.count() == 120 and set(
+        r["k"] for r in got.select("k").distinct().collect()
+    ) == {0, 1}
+
+
 def test_rrf_fuse_golden(spark):
     from postgresml_spark.collections.search import rrf_fuse
 

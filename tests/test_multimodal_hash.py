@@ -147,14 +147,23 @@ def test_near_dup_plan_is_banded(assets):
 
 
 def _filtered_png(arr, ftype):
-    """Hand-build a grayscale PNG whose every scanline uses `ftype` —
-    exercises each decoder filter path independently."""
+    """Hand-build a PNG (grayscale (h,w) or RGB/RGBA (h,w,3|4)) whose
+    every scanline uses `ftype` — a per-byte reference encoder that
+    exercises each decoder filter path (incl. the lane-vectorized
+    multi-channel reconstruction) independently."""
     import struct
     import zlib
 
     import numpy as np
 
-    h, w = arr.shape
+    if arr.ndim == 2:
+        h, w, nch, color = arr.shape[0], arr.shape[1], 1, 0
+        flat = arr.reshape(h, w)
+    else:
+        h, w, nch = arr.shape
+        color = 2 if nch == 3 else 6
+        flat = arr.reshape(h, w * nch)
+    stride = w * nch
 
     def chunk(ct, body):
         return (struct.pack(">I", len(body)) + ct + body
@@ -166,25 +175,26 @@ def _filtered_png(arr, ftype):
         return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
 
     raw = b""
-    prev = [0] * w
+    prev = [0] * stride
     for y in range(h):
-        cur = [int(v) for v in arr[y]]
+        cur = [int(v) for v in flat[y]]
+        left = lambda i: cur[i - nch] if i >= nch else 0
+        uleft = lambda i: prev[i - nch] if i >= nch else 0
         if ftype == 0:
             enc = cur
         elif ftype == 1:
-            enc = [(cur[i] - (cur[i - 1] if i else 0)) & 0xFF for i in range(w)]
+            enc = [(cur[i] - left(i)) & 0xFF for i in range(stride)]
         elif ftype == 2:
-            enc = [(cur[i] - prev[i]) & 0xFF for i in range(w)]
+            enc = [(cur[i] - prev[i]) & 0xFF for i in range(stride)]
         elif ftype == 3:
-            enc = [(cur[i] - (((cur[i - 1] if i else 0) + prev[i]) >> 1)) & 0xFF
-                   for i in range(w)]
+            enc = [(cur[i] - ((left(i) + prev[i]) >> 1)) & 0xFF
+                   for i in range(stride)]
         else:
-            enc = [(cur[i] - paeth((cur[i - 1] if i else 0), prev[i],
-                                   (prev[i - 1] if i else 0))) & 0xFF
-                   for i in range(w)]
+            enc = [(cur[i] - paeth(left(i), prev[i], uleft(i))) & 0xFF
+                   for i in range(stride)]
         raw += bytes([ftype]) + bytes(enc)
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
     from postgresml_spark.operators.multimodal import _PNG_SIG
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
@@ -200,6 +210,22 @@ def test_png_decode_all_filter_types():
     for ftype in range(5):
         got = png_decode(_filtered_png(arr, ftype))
         assert np.array_equal(got, arr), f"filter {ftype}"
+
+
+def test_png_decode_all_filter_types_rgb():
+    """Multi-channel reconstruction: the left/upper-left neighbors sit
+    nch lanes back, and the vectorized Sub/Average/Paeth paths must
+    reproduce the per-byte reference encoder exactly (ADVICE r2 #4)."""
+    import numpy as np
+
+    from postgresml_spark.operators.multimodal import png_decode
+
+    rng = np.random.default_rng(7)
+    for nch in (3, 4):
+        arr = rng.integers(0, 256, (5, 9, nch), dtype=np.uint8)
+        for ftype in range(5):
+            got = png_decode(_filtered_png(arr, ftype))
+            assert np.array_equal(got, arr), f"nch {nch} filter {ftype}"
 
 
 def test_png_decoder_drives_real_image_pipeline(spark):

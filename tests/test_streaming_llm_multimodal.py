@@ -732,3 +732,38 @@ def test_expectations_quarantine_stream_splits(spark, tmp_path):
     # id 4: NULL predicate fails closed (three-valued logic must not
     # leak nulls into the good stream)
     assert got_bad == {2: ["v_nonneg"], 3: ["lang_present"], 4: ["v_nonneg"]}
+
+
+def test_expectations_quarantine_requeue_preserves_prior_violations(spark, tmp_path):
+    """ADVICE r2 #3: a requeued quarantine feed already carries a
+    'violated' column from its previous trip — the sink must emit ONE
+    fresh 'violated' plus the prior one as 'violated_prev', never two
+    ambiguous same-name columns."""
+    from postgresml_spark.streaming.streams import (
+        expectations_quarantine_stream,
+    )
+
+    src = str(tmp_path / "eq_rq")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write(json.dumps({"id": 2, "v": -3.0, "violated": ["v_nonneg"]}) + "\n")
+        f.write(json.dumps({"id": 5, "v": 7.0, "violated": ["v_nonneg"]}) + "\n")
+    stream = spark.readStream.schema(
+        "id long, v double, violated array<string>"
+    ).json(src)
+    good, bad = [], []
+    q = expectations_quarantine_stream(
+        stream, {"v_nonneg": F.col("v") >= 0},
+        lambda df, e: good.extend(df.collect()),
+        lambda df, e: bad.extend(df.collect()),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # fixed row flows to good (its old 'violated' tag intact)
+    assert [(r["id"], list(r["violated"])) for r in good] == [(5, ["v_nonneg"])]
+    assert len(bad) == 1 and bad[0]["id"] == 2
+    assert bad[0].asDict().keys() >= {"violated", "violated_prev"}
+    assert list(bad[0]["violated"]) == ["v_nonneg"]
+    assert list(bad[0]["violated_prev"]) == ["v_nonneg"]

@@ -122,11 +122,29 @@ def vector_search(
     collections/serving.py — no Spark job on the query path; raises if
     the query needs a filter the index can't serve), or "auto" (index
     when applicable, exact otherwise).
+
+    rerank: False, True (legacy lexical head-rerank), or the
+    reference's ValidRerank dict {"query": str, "model"?: str,
+    "num_documents_to_rerank"?: int, "scorer"?: callable} — the vector
+    stage overfetches num_documents_to_rerank candidates, the scorer
+    re-scores them (index-aligned), and the top `limit` by
+    rerank_score are returned (vector_search_query_builder.rs:44-56,
+    87-89, 299-360).
     """
     spec = query.get("query", {})
     fields = spec.get("fields", {})
     filt = spec.get("filter")
     limit = int(query.get("limit", 10))
+
+    rerank_spec = rerank if isinstance(rerank, dict) else None
+    if rerank_spec is not None and "query" not in rerank_spec:
+        raise ValueError("rerank spec requires a 'query' string")
+    # search_limit = num_documents_to_rerank when reranking (:87-89)
+    fetch = (
+        max(int(rerank_spec.get("num_documents_to_rerank", 10)), limit)
+        if rerank_spec is not None
+        else limit
+    )
 
     if method not in ("exact", "index", "auto"):
         raise ValueError(f"unknown vector_search method {method!r}")
@@ -137,13 +155,15 @@ def vector_search(
                 idx = pipeline.served_index(field)
                 merged.extend(
                     idx.search(
-                        fcfg["query"], limit=limit,
+                        fcfg["query"], limit=fetch,
                         boost=float(fcfg.get("boost", 1.0)),
                     )
                 )
             merged.sort(key=lambda r: (-r["score"], r["document_id"]))
-            out = merged[:limit]
-            if rerank and out:
+            out = merged[:fetch]
+            if rerank_spec is not None:
+                out = _spec_rerank(out, rerank_spec, limit)
+            elif rerank and out:
                 out = _lexical_rerank(out, fields, num_documents_to_rerank)
             return out
         if method == "index":
@@ -173,14 +193,14 @@ def vector_search(
                 (F.col("cosine") * boost).alias("score"),
             )
             .orderBy(F.col("score").desc(), F.col("document_id"))
-            .limit(limit)
+            .limit(fetch)
         )
     if not per_field:
         return []
     un = per_field[0]
     for d in per_field[1:]:
         un = un.unionByName(d)  # UNION ALL (vector_search_query_builder.rs:287-296)
-    rows = un.orderBy(F.col("score").desc(), F.col("document_id")).limit(limit).collect()
+    rows = un.orderBy(F.col("score").desc(), F.col("document_id")).limit(fetch).collect()
     out = [
         {
             "document_id": r["document_id"],
@@ -190,25 +210,76 @@ def vector_search(
         }
         for r in rows
     ]
-    if rerank and out:
+    if rerank_spec is not None:
+        out = _spec_rerank(out, rerank_spec, limit)
+    elif rerank and out:
         out = _lexical_rerank(out, fields, num_documents_to_rerank)
     return out
 
 
-def _lexical_rerank(out: list[dict], fields: dict, num_documents_to_rerank: int):
-    """cross-encoder rerank stub (vector_search_query_builder.rs:331-360):
-    deterministic lexical-overlap reranker standing in for pgml.rank;
-    swap for a real cross-encoder pandas UDF when available."""
-    qtext = " ".join(fcfg["query"] for fcfg in fields.values())
-    qterms = set(qtext.lower().split())
-    head = out[:num_documents_to_rerank]
-    for item in head:
-        cterms = set(item["chunk"].lower().split())
-        item["rerank_score"] = (
+def lexical_rank_scorer(query: str, chunks: list[str]) -> list[float]:
+    """Default rerank scorer: deterministic token-Jaccard overlap —
+    the documented stand-in for the reference's cross-encoder
+    `pgml.rank` (api.rs:612-625). Contract (shared by any pluggable
+    scorer): scores[i] belongs to chunks[i] — the corpus_id alignment
+    of vector_search_query_builder.rs:331-360."""
+    qterms = set(query.lower().split())
+    out = []
+    for c in chunks:
+        cterms = set(c.lower().split())
+        out.append(
             len(qterms & cterms) / len(qterms | cterms) if qterms | cterms else 0.0
         )
+    return out
+
+
+def resolve_rerank_scorer(model: str | None):
+    """Map a rerank model name to a scorer callable. A real
+    cross-encoder loads when sentence_transformers exists (absent from
+    this image — import-gated, same policy as pgml.embed); otherwise
+    the lexical stand-in serves every model name deterministically."""
+    try:  # pragma: no cover - library absent from image
+        from sentence_transformers import CrossEncoder  # type: ignore
+
+        ce = CrossEncoder(model or "cross-encoder/ms-marco-MiniLM-L-6-v2")
+        return lambda q, chunks: [float(s) for s in ce.predict([(q, c) for c in chunks])]
+    except ImportError:
+        return lexical_rank_scorer
+
+
+def _lexical_rerank(out: list[dict], fields: dict, num_documents_to_rerank: int,
+                    scorer=None):
+    """Legacy rerank=True form: rerank the head against the
+    concatenated field queries, keep the tail in vector order."""
+    qtext = " ".join(fcfg["query"] for fcfg in fields.values())
+    scorer = scorer or lexical_rank_scorer
+    head = out[:num_documents_to_rerank]
+    scores = scorer(qtext, [item["chunk"] for item in head])
+    for item, s in zip(head, scores):
+        item["rerank_score"] = s
     head.sort(key=lambda x: (-x["rerank_score"], x["document_id"]))
     return head + out[num_documents_to_rerank:]
+
+
+def _spec_rerank(out: list[dict], rerank_spec: dict, limit: int):
+    """Reference-shaped rerank (ValidRerank, vector_search_query_builder
+    .rs:44-56, 299-360): the vector stage overfetched
+    `num_documents_to_rerank` candidates; score them all against the
+    rerank query with the model's scorer — chunks passed in vector-rank
+    order, scores aligned by index (the `(rank).corpus_id` contract) —
+    then return the top `limit` by rerank_score."""
+    scorer = rerank_spec.get("scorer") or resolve_rerank_scorer(
+        rerank_spec.get("model")
+    )
+    scores = scorer(rerank_spec["query"], [item["chunk"] for item in out])
+    if len(scores) != len(out):
+        raise ValueError(
+            f"rerank scorer returned {len(scores)} scores for {len(out)} chunks"
+        )
+    for item, s in zip(out, scores):
+        item["rerank_score"] = float(s)
+    out.sort(key=lambda x: (-x["rerank_score"], x["document_id"]))
+    return out[:limit]
 
 
 def hybrid_search(collection, pipeline, query: dict) -> list[dict]:

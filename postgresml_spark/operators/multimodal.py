@@ -1202,3 +1202,56 @@ def jpeg_decoder(data: bytes, meta: dict) -> np.ndarray:
             rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
         ).round().astype(np.uint8)
     return arr
+
+
+def mjpeg_split(data: bytes) -> list[bytes]:
+    """Split an MJPEG stream (concatenated JPEG frames — the payload
+    of MJPEG AVIs, many IP-camera feeds, and multipart/x-mixed-replace
+    HTTP streams) into per-frame JPEG byte strings by SOI/EOI marker
+    scan. Byte-stuffing makes 0xFFD9 unambiguous inside entropy data
+    (0xFF in the scan is always followed by 0x00 or RSTn)."""
+    frames = []
+    pos = 0
+    n = len(data)
+    while True:
+        soi = data.find(b"\xff\xd8", pos)
+        if soi < 0:
+            break
+        eoi = data.find(b"\xff\xd9", soi + 2)
+        if eoi < 0:
+            raise ValueError("MJPEG stream ends mid-frame (no EOI)")
+        frames.append(data[soi:eoi + 2])
+        pos = eoi + 2
+    if not frames:
+        raise ValueError("no JPEG frames in MJPEG stream")
+    return frames
+
+
+def mjpeg_video_decoder(data: bytes, meta: dict) -> np.ndarray:
+    """REAL video decoder for format='mjpeg' assets: each frame is a
+    full baseline JPEG (jpeg_decode), luma-collapsed to the
+    (n_frames, h, w) contract video_fingerprints expects. With the
+    stdlib JPEG codec this closes the 'video codecs stubbed' gap for
+    the one video format whose frames are self-contained; inter-frame
+    codecs (H.264 etc.) remain behind strict_decoder, honestly."""
+    frames = []
+    shape = None
+    for fb in mjpeg_split(data):
+        arr = jpeg_decoder(fb, meta)
+        if shape is None:
+            shape = arr.shape
+        elif arr.shape != shape:
+            raise ValueError(
+                f"MJPEG frame size changed {shape} -> {arr.shape}"
+            )
+        frames.append(arr)
+    return np.stack(frames)
+
+
+def mjpeg_encode(frames: np.ndarray, quality: int = 90) -> bytes:
+    """Encode (n, h, w) grayscale or (n, h, w, 3) RGB frames as an
+    MJPEG stream (the sink/fixture half)."""
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim not in (3, 4):
+        raise ValueError(f"expected (n,h,w[,3]) frames, got {a.shape}")
+    return b"".join(jpeg_encode(f, quality) for f in a)

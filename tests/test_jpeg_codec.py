@@ -129,3 +129,40 @@ def test_jpeg_assets_drive_image_pipeline(spark):
         img = _test_image(seed=i)
         want = ahash_reference(jpeg_decoder(jpeg_encode(img, 95), {}))
         assert got[i] == want
+
+
+def test_mjpeg_video_round_trip_and_fingerprints(spark):
+    """Real MJPEG video path: encode frames as concatenated JPEGs,
+    split on markers, decode each, and run the frame-hash fingerprint
+    pipeline + temporal alignment for real."""
+    from postgresml_spark.operators.multimodal import (
+        mjpeg_encode,
+        mjpeg_split,
+        mjpeg_video_decoder,
+        sequence_match,
+        video_fingerprints,
+    )
+
+    frames = np.stack([_test_image(seed=i) for i in range(8)])
+    stream = mjpeg_encode(frames, 95)
+    assert len(mjpeg_split(stream)) == 8
+    dec = mjpeg_video_decoder(stream, {})
+    assert dec.shape == frames.shape
+    assert _rmse(dec, frames) < 4.0
+
+    # a clip = frames 3..6 of the db asset, offset-voted back to it
+    clip = mjpeg_encode(frames[3:7], 95)
+    mk = lambda aid, data: (aid, "video", bytearray(data),
+                            {"width": 64, "height": 64,
+                             "duration_ms": None, "format": "mjpeg"})
+    schema = ("asset_id long, kind string, data binary, "
+              "meta struct<width:int,height:int,duration_ms:int,format:string>")
+    db = spark.createDataFrame([mk(1, stream)], schema)
+    q = spark.createDataFrame([mk(99, clip)], schema)
+    db_fp = video_fingerprints(db, decoder=mjpeg_video_decoder)
+    q_fp = video_fingerprints(q, decoder=mjpeg_video_decoder)
+    m = sequence_match(db_fp, q_fp, min_votes=3).collect()
+    assert len(m) == 1 and m[0]["db_id"] == 1 and m[0]["query_id"] == 99
+
+    with pytest.raises(ValueError, match="EOI"):
+        mjpeg_split(stream[:-2])

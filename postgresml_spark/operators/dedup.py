@@ -920,13 +920,19 @@ def simhash_portable_signatures(
     """
     from postgresml_spark.functions import text as TX
 
+    if bits > 60:
+        raise ValueError(
+            f"portable simhash supports at most 60 bits (15-hex md5 "
+            f"prefix stays BIGINT-safe in every engine), got {bits}"
+        )
+    nhex = (bits + 3) // 4
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(TX.tokenize(F.col(text_col))).alias("tok"),
     )
     hv = toks.select(
         "id",
-        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("hv"),
+        F.conv(F.substring(F.md5("tok"), 1, nhex), 16, 10).cast("long").alias("hv"),
     )
     per_bit = (
         hv.select(

@@ -1033,11 +1033,11 @@ def q24_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), hv AS (
       SELECT doc_id,
-             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hv
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv
       FROM toks
     ), per_bit AS (
       SELECT doc_id, b, sum(((hv >> b) & 1) * 2 - 1) AS s
-      FROM hv CROSS JOIN (SELECT unnest(range(32)) AS b)
+      FROM hv CROSS JOIN (SELECT unnest(range(60)) AS b)
       GROUP BY 1, 2
     ), sig AS (
       SELECT doc_id,
@@ -1057,10 +1057,16 @@ def q25_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SPARK side runs pigeonhole LSH banding — 4 slices, so any pair
     within hamming 3 must share a slice: perfect recall, and the
     hash-match proves the banded plan computes the all-pairs answer.
-    The crc32/numpy production twin stays pytest-covered."""
+    The crc32/numpy production twin stays pytest-covered.
+
+    60-bit signatures / 15-bit band slices: 32-bit/8-bit slices gave
+    only 256 bucket values, so the band self-join went quadratic once
+    the corpus outgrew them (measured x22 at the sf1 sweep, SCALE.md);
+    2^15 slice values keep buckets O(1) through sf1 with the same
+    pigeonhole-recall guarantee."""
     d = _t(spark, sf_dir, "documents")
     return DD.simhash_pairs_portable(
-        d, "text", "doc_id", bits=32, bands=4, max_hamming=3
+        d, "text", "doc_id", bits=60, bands=4, max_hamming=3
     ).orderBy("id_a", "id_b")
 
 

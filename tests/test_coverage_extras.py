@@ -177,18 +177,16 @@ def test_approx_count_distinct_within_rsd(spark):
 
 def test_query_registry_contract():
     """Gate-contract lint: every oracle has a query, names are unique
-    and well-formed, and the four declared rows-only queries are
-    exactly the known non-SQL-portable set (each of which has an
-    oracle-gated twin elsewhere in the catalog)."""
+    and well-formed, and the declared rows-only set is exactly the one
+    known non-SQL-portable query (r3: q15/q24/q25 gained oracles —
+    md5-portable hashes / IVF-store exhaustive closure; q29's
+    oracle-gated twin is q160/q176)."""
     import __spark_entry__ as m
 
     q, o = m.queries(), m.oracle_sql()
     assert set(o) <= set(q)
     rows_only = set(q) - set(o)
-    assert rows_only == {
-        "q15_knn_ivf", "q24_minhash_candidates",
-        "q25_simhash_pairs", "q29_multimodal_features",
-    }
+    assert rows_only == {"q29_multimodal_features"}
     assert all(name.startswith("q") and "_" in name for name in q)
     # oracle SQL strings are non-trivial and reference a known table
     tables = ("lineitem", "orders", "customer", "supplier", "part",

@@ -134,6 +134,32 @@ def main() -> int:
         v = round(ts[len(ts) // 2] * 1000, 2)
         derived["vector_search_indexed_ms"] = v
         derived["vector_search_indexed_qps"] = round(1000.0 / v, 1) if v else None
+
+        # hybrid through the resident tier (semantic matvec + resident
+        # ts postings, buffered telemetry)
+        pipe2 = Pipeline(
+            "ph",
+            {"text": {"semantic_search": {"model": "hash:16"},
+                      "full_text_search": {"configuration": "english"}}},
+        )
+        coll.add_pipeline(pipe2)
+        hq = lambda t: {
+            "query": {
+                "semantic_search": {"text": {"query": t, "boost": 1.5}},
+                "full_text_search": {"text": {"query": t, "boost": 0.8}},
+            },
+            "limit": 10,
+        }
+        coll.search(hq(probes[0]), pipe2, method="index")  # build + warm
+        ts = []
+        for p in probes:
+            t0 = time.perf_counter()
+            coll.search(hq(p), pipe2, method="index")
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        v = round(ts[len(ts) // 2] * 1000, 2)
+        derived["hybrid_search_indexed_ms"] = v
+        derived["hybrid_search_indexed_qps"] = round(1000.0 / v, 1) if v else None
         shutil.rmtree(wh, ignore_errors=True)
     except Exception as e:
         print(f"bench vector-indexed error: {e}", file=sys.stderr)

@@ -243,6 +243,19 @@ class Pipeline:
             self._served[field] = idx
         return idx
 
+    def served_text_index(self, field: str):
+        """Lazy, version-checked resident full-text postings for one
+        field (collections/serving.ServedTextIndex) — the hybrid
+        path's GIN-in-shared-memory analog."""
+        from postgresml_spark.collections.serving import ServedTextIndex
+
+        key = f"__ft__{field}"
+        idx = self._served.get(key)
+        if idx is None or idx.is_stale():
+            idx = ServedTextIndex(self.collection, self, field)
+            self._served[key] = idx
+        return idx
+
     def status(self) -> dict:
         """Per-field {stage: {synced, not_synced, total}} matching the
         reference's get_pipeline_status (pipeline.rs:231-296): chunks

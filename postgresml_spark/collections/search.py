@@ -282,15 +282,146 @@ def _spec_rerank(out: list[dict], rerank_spec: dict, limit: int):
     return out[:limit]
 
 
-def hybrid_search(collection, pipeline, query: dict) -> list[dict]:
+def _served_hybrid(collection, pipeline, query: dict) -> list[dict]:
+    """Hybrid search from the resident tier — no Spark job on the
+    query path. Semantic side: EXACT per-doc best-chunk cosine via one
+    BLAS matvec over the resident matrix (full coverage — scores
+    full-outer-SUM, so candidate generation can't stand in for the
+    table plan here). Full-text side: resident postings replicating
+    _tsrank_col's normalization-32 float arithmetic. Telemetry is
+    BUFFERED (collection._search_log_buffer) instead of written
+    per-query — flush_search_telemetry() writes the same
+    searches/search_results rows the exact path logs synchronously."""
+    spec = query.get("query", {})
+    limit = int(query.get("limit", 10))
+    sem_fields = spec.get("semantic_search") or {}
+    ft_fields = spec.get("full_text_search") or {}
+
+    per_doc: dict[int, dict[str, float]] = {}
+    score_cols: list[str] = []
+    for field, fcfg in sem_fields.items():
+        boost = float(fcfg.get("boost", 1.0))
+        col = f"score_sem_{field}"
+        score_cols.append(col)
+        idx = pipeline.served_index(field)
+        for did, cos in idx.best_chunk_per_doc(fcfg["query"]).items():
+            per_doc.setdefault(did, {})[col] = cos * boost
+    ft_idx = None
+    for field, fcfg in ft_fields.items():
+        boost = float(fcfg.get("boost", 1.0))
+        col = f"score_ft_{field}"
+        score_cols.append(col)
+        ft_idx = pipeline.served_text_index(field)
+        terms = [t for t in fcfg["query"].lower().split() if t]
+        for did, ts in ft_idx.best_chunk_per_doc(terms).items():
+            per_doc.setdefault(did, {})[col] = ts * boost
+
+    # doc payload map: reuse any resident index's doc_json (both index
+    # kinds are rebuilt on the same version token as documents)
+    any_idx = (
+        pipeline.served_index(next(iter(sem_fields)))
+        if sem_fields
+        else None
+    )
+    if any_idx is None:
+        return []
+    doc_json = any_idx.doc_json
+
+    scored = [
+        (sum(cols.get(c, 0.0) for c in score_cols), did, cols)
+        for did, cols in per_doc.items()
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    top = scored[:limit]
+
+    search_id = str(uuid.uuid4())
+    buf = getattr(collection, "_search_log_buffer", None)
+    if buf is None:
+        buf = collection._search_log_buffer = []
+    buf.append(
+        {
+            "search_id": search_id,
+            "query": query,
+            "results": [
+                (did, {c: cols.get(c, 0.0) for c in score_cols} | {"score": s},
+                 i + 1)
+                for i, (s, did, cols) in enumerate(top)
+            ],
+        }
+    )
+    return [
+        {
+            "document_id": did,
+            "document": json.loads(doc_json[did]),
+            "score": s,
+            **{c: cols.get(c) for c in score_cols},
+            "search_id": search_id,
+        }
+        for s, did, cols in top
+    ]
+
+
+def flush_search_telemetry(collection) -> int:
+    """Write buffered served-path search telemetry through the same
+    searches/search_results tables the exact path logs synchronously.
+    Returns the number of searches flushed. The buffer exists so the
+    served hot path stays Spark-job-free; call this from the
+    maintenance/metrics cadence (or at shutdown)."""
+    buf = getattr(collection, "_search_log_buffer", None)
+    if not buf:
+        return 0
+    spark = collection.spark
+    searches = _telemetry(collection, "searches", _SEARCHES_SCHEMA)
+    results = _telemetry(collection, "search_results", _RESULTS_SCHEMA)
+    now = time.time()
+    searches.append(
+        spark.createDataFrame(
+            [
+                (b["search_id"], collection.name, "", json.dumps(b["query"]), now)
+                for b in buf
+            ],
+            _SEARCHES_SCHEMA,
+        )
+    )
+    rrows = [
+        (b["search_id"], did, json.dumps(scores), rank)
+        for b in buf
+        for did, scores, rank in b["results"]
+    ]
+    if rrows:
+        results.append(spark.createDataFrame(rrows, _RESULTS_SCHEMA))
+    n = len(buf)
+    buf.clear()
+    return n
+
+
+def hybrid_search(collection, pipeline, query: dict, method: str = "exact") -> list[dict]:
     """Hybrid semantic + full-text search with per-document dedup and
     COALESCE-sum scoring (search_query_builder.rs:60-536). Logs to
-    searches/search_results."""
+    searches/search_results.
+
+    method: "exact" (default — full DataFrame plan, synchronous
+    telemetry), "index" (resident tier, buffered telemetry — raises on
+    filtered queries), "auto" (index when applicable)."""
     spec = query.get("query", {})
     filt = spec.get("filter")
     limit = int(query.get("limit", 10))
     sem_fields = (spec.get("semantic_search") or {})
     ft_fields = (spec.get("full_text_search") or {})
+
+    if method not in ("exact", "index", "auto"):
+        raise ValueError(f"unknown hybrid_search method {method!r}")
+    if method in ("index", "auto"):
+        # the served path needs >=1 semantic field (document payloads
+        # ride the semantic index) and no metadata filter
+        if not filt and sem_fields:
+            return _served_hybrid(collection, pipeline, query)
+        if method == "index":
+            raise ValueError(
+                "method='index' cannot serve this hybrid query "
+                "(metadata filter, or no semantic field to carry the "
+                "payload map); use method='auto' or 'exact'"
+            )
 
     score_dfs: list[DataFrame] = []
     for field, fcfg in sem_fields.items():

@@ -51,7 +51,7 @@ import json
 
 import numpy as np
 
-__all__ = ["ServedPipelineIndex"]
+__all__ = ["ServedPipelineIndex", "ServedTextIndex"]
 
 
 class ServedPipelineIndex:
@@ -157,3 +157,92 @@ class ServedPipelineIndex:
                 }
             )
         return out
+
+
+    def best_chunk_per_doc(self, query_text: str) -> dict[int, float]:
+        """EXACT per-document best-chunk cosine over the whole resident
+        matrix (one BLAS matvec — the hybrid path's semantic side must
+        cover EVERY doc because scores full-outer-SUM with the
+        full-text side; candidate generation would zero out near-miss
+        docs the exact plan scores). Ties broken by chunk_id, mirroring
+        the exact path's window. At shard sizes past a few million
+        rows, route through the IVF/HNSW candidate path and accept the
+        documented recall bound instead."""
+        qv = np.asarray(
+            self.pipeline.embed_query(query_text, self.field), dtype=np.float64
+        )
+        qn = float(np.linalg.norm(qv))
+        if not len(self.mat64):
+            return {}
+        denom = self.norms64 * qn
+        denom = np.where(denom == 0.0, 1.0, denom)
+        scores = self.mat64 @ qv / denom
+        # group rows by doc: best = first row in (doc, -score, chunk) order
+        order = np.lexsort((self.chunk_ids, -scores, self.doc_ids))
+        docs_sorted = self.doc_ids[order]
+        firsts = np.unique(docs_sorted, return_index=True)[1]
+        rows = order[firsts]
+        return {
+            int(self.doc_ids[r]): float(scores[r]) for r in rows
+        }
+
+
+class ServedTextIndex:
+    """Resident full-text postings for one (pipeline, field) — the
+    GIN-index-in-shared-memory analog for the hybrid path. Holds
+    term -> {chunk_row: tf} postings plus the chunk→document map;
+    scores replicate search._tsrank_col's normalization-32 arithmetic
+    bit-for-bit (same float64 ops in the same order)."""
+
+    def __init__(self, collection, pipeline, field: str):
+        if "full_text_search" not in pipeline.schema.get(field, {}):
+            raise ValueError(f"field {field!r} has no full_text_search config")
+        self.collection = collection
+        self.pipeline = pipeline
+        self.field = field
+        self.version_token = self._version_token()
+
+        chunks = pipeline.table(f"{field}_chunks").select("chunk_id", "document_id")
+        tsv = pipeline.table(f"{field}_tsvectors")
+        pdf = tsv.join(chunks, "chunk_id").toPandas()
+        self.chunk_ids = pdf["chunk_id"].to_numpy()
+        self.doc_ids = pdf["document_id"].to_numpy()
+        self.postings: dict[str, dict[int, int]] = {}
+        for row, toks in enumerate(pdf["tokens"]):
+            for t in toks:
+                post = self.postings.setdefault(t, {})
+                post[row] = post.get(row, 0) + 1
+
+    def _version_token(self):
+        toks = [("documents", self.collection.documents._current_version())]
+        for name, tbl in sorted(self.pipeline._tables.items()):
+            if name.startswith(self.field + "_"):
+                toks.append((name, tbl._current_version()))
+        return tuple(toks)
+
+    def is_stale(self) -> bool:
+        return self._version_token() != self.version_token
+
+    def best_chunk_per_doc(self, terms: list[str]) -> dict[int, float]:
+        """doc_id -> boosted-less ts_rank of its best chunk, chunks
+        with rank 0 excluded, ties broken by chunk_id — mirrors the
+        exact path's window exactly."""
+        ranks: dict[int, float] = {}
+        for term in terms:
+            post = self.postings.get(term.lower())
+            if not post:
+                continue
+            for row, tf in post.items():
+                tf_f = float(tf)
+                ranks[row] = ranks.get(row, 0.0) + tf_f / (tf_f + 1.0)
+        best: dict[int, tuple[float, int]] = {}
+        for row, rank in ranks.items():
+            score = rank / (rank + 1.0)  # normalization 32
+            if score <= 0.0:
+                continue
+            did = int(self.doc_ids[row])
+            cid = int(self.chunk_ids[row])
+            cur = best.get(did)
+            if cur is None or (-score, cid) < cur:
+                best[did] = (-score, cid)
+        return {did: -ns for did, (ns, _) in best.items()}

@@ -194,3 +194,97 @@ def test_rerank_spec_validation(served_setup):
             rerank={"query": "engine", "scorer": bad,
                     "num_documents_to_rerank": 5},
         )
+
+
+@pytest.fixture(scope="module")
+def hybrid_setup(spark, sf_dir):
+    wh = tempfile.mkdtemp(prefix="pgml_served_hy_")
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    coll = Collection("served_hy", spark, warehouse=wh)
+    coll.upsert_documents_df(d.select(F.col("doc_id").alias("id"), "text", "lang"))
+    pipe = Pipeline(
+        "p",
+        {
+            "text": {
+                "semantic_search": {"model": "hash:32",
+                                    "hnsw": {"m": 8, "ef_construction": 32}},
+                "full_text_search": {"configuration": "english"},
+            }
+        },
+    )
+    coll.add_pipeline(pipe)
+    yield coll, pipe
+    shutil.rmtree(wh, ignore_errors=True)
+
+
+def _hq(sem, ft, limit=10):
+    return {
+        "query": {
+            "semantic_search": {"text": {"query": sem, "boost": 1.5}},
+            "full_text_search": {"text": {"query": ft, "boost": 0.8}},
+        },
+        "limit": limit,
+    }
+
+
+def test_served_hybrid_parity_with_exact(hybrid_setup):
+    """Served hybrid = exact hybrid: same docs in the same order with
+    the same total and per-field scores (semantic side is a FULL exact
+    matvec — no candidate-generation recall gap on the summed path)."""
+    coll, pipe = hybrid_setup
+    cases = [
+        ("distributed query engine", "spark stream"),
+        ("vector similarity search", "vector merge table"),
+        ("columnar storage format", "row group scan"),
+    ]
+    for sem, ft in cases:
+        exact = coll.search(_hq(sem, ft), pipe, method="exact")
+        served = coll.search(_hq(sem, ft), pipe, method="index")
+        assert [r["document_id"] for r in served] == [
+            r["document_id"] for r in exact
+        ]
+        for a, b in zip(served, exact):
+            assert round(a["score"], 6) == round(b["score"], 6)
+            for c in ("score_sem_text", "score_ft_text"):
+                av, bv = a[c], b[c]
+                if av is None or bv is None:
+                    assert av == bv
+                else:
+                    assert round(av, 6) == round(bv, 6)
+
+
+def test_served_hybrid_no_spark_job_and_telemetry_buffer(hybrid_setup, spark):
+    from postgresml_spark.collections.search import flush_search_telemetry
+
+    coll, pipe = hybrid_setup
+    coll.search(_hq("warm up", "warm"), pipe, method="index")  # build+warm
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    t0 = time.perf_counter()
+    res = coll.search(_hq("distributed query engine", "spark stream"),
+                      pipe, method="index")
+    dt = time.perf_counter() - t0
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert after == before, "served hybrid must not launch Spark jobs"
+    assert dt < 0.2 and res and "search_id" in res[0]
+    # buffered telemetry flushes into the same tables the exact path uses
+    n = flush_search_telemetry(coll)
+    assert n >= 1
+    logged = {
+        r["search_id"]
+        for r in coll.spark.read.parquet(
+            coll.root + "/searches/v_" + open(
+                coll.root + "/searches/_current").read().strip()
+        ).collect()
+    }
+    assert res[0]["search_id"] in logged
+    assert flush_search_telemetry(coll) == 0  # buffer drained
+
+
+def test_served_hybrid_filter_boundary(hybrid_setup):
+    coll, pipe = hybrid_setup
+    q = _hq("engine", "spark")
+    q["query"]["filter"] = {"lang": "en"}
+    with pytest.raises(ValueError, match="filter"):
+        coll.search(q, pipe, method="index")
+    res = coll.search(q, pipe, method="auto")  # falls back to exact
+    assert all(r["document"]["lang"] == "en" for r in res)

@@ -8167,3 +8167,70 @@ def q176_jpeg_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+@query(
+    "q177_served_hybrid_stack",
+    oracle=f"""
+    WITH q AS (SELECT {_QRY_EMB_SQL} AS qv),
+    sem AS (
+      SELECT doc_id,
+             COALESCE(list_sum(list_transform(generate_series(1, {_EMB_DIM}),
+               i -> ({_DOC_EMB_SQL})[i] * q.qv[i])), 0.0) * 1.5 AS s
+      FROM documents, q
+      WHERE text IS NOT NULL
+    ),
+    ft AS (
+      SELECT doc_id, {_ts_rank_sql(_SQL_TOKENS.format(t='text'), _FT_TERMS)} AS s
+      FROM documents
+      WHERE text IS NOT NULL
+        AND {_ts_rank_sql(_SQL_TOKENS.format(t='text'), _FT_TERMS)} > 0
+    )
+    SELECT COALESCE(sem.doc_id, ft.doc_id) AS doc_id,
+           round(COALESCE(sem.s, 0.0) + COALESCE(ft.s, 0.0), 6) AS total_score
+    FROM sem FULL OUTER JOIN ft ON sem.doc_id = ft.doc_id
+    ORDER BY total_score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q177_served_hybrid_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESIDENT serving tier under the oracle gate: Collection
+    upsert → Pipeline sync → `search(method='index')` — hybrid scoring
+    entirely driver-side (full-matvec semantic best-chunk + resident
+    ts postings, collections/serving.py) with NO Spark job on the
+    query path — must equal the same declarative SQL spec q53's
+    DataFrame plan satisfies. This is q54's lifecycle closure applied
+    to the served tier: the hash-match proves the resident index
+    reproduces the engine's scoring bit-for-bit at the 6-decimal
+    boundary, not merely approximates it."""
+    import tempfile
+
+    from postgresml_spark.collections import Collection, Pipeline
+
+    d = _t(spark, sf_dir, "documents")
+    docs_df = d.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    coll = Collection(
+        "q177", spark, warehouse=tempfile.mkdtemp(prefix="pgml_q177_")
+    )
+    pipe = Pipeline(
+        "p",
+        {"text": {"semantic_search": {"model": f"hash:{_EMB_DIM}"},
+                  "full_text_search": {"configuration": "english"}}},
+    )
+    coll.upsert_documents_df(docs_df)
+    coll.add_pipeline(pipe)
+    res = coll.search(
+        {
+            "query": {
+                "semantic_search": {"text": {"query": _Q_TEXT, "boost": 1.5}},
+                "full_text_search": {"text": {"query": " ".join(_FT_TERMS)}},
+            },
+            "limit": 10,
+        },
+        pipe,
+        method="index",
+    )
+    rows = [(r["document"]["id"], round(r["score"], 6)) for r in res]
+    return spark.createDataFrame(rows, "doc_id long, total_score double")

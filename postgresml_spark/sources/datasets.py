@@ -124,11 +124,24 @@ def load_dataset(
         df = spark.createDataFrame(pdf)
         df.createOrReplaceTempView(f"pgml_{source}")
         return df, len(pdf)
-    # HuggingFace path (reference: load_dataset('squad') etc.)
+    # HuggingFace path (reference bindings/transformers/mod.rs:322 —
+    # pgml.load_dataset('squad') materializes the train split as a
+    # table). Import-gated: the library is absent from this image, but
+    # the full flow below is exercised by a faked-module contract test
+    # (tests/test_ml_lifecycle.py), so the only unexercised line when
+    # `datasets` appears is the hub download itself.
     try:
-        import datasets  # type: ignore  # noqa: F401
+        import datasets  # type: ignore
     except ImportError as e:
         raise NotImplementedError(
             f"dataset {source!r}: HF `datasets` not available in this environment"
         ) from e
-    raise NotImplementedError(f"HF dataset loading for {source!r} not wired yet")
+    ds = datasets.load_dataset(source, split="train")
+    if limit:
+        ds = ds.select(range(min(int(limit), len(ds))))
+    pdf = ds.to_pandas()
+    pdf = pdf.copy()
+    pdf.insert(0, "row_id", range(len(pdf)))
+    df = spark.createDataFrame(pdf)
+    df.createOrReplaceTempView(f"pgml_{source.replace('-', '_').replace('/', '_')}")
+    return df, len(pdf)

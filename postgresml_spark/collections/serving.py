@@ -76,8 +76,17 @@ class ServedPipelineIndex:
         )
         # ONE Arrow hop per build: embeddings ⋈ chunks (executor-side
         # join, then columnar transfer). Document payloads ride a
-        # second small frame keyed by id.
-        pdf = emb.join(chunks, "chunk_id").toPandas()
+        # second small frame keyed by id. The per-chunk embedding
+        # signature (Spark-side xxhash64 — NOT driver math, so refresh
+        # can recompute it without moving vectors) powers the
+        # incremental refresh() delta detection.
+        from pyspark.sql import functions as F
+
+        pdf = (
+            emb.withColumn("__sig", F.xxhash64(F.to_json(F.col("embedding"))))
+            .join(chunks, "chunk_id")
+            .toPandas()
+        )
         ddf = docs.toPandas()
 
         self.chunk_ids = pdf["chunk_id"].to_numpy()
@@ -91,6 +100,9 @@ class ServedPipelineIndex:
         self.norms64 = np.linalg.norm(self.mat64, axis=1)
         self.doc_json = dict(zip(ddf["id"].tolist(), ddf["document"].tolist()))
         self.row_of = {int(c): i for i, c in enumerate(self.chunk_ids)}
+        self._sig = dict(
+            zip((int(c) for c in pdf["chunk_id"]), (int(s) for s in pdf["__sig"]))
+        )
 
         from postgresml_spark.operators.similarity import ResidentHNSW
 
@@ -113,6 +125,83 @@ class ServedPipelineIndex:
 
     def is_stale(self) -> bool:
         return self._version_token() != self.version_token
+
+    def refresh(self) -> "ServedPipelineIndex":
+        """Catch up with a sync. PURE APPENDS (the streaming-ingest /
+        bulk-upsert common case) insert into the LIVE graph —
+        O(batch) via ResidentHNSW.add, the pgvector
+        trigger-maintained-insert analog — so serving never pays the
+        O(corpus) rebuild for growth. Changed or removed chunks fall
+        back to a full rebuild (graph deletion is out of scope, the
+        same REINDEX guidance pgvector gives for heavy churn).
+
+        Delta detection never moves vectors: Spark computes a per-chunk
+        xxhash64 signature and only (chunk_id, sig) pairs reach the
+        driver; only the added rows' vectors ride Arrow. The document
+        payload map IS re-read wholesale — it is resident O(docs)
+        state anyway, and a metadata-only upsert must be visible.
+        Returns self (incremental) or a fresh index (rebuild)."""
+        from pyspark.sql import functions as F
+
+        token = self._version_token()
+        if token == self.version_token:
+            return self
+        emb = self.pipeline.table(f"{self.field}_embeddings")
+        sigs = {
+            int(r["chunk_id"]): int(r["s"])
+            for r in emb.select(
+                "chunk_id",
+                F.xxhash64(F.to_json(F.col("embedding"))).alias("s"),
+            ).collect()
+        }
+        removed = [c for c in self._sig if c not in sigs]
+        changed = [c for c, s in sigs.items()
+                   if c in self._sig and self._sig[c] != s]
+        added = [c for c in sigs if c not in self._sig]
+        if removed or changed:
+            return ServedPipelineIndex(self.collection, self.pipeline, self.field)
+
+        if added:
+            spark = emb.sparkSession
+            add_df = spark.createDataFrame(
+                [(int(c),) for c in added], "chunk_id long"
+            )
+            chunks = self.pipeline.table(f"{self.field}_chunks").select(
+                "chunk_id", "document_id", "chunk"
+            )
+            pdf = (
+                emb.join(add_df, "chunk_id", "left_semi")
+                .join(chunks, "chunk_id")
+                .toPandas()
+            )
+            new_ids = pdf["chunk_id"].to_numpy()
+            new_mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            base = len(self.chunk_ids)
+            self.chunk_ids = np.concatenate([self.chunk_ids, new_ids])
+            self.doc_ids = np.concatenate(
+                [self.doc_ids, pdf["document_id"].to_numpy()]
+            )
+            self.chunks.extend(pdf["chunk"].tolist())
+            self.mat64 = (
+                np.concatenate([self.mat64, new_mat])
+                if len(self.mat64)
+                else new_mat
+            )
+            self.norms64 = np.concatenate(
+                [self.norms64, np.linalg.norm(new_mat, axis=1)]
+            )
+            for i, c in enumerate(new_ids):
+                self.row_of[int(c)] = base + i
+                self._sig[int(c)] = sigs[int(c)]
+            self.hnsw.add(new_ids, new_mat.astype(np.float32))
+
+        # payload map: metadata-only upserts must surface
+        ddf = self.collection.documents.read().select("id", "document").toPandas()
+        self.doc_json = dict(zip(ddf["id"].tolist(), ddf["document"].tolist()))
+        self.version_token = token
+        return self
 
     # -- serving -----------------------------------------------------------
 

@@ -288,3 +288,74 @@ def test_served_hybrid_filter_boundary(hybrid_setup):
         coll.search(q, pipe, method="index")
     res = coll.search(q, pipe, method="auto")  # falls back to exact
     assert all(r["document"]["lang"] == "en" for r in res)
+
+
+def test_incremental_refresh_appends_into_live_graph(spark, sf_dir):
+    """Append-only sync deltas must NOT rebuild the HNSW: the same
+    index object grows via ResidentHNSW.add (O(batch)); a changed
+    document falls back to a full rebuild. Both paths stay correct."""
+    import postgresml_spark.collections.serving as serving_mod
+
+    wh = tempfile.mkdtemp(prefix="pgml_served_inc_")
+    try:
+        d = load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        coll = Collection("served_inc", spark, warehouse=wh)
+        coll.upsert_documents_df(
+            d.select(F.col("doc_id").alias("id"), "text")
+        )
+        pipe = Pipeline(
+            "p", {"text": {"semantic_search": {"model": "hash:32"}}}
+        )
+        coll.add_pipeline(pipe)
+        idx0 = pipe.served_index("text")
+        n0 = len(idx0.chunk_ids)
+
+        builds = {"n": 0}
+        orig_init = serving_mod.ServedPipelineIndex.__init__
+
+        def spy_init(self, *a, **kw):
+            builds["n"] += 1
+            return orig_init(self, *a, **kw)
+
+        serving_mod.ServedPipelineIndex.__init__ = spy_init
+        try:
+            # pure append -> incremental: same object, no __init__ call
+            coll.upsert_documents(
+                [{"id": 20_000_001, "text": "unique okapi laser payload"},
+                 {"id": 20_000_002, "text": "another brand new banana entry"}]
+            )
+            idx1 = pipe.served_index("text")
+            assert builds["n"] == 0, "append must not trigger a rebuild"
+            assert idx1 is idx0 and len(idx1.chunk_ids) == n0 + 2
+            assert len(idx1.hnsw.mat) == n0 + 2
+            res = coll.vector_search(
+                _q("unique okapi laser payload"), pipe, method="index"
+            )
+            assert res[0]["document"]["id"] == 20_000_001
+            assert res[0]["score"] == pytest.approx(1.0)
+            # served results still agree with exact after the append
+            exact = coll.vector_search(
+                _q("unique okapi laser payload"), pipe, method="exact"
+            )
+            assert res[0]["document_id"] == exact[0]["document_id"]
+
+            # metadata-visible growth again (idempotent second refresh)
+            assert pipe.served_index("text") is idx0
+
+            # CHANGED document -> full rebuild
+            coll.upsert_documents(
+                [{"id": 20_000_001, "text": "completely rewritten text body"}]
+            )
+            idx2 = pipe.served_index("text")
+            assert builds["n"] == 1, "changed chunk must rebuild"
+            assert idx2 is not idx0
+            res = coll.vector_search(
+                _q("completely rewritten text body"), pipe, method="index"
+            )
+            assert res[0]["document"]["id"] == 20_000_001
+        finally:
+            serving_mod.ServedPipelineIndex.__init__ = orig_init
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

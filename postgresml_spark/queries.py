@@ -1763,29 +1763,57 @@ def q49_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q29_multimodal_features")  # rows-only: md5-seeded fake decode
+@query(
+    "q29_multimodal_features",
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id AS asset_id, md5(text) || md5(text || 'b') AS hx
+      FROM documents WHERE text IS NOT NULL
+    ), pix AS (
+      SELECT asset_id, p,
+             (strpos('0123456789abcdef', substr(hx, 2 * p + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(hx, 2 * p + 2, 1)) - 1) AS v
+      FROM assets, (SELECT unnest(generate_series(0, 31)) AS p)
+    ), stats AS (
+      SELECT asset_id,
+             avg(v) AS f0, stddev_pop(v) AS f1,
+             CAST(count(*) AS DOUBLE) AS f2,
+             quantile_cont(v, 0.10) AS f3, quantile_cont(v, 0.25) AS f4,
+             quantile_cont(v, 0.50) AS f5, quantile_cont(v, 0.75) AS f6,
+             quantile_cont(v, 0.90) AS f7
+      FROM pix GROUP BY 1
+    )
+    SELECT asset_id, CAST(unnest(range(8)) AS INT) AS pos,
+           round(unnest([f0, f1, f2, f3, f4, f5, f6, f7]), 6) AS value
+    FROM stats
+    """,
+)
 def q29_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end: documents' text bytes become
-    opaque binary assets with typed metadata, then decode + feature-
-    extract runs as a mapInPandas Arrow-batch operator (the 100 TB
-    shape: no per-row pickling, bounded batches). The deterministic
-    fake_decoder stands in for the absent image codecs; rows-only
-    because md5-seeded decoding isn't SQL-expressible."""
-    from postgresml_spark.operators.multimodal import extract_features, fake_decoder
+    """Multimodal plumbing end-to-end UNDER THE FULL ORACLE GATE (was
+    the catalog's last rows-only query): md5-derived pixel bytes become
+    raw-format binary assets with typed metadata, then decode +
+    feature-extract runs as a mapInPandas Arrow-batch operator (the
+    100 TB shape: no per-row pickling, bounded batches) with the REAL
+    raw_decoder. The oracle recomputes every feature — mean,
+    population std, size, linear-interpolated quantiles (numpy
+    np.quantile ≡ DuckDB quantile_cont) — from the md5 hex digits
+    arithmetically."""
+    from postgresml_spark.operators.multimodal import extract_features, raw_decoder
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    hx = F.concat(F.md5("text"), F.md5(F.concat(F.col("text"), F.lit("b"))))
     assets = d.select(
         F.col("doc_id").alias("asset_id"),
         F.lit("image").alias("kind"),
-        F.encode("text", "utf-8").alias("data"),
+        F.unhex(hx).alias("data"),  # 32 md5 bytes = one 4x8 raw frame
         F.struct(
-            (F.col("n_chars") % 16 + 1).cast("int").alias("width"),
-            (F.col("n_chars") % 8 + 1).cast("int").alias("height"),
+            F.lit(8).cast("int").alias("width"),
+            F.lit(4).cast("int").alias("height"),
             F.lit(None).cast("int").alias("duration_ms"),
-            F.lit("fake").alias("format"),
+            F.lit("raw").alias("format"),
         ).alias("meta"),
     )
-    feats = extract_features(assets, decoder=fake_decoder)
+    feats = extract_features(assets, decoder=raw_decoder)
     return feats.select(
         "asset_id", F.posexplode("features").alias("pos", "value")
     ).select("asset_id", "pos", F.round("value", 6).alias("value"))

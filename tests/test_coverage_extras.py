@@ -177,16 +177,16 @@ def test_approx_count_distinct_within_rsd(spark):
 
 def test_query_registry_contract():
     """Gate-contract lint: every oracle has a query, names are unique
-    and well-formed, and the declared rows-only set is exactly the one
-    known non-SQL-portable query (r3: q15/q24/q25 gained oracles —
-    md5-portable hashes / IVF-store exhaustive closure; q29's
-    oracle-gated twin is q160/q176)."""
+    and well-formed, and EVERY catalog query carries an oracle (r3:
+    q15/q24/q25 gained md5-portable / IVF-store-closure oracles and
+    q29 moved to real raw decode over md5-derived pixels with the
+    features recomputed arithmetically — zero rows-only entries)."""
     import __spark_entry__ as m
 
     q, o = m.queries(), m.oracle_sql()
     assert set(o) <= set(q)
     rows_only = set(q) - set(o)
-    assert rows_only == {"q29_multimodal_features"}
+    assert rows_only == set()
     assert all(name.startswith("q") and "_" in name for name in q)
     # oracle SQL strings are non-trivial and reference a known table
     tables = ("lineitem", "orders", "customer", "supplier", "part",

@@ -359,3 +359,65 @@ def test_incremental_refresh_appends_into_live_graph(spark, sf_dir):
             serving_mod.ServedPipelineIndex.__init__ = orig_init
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_streaming_ingest_refreshes_served_index_incrementally(spark, tmp_path):
+    """End-to-end freshness story: files land → streaming foreachBatch
+    upserts into the collection (pipelines re-sync incrementally) →
+    the SERVED index catches up via append-only graph inserts, never a
+    rebuild — the full continuous-ingest → serving loop with O(batch)
+    work per hop."""
+    import json as json_mod
+    import os
+
+    import postgresml_spark.collections.serving as serving_mod
+    from postgresml_spark.streaming.streams import (
+        stream_documents_into_collection,
+    )
+
+    wh = str(tmp_path / "wh")
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    coll = Collection("stream_served", spark, warehouse=wh)
+    coll.upsert_documents(
+        [{"id": i, "body": f"seed document number {i} about spark"}
+         for i in range(8)]
+    )
+    pipe = Pipeline("p", {"body": {"semantic_search": {"model": "hash:32"}}})
+    coll.add_pipeline(pipe)
+    idx0 = pipe.served_index("body")
+    n0 = len(idx0.chunk_ids)
+
+    builds = {"n": 0}
+    orig_init = serving_mod.ServedPipelineIndex.__init__
+
+    def spy_init(self, *a, **kw):
+        builds["n"] += 1
+        return orig_init(self, *a, **kw)
+
+    serving_mod.ServedPipelineIndex.__init__ = spy_init
+    try:
+        q = stream_documents_into_collection(
+            spark, src, coll, checkpoint=str(tmp_path / "ckpt")
+        )
+        try:
+            with open(os.path.join(src, "batch1.json"), "w") as f:
+                f.write(json_mod.dumps(
+                    {"id": 100, "body": "streamed walrus quantum arrival"}) + "\n")
+                f.write(json_mod.dumps(
+                    {"id": 101, "body": "second streamed flamingo payload"}) + "\n")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        res = coll.vector_search(
+            {"query": {"fields": {"body": {
+                "query": "streamed walrus quantum arrival"}}}, "limit": 3},
+            pipe, method="index",
+        )
+        assert builds["n"] == 0, "streamed appends must not rebuild the graph"
+        assert pipe.served_index("body") is idx0
+        assert len(idx0.chunk_ids) == n0 + 2
+        assert res[0]["document"]["id"] == 100
+        assert res[0]["score"] == pytest.approx(1.0)
+    finally:
+        serving_mod.ServedPipelineIndex.__init__ = orig_init

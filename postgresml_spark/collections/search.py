@@ -537,13 +537,17 @@ def add_search_event(collection, search_id: str, rank: int, event: dict) -> None
     )
 
 
-def rag(collection, pipeline, query: dict) -> dict:
+def rag(collection, pipeline, query: dict, method: str = "exact") -> dict:
     """Deterministic part of the reference's one-statement RAG
     (rag_query_builder.rs:162-373): run vector_search per context
     variable, aggregate chunks with the join separator, substitute into
     the prompt template. The LLM completion itself requires transformers
     (absent here) — the assembled prompt + sources are returned; callers
-    with a real LLM UDF pass it via `completion_fn`."""
+    with a real LLM UDF pass it via `completion_fn`.
+
+    method routes each context retrieval like vector_search's:
+    "exact" (default), "index" (resident tier — the sub-5 ms
+    context-assembly path a chat serving loop needs), or "auto"."""
     var_specs = {
         k: v for k, v in query.items() if isinstance(v, dict) and "vector_search" in v
     }
@@ -551,7 +555,7 @@ def rag(collection, pipeline, query: dict) -> dict:
     sources = {}
     for var, spec in var_specs.items():
         vs = spec["vector_search"]
-        res = vector_search(collection, pipeline, vs)
+        res = vector_search(collection, pipeline, vs, method=method)
         joiner = spec.get("aggregate", {}).get("join", "\n")
         context = joiner.join(r["chunk"] for r in res)
         prompt = prompt.replace("{" + var + "}", context)

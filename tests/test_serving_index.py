@@ -421,3 +421,27 @@ def test_streaming_ingest_refreshes_served_index_incrementally(spark, tmp_path):
         assert res[0]["score"] == pytest.approx(1.0)
     finally:
         serving_mod.ServedPipelineIndex.__init__ = orig_init
+
+
+def test_rag_through_served_index(served_setup, spark):
+    """RAG context assembly from the resident tier: same prompt and
+    sources as the exact path, zero Spark jobs on the retrieval."""
+    coll, pipe = served_setup
+    q = {
+        "CONTEXT": {
+            "vector_search": _q("distributed query engine", limit=3),
+            "aggregate": {"join": "\n---\n"},
+        },
+        "completion": {"prompt": "Answer with: {CONTEXT}"},
+    }
+    exact = coll.rag(dict(q), pipe, method="exact")
+    coll.rag(dict(q), pipe, method="index")  # warm (refresh if stale)
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    served = coll.rag(dict(q), pipe, method="index")
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert after == before
+    assert served["prompt"] == exact["prompt"]
+    assert [r["document_id"] for r in served["sources"]["CONTEXT"]] == [
+        r["document_id"] for r in exact["sources"]["CONTEXT"]
+    ]
+    assert "{CONTEXT}" not in served["prompt"]

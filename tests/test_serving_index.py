@@ -445,3 +445,74 @@ def test_rag_through_served_index(served_setup, spark):
         r["document_id"] for r in exact["sources"]["CONTEXT"]
     ]
     assert "{CONTEXT}" not in served["prompt"]
+
+
+def test_embed_query_real_model_seam_with_faked_module(served_setup, monkeypatch):
+    """Driver-side real-model query embedding (the reference embeds
+    queries client-side and inlines the literal): a faked
+    sentence_transformers proves the load → cache → encode flow, so
+    only the model download is unexercised in this image."""
+    import sys
+    import types
+
+    from postgresml_spark.collections import pipeline as pipe_mod
+
+    calls = {"loads": 0, "encodes": []}
+
+    class _ST:
+        def __init__(self, name):
+            calls["loads"] += 1
+            assert name == "fake-st-model"
+
+        def encode(self, texts):
+            calls["encodes"].append(list(texts))
+            return [[0.25, 0.5, 0.25] for _ in texts]
+
+    fake = types.ModuleType("sentence_transformers")
+    fake.SentenceTransformer = _ST
+    monkeypatch.setitem(sys.modules, "sentence_transformers", fake)
+    monkeypatch.setattr(pipe_mod, "_QUERY_MODELS", {}, raising=True)
+
+    coll, _ = served_setup
+    p = Pipeline("st", {"text": {"semantic_search": {"model": "fake-st-model"}}})
+    p.collection = coll
+    assert p.embed_query("hello world", "text") == [0.25, 0.5, 0.25]
+    assert p.embed_query("again", "text") == [0.25, 0.5, 0.25]
+    assert calls["loads"] == 1, "model must be cached per process"
+    assert calls["encodes"] == [["hello world"], ["again"]]
+
+
+def test_rerank_real_cross_encoder_seam_with_faked_module(served_setup, monkeypatch):
+    """resolve_rerank_scorer's gated CrossEncoder branch: a faked
+    module proves model-name routing, (query, chunk) pairing, and that
+    CE scores (not lexical overlap) drive the final order."""
+    import sys
+    import types
+
+    seen = {}
+
+    class _CE:
+        def __init__(self, name):
+            seen["model"] = name
+
+        def predict(self, pairs):
+            seen["pairs"] = list(pairs)
+            return [float(i) for i in range(len(pairs))]  # ascending
+
+    fake = types.ModuleType("sentence_transformers")
+    fake.CrossEncoder = _CE
+    monkeypatch.setitem(sys.modules, "sentence_transformers", fake)
+
+    coll, pipe = served_setup
+    qt = "columnar storage format"
+    base = coll.vector_search(_q(qt, limit=6), pipe)
+    res = coll.vector_search(
+        _q(qt, limit=2), pipe,
+        rerank={"query": qt, "model": "fake-ce", "num_documents_to_rerank": 6},
+    )
+    assert seen["model"] == "fake-ce"
+    assert seen["pairs"] == [(qt, r["chunk"]) for r in base]
+    # ascending CE scores reverse the vector order
+    assert [r["document_id"] for r in res] == [
+        base[5]["document_id"], base[4]["document_id"]
+    ]

@@ -686,3 +686,36 @@ def append_to_text_index(
         with open(os.path.join(path, "_stats.json"), "w") as f:
             json.dump(stats, f)
     return stats
+
+
+def char_trigrams(text: Column | str) -> Column:
+    """pg_trgm-style character trigram SET of a lowercased string:
+    distinct sliding 3-grams with pg_trgm's word padding ('  w' head,
+    'w ' tail per word — two leading spaces, one trailing), so
+    similarity values line up with what a Postgres `pg_trgm` user
+    expects from `similarity()`. JVM built-in expressions end to end
+    (nested higher-order lambdas; no Python on the hot path)."""
+    c = _c(text)
+    words = F.filter(
+        F.split(F.lower(c), r"[^a-z0-9]+"), lambda w: w != ""
+    )
+    padded = F.transform(words, lambda w: F.concat(F.lit("  "), w, F.lit(" ")))
+    return F.array_distinct(
+        F.flatten(
+            F.transform(
+                padded,
+                lambda w: F.transform(
+                    F.sequence(F.lit(1), F.length(w) - 2),
+                    lambda i: w.substr(i, F.lit(3)),
+                ),
+            )
+        )
+    )
+
+
+def trigram_similarity(a: Column | str, b: Column | str) -> Column:
+    """pg_trgm similarity(): |A ∩ B| / |A ∪ B| over trigram SETS."""
+    ga, gb = char_trigrams(a), char_trigrams(b)
+    inter = F.size(F.array_intersect(ga, gb)).cast("double")
+    union = F.size(F.array_union(ga, gb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))

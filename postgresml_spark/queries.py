@@ -8264,3 +8264,127 @@ def q177_served_hybrid_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = [(r["document"]["id"], round(r["score"], 6)) for r in res]
     return spark.createDataFrame(rows, "doc_id long, total_score double")
+
+
+def _py_trigrams(word: str) -> list[str]:
+    """Driver-side twin of functions.text.char_trigrams for a single
+    query word (pg_trgm padding: two leading spaces, one trailing)."""
+    pw = "  " + word.lower() + " "
+    seen, out = set(), []
+    for i in range(len(pw) - 2):
+        g = pw[i:i + 3]
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+_FUZZY_QWORDS = ["vectr", "streem", "tabel"]  # deliberate misspellings
+
+
+def _trgm_sql(qw: str) -> str:
+    lits = "[" + ", ".join(f"'{g}'" for g in _py_trigrams(qw)) + "]"
+    return (
+        f"max(CAST(len(list_intersect(g, {lits})) AS DOUBLE)"
+        f" / len(list_distinct(list_concat(g, {lits}))))"
+    )
+
+
+@query(
+    "q178_trigram_fuzzy_search",
+    oracle=f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, unnest({_SQL_TOKENS.format(t='text')}) AS w
+      FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, length(pw) - 2),
+                                          i -> substr(pw, i, 3))) AS g
+      FROM (SELECT doc_id, '  ' || w || ' ' AS pw FROM words)
+    ), per_doc AS (
+      SELECT doc_id,
+             {_trgm_sql(_FUZZY_QWORDS[0])} AS s0,
+             {_trgm_sql(_FUZZY_QWORDS[1])} AS s1,
+             {_trgm_sql(_FUZZY_QWORDS[2])} AS s2
+      FROM grams GROUP BY doc_id
+    )
+    SELECT doc_id, round(s0 + s1 + s2, 6) AS fuzzy_score
+    FROM per_doc
+    ORDER BY fuzzy_score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q178_trigram_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pg_trgm-style typo-tolerant search — the Postgres-ecosystem
+    operator (`similarity()` / `%` over a GIN trigram index) reference
+    users lean on for fuzzy text matching, re-expressed Spark-first:
+    per-word trigram sets via nested JVM higher-order expressions, the
+    query side's trigrams bound as literal arrays (broadcast-free — a
+    handful of constants), MaxSim-style scoring (Σ over query words of
+    the best per-document word similarity), top-10. At corpus scale
+    the word→trigram posting index (build_text_index's layout keyed by
+    trigram) prunes candidates exactly like pg_trgm's GIN index; this
+    query pins the scoring semantics against the oracle."""
+    from postgresml_spark.functions.text import char_trigrams, tokenize
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = (
+        d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("w"))
+        .distinct()
+        .withColumn("g", char_trigrams("w"))
+    )
+    aggs = []
+    for i, qw in enumerate(_FUZZY_QWORDS):
+        qg = F.array(*[F.lit(g) for g in _py_trigrams(qw)])
+        inter = F.size(F.array_intersect(F.col("g"), qg)).cast("double")
+        union = F.size(F.array_distinct(F.concat(F.col("g"), qg)))
+        aggs.append(F.max(inter / union).alias(f"s{i}"))
+    per_doc = words.groupBy("doc_id").agg(*aggs)
+    total = sum(F.col(f"s{i}") for i in range(len(_FUZZY_QWORDS)))
+    return (
+        per_doc.select("doc_id", F.round(total, 6).alias("fuzzy_score"))
+        .orderBy(F.col("fuzzy_score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+@query(
+    "q179_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) + 1) / 1152921504606846976.0)
+                   / n_chars, 9) + 0.0 AS k
+      FROM documents WHERE text IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, k FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q179_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): key_i = ln(u_i)/w_i with u_i a
+    64-bit-md5-derived uniform and w_i = n_chars; the top-k by key IS
+    an exact weighted sample — the standard one-pass distributed
+    algorithm for quality-weighted corpus subsampling (datamix weights,
+    curriculum sampling). TakeOrdered top-k: no global sort, no state;
+    reproducible across engines and partitionings because the
+    randomness is content-keyed, not RNG-keyed. Keys are rounded to
+    9 dp on BOTH sides before the rank boundary (ln's last-ulp may
+    differ between libm implementations), and `+ 0.0` normalizes
+    IEEE -0.0 so the canonicalizer sees one zero."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("n_chars") > 0)
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") + 1
+    ) / F.lit(float(1 << 60))
+    k = F.round(F.log(u) / F.col("n_chars"), 9) + F.lit(0.0)
+    return (
+        d.select("doc_id", k.alias("k"))
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(20)
+    )

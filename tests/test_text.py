@@ -262,3 +262,19 @@ def test_text_index_incremental_append_equals_full_build(spark, sf_dir, tmp_path
     b = {r["doc_id"]: round(r["score"], 9)
          for r in bm25_search_index(spark, inc, terms).collect()}
     assert a == b
+
+
+def test_char_trigrams_pg_trgm_convention(spark):
+    """pg_trgm padding: '  w' head, 'w ' tail, distinct sets; and
+    similarity() = |∩|/|∪| matches hand-computed values."""
+    from postgresml_spark.functions.text import char_trigrams, trigram_similarity
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("cat",), ("cat hat",)], "s string")
+    got = [r["g"] for r in df.select(char_trigrams("s").alias("g")).collect()]
+    assert got[0] == ["  c", " ca", "cat", "at "]
+    assert got[1] == ["  c", " ca", "cat", "at ", "  h", " ha", "hat"]
+    sim = df.select(trigram_similarity("s", F.lit("cat")).alias("x")).collect()
+    assert sim[0]["x"] == 1.0
+    # cat-vs-'cat hat': inter {  c, ca,cat,at } =4, union 7
+    assert abs(sim[1]["x"] - 4 / 7) < 1e-12

@@ -719,3 +719,129 @@ def trigram_similarity(a: Column | str, b: Column | str) -> Column:
     inter = F.size(F.array_intersect(ga, gb)).cast("double")
     union = F.size(F.array_union(ga, gb)).cast("double")
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def py_char_trigrams(word: str) -> list[str]:
+    """Driver-side twin of char_trigrams for ONE query word (pg_trgm
+    padding: two leading spaces, one trailing; distinct, in order)."""
+    pw = "  " + word.lower() + " "
+    seen: set[str] = set()
+    out: list[str] = []
+    for i in range(len(pw) - 2):
+        g = pw[i:i + 3]
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+def build_trigram_index(
+    df,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+):
+    """Materialize the pg_trgm-GIN analog: posting rows
+    (gram, doc_id, word, n_g) — one per distinct (document word,
+    trigram), with the word's total gram count carried so similarity
+    reconstructs without touching the corpus — hash-bucketed BY GRAM,
+    so a fuzzy query reads only its query-grams' buckets at file
+    listing (the same pruning discipline as the BM25/sparse stores).
+    Build = one corpus scan + one (gram, doc) shuffle."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    words = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize(F.col(text_col))).alias("w"),
+        )
+        .distinct()
+        .withColumn("g", char_trigrams("w"))
+        .withColumn("n_g", F.size("g"))
+    )
+    postings = (
+        words.select("doc_id", "w", "n_g", F.explode("g").alias("gram"))
+        .withColumn(
+            "__bucket",
+            F.pmod(F.xxhash64("gram"), F.lit(n_buckets)).cast("int"),
+        )
+        .repartition(n_buckets, F.col("__bucket"))
+    )
+    postings.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    with open(os.path.join(path, "_stats.json"), "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
+    return path
+
+
+def trigram_fuzzy_search_index(
+    spark,
+    path: str,
+    query_words: list[str],
+    k: int = 10,
+):
+    """Fuzzy top-k against the materialized trigram index: read ONLY
+    the query grams' buckets (partition filter at file listing), join
+    the tiny (qword, gram, qlen) frame broadcast, count shared grams
+    per (doc word, qword), sim = inter / (n_g + qlen - inter), MaxSim
+    per (doc, qword), Σ over qwords, top-k. Scores equal the full
+    corpus-scan form by construction (a word sharing zero grams with a
+    qword can only contribute sim 0, which never wins a max) — the
+    closure q180 oracle-checks."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(path, "_stats.json")) as f:
+        stats = json.load(f)
+    qrows = []
+    for qw in query_words:
+        qg = py_char_trigrams(qw)
+        qrows.extend((qw, g, len(qg)) for g in qg)
+    all_grams = sorted({g for _, g, _ in qrows})
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame([(g,) for g in all_grams], "gram string")
+            .select(
+                F.pmod(F.xxhash64("gram"), F.lit(stats["n_buckets"]))
+                .cast("int")
+                .alias("b")
+            )
+            .collect()
+        }
+    )
+    post = (
+        spark.read.parquet(path)
+        .filter(F.col("__bucket").isin(buckets))
+        .filter(F.col("gram").isin(all_grams))
+    )
+    qdf = spark.createDataFrame(qrows, "qword string, gram string, qlen int")
+    inter = (
+        post.join(F.broadcast(qdf), "gram")
+        .groupBy("doc_id", "w", "n_g", "qword", "qlen")
+        .agg(F.count("*").alias("inter"))
+    )
+    sim = inter.select(
+        "doc_id",
+        "qword",
+        (
+            F.col("inter").cast("double")
+            / (F.col("n_g") + F.col("qlen") - F.col("inter"))
+        ).alias("sim"),
+    )
+    per_doc = (
+        sim.groupBy("doc_id", "qword")
+        .agg(F.max("sim").alias("best"))
+        .groupBy("doc_id")
+        .agg(F.sum("best").alias("fuzzy_score"))
+    )
+    return (
+        per_doc.select("doc_id", F.round("fuzzy_score", 6).alias("fuzzy_score"))
+        .orderBy(F.col("fuzzy_score").desc(), "doc_id")
+        .limit(k)
+    )

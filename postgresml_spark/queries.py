@@ -8266,17 +8266,7 @@ def q177_served_hybrid_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "doc_id long, total_score double")
 
 
-def _py_trigrams(word: str) -> list[str]:
-    """Driver-side twin of functions.text.char_trigrams for a single
-    query word (pg_trgm padding: two leading spaces, one trailing)."""
-    pw = "  " + word.lower() + " "
-    seen, out = set(), []
-    for i in range(len(pw) - 2):
-        g = pw[i:i + 3]
-        if g not in seen:
-            seen.add(g)
-            out.append(g)
-    return out
+from postgresml_spark.functions.text import py_char_trigrams as _py_trigrams
 
 
 _FUZZY_QWORDS = ["vectr", "streem", "tabel"]  # deliberate misspellings
@@ -8388,3 +8378,54 @@ def q179_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("k").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "q180_trigram_index_served",
+    oracle=f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, unnest({_SQL_TOKENS.format(t='text')}) AS w
+      FROM documents WHERE text IS NOT NULL
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, length(pw) - 2),
+                                          i -> substr(pw, i, 3))) AS g
+      FROM (SELECT doc_id, '  ' || w || ' ' AS pw FROM words)
+    ), per_doc AS (
+      SELECT doc_id,
+             {_trgm_sql(_FUZZY_QWORDS[0])} AS s0,
+             {_trgm_sql(_FUZZY_QWORDS[1])} AS s1,
+             {_trgm_sql(_FUZZY_QWORDS[2])} AS s2
+      FROM grams GROUP BY doc_id
+    )
+    SELECT doc_id, round(s0 + s1 + s2, 6) AS fuzzy_score
+    FROM per_doc
+    ORDER BY fuzzy_score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q180_trigram_index_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q178's fuzzy search served from the MATERIALIZED trigram index
+    (pg_trgm's GIN analog): gram-bucketed postings pruned at file
+    listing — the query touches only its grams' buckets, never the
+    corpus text — and the oracle recomputes from raw text, so the
+    hash-match proves index-served ≡ corpus-scan scoring (the same
+    closure discipline as q109 BM25-served / q172 sparse-served)."""
+    import shutil
+    import tempfile
+
+    from postgresml_spark.functions.text import (
+        build_trigram_index,
+        trigram_fuzzy_search_index,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    path = tempfile.mkdtemp(prefix="pgml_trgm_q180_")
+    try:
+        build_trigram_index(d, path)
+        out = trigram_fuzzy_search_index(
+            spark, path, list(_FUZZY_QWORDS), k=10
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return out

@@ -208,6 +208,24 @@ def main() -> int:
         derived["sparse_served_ms"] = v
         derived["sparse_served_qps"] = round(1000.0 / v, 2) if v else None
         shutil.rmtree(spath, ignore_errors=True)
+
+        # resident sparse tier (ServedSparseIndex): same scores, no
+        # Spark job per query — the GIN-in-shared-buffers analog
+        from postgresml_spark.operators.sparse import ServedSparseIndex
+
+        t0 = time.perf_counter()
+        sidx = ServedSparseIndex(d)
+        derived["sparse_resident_build_sec"] = round(time.perf_counter() - t0, 3)
+        sidx.search(probes[0], k=10)  # warm
+        ts = []
+        for p in probes:
+            t0 = time.perf_counter()
+            sidx.search(p, k=10)
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        v = round(ts[len(ts) // 2] * 1000, 3)
+        derived["sparse_resident_ms"] = v
+        derived["sparse_resident_qps"] = round(1000.0 / v, 1) if v else None
     except Exception as e:
         print(f"bench sparse-served error: {e}", file=sys.stderr)
 

@@ -51,6 +51,7 @@ __all__ = [
     "build_sparse_index",
     "sparse_search_index",
     "append_to_sparse_index",
+    "ServedSparseIndex",
     "SPARSE_IDF_SQL",
 ]
 
@@ -478,3 +479,95 @@ def sparse_cosine_topk(
         .select(F.col(id_col), score.alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+class ServedSparseIndex:
+    """Driver-resident sparse retrieval tier — the sparsevec analog of
+    similarity.ResidentANN: Spark BUILDS (sparse_features postings +
+    one vocabulary df aggregate, each a distributed pass), the serving
+    process HOLDS {idx → (doc_ids, weights)} postings plus the
+    term→df map, and queries score with pure dict/numpy work — no
+    Spark job on the hot path (the Spark-plan `sparse_search_index`
+    measures ~750 ms/query at sf0.1 from per-query job overhead; this
+    tier serves the same scores in well under a millisecond).
+
+    Memory honesty: postings are O(Σ doc nnz) and the vocab map is
+    O(|vocab|) — the same state a Postgres GIN index holds in shared
+    buffers; corpora past one host shard by idx range across serving
+    processes (idf is global: ship the df map to every shard, it is
+    the small side).
+
+    Scoring parity: identical weight form to the Spark path
+    ((1+ln tf)·(ln((N+1)/(df+1))+1) on both sides, md5 term hashing
+    via the documented python twin of corpus.hash_key), so results
+    match sparse_topk_join at the 6-decimal rounding the oracle
+    queries use (pinned in tests)."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        dim: int = 1 << 18,
+        seed: int | str = "sparse",
+    ):
+        import numpy as np
+
+        self.dim = dim
+        self.seed = seed
+        pdf = sparse_features(df, text_col, id_col, dim, seed).toPandas()
+        self.postings: dict[int, tuple] = {}
+        ids = pdf[id_col].to_numpy()
+        idxs = pdf["idx"].to_numpy()
+        ws = pdf["weight"].to_numpy()
+        order = np.argsort(idxs, kind="stable")
+        ids, idxs, ws = ids[order], idxs[order], ws[order]
+        uniq = np.unique(idxs)
+        bounds = np.append(np.searchsorted(idxs, uniq), len(idxs))
+        for i, ix in enumerate(uniq):
+            self.postings[int(ix)] = (
+                ids[bounds[i]:bounds[i + 1]],
+                ws[bounds[i]:bounds[i + 1]],
+            )
+        # vocabulary document frequencies (one distributed aggregate)
+        dft = (
+            df.select(
+                F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("t")
+            )
+            .groupBy("t")
+            .agg(F.count("*").alias("df"))
+        )
+        self.df_t = {r["t"]: int(r["df"]) for r in dft.collect()}
+        self.n_docs = df.count()
+
+    def _term_idx(self, term: str) -> int:
+        import hashlib
+
+        h = hashlib.md5(f"{self.seed}:{term}".encode()).hexdigest()[:15]
+        return int(h, 16) % self.dim
+
+    def search(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score) — pure python/numpy, no Spark job."""
+        import math
+
+        tf: dict[str, int] = {}
+        for t in terms:
+            t = t.lower()
+            tf[t] = tf.get(t, 0) + 1
+        qw: dict[int, float] = {}
+        for t, n in sorted(tf.items()):
+            w = (1.0 + math.log(n)) * (
+                math.log((self.n_docs + 1.0) / (self.df_t.get(t, 0) + 1.0)) + 1.0
+            )
+            ix = self._term_idx(t)
+            qw[ix] = qw.get(ix, 0.0) + w
+        scores: dict[int, float] = {}
+        for ix, w in qw.items():
+            post = self.postings.get(ix)
+            if post is None:
+                continue
+            dids, ws = post
+            for d, dw in zip(dids.tolist(), (ws * w).tolist()):
+                scores[d] = scores.get(d, 0.0) + dw
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        return [(int(d), float(s)) for d, s in top]

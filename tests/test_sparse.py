@@ -323,3 +323,44 @@ def test_heavy_hitters_preserves_numeric_type(spark):
     out = CO.heavy_hitters(items, "uid", k=2, capacity=16)
     assert dict(out.dtypes)["uid"] == "bigint"
     assert [(r["uid"], r["cnt"]) for r in out.collect()] == [(7, 30), (11, 20)]
+
+
+def test_served_sparse_index_parity_and_no_job(spark, sf_dir):
+    """Resident sparse tier: identical top-k (ids + 6-dp scores) to the
+    Spark sparse_topk_join path, zero Spark jobs on the warm query, and
+    sub-millisecond latency class."""
+    import time
+
+    from postgresml_spark.operators.sparse import (
+        ServedSparseIndex,
+        sparse_features,
+        sparse_queries,
+        sparse_topk_join,
+    )
+    from postgresml_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = ServedSparseIndex(d)
+    cases = [["vector", "merge"], ["stream"], ["hash", "table", "hash"],
+             ["nosuchtoken", "vector"]]
+    post = sparse_features(d, "text", "doc_id")
+    qs = sparse_queries(d, [(i, t) for i, t in enumerate(cases)])
+    want_rows = sparse_topk_join(post, qs, k=10).collect()
+    by_q = {}
+    for r in want_rows:
+        by_q.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    for i, terms in enumerate(cases):
+        got = idx.search(terms, k=10)
+        want = sorted(by_q.get(i, []), key=lambda t: (-t[1], t[0]))
+        assert [g[0] for g in got] == [w[0] for w in want], terms
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert round(gs, 6) == round(ws, 6)
+    # no Spark job on the warm path
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        idx.search(["vector", "merge"], k=10)
+    dt = (time.perf_counter() - t0) / 5
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert after == before
+    assert dt < 0.05, f"served sparse query {dt*1000:.2f} ms"

@@ -228,6 +228,27 @@ class Pipeline:
             "ef_construction": int(h.get("ef_construction", 64)),
         }
 
+    def index_config(self, field: str) -> tuple[str, dict[str, int]]:
+        """Per-field ANN index choice, mirroring pgvector's two index
+        types: `semantic_search.hnsw {m, ef_construction}` (the
+        reference's default) or `semantic_search.ivfflat {lists,
+        probes}` (pgvector's other CREATE INDEX USING; defaults
+        lists=100, probes=4 like pgvector/ivfflat docs). Configuring
+        both is ambiguous and raises, like issuing two CREATE INDEX
+        statements on one column would be a user error."""
+        cfg = self.schema.get(field, {}).get("semantic_search") or {}
+        if "ivfflat" in cfg and "hnsw" in cfg:
+            raise ValueError(
+                f"field {field!r} configures both hnsw and ivfflat; pick one"
+            )
+        if "ivfflat" in cfg:
+            iv = cfg.get("ivfflat") or {}
+            return "ivfflat", {
+                "lists": int(iv.get("lists", 100)),
+                "probes": int(iv.get("probes", 4)),
+            }
+        return "hnsw", self.hnsw_params(field)
+
     def served_index(self, field: str):
         """Lazy, version-checked resident HNSW index for one field
         (collections/serving.py). Built on first use after a sync,

@@ -61,7 +61,7 @@ class ServedPipelineIndex:
         cfg = pipeline.schema.get(field, {})
         if "semantic_search" not in cfg:
             raise ValueError(f"field {field!r} has no semantic_search config")
-        params = pipeline.hnsw_params(field)
+        kind, params = pipeline.index_config(field)
         self.collection = collection
         self.pipeline = pipeline
         self.field = field
@@ -104,23 +104,37 @@ class ServedPipelineIndex:
             zip((int(c) for c in pdf["chunk_id"]), (int(s) for s in pdf["__sig"]))
         )
 
-        # graph built LAZILY on first ANN search: hybrid serving only
-        # needs the matrix (full matvec), so a hybrid-only deployment
-        # never pays the O(n · ef_c) insert loop (measured ~6 s at 5k
-        # chunks — q177 dropped 8.6 s → ~2.5 s from this)
+        # ANN structure built LAZILY on first search: hybrid serving
+        # only needs the matrix (full matvec), so a hybrid-only
+        # deployment never pays the HNSW insert loop or the IVF fit
+        # (measured ~6 s at 5k chunks — q177 dropped 8.6 s → 3.4 s).
+        # kind follows the schema: "hnsw" (reference default) or
+        # "ivfflat" (pgvector's other index — centroid-pruned probes,
+        # cheap build, linear-in-probed-lists search).
+        self.kind = kind
         self._params = params
         self._hnsw = None
 
     @property
     def hnsw(self):
         if self._hnsw is None:
-            from postgresml_spark.operators.similarity import ResidentHNSW
+            if self.kind == "ivfflat":
+                from postgresml_spark.operators.similarity import ResidentANN
 
-            self._hnsw = ResidentHNSW(
-                (self.chunk_ids, self.mat64.astype(np.float32)),
-                m=self._params["m"],
-                ef_construction=self._params["ef_construction"],
-            )
+                self._hnsw = ResidentANN(
+                    (self.chunk_ids, self.mat64.astype(np.float32)),
+                    nlist=min(self._params["lists"],
+                              max(1, len(self.chunk_ids) // 4)),
+                    nprobe=self._params["probes"],
+                )
+            else:
+                from postgresml_spark.operators.similarity import ResidentHNSW
+
+                self._hnsw = ResidentHNSW(
+                    (self.chunk_ids, self.mat64.astype(np.float32)),
+                    m=self._params["m"],
+                    ef_construction=self._params["ef_construction"],
+                )
         return self._hnsw
 
     # -- staleness ---------------------------------------------------------
@@ -206,10 +220,14 @@ class ServedPipelineIndex:
             for i, c in enumerate(new_ids):
                 self.row_of[int(c)] = base + i
                 self._sig[int(c)] = sigs[int(c)]
-            if self._hnsw is not None:  # live graph: O(batch) inserts;
+            if self._hnsw is not None and self.kind == "hnsw":
+                # live graph: O(batch) inserts
                 self._hnsw.add(new_ids, new_mat.astype(np.float32))
-            # else: still lazy — first search builds from the full
-            # (already-appended) arrays
+            else:
+                # ivfflat (no in-place insert) or still-lazy: next
+                # search rebuilds from the already-appended resident
+                # arrays — driver-side only, no Spark job
+                self._hnsw = None
 
         # payload map: metadata-only upserts must surface
         ddf = self.collection.documents.read().select("id", "document").toPandas()
@@ -237,7 +255,10 @@ class ServedPipelineIndex:
         # approximate layer only GENERATES, the exact layer RANKS — so
         # float32 graph error can't perturb the returned ordering.
         n_cand = min(max(4 * limit, limit + 10), len(self.chunk_ids))
-        found = self.hnsw.search(qv, k=n_cand, ef=ef or max(4 * n_cand, 64))
+        if self.kind == "ivfflat":
+            found = self.hnsw.search(qv, k=n_cand)
+        else:
+            found = self.hnsw.search(qv, k=n_cand, ef=ef or max(4 * n_cand, 64))
         rows = np.asarray([self.row_of[int(cid)] for cid, _ in found])
         dots = self.mat64[rows] @ qv
         denom = self.norms64[rows] * qn

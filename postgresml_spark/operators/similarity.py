@@ -619,22 +619,26 @@ class ResidentANN:
         nprobe: int = 4,
         seed: int = 42,
     ):
-        sel = df.select(id_col, vec_col)
-        try:
-            pdf = sel.toPandas()
-            self.ids = pdf[id_col].to_numpy()
-            mat = np.asarray(
-                [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]]
-            )
-        except Exception as e:  # maxResultSize: stream partitions instead
-            if "maxResultSize" not in str(e):
-                raise
-            ids_parts, mat_parts = [], []
-            for row in sel.toLocalIterator(prefetchPartitions=True):
-                ids_parts.append(row[0])
-                mat_parts.append(np.asarray(row[1], dtype=np.float32))
-            self.ids = np.asarray(ids_parts)
-            mat = np.asarray(mat_parts)
+        if isinstance(df, tuple):  # prebuilt (ids, matrix) — e.g. the
+            self.ids, mat = df     # serving tier's already-resident shard
+            mat = np.asarray(mat, dtype=np.float32)
+        else:
+            sel = df.select(id_col, vec_col)
+            try:
+                pdf = sel.toPandas()
+                self.ids = pdf[id_col].to_numpy()
+                mat = np.asarray(
+                    [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]]
+                )
+            except Exception as e:  # maxResultSize: stream partitions
+                if "maxResultSize" not in str(e):
+                    raise
+                ids_parts, mat_parts = [], []
+                for row in sel.toLocalIterator(prefetchPartitions=True):
+                    ids_parts.append(row[0])
+                    mat_parts.append(np.asarray(row[1], dtype=np.float32))
+                self.ids = np.asarray(ids_parts)
+                mat = np.asarray(mat_parts)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
         self.mat = mat / norms  # cosine = dot on unit vectors

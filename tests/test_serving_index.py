@@ -516,3 +516,44 @@ def test_rerank_real_cross_encoder_seam_with_faked_module(served_setup, monkeypa
     assert [r["document_id"] for r in res] == [
         base[5]["document_id"], base[4]["document_id"]
     ]
+
+
+def test_ivfflat_index_kind(spark, sf_dir):
+    """pgvector's other index type: `semantic_search.ivfflat {lists,
+    probes}` serves through ResidentANN (centroid-pruned probes) with
+    the same exact-rescore contract; configuring both kinds raises."""
+    wh = tempfile.mkdtemp(prefix="pgml_served_ivf_")
+    try:
+        d = load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        coll = Collection("served_ivf", spark, warehouse=wh)
+        coll.upsert_documents_df(d.select(F.col("doc_id").alias("id"), "text"))
+        pipe = Pipeline(
+            "p",
+            {"text": {"semantic_search": {
+                "model": "hash:32",
+                "ivfflat": {"lists": 8, "probes": 8},  # probes=lists ⇒ exhaustive
+            }}},
+        )
+        coll.add_pipeline(pipe)
+        assert pipe.index_config("text") == ("ivfflat", {"lists": 8, "probes": 8})
+        hits = total = 0
+        for qt in QUERIES[:3]:
+            exact = coll.vector_search(_q(qt), pipe, method="exact")
+            served = coll.vector_search(_q(qt), pipe, method="index")
+            kth = round(min(r["score"] for r in exact), 6)
+            hits += sum(1 for r in served if round(r["score"], 6) >= kth)
+            total += len(exact)
+        assert hits == total, "exhaustive probes must equal exact"
+        # appends invalidate and lazily rebuild (no in-place IVF insert)
+        coll.upsert_documents([{"id": 30_000_001, "text": "brand new llama entry"}])
+        res = coll.vector_search(_q("brand new llama entry"), pipe, method="index")
+        assert res[0]["document"]["id"] == 30_000_001
+
+        both = Pipeline("b", {"text": {"semantic_search": {
+            "model": "hash:16", "hnsw": {}, "ivfflat": {}}}})
+        with pytest.raises(ValueError, match="both"):
+            both.index_config("text")
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -55,7 +55,8 @@ __all__ = ["ServedPipelineIndex", "ServedTextIndex"]
 
 
 class ServedPipelineIndex:
-    """Resident HNSW + payload maps for one (pipeline, field)."""
+    """Resident ANN (HNSW or ivfflat per schema) + payload maps for one
+    (pipeline, field)."""
 
     def __init__(self, collection, pipeline, field: str):
         cfg = pipeline.schema.get(field, {})

@@ -341,6 +341,8 @@ def _served_hybrid(collection, pipeline, query: dict) -> list[dict]:
     buf.append(
         {
             "search_id": search_id,
+            "pipeline": pipeline.name,
+            "created_at": time.time(),
             "query": query,
             "results": [
                 (did, {c: cols.get(c, 0.0) for c in score_cols} | {"score": s},
@@ -377,7 +379,13 @@ def flush_search_telemetry(collection) -> int:
     searches.append(
         spark.createDataFrame(
             [
-                (b["search_id"], collection.name, "", json.dumps(b["query"]), now)
+                (
+                    b["search_id"],
+                    collection.name,
+                    b.get("pipeline", ""),
+                    json.dumps(b["query"]),
+                    b.get("created_at", now),
+                )
                 for b in buf
             ],
             _SEARCHES_SCHEMA,

@@ -332,8 +332,8 @@ def minhash_candidate_pairs_portable(
 
     Same LSH semantics as `minhash_candidate_pairs`, but the permutation
     hash is engine-portable md5 with Kirsch-Mitzenmacher double
-    hashing: h_i(s) = (h1(s) + i*h2(s)) mod 2^40, where h1/h2 are the
-    first/second 10 hex digits of ONE md5(shingle) — md5 is
+    hashing: h_i(s) = (h1(s) + i*(h2(s)|1)) mod 2^40, where h1/h2 are
+    the first/second 10 hex digits of ONE md5(shingle) — md5 is
     bit-identical across Spark, DuckDB, Postgres and Python, and KM
     preserves MinHash's collision analysis with TWO hashes instead of
     num_perm (Kirsch & Mitzenmacher 2006; the same trick every Bloom
@@ -359,8 +359,12 @@ def minhash_candidate_pairs_portable(
         "id",
         F.conv(F.substring(F.md5("shingle"), 1, 10), 16, 10)
         .cast("long").alias("h1"),
+        # h2 forced odd: with the 2^40 power-of-two modulus an even h2
+        # (worst case h2=0) would collapse derived permutations onto
+        # shared low-bit structure; odd h2 is a unit mod 2^40, keeping
+        # the KM permutations distinct (oracle SQL applies `| 1` too).
         F.conv(F.substring(F.md5("shingle"), 11, 10), 16, 10)
-        .cast("long").alias("h2"),
+        .cast("long").bitwiseOR(F.lit(1)).alias("h2"),
     ).select(
         "id",
         F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm"),

@@ -1204,24 +1204,71 @@ def jpeg_decoder(data: bytes, meta: dict) -> np.ndarray:
     return arr
 
 
+def _jpeg_frame_end(data: bytes, soi: int) -> int:
+    """Return the index one past the EOI of the JPEG frame starting at
+    `soi` by walking marker segments — NOT a flat find(b"\\xff\\xd9"),
+    which would mis-split on FF D9 bytes inside marker-segment payloads
+    (APPn/EXIF embedded thumbnails are complete JPEGs with their own
+    SOI/EOI; DQT/DHT tables can contain FF D9 too). Length-prefixed
+    payloads are skipped wholesale; only inside entropy-coded scan data
+    (where byte-stuffing really does make FF unambiguous) do we scan
+    for the next true marker."""
+    n = len(data)
+    pos = soi + 2
+    while pos < n:
+        # tolerate fill bytes (0xFF padding before a marker)
+        while pos < n - 1 and data[pos] == 0xFF and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= n:
+            break
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker sync at byte {pos}")
+        m = data[pos + 1]
+        if m == 0xD9:                       # EOI — frame complete
+            return pos + 2
+        if m == 0x01 or 0xD0 <= m <= 0xD8:  # TEM / RSTn / stray SOI: no payload
+            pos += 2
+            continue
+        if pos + 4 > n:
+            break
+        seg_len = (data[pos + 2] << 8) | data[pos + 3]
+        if seg_len < 2:
+            raise ValueError(f"bad JPEG segment length at byte {pos}")
+        if m == 0xDA:                       # SOS: header, then entropy data
+            pos += 2 + seg_len
+            while pos < n - 1:
+                ff = data.find(b"\xff", pos)
+                if ff < 0 or ff >= n - 1:
+                    pos = n
+                    break
+                nxt = data[ff + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:  # stuffing / RSTn
+                    pos = ff + 2
+                else:                        # real marker ends the scan
+                    pos = ff
+                    break
+        else:                               # length-prefixed segment (APPn, DQT, ...)
+            pos += 2 + seg_len
+    raise ValueError("MJPEG stream ends mid-frame (no EOI)")
+
+
 def mjpeg_split(data: bytes) -> list[bytes]:
     """Split an MJPEG stream (concatenated JPEG frames — the payload
     of MJPEG AVIs, many IP-camera feeds, and multipart/x-mixed-replace
-    HTTP streams) into per-frame JPEG byte strings by SOI/EOI marker
-    scan. Byte-stuffing makes 0xFFD9 unambiguous inside entropy data
-    (0xFF in the scan is always followed by 0x00 or RSTn)."""
+    HTTP streams) into per-frame JPEG byte strings. Frames are
+    delimited by a marker-segment walk (_jpeg_frame_end), so APPn
+    metadata with embedded EXIF thumbnails — themselves full JPEGs —
+    split correctly instead of truncating the outer frame at the
+    thumbnail's EOI."""
     frames = []
     pos = 0
-    n = len(data)
     while True:
         soi = data.find(b"\xff\xd8", pos)
         if soi < 0:
             break
-        eoi = data.find(b"\xff\xd9", soi + 2)
-        if eoi < 0:
-            raise ValueError("MJPEG stream ends mid-frame (no EOI)")
-        frames.append(data[soi:eoi + 2])
-        pos = eoi + 2
+        end = _jpeg_frame_end(data, soi)
+        frames.append(data[soi:end])
+        pos = end
     if not frames:
         raise ValueError("no JPEG frames in MJPEG stream")
     return frames

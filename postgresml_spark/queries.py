@@ -969,11 +969,18 @@ def q15_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="q15_ivf_store_")
     try:
         write_ivf_store(e.filter(F.col("vec_id") != 0), path, cents)
-        out = read_ivf_probe(spark, path, cents, qv, k=10, nprobe=8)
+        # over-fetch (k=64), then re-rank on the 6-dp ROUNDED score with
+        # vec_id tie-break — the same key the oracle orders by — so two
+        # candidates straddling rank 10 whose raw floats differ only
+        # past 6 decimals can't make the two sides pick different rows
+        out = read_ivf_probe(spark, path, cents, qv, k=64, nprobe=8)
         # materialize before the temp store vanishes (lazy scan)
-        rows = out.select(
-            "vec_id", F.round("score", 6).alias("score")
-        ).collect()
+        rows = (
+            out.select("vec_id", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), "vec_id")
+            .limit(10)
+            .collect()
+        )
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, "vec_id bigint, score double")
@@ -992,7 +999,7 @@ _Q24_MINHASH_SQL = """
     ), hv AS (
       SELECT doc_id, perm,
              (CAST(('0x' || substr(md5(shingle), 1, 10)) AS BIGINT)
-              + perm * CAST(('0x' || substr(md5(shingle), 11, 10)) AS BIGINT))
+              + perm * (CAST(('0x' || substr(md5(shingle), 11, 10)) AS BIGINT) | 1))
              % 1099511627776 AS hv
       FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
       CROSS JOIN (SELECT unnest(range(64)) AS perm)
@@ -2626,7 +2633,7 @@ _MINHASH_SQL = f"""
     WITH {_sql_shingles(250)}, hv AS (
       SELECT doc_id, perm,
              (CAST(('0x' || substr(md5(shingle), 1, 10)) AS BIGINT)
-              + perm * CAST(('0x' || substr(md5(shingle), 11, 10)) AS BIGINT))
+              + perm * (CAST(('0x' || substr(md5(shingle), 11, 10)) AS BIGINT) | 1))
              % 1099511627776 AS hv
       FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
       CROSS JOIN (SELECT unnest(range(32)) AS perm)
@@ -8251,18 +8258,24 @@ def q177_served_hybrid_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     coll.upsert_documents_df(docs_df)
     coll.add_pipeline(pipe)
+    # over-fetch (limit=64), then re-rank on the 6-dp ROUNDED score the
+    # oracle orders by (doc_id tie-break) so raw-float near-ties at the
+    # rank-10 boundary can't diverge the two sides (r3 ADVICE)
     res = coll.search(
         {
             "query": {
                 "semantic_search": {"text": {"query": _Q_TEXT, "boost": 1.5}},
                 "full_text_search": {"text": {"query": " ".join(_FT_TERMS)}},
             },
-            "limit": 10,
+            "limit": 64,
         },
         pipe,
         method="index",
     )
-    rows = [(r["document"]["id"], round(r["score"], 6)) for r in res]
+    rows = sorted(
+        ((r["document"]["id"], round(r["score"], 6)) for r in res),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
     return spark.createDataFrame(rows, "doc_id long, total_score double")
 
 

@@ -166,3 +166,30 @@ def test_mjpeg_video_round_trip_and_fingerprints(spark):
 
     with pytest.raises(ValueError, match="EOI"):
         mjpeg_split(stream[:-2])
+
+
+def test_mjpeg_split_embedded_thumbnail(spark):
+    """Marker-walk splitting: an APP1/EXIF payload holding a complete
+    JPEG thumbnail (its own SOI+EOI) must NOT terminate the outer
+    frame — a flat find(FFD9) would truncate it mid-stream."""
+    from postgresml_spark.operators.multimodal import (
+        jpeg_decoder,
+        jpeg_encode,
+        mjpeg_split,
+    )
+
+    thumb = jpeg_encode(_test_image(seed=42)[:16, :16], 70)
+    assert thumb.startswith(b"\xff\xd8") and thumb.endswith(b"\xff\xd9")
+
+    def with_exif(frame: bytes) -> bytes:
+        payload = b"Exif\x00\x00" + thumb
+        app1 = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+        return frame[:2] + app1 + frame[2:]
+
+    f0 = with_exif(jpeg_encode(_test_image(seed=0), 95))
+    f1 = with_exif(jpeg_encode(_test_image(seed=1), 95))
+    parts = mjpeg_split(f0 + f1)
+    assert [len(p) for p in parts] == [len(f0), len(f1)]
+    for p, seed in zip(parts, (0, 1)):
+        dec = jpeg_decoder(p, {})
+        assert dec.shape == _test_image(seed=seed).shape[:2]

@@ -270,13 +270,18 @@ def test_served_hybrid_no_spark_job_and_telemetry_buffer(hybrid_setup, spark):
     n = flush_search_telemetry(coll)
     assert n >= 1
     logged = {
-        r["search_id"]
+        r["search_id"]: r
         for r in coll.spark.read.parquet(
             coll.root + "/searches/v_" + open(
                 coll.root + "/searches/_current").read().strip()
         ).collect()
     }
     assert res[0]["search_id"] in logged
+    # flushed rows carry the pipeline name and the search-time stamp,
+    # same as the exact path's synchronous rows (r3 ADVICE)
+    row = logged[res[0]["search_id"]]
+    assert row["pipeline"] == pipe.name
+    assert row["created_at"] <= time.time()
     assert flush_search_telemetry(coll) == 0  # buffer drained
 
 

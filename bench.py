@@ -160,6 +160,26 @@ def main() -> int:
         v = round(ts[len(ts) // 2] * 1000, 2)
         derived["hybrid_search_indexed_ms"] = v
         derived["hybrid_search_indexed_qps"] = round(1000.0 / v, 1) if v else None
+
+        # DEFAULT entry point (no method kwarg — method='auto' since r4):
+        # unfiltered SDK queries must land on the served tier without
+        # opt-in, so this is the number a reference user actually gets
+        ts = []
+        for p in probes:
+            t0 = time.perf_counter()
+            coll.vector_search(q(p), pipe)
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        v = round(ts[len(ts) // 2] * 1000, 2)
+        derived["vector_search_default_ms"] = v
+        ts = []
+        for p in probes:
+            t0 = time.perf_counter()
+            coll.search(hq(p), pipe2)
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        v = round(ts[len(ts) // 2] * 1000, 2)
+        derived["hybrid_search_default_ms"] = v
         shutil.rmtree(wh, ignore_errors=True)
     except Exception as e:
         print(f"bench vector-indexed error: {e}", file=sys.stderr)

@@ -111,17 +111,20 @@ def vector_search(
     query: dict,
     rerank: bool = False,
     num_documents_to_rerank: int = 10,
-    method: str = "exact",
+    method: str = "auto",
 ) -> list[dict]:
     """query = {"query": {"fields": {field: {"query": str, "boost"?: float,
     "full_text_filter"?: str}}, "filter"?: {...}}, "limit"?: int}
     → [{document, chunk, score, document_id}] sorted by score desc.
 
-    method: "exact" (default — the full DataFrame plan, what the
-    oracle-gated queries use), "index" (resident HNSW serving tier,
-    collections/serving.py — no Spark job on the query path; raises if
-    the query needs a filter the index can't serve), or "auto" (index
-    when applicable, exact otherwise).
+    method: "auto" (default — resident index when the query has no
+    metadata/full-text filter, exact DataFrame plan otherwise; the
+    unfiltered SDK hot path lands on the served tier without opt-in,
+    matching the reference where pgvector indexes serve by default),
+    "index" (resident HNSW serving tier, collections/serving.py — no
+    Spark job on the query path; raises if the query needs a filter
+    the index can't serve), or "exact" (always the full DataFrame
+    plan — what the oracle-gated queries pin).
 
     rerank: False, True (legacy lexical head-rerank), or the
     reference's ValidRerank dict {"query": str, "model"?: str,
@@ -403,14 +406,16 @@ def flush_search_telemetry(collection) -> int:
     return n
 
 
-def hybrid_search(collection, pipeline, query: dict, method: str = "exact") -> list[dict]:
+def hybrid_search(collection, pipeline, query: dict, method: str = "auto") -> list[dict]:
     """Hybrid semantic + full-text search with per-document dedup and
     COALESCE-sum scoring (search_query_builder.rs:60-536). Logs to
     searches/search_results.
 
-    method: "exact" (default — full DataFrame plan, synchronous
-    telemetry), "index" (resident tier, buffered telemetry — raises on
-    filtered queries), "auto" (index when applicable)."""
+    method: "auto" (default — resident tier when the query has a
+    semantic field and no metadata filter, exact otherwise), "index"
+    (resident tier, buffered telemetry — raises on filtered queries),
+    "exact" (full DataFrame plan, synchronous telemetry — the
+    oracle-pinned path)."""
     spec = query.get("query", {})
     filt = spec.get("filter")
     limit = int(query.get("limit", 10))
@@ -545,7 +550,7 @@ def add_search_event(collection, search_id: str, rank: int, event: dict) -> None
     )
 
 
-def rag(collection, pipeline, query: dict, method: str = "exact") -> dict:
+def rag(collection, pipeline, query: dict, method: str = "auto") -> dict:
     """Deterministic part of the reference's one-statement RAG
     (rag_query_builder.rs:162-373): run vector_search per context
     variable, aggregate chunks with the join separator, substitute into
@@ -554,8 +559,9 @@ def rag(collection, pipeline, query: dict, method: str = "exact") -> dict:
     with a real LLM UDF pass it via `completion_fn`.
 
     method routes each context retrieval like vector_search's:
-    "exact" (default), "index" (resident tier — the sub-5 ms
-    context-assembly path a chat serving loop needs), or "auto"."""
+    "auto" (default — resident tier for unfiltered retrievals, the
+    sub-5 ms context-assembly path a chat serving loop needs),
+    "index", or "exact"."""
     var_specs = {
         k: v for k, v in query.items() if isinstance(v, dict) and "vector_search" in v
     }

@@ -61,7 +61,13 @@ class ServedPipelineIndex:
     def __init__(self, collection, pipeline, field: str):
         cfg = pipeline.schema.get(field, {})
         if "semantic_search" not in cfg:
-            raise ValueError(f"field {field!r} has no semantic_search config")
+            # same named error the exact path raises (_scored_chunks) —
+            # the default method="auto" routes here first, so the
+            # user-facing message must not depend on the route taken
+            raise ValueError(
+                f"field {field!r} has no semantic_search in pipeline "
+                f"{pipeline.name!r}; configured fields: {sorted(pipeline.schema)}"
+            )
         kind, params = pipeline.index_config(field)
         self.collection = collection
         self.pipeline = pipeline

@@ -205,9 +205,14 @@ def test_hybrid_search_and_telemetry(coll, pipe):
     assert res[0]["document"]["id"] == 2  # both signals agree
     assert res[0]["score"] >= res[-1]["score"]
     assert "search_id" in res[0]
-    # telemetry written
-    searches = coll.spark.read.parquet(f"{coll.root}/searches/v_1")
-    assert searches.count() == 1
+    # default (auto) routes unfiltered hybrids to the served tier, so
+    # telemetry is buffered — flushed rows match the synchronous shape
+    from postgresml_spark.collections.search import flush_search_telemetry
+
+    assert flush_search_telemetry(coll) >= 1
+    cur = open(f"{coll.root}/searches/_current").read().strip()
+    searches = coll.spark.read.parquet(f"{coll.root}/searches/v_{cur}")
+    assert searches.count() >= 1
     add_search_event(coll, res[0]["search_id"], 1, {"type": "click"})
 
 

@@ -136,6 +136,48 @@ def test_auto_uses_index_when_applicable(served_setup):
     assert [r["document_id"] for r in a] == [r["document_id"] for r in i]
 
 
+def test_default_method_routing_table(served_setup, spark):
+    """method defaults to 'auto' (r3 VERDICT #2): the routing decision
+    table for the no-kwarg SDK entry points, pinned.
+
+    | query shape                      | route  | evidence            |
+    |----------------------------------|--------|---------------------|
+    | unfiltered fields                | served | no Spark job        |
+    | metadata filter                  | exact  | filter honored      |
+    | full_text_filter on a field      | exact  | results returned    |
+    """
+    coll, pipe = served_setup
+    sc = spark.sparkContext
+
+    coll.vector_search(_q(QUERIES[0]), pipe)  # warm/build via default
+    before = sc.statusTracker().getJobIdsForGroup(None)
+    res = coll.vector_search(_q(QUERIES[2]), pipe)  # no method kwarg
+    assert sc.statusTracker().getJobIdsForGroup(None) == before, (
+        "default (auto) must serve unfiltered queries from the "
+        "resident tier with no Spark job"
+    )
+    assert res == coll.vector_search(_q(QUERIES[2]), pipe, method="index")
+
+    # metadata filter → exact fallback, filter honored
+    fq = {
+        "query": {"fields": {"text": {"query": "engine"}},
+                  "filter": {"lang": "en"}},
+        "limit": 5,
+    }
+    got = coll.vector_search(fq, pipe)
+    assert got and all(r["document"]["lang"] == "en" for r in got)
+
+    # full_text_filter → exact fallback (the served tier can't see it;
+    # running it needs a full-text-configured pipeline, so pin the
+    # routing decision itself)
+    from postgresml_spark.collections.search import _served_applicable
+
+    assert not _served_applicable(
+        {"fields": {"text": {"query": "engine", "full_text_filter": "engine"}}}
+    )
+    assert _served_applicable({"fields": {"text": {"query": "engine"}}})
+
+
 def test_rerank_seam_with_fake_cross_encoder(served_setup):
     """VERDICT r2 #9: the reference-shaped rerank spec drives a
     PLUGGABLE scorer. A fake 'cross-encoder' records exactly what it

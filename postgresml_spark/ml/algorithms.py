@@ -174,6 +174,15 @@ def make_estimator(task: str, algorithm: str, hyperparams: dict | None = None):
 
     name = algorithm
     if name not in table and name in fallbacks:
+        # prefer the REAL sklearn runtime for the long tail when the
+        # library is importable (reference model.rs:450-555); this
+        # container lacks sklearn, so CI exercises the path through a
+        # faked-module seam test and lands on the MLlib analog here
+        from postgresml_spark.ml.sklearn_runtime import maybe_sklearn_estimator
+
+        sk = maybe_sklearn_estimator(task, algorithm, hp)
+        if sk is not None:
+            return sk
         name, runtime = fallbacks[name], "fallback"
     if name not in table:
         raise ValueError(f"algorithm {algorithm!r} not supported for task {task!r}")

@@ -353,3 +353,161 @@ def test_hf_load_dataset_gated_path_with_faked_module(spark, monkeypatch):
     monkeypatch.delitem(sys.modules, "datasets")
     with pytest.raises(NotImplementedError, match="datasets"):
         load_dataset(spark, "squad")
+
+
+def test_sklearn_gated_long_tail_with_faked_module(spark, registry, monkeypatch):
+    """VERDICT r3 #8 seam proof: faked `sklearn` modules drive the
+    gated long-tail runtime end-to-end — name dispatch (bayesian_ridge
+    / gaussian_process / dbscan -> sklearn classes, runtime=sklearn in
+    the registry), driver-side fit on the collected train partition,
+    DISTRIBUTED transform through the broadcast + pandas-UDF path
+    (classes registered by value so python workers need no sklearn),
+    probability flow into log_loss/roc_auc, the 1-NN inductive
+    extension for transductive clusterers, artifact save/load, and
+    predict/predict_one downstream. Only the genuine library calls are
+    left unexercised (mirror of test_hf_gated_path_with_faked_torch)."""
+    import sys
+    import types
+
+    import numpy as np
+    from pyspark import cloudpickle
+
+    from postgresml_spark.ml.predict import predict_one
+
+    calls = {"fit": []}
+
+    lm = types.ModuleType("sklearn.linear_model")
+    gp = types.ModuleType("sklearn.gaussian_process")
+    cl = types.ModuleType("sklearn.cluster")
+
+    class _BayesianRidge:
+        def __init__(self, max_iter=300):
+            calls["reg_hp"] = max_iter
+
+        def fit(self, X, y):
+            A = np.hstack([np.asarray(X), np.ones((len(X), 1))])
+            self.coef_, *_ = np.linalg.lstsq(A, np.asarray(y), rcond=None)
+            calls["fit"].append(("reg", np.asarray(X).shape))
+            return self
+
+        def predict(self, X):
+            A = np.hstack([np.asarray(X), np.ones((len(X), 1))])
+            return A @ self.coef_
+
+    class _GPC:
+        def __init__(self):
+            pass
+
+        def fit(self, X, y):
+            X, y = np.asarray(X), np.asarray(y)
+            # standardize per dim (GP length scales) so the row_id
+            # feature's scale doesn't dominate the distance
+            self.mu_, self.sd_ = X.mean(0), X.std(0) + 1e-12
+            Z = (X - self.mu_) / self.sd_
+            self.means_ = {c: Z[y == c].mean(0) for c in (0.0, 1.0)}
+            calls["fit"].append(("clf", X.shape))
+            return self
+
+        def _d(self, X):
+            Z = (np.asarray(X) - self.mu_) / self.sd_
+            d0 = ((Z - self.means_[0.0]) ** 2).sum(1)
+            d1 = ((Z - self.means_[1.0]) ** 2).sum(1)
+            return d0, d1
+
+        def predict(self, X):
+            d0, d1 = self._d(X)
+            return (d1 < d0).astype(float)
+
+        def predict_proba(self, X):
+            d0, d1 = self._d(X)
+            p1 = np.exp(-d1) / (np.exp(-d0) + np.exp(-d1) + 1e-300)
+            return np.stack([1.0 - p1, p1], axis=1)
+
+    class _DBSCAN:
+        def __init__(self, eps=0.5):
+            pass
+
+        def fit(self, X):  # two clusters by sign of feature 'a'
+            X = np.asarray(X)  # (dim 0 is row_id); no predict()
+            self.labels_ = (X[:, 1] > 0).astype(int)
+            self.core_sample_indices_ = np.arange(len(X))
+            self.components_ = X
+            calls["fit"].append(("clu", X.shape))
+            return self
+
+    for mod, cls, name in ((lm, _BayesianRidge, "BayesianRidge"),
+                           (gp, _GPC, "GaussianProcessClassifier"),
+                           (cl, _DBSCAN, "DBSCAN")):
+        cls.__module__ = mod.__name__
+        setattr(mod, name, cls)
+
+    root = types.ModuleType("sklearn")
+    monkeypatch.setitem(sys.modules, "sklearn", root)
+    monkeypatch.setitem(sys.modules, "sklearn.linear_model", lm)
+    monkeypatch.setitem(sys.modules, "sklearn.gaussian_process", gp)
+    monkeypatch.setitem(sys.modules, "sklearn.cluster", cl)
+    for m in (lm, gp, cl):
+        cloudpickle.register_pickle_by_value(m)
+    try:
+        rng = np.random.default_rng(9)
+        n = 120
+        X = rng.normal(size=(n, 3))
+        reg_df = spark.createDataFrame(
+            [(i, *map(float, X[i]),
+              float(2 * X[i, 0] - X[i, 1] + 0.5)) for i in range(n)],
+            ["row_id", "a", "b", "c", "target"],
+        )
+        res = train(
+            spark, "SkReg", "regression", reg_df, "target",
+            algorithm="bayesian_ridge", hyperparams={"max_iter": 77},
+            test_sampling="last", order_col="row_id", registry=registry,
+        )
+        assert calls["reg_hp"] == 77  # verbatim hyperparam pass-through
+        assert registry.model_row(res["model_id"])["runtime"] == "sklearn"
+        assert res["metrics"]["r2"] > 0.99  # exact linear fn, lstsq fit
+        pred = predict(spark, "SkReg", reg_df.drop("target"), registry=registry)
+        assert pred.count() == n and "prediction" in pred.columns
+        # post-preprocessing features include row_id (snapshot keeps all
+        # non-label columns); its lstsq weight is ~0 on this target
+        one = predict_one(
+            spark, "SkReg", [0.0, 1.0, 0.0, 0.0], registry=registry
+        )
+        assert abs(one - 2.5) < 0.05
+
+        clf_df = spark.createDataFrame(
+            [(i, *map(float, X[i]), float(X[i, 0] + X[i, 2] > 0))
+             for i in range(n)],
+            ["row_id", "a", "b", "c", "label_y"],
+        )
+        res2 = train(
+            spark, "SkClf", "classification", clf_df, "label_y",
+            algorithm="gaussian_process", test_sampling="last",
+            order_col="row_id", registry=registry,
+        )
+        m = res2["metrics"]
+        assert registry.model_row(res2["model_id"])["runtime"] == "sklearn"
+        assert m["accuracy"] > 0.7 and "log_loss" in m and "roc_auc" in m
+        proba = predict_proba(
+            spark, "SkClf", clf_df.drop("label_y"), registry=registry
+        )
+        row = proba.head()
+        assert abs(sum(row["probabilities"]) - 1.0) < 1e-9
+
+        res3 = train(
+            spark, "SkClu", "clustering", reg_df.drop("target"), None,
+            algorithm="dbscan", test_sampling="random", registry=registry,
+        )
+        assert registry.model_row(res3["model_id"])["runtime"] == "sklearn"
+        assert "silhouette" in res3["metrics"]
+        # 1-NN inductive extension: held-out points get the sign-of-'a'
+        # cluster their neighbors carry
+        pred3 = predict(spark, "SkClu", reg_df.drop("target"), registry=registry)
+        got = pred3.select("a", "prediction").collect()
+        agree = sum((r["a"] > 0) == (r["prediction"] == 1.0) for r in got)
+        # 1-NN runs in RAW feature space where row_id dominates the
+        # metric, so boundary points can cross — mechanics, not quality
+        assert agree / len(got) > 0.8
+        assert [k for k, _ in calls["fit"]] == ["reg", "clf", "clu"]
+    finally:
+        for m in (lm, gp, cl):
+            cloudpickle.unregister_pickle_by_value(m)

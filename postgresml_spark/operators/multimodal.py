@@ -502,72 +502,42 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def png_decode(data: bytes) -> np.ndarray:
-    """Decode an 8-bit, non-interlaced PNG (grayscale, RGB, or RGBA)
-    to an (h, w) or (h, w, c) uint8 array using ONLY the stdlib
-    (struct + zlib). All five scanline filters (None/Sub/Up/Average/
-    Paeth) are implemented; 16-bit, palette, and Adam7 PNGs raise
-    ValueError naming the limitation. This is a real decoder for the
-    dominant lossless training-image format, not a stand-in."""
-    import struct
-    import zlib
+# Adam7 pass geometry: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    if not data or data[:8] != _PNG_SIG:
-        raise ValueError("not a PNG (bad signature)")
-    pos, w = 8, None
-    idat = b""
-    while pos + 8 <= len(data):
-        (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
-        body = data[pos + 8:pos + 8 + length]
-        pos += 12 + length
-        if ctype == b"IHDR":
-            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8:
-                raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
-            if color not in (0, 2, 6):
-                raise ValueError(
-                    f"unsupported PNG color type {color} (gray/RGB/RGBA only)"
-                )
-            if interlace:
-                raise ValueError("Adam7 interlace not supported")
-            nch = {0: 1, 2: 3, 6: 4}[color]
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(idat)
-    stride = w * nch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG data length mismatch")
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int, off: int) -> np.ndarray:
+    """Reconstruct `h` filtered scanlines of `stride` bytes starting at
+    `off` into a (h, stride) uint8 array. Filters operate on BYTES with
+    a `bpp`-byte left offset (PNG spec §9) — the same code serves every
+    depth/color combination.
+
+    Cost profile (ADVICE r2 #4, then measured): None/Up are whole-row
+    numpy; Sub is EXACT as a per-lane prefix sum (mod 256 distributes
+    over addition — 60× the per-byte loop). Average/Paeth carry a
+    nonlinear in-row dependency (floor-div / predictor select) that
+    cannot be a prefix op; a numpy-lane loop MEASURES 3.6× slower than
+    plain python-int arithmetic at bpp<=8, so those two run inlined int
+    loops — ~57 ms worst-case for 256×256 RGB all-Paeth, the honest
+    bound for a stdlib-only codec; amortized across mapInPandas batches
+    it is decode-bound, not Spark-bound."""
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
-        ftype = raw[y * (stride + 1)]
+        base = off + y * (stride + 1)
+        ftype = raw[base]
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            raw, dtype=np.uint8, count=stride, offset=base + 1
         ).astype(np.int32)
-        # Filter reconstruction cost (ADVICE r2 #4, then measured):
-        # None/Up are whole-row numpy; Sub is EXACT as a cumsum (mod
-        # 256 distributes over addition, so the running left-add is a
-        # prefix sum per interleaved lane — 60× the old per-byte loop).
-        # Average/Paeth carry a nonlinear in-row dependency (floor-div
-        # / predictor select) that cannot be a prefix op; the advised
-        # per-pixel numpy-lane loop MEASURES 3.6× SLOWER than a plain
-        # python-int loop (per-op numpy scalar overhead > lane win at
-        # nch<=4), so those two run inlined int arithmetic over row
-        # lists — ~57 ms worst-case for a 256×256 RGB all-Paeth image
-        # (was ~670 ms numpy-lane / ~600 ms per-byte-numpy-indexing),
-        # the honest bound for a stdlib-only codec; amortized across
-        # mapInPandas batches it is decode-bound, not Spark-bound.
         if ftype == 0:
             cur = line
         elif ftype == 1:  # Sub: per-lane prefix sum mod 256
             cur = (
-                np.cumsum(line.reshape(w, nch), axis=0, dtype=np.int64) & 0xFF
+                np.cumsum(line.reshape(stride // bpp, bpp), axis=0, dtype=np.int64)
+                & 0xFF
             ).reshape(stride).astype(np.int32)
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
@@ -575,17 +545,17 @@ def png_decode(data: bytes) -> np.ndarray:
             cur = line.tolist()
             pr = prev.tolist()
             if ftype == 3:
-                for i in range(nch):
+                for i in range(bpp):
                     cur[i] = (cur[i] + (pr[i] >> 1)) & 0xFF
-                for i in range(nch, stride):
-                    cur[i] = (cur[i] + ((cur[i - nch] + pr[i]) >> 1)) & 0xFF
+                for i in range(bpp, stride):
+                    cur[i] = (cur[i] + ((cur[i - bpp] + pr[i]) >> 1)) & 0xFF
             else:
-                for i in range(nch):  # a=c=0 → Paeth predictor is b
+                for i in range(bpp):  # a=c=0 → Paeth predictor is b
                     cur[i] = (cur[i] + pr[i]) & 0xFF
-                for i in range(nch, stride):
-                    a = cur[i - nch]
+                for i in range(bpp, stride):
+                    a = cur[i - bpp]
                     b = pr[i]
-                    c = pr[i - nch]
+                    c = pr[i - bpp]
                     p = a + b - c
                     pa = abs(p - a)
                     pb = abs(p - b)
@@ -602,8 +572,118 @@ def png_decode(data: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter {ftype}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    arr = out.reshape(h, w, nch)
-    return arr[:, :, 0] if nch == 1 else arr
+    return out
+
+
+def _png_samples(recon: np.ndarray, pw: int, nch: int, depth: int) -> np.ndarray:
+    """(h, stride) reconstructed bytes → (h, pw, nch) sample array
+    (uint8 for depth<=8 — UNSCALED raw sample values — uint16 for 16)."""
+    ph = recon.shape[0]
+    if depth == 8:
+        return recon[:, : pw * nch].reshape(ph, pw, nch)
+    if depth == 16:
+        u = recon[:, : pw * nch * 2].reshape(ph, pw * nch, 2)
+        vals = (u[:, :, 0].astype(np.uint16) << 8) | u[:, :, 1]
+        return vals.reshape(ph, pw, nch)
+    bits = np.unpackbits(recon, axis=1)  # depth 1/2/4: MSB-first packing
+    nb = pw * nch
+    b = bits[:, : nb * depth].reshape(ph, nb, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    return (b * weights).sum(axis=2).astype(np.uint8).reshape(ph, pw, nch)
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode a PNG to a numpy array using ONLY the stdlib (struct +
+    zlib) — the FULL color-type/bit-depth matrix (r3 VERDICT #5):
+    grayscale 1/2/4/8/16, RGB 8/16, palette 1/2/4/8 (PLTE, + tRNS →
+    RGBA), gray+alpha 8/16, RGBA 8/16; all five scanline filters; both
+    non-interlaced and Adam7-interlaced streams (each interlace pass is
+    an independently filtered sub-image reassembled on its grid).
+    Output: (h, w[, c]) uint8, except 16-bit inputs which keep their
+    uint16 samples (the adapter downscales for the hash/feature path).
+    This is a real decoder for the dominant lossless training-image
+    format, not a stand-in."""
+    import struct
+    import zlib
+
+    if not data or data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, w = 8, None
+    idat = b""
+    plte = trns = None
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if color not in (0, 2, 3, 4, 6):
+                raise ValueError(f"bad PNG color type {color}")
+            allowed = {
+                0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                4: (8, 16), 6: (8, 16),
+            }[color]
+            if depth not in allowed:
+                raise ValueError(
+                    f"invalid PNG depth {depth} for color type {color}"
+                )
+            nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS" and len(body):
+            trns = np.frombuffer(body, dtype=np.uint8)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    raw = zlib.decompress(idat)
+    bpp = max(1, nch * depth // 8)
+    sdtype = np.uint16 if depth == 16 else np.uint8
+    if not interlace:
+        stride = (w * nch * depth + 7) // 8
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG data length mismatch")
+        samples = _png_samples(_png_unfilter(raw, h, stride, bpp, 0), w, nch, depth)
+    elif interlace == 1:
+        samples = np.zeros((h, w, nch), dtype=sdtype)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            stride = (pw * nch * depth + 7) // 8
+            samples[y0::dy, x0::dx] = _png_samples(
+                _png_unfilter(raw, ph, stride, bpp, off), pw, nch, depth
+            )
+            off += ph * (stride + 1)
+        if off != len(raw):
+            raise ValueError("PNG data length mismatch (Adam7)")
+    else:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+
+    if color == 3:  # palette indices → RGB(A)
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+        return rgb
+    if color == 0 and depth < 8:  # expand sub-byte gray to full range
+        samples = (samples.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
+    arr = samples if nch > 1 else samples.reshape(h, w)
+    return arr
 
 
 def png_encode(arr: np.ndarray) -> bytes:
@@ -645,15 +725,22 @@ def png_encode(arr: np.ndarray) -> bytes:
 
 def png_decoder(data: bytes, meta: dict) -> np.ndarray:
     """Decoder-contract adapter for PNG assets: decodes with the
-    stdlib codec and collapses color to luma (Rec.601 weights) so the
-    downstream hash/feature math gets the (h, w) grayscale every other
+    stdlib codec, downscales 16-bit samples to 8 (high byte — the
+    spec's sample-depth rescale), and collapses color to luma (Rec.601
+    weights; gray+alpha keeps the gray channel) so the downstream
+    hash/feature math gets the (h, w) uint8 grayscale every other
     decoder yields."""
     arr = png_decode(data)
+    if arr.dtype == np.uint16:
+        arr = (arr >> 8).astype(np.uint8)
     if arr.ndim == 3:
-        rgb = arr[:, :, :3].astype(np.float64)
-        arr = (
-            rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
-        ).round().astype(np.uint8)
+        if arr.shape[2] == 2:  # gray + alpha
+            arr = arr[:, :, 0]
+        else:
+            rgb = arr[:, :, :3].astype(np.float64)
+            arr = (
+                rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
+            ).round().astype(np.uint8)
     return arr
 
 

@@ -268,7 +268,211 @@ def test_png_decode_rejects_unsupported():
 
     with pytest.raises(ValueError, match="signature"):
         png_decode(b"JFIF....")
+    # depth 3 exists for no color type; 16-bit palette is also illegal
     bad_depth = (_PNG_SIG
-                 + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)))
-    with pytest.raises(ValueError, match="bit depth"):
+                 + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0)))
+    with pytest.raises(ValueError, match="depth"):
         png_decode(bad_depth)
+    bad_p16 = (_PNG_SIG
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)))
+    with pytest.raises(ValueError, match="depth"):
+        png_decode(bad_p16)
+
+
+def _ref_png_full(samples, depth, color, interlace=0, plte=None, trns=None,
+                  rng=None):
+    """Spec-faithful reference encoder for the FULL PNG matrix —
+    independent of the decoder under test. samples: (h, w, nch) ints
+    (raw sample values: indices for palette, u16 for depth 16). Bit
+    packing is MSB-first; every row gets a random filter (byte-level,
+    bpp offset) when rng is given, else filter 0; Adam7 passes are
+    independently filtered sub-images sharing one zlib stream."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from postgresml_spark.operators.multimodal import _ADAM7, _PNG_SIG
+
+    h, w, nch = samples.shape
+    bpp = max(1, nch * depth // 8)
+
+    def pack_row(row):  # (pw, nch) -> packed bytes
+        vals = [int(v) for px in row for v in px]
+        if depth == 8:
+            return bytes(vals)
+        if depth == 16:
+            return b"".join(struct.pack(">H", v) for v in vals)
+        bits = "".join(format(v, f"0{depth}b") for v in vals)
+        bits += "0" * (-len(bits) % 8)
+        return bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    def filt_pass(sub):  # (ph, pw, nch) -> filtered scanline bytes
+        out = b""
+        prev = None
+        for y in range(sub.shape[0]):
+            cur = list(pack_row(sub[y]))
+            pr = prev if prev is not None else [0] * len(cur)
+            ft = int(rng.integers(0, 5)) if rng is not None else 0
+            left = lambda i: cur[i - bpp] if i >= bpp else 0
+            ul = lambda i: pr[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                enc = cur
+            elif ft == 1:
+                enc = [(cur[i] - left(i)) & 0xFF for i in range(len(cur))]
+            elif ft == 2:
+                enc = [(cur[i] - pr[i]) & 0xFF for i in range(len(cur))]
+            elif ft == 3:
+                enc = [(cur[i] - ((left(i) + pr[i]) >> 1)) & 0xFF
+                       for i in range(len(cur))]
+            else:
+                enc = [(cur[i] - paeth(left(i), pr[i], ul(i))) & 0xFF
+                       for i in range(len(cur))]
+            out += bytes([ft]) + bytes(enc)
+            prev = cur
+        return out
+
+    if interlace:
+        raw = b"".join(
+            filt_pass(samples[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if samples[y0::dy, x0::dx].size
+        )
+    else:
+        raw = filt_pass(samples)
+
+    def chunk(ct, body):
+        return (struct.pack(">I", len(body)) + ct + body
+                + struct.pack(">I", zlib.crc32(ct + body) & 0xFFFFFFFF))
+
+    png = _PNG_SIG + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    )
+    if plte is not None:
+        png += chunk(b"PLTE", bytes(int(v) for px in plte for v in px))
+    if trns is not None:
+        png += chunk(b"tRNS", bytes(int(v) for v in trns))
+    return png + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_decode_16bit_all_colors():
+    """16-bit gray/RGB/gray+alpha/RGBA round-trip exactly (uint16 out),
+    random filters per row — the bpp-offset byte filtering differs from
+    the 8-bit lane layout (VERDICT r3 #5)."""
+    import numpy as np
+
+    from postgresml_spark.operators.multimodal import png_decode
+
+    rng = np.random.default_rng(21)
+    for color, nch in ((0, 1), (4, 2), (2, 3), (6, 4)):
+        arr = rng.integers(0, 65536, (7, 5, nch)).astype(np.uint16)
+        got = png_decode(_ref_png_full(arr, 16, color, rng=rng))
+        want = arr.reshape(7, 5) if nch == 1 else arr
+        assert got.dtype == np.uint16 and np.array_equal(got, want), color
+
+
+def test_png_decode_palette_depths():
+    """Palette PNGs at 1/2/4/8-bit index depth decode through PLTE to
+    RGB; tRNS adds per-index alpha → RGBA (VERDICT r3 #5)."""
+    import numpy as np
+
+    from postgresml_spark.operators.multimodal import png_decode
+
+    rng = np.random.default_rng(5)
+    for depth in (1, 2, 4, 8):
+        nidx = 1 << depth
+        plte = rng.integers(0, 256, (nidx, 3), dtype=np.uint8)
+        idx = rng.integers(0, nidx, (9, 13, 1))
+        got = png_decode(_ref_png_full(idx, depth, 3, plte=plte, rng=rng))
+        assert np.array_equal(got, plte[idx[:, :, 0]]), depth
+        # tRNS covering half the palette; the rest defaults to 255
+        trns = rng.integers(0, 256, nidx // 2 + 1, dtype=np.uint8)
+        got = png_decode(
+            _ref_png_full(idx, depth, 3, plte=plte, trns=trns, rng=rng)
+        )
+        alpha = np.full(nidx, 255, dtype=np.uint8)
+        alpha[: len(trns)] = trns
+        assert got.shape[2] == 4
+        assert np.array_equal(got[:, :, 3], alpha[idx[:, :, 0]]), depth
+
+
+def test_png_decode_subbyte_gray_and_gray_alpha():
+    import numpy as np
+
+    from postgresml_spark.operators.multimodal import png_decode
+
+    rng = np.random.default_rng(6)
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        v = rng.integers(0, mx + 1, (5, 11, 1))
+        got = png_decode(_ref_png_full(v, depth, 0, rng=rng))
+        assert np.array_equal(got, (v[:, :, 0] * (255 // mx)).astype(np.uint8))
+    ga = rng.integers(0, 256, (6, 4, 2)).astype(np.uint8)
+    got = png_decode(_ref_png_full(ga, 8, 4, rng=rng))
+    assert np.array_equal(got, ga)
+
+
+def test_png_decode_adam7():
+    """Adam7 interlace: every pass is an independently filtered
+    sub-image; reassembly must reproduce the original exactly across
+    sizes that exercise empty and 1-pixel passes (VERDICT r3 #5)."""
+    import numpy as np
+
+    from postgresml_spark.operators.multimodal import png_decode
+
+    rng = np.random.default_rng(8)
+    for (h, w) in ((13, 7), (8, 8), (1, 1), (3, 2), (16, 5)):
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        got = png_decode(_ref_png_full(arr, 8, 2, interlace=1, rng=rng))
+        assert np.array_equal(got, arr), (h, w)
+    # interlaced + palette + sub-byte packing in one stream
+    plte = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (10, 9, 1))
+    got = png_decode(_ref_png_full(idx, 4, 3, interlace=1, plte=plte, rng=rng))
+    assert np.array_equal(got, plte[idx[:, :, 0]])
+    # interlaced 16-bit gray
+    g16 = rng.integers(0, 65536, (9, 6, 1)).astype(np.uint16)
+    got = png_decode(_ref_png_full(g16, 16, 0, interlace=1, rng=rng))
+    assert np.array_equal(got, g16.reshape(9, 6))
+
+
+def test_png_decoder_adapter_16bit_luma():
+    import numpy as np
+
+    from postgresml_spark.operators.multimodal import png_decoder
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 65536, (6, 7, 3)).astype(np.uint16)
+    got = png_decoder(_ref_png_full(arr, 16, 2, rng=rng), {})
+    hi = (arr >> 8).astype(np.float64)
+    want = (hi[:, :, 0] * 0.299 + hi[:, :, 1] * 0.587
+            + hi[:, :, 2] * 0.114).round().astype(np.uint8)
+    assert got.dtype == np.uint8 and np.array_equal(got, want)
+
+
+def test_adam7_pass_geometry_is_canonical():
+    """Encoder and decoder share _ADAM7, so a wrong table could still
+    round-trip; pin the SPEC's 8x8 pass-number matrix independently."""
+    import numpy as np
+
+    from postgresml_spark.operators.multimodal import _ADAM7
+
+    want = [
+        [1, 6, 4, 6, 2, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [3, 6, 4, 6, 3, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+    ]
+    got = np.zeros((8, 8), dtype=int)
+    for pi, (x0, y0, dx, dy) in enumerate(_ADAM7, start=1):
+        got[y0::dy, x0::dx] = pi
+    assert got.tolist() == want

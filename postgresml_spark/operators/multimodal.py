@@ -1051,6 +1051,262 @@ def jpeg_encode(
     return out
 
 
+def jpeg_encode_progressive(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+    dc_al: int = 1,
+    ac_al: int = 1,
+    split: int = 6,
+) -> bytes:
+    """Encode uint8 (h, w) grayscale or (h, w, 3) RGB as PROGRESSIVE
+    (SOF2) JFIF — the libjpeg-style scan script: interleaved DC first
+    scan at Al=dc_al, per-component spectral-selection AC first scans
+    (1..split-1, split..63) at Al=ac_al, then AC successive-
+    approximation refinement scans down to Al=0 (EOB runs with
+    buffered correction bits, spec G.1.2.3) and DC refinement scans.
+    Same DCT/quant math as jpeg_encode, so progressive and baseline
+    streams of one image decode IDENTICALLY — the decoder's fixture
+    oracle. Huffman tables are rebuilt per scan (DHT before each SOS)."""
+    import struct
+
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"unsupported array shape {a.shape}")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    h, w = a.shape[:2]
+    if not h or not w:
+        raise ValueError("empty image")
+    sub = subsampling == "4:2:0" and not gray
+    hmax = vmax = 2 if sub else 1
+    ph, pw = (-h) % (8 * vmax), (-w) % (8 * hmax)
+    a = np.pad(a, [(0, ph), (0, pw)] + ([(0, 0)] if not gray else []), mode="edge")
+
+    if gray:
+        planes = [a.astype(np.float64) - 128.0]
+        qtabs = [_quality_scale(_JPEG_QL, quality)]
+        comp_q, samp = [0], [(1, 1)]
+    else:
+        rgb = a.astype(np.float64)
+        r_, g_, b_ = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
+        cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+        if sub:
+            cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean((1, 3))
+            cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean((1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        qtabs = [_quality_scale(_JPEG_QL, quality),
+                 _quality_scale(_JPEG_QC, quality)]
+        comp_q = [0, 1, 1]
+
+    mcux = a.shape[1] // (8 * hmax)
+    mcuy = a.shape[0] // (8 * vmax)
+    d8 = _dct_mat(8)
+    geo = []  # per comp: (raster q (n,64) zigzag ints, gw, cbw, cbh, ch, cv)
+    for ci, p in enumerate(planes):
+        blocks = _block_split(p)
+        dct = np.einsum("ij,njk,lk->nil", d8, blocks, d8)
+        q = np.rint(dct / qtabs[comp_q[ci]][None, :, :]).astype(np.int64)
+        q = q.reshape(-1, 64)[:, _ZZ]
+        ch, cv = samp[ci]
+        cw = -(-(w * ch) // hmax)
+        chh = -(-(h * cv) // vmax)
+        geo.append((q, mcux * ch, -(-cw // 8), -(-chh // 8), ch, cv))
+
+    ncomp = len(planes)
+    # scan script
+    scans: list[tuple[list[int], int, int, int, int]] = []
+    scans.append((list(range(ncomp)), 0, 0, 0, dc_al))
+    for ci in range(ncomp):
+        scans.append(([ci], 1, split - 1, 0, ac_al))
+        scans.append(([ci], split, 63, 0, ac_al))
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(ncomp):
+            scans.append(([ci], 1, 63, al + 1, al))
+    for al in range(dc_al - 1, -1, -1):
+        scans.append((list(range(ncomp)), 0, 0, al + 1, al))
+
+    def encode_scan(cis, ss, se, ah, al):
+        """→ (ops, dc_syms, ac_syms). ops: ('s', sym, field, len) huff
+        symbol + appended field bits / ('b', bit) raw bit / ('r', idx)
+        restart marker."""
+        ops: list = []
+        dc_syms: set[int] = set()
+        ac_syms: set[int] = set()
+        state = {"eobrun": 0, "be": []}
+
+        def emit_sym(sym, field=0, nlen=0):
+            ac_syms.add(sym)
+            ops.append(("s", sym, field, nlen))
+
+        def flush_eobrun():
+            if state["eobrun"]:
+                nb = state["eobrun"].bit_length() - 1
+                emit_sym(nb << 4, state["eobrun"] - (1 << nb), nb)
+                for b in state["be"]:
+                    ops.append(("b", b))
+                state["be"] = []
+                state["eobrun"] = 0
+
+        if ss == 0:  # DC scan
+            if len(cis) > 1:
+                units = []
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        mu = []
+                        for ci in cis:
+                            q, gw, _, _, ch, cv = geo[ci]
+                            for by in range(cv):
+                                for bx in range(ch):
+                                    mu.append((ci, (my * cv + by) * gw
+                                               + (mx * ch + bx)))
+                        units.append(mu)
+            else:
+                ci = cis[0]
+                q, gw, cbw, cbh, _, _ = geo[ci]
+                units = [[(ci, (bi // cbw) * gw + bi % cbw)]
+                         for bi in range(cbh * cbw)]
+            preds = {ci: 0 for ci in cis}
+            rst = 0
+            for ui, mu in enumerate(units):
+                if restart_interval and ui and ui % restart_interval == 0:
+                    ops.append(("r", rst % 8))
+                    rst += 1
+                    preds = {ci: 0 for ci in cis}
+                for ci, row in mu:
+                    v = int(geo[ci][0][row, 0])
+                    if ah == 0:
+                        diff = (v >> al) - preds[ci]
+                        preds[ci] = v >> al
+                        s = _mag_cat(diff)
+                        dc_syms.add(s)
+                        field = diff if diff > 0 else diff + (1 << s) - 1
+                        ops.append(("s", s, field, s))
+                    else:
+                        ops.append(("b", (v >> al) & 1))
+            return ops, dc_syms, ac_syms
+
+        # AC scan: one component
+        ci = cis[0]
+        q, gw, cbw, cbh, _, _ = geo[ci]
+        rst = 0
+        for bi in range(cbh * cbw):
+            if restart_interval and bi and bi % restart_interval == 0:
+                flush_eobrun()
+                ops.append(("r", rst % 8))
+                rst += 1
+            row = (bi // cbw) * gw + bi % cbw
+            band = [int(q[row, k]) for k in range(ss, se + 1)]
+            if ah == 0:  # first scan: values divided by 2^al toward zero
+                r = 0
+                for v in band:
+                    t = (abs(v) >> al) * (1 if v > 0 else -1)
+                    if t == 0:
+                        r += 1
+                        continue
+                    flush_eobrun()
+                    while r > 15:
+                        emit_sym(0xF0)
+                        r -= 16
+                    s = _mag_cat(t)
+                    emit_sym((r << 4) | s,
+                             t if t > 0 else t + (1 << s) - 1, s)
+                    r = 0
+                if r:
+                    state["eobrun"] += 1
+                    if state["eobrun"] == 0x7FFF:
+                        flush_eobrun()
+            else:  # refinement (libjpeg encode_mcu_AC_refine)
+                absv = [abs(v) >> al for v in band]
+                eob = 0
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob = i + 1  # 1-based position AFTER which only
+                        # corrections/zeros remain
+                r = 0
+                br_bits: list[int] = []
+                for i, t in enumerate(absv):
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i < eob:
+                        flush_eobrun()
+                        emit_sym(0xF0)
+                        r -= 16
+                        for b in br_bits:
+                            ops.append(("b", b))
+                        br_bits = []
+                    if t > 1:
+                        br_bits.append(t & 1)
+                        continue
+                    flush_eobrun()
+                    emit_sym((r << 4) | 1, 1 if band[i] > 0 else 0, 1)
+                    for b in br_bits:
+                        ops.append(("b", b))
+                    br_bits = []
+                    r = 0
+                if r or br_bits:
+                    state["eobrun"] += 1
+                    state["be"].extend(br_bits)
+                    if state["eobrun"] == 0x7FFF:
+                        flush_eobrun()
+        flush_eobrun()
+        return ops, dc_syms, ac_syms
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, qt in enumerate(qtabs):
+        out += seg(0xFFDB, bytes([ti]) + bytes(qt.reshape(64)[_ZZ].tolist()))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], comp_q[ci]])
+    out += seg(0xFFC2, sof)
+
+    for cis, ss, se, ah, al in scans:
+        ops, dc_syms, ac_syms = encode_scan(cis, ss, se, ah, al)
+        dc_code = ac_code = None
+        if dc_syms:
+            bits, vals = _fixed_table(dc_syms)
+            out += seg(0xFFC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+            dc_code = _canonical_codes(bits, vals)
+        if ac_syms:
+            bits, vals = _fixed_table(ac_syms)
+            out += seg(0xFFC4, bytes([0x10]) + bytes(bits) + bytes(vals))
+            ac_code = _canonical_codes(bits, vals)
+        sos = bytes([len(cis)])
+        for ci in cis:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, sos)
+        bw = _BitWriter()
+        table = dc_code if ss == 0 else ac_code
+        for op in ops:
+            if op[0] == "s":
+                _, sym, field, nlen = op
+                c, L = table[sym]
+                bw.write(c, L)
+                if nlen:
+                    bw.write(field & ((1 << nlen) - 1), nlen)
+            elif op[0] == "b":
+                bw.write(op[1], 1)
+            else:
+                bw.restart(op[1])
+        out += bw.flush()
+    return out + b"\xff\xd9"
+
+
 class _BitReader:
     """Entropy-segment bit reader: unstuffs FF00, stops at markers."""
 
@@ -1119,8 +1375,14 @@ def _extend(v: int, s: int) -> int:
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode a baseline sequential JFIF/EXIF JPEG to uint8 (h, w)
-    grayscale or (h, w, 3) RGB. See module banner for scope."""
+    """Decode a baseline-sequential (SOF0/1) or PROGRESSIVE (SOF2)
+    JFIF/EXIF JPEG to uint8 (h, w) grayscale or (h, w, 3) RGB.
+    Progressive support (r3 VERDICT #5) is the full spec G.2 decode:
+    spectral selection bands, successive approximation (DC and AC
+    first + refinement scans, EOB runs with interleaved correction
+    bits), interleaved or single-component DC scans, restart markers
+    in every scan kind; coefficients accumulate across scans and one
+    dequantize+IDCT runs at EOI."""
     import struct
 
     if len(data) < 4 or data[:2] != b"\xff\xd8":
@@ -1130,6 +1392,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     comps = None
     h = w = 0
     restart_interval = 0
+    progressive = False
+    prog_state: dict | None = None
     pos = 2
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -1165,7 +1429,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                     code <<= 1
                 htabs[(tc, th)] = tbl
                 off += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"unsupported precision {prec} (8 only)")
@@ -1173,11 +1438,12 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG type (marker 0xFF{marker:02X}): only "
-                "baseline sequential Huffman (SOF0/SOF1) is implemented"
+                "baseline sequential (SOF0/1) and progressive (SOF2) "
+                "Huffman are implemented"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -1188,11 +1454,25 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
                 sel[cs] = (tt >> 4, tt & 0x0F)
             scan_pos = pos + 2 + seglen
-            return _jpeg_scan(
-                data, scan_pos, h, w, comps, sel, qtabs, htabs,
-                restart_interval,
+            if not progressive:
+                return _jpeg_scan(
+                    data, scan_pos, h, w, comps, sel, qtabs, htabs,
+                    restart_interval,
+                )
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            if prog_state is None:
+                prog_state = _jpeg_prog_init(comps, h, w)
+            scomps = [c for c in comps if c["id"] in sel]
+            for c in scomps:
+                c["dc"], c["ac"] = sel[c["id"]]
+            pos = _jpeg_progressive_scan(
+                data, scan_pos, prog_state, scomps, ss, se,
+                ahal >> 4, ahal & 0x0F, htabs, restart_interval,
             )
+            continue
         pos += 2 + seglen
+    if progressive and prog_state is not None:
+        return _jpeg_prog_reconstruct(prog_state, comps, qtabs, h, w)
     raise ValueError("JPEG has no SOS scan")
 
 
@@ -1252,6 +1532,13 @@ def _jpeg_scan(data, pos, h, w, comps, sel, qtabs, htabs, restart_interval):
             raise ValueError("restart marker inside MCU (corrupt scan)")
         mi += 1
 
+    return _jpeg_reconstruct(comps, h, w, hmax, vmax)
+
+
+def _jpeg_reconstruct(comps, h, w, hmax, vmax) -> np.ndarray:
+    """Dequantized (n, 8, 8) coefficient planes → pixels: IDCT, level
+    shift, chroma replicate-upsample, YCbCr→RGB. Shared by the
+    baseline and progressive paths."""
     d8 = _dct_mat(8)
     planes = []
     for c in comps:
@@ -1277,6 +1564,180 @@ def _jpeg_scan(data, pos, h, w, comps, sel, qtabs, htabs, restart_interval):
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.stack([r, g, b], axis=2).round(), 0, 255).astype(np.uint8)
+
+
+def _jpeg_prog_init(comps, h, w) -> dict:
+    """Per-component zigzag coefficient storage for progressive decode.
+    Interleaved (DC) scans walk the MCU-padded grid; non-interleaved
+    scans walk ceil(sampled/8) blocks (spec A.2.2 — SMALLER than the
+    padded grid when the image isn't an MCU multiple), mapped into the
+    padded storage rows so both scan kinds hit the same cells."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2 or any(not c["h"] or not c["v"] for c in comps):
+        raise ValueError("unsupported sampling factors (max 2x2)")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["zz"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        cw = -(-(w * c["h"]) // hmax)
+        ch_ = -(-(h * c["v"]) // vmax)
+        c["cbw"] = -(-cw // 8)
+        c["cbh"] = -(-ch_ // 8)
+    return {"hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy}
+
+
+def _jpeg_scan_end(data: bytes, pos: int) -> int:
+    """Skip entropy bytes / stuffing / trailing RSTn up to the next
+    true marker after a completed scan."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return pos
+
+
+def _jpeg_progressive_scan(
+    data, pos, state, scomps, ss, se, ah, al, htabs, restart_interval
+) -> int:
+    """One progressive scan (spec G.2): updates each component's
+    zigzag coefficients in place, returns the stream position of the
+    next marker. DC scans (ss==0) may be interleaved; AC scans are
+    single-component over its own block raster. Restart markers reset
+    DC predictors and the EOB run."""
+    br = _BitReader(data, pos)
+    mcux, mcuy = state["mcux"], state["mcuy"]
+
+    if ss == 0:  # DC scan (first or refinement)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        if len(scomps) > 1:
+            units = []  # (comp, storage row) per MCU, spec interleave order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    mu = []
+                    for c in scomps:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                mu.append((
+                                    c,
+                                    (my * c["v"] + by) * c["bw"]
+                                    + (mx * c["h"] + bx),
+                                ))
+                    units.append(mu)
+        else:
+            c = scomps[0]
+            units = [
+                [(c, (bi // c["cbw"]) * c["bw"] + bi % c["cbw"])]
+                for bi in range(c["cbh"] * c["cbw"])
+            ]
+        for c in scomps:
+            c["pred"] = 0
+        for ui, mu in enumerate(units):
+            if restart_interval and ui and ui % restart_interval == 0:
+                br.align_restart()
+                for c in scomps:
+                    c["pred"] = 0
+            for c, row in mu:
+                if ah == 0:
+                    s = _huff_decode(br, htabs[(0, c["dc"])])
+                    diff = _extend(br.bits(s), s) if s else 0
+                    c["pred"] += diff
+                    c["zz"][row, 0] = c["pred"] << al
+                else:  # refinement: one bit, OR into two's complement
+                    if br.bit():
+                        c["zz"][row, 0] = int(c["zz"][row, 0]) | (1 << al)
+        return _jpeg_scan_end(data, br.pos)
+
+    # AC scan: exactly one component
+    if len(scomps) != 1:
+        raise ValueError("interleaved AC scan is illegal in progressive JPEG")
+    c = scomps[0]
+    tbl = htabs[(1, c["ac"])]
+    zz = c["zz"]
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    nblocks = c["cbh"] * c["cbw"]
+    for bi in range(nblocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            br.align_restart()
+            eobrun = 0
+        row = (bi // c["cbw"]) * c["bw"] + bi % c["cbw"]
+        if ah == 0:  # first scan of this band/precision
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = _huff_decode(br, tbl)
+                r, s = sym >> 4, sym & 0x0F
+                if s:
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    zz[row, k] = _extend(br.bits(s), s) << al
+                    k += 1
+                else:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    k += 16  # ZRL
+        else:  # refinement scan (spec G.2 / libjpeg decode_mcu_AC_refine)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = _huff_decode(br, tbl)
+                    r, s = sym >> 4, sym & 0x0F
+                    val = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError("bad size in AC refinement")
+                        val = p1 if br.bit() else m1
+                    else:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        # r == 15: skip 16 zero-history positions
+                    while k <= se:
+                        z = int(zz[row, k])
+                        if z:
+                            # correction bit for already-significant coef
+                            if br.bit() and not (z & p1):
+                                zz[row, k] = z + (p1 if z >= 0 else m1)
+                        else:
+                            if r == 0:
+                                if val:
+                                    zz[row, k] = val
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+            if eobrun > 0:
+                # blocks inside an EOB run still carry correction bits
+                while k <= se:
+                    z = int(zz[row, k])
+                    if z and br.bit() and not (z & p1):
+                        zz[row, k] = z + (p1 if z >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return _jpeg_scan_end(data, br.pos)
+
+
+def _jpeg_prog_reconstruct(state, comps, qtabs, h, w) -> np.ndarray:
+    for c in comps:
+        n = c["zz"].shape[0]
+        full = np.zeros((n, 64), dtype=np.float64)
+        full[:, _ZZ] = c["zz"]
+        c["coef"] = full.reshape(n, 8, 8) * qtabs[c["tq"]][None, :, :]
+    return _jpeg_reconstruct(comps, h, w, state["hmax"], state["vmax"])
 
 
 def jpeg_decoder(data: bytes, meta: dict) -> np.ndarray:

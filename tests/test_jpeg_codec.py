@@ -72,10 +72,11 @@ def test_quality_monotone():
 def test_unsupported_features_error_clearly():
     with pytest.raises(ValueError, match="SOI"):
         jpeg_decode(b"not a jpeg")
-    # flip SOF0 to SOF2 (progressive) in a real stream
+    # flip SOF0 to SOF3 (lossless) in a real stream — progressive
+    # (SOF2) is supported now, lossless/arithmetic still are not
     data = bytearray(jpeg_encode(_test_image(16, 16), 90))
     idx = bytes(data).index(b"\xff\xc0")
-    data[idx + 1] = 0xC2
+    data[idx + 1] = 0xC3
     with pytest.raises(ValueError, match="baseline"):
         jpeg_decode(bytes(data))
     with pytest.raises(ValueError, match="subsampling"):
@@ -193,3 +194,74 @@ def test_mjpeg_split_embedded_thumbnail(spark):
     for p, seed in zip(parts, (0, 1)):
         dec = jpeg_decoder(p, {})
         assert dec.shape == _test_image(seed=seed).shape[:2]
+
+
+def test_progressive_equals_baseline_decode():
+    """SOF2 support (r3 VERDICT #5): a progressive stream of an image
+    must decode IDENTICALLY to the baseline stream — same DCT/quant
+    math feeds both encoders, so the multi-scan coefficient assembly
+    (spectral selection + successive approximation) is pinned exactly."""
+    import numpy as np
+
+    from postgresml_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(4)
+    cases = [
+        ((16, 16), "4:4:4", 0, 1, 1),     # gray
+        ((24, 17, 3), "4:4:4", 0, 1, 1),  # non-MCU-multiple edges
+        ((24, 17, 3), "4:2:0", 0, 1, 1),  # subsampled: Y raster grid
+        ((40, 33, 3), "4:2:0", 2, 1, 2),  # restarts in every scan kind
+        ((8, 8), "4:4:4", 0, 0, 0),       # spectral selection only
+        ((15, 9, 3), "4:2:0", 1, 2, 2),   # two refinement levels
+    ]
+    for shape, sub, ri, dc_al, ac_al in cases:
+        h, w = shape[:2]
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.clip(
+            (xx * 3 + yy * 5) % 256 + rng.integers(-30, 30, (h, w)), 0, 255
+        ).astype(np.uint8)
+        if len(shape) == 3:
+            img = np.stack([img, np.roll(img, 3, 0), 255 - img], axis=2)
+        b = jpeg_decode(jpeg_encode(img, 85, sub, ri))
+        p = jpeg_decode(
+            jpeg_encode_progressive(img, 85, sub, ri, dc_al, ac_al)
+        )
+        assert np.array_equal(b, p), (shape, sub, ri, dc_al, ac_al)
+
+
+def test_progressive_eob_runs_with_correction_bits():
+    """A nearly-flat image makes most AC bands empty → multi-block EOB
+    runs; the sparse nonzero coefficients then exercise the refinement
+    path's buffered correction bits riding on EOBn symbols (G.1.2.3)."""
+    import numpy as np
+
+    from postgresml_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    img = np.full((64, 64), 128, dtype=np.uint8)
+    img[10, 10] = 255  # one sharp impulse; everything else flat
+    img[40:44, 20:24] = 90
+    b = jpeg_decode(jpeg_encode(img, 85))
+    p = jpeg_decode(jpeg_encode_progressive(img, 85, dc_al=1, ac_al=2))
+    assert np.array_equal(b, p)
+
+
+def test_progressive_through_decoder_adapter(spark):
+    """jpeg_decoder (the pipeline adapter) accepts progressive assets
+    — real scraped corpora mix SOF0 and SOF2 files in one column."""
+    import numpy as np
+
+    from postgresml_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    base = MM.jpeg_decoder(MM.jpeg_encode(img, 90), {})
+    prog = MM.jpeg_decoder(MM.jpeg_encode_progressive(img, 90), {})
+    assert np.array_equal(base, prog)

@@ -296,19 +296,28 @@ def merge_into(
     """
     if when_matched not in ("replace", "ignore"):
         raise ValueError(f"when_matched must be replace|ignore, got {when_matched!r}")
-    src = source.dropDuplicates([key])
-    touched = [
-        int(r["__bucket"])
-        for r in table._bucketed(src).select("__bucket").distinct().collect()
-    ]
-    cur = table.read_buckets(touched)
-    if when_matched == "replace":
-        kept_cur = cur.join(src.select(key), key, "left_anti")
-        merged = kept_cur.unionByName(src)
-    else:
-        new_src = src.join(cur.select(key), key, "left_anti")
-        merged = cur.unionByName(new_src)
-    table.partial_overwrite(merged, touched, keep_versions=keep_versions)
+    # Persist the (deduped, bucketed) source ONCE: the touched-bucket
+    # listing is an action, and without the persist the entire source
+    # lineage (often a scan+aggregate) re-executes inside the merge
+    # write — measured 2x the refresh cost on q99's rollup source.
+    # O(batch) executor memory/disk, never O(table).
+    srcb = table._bucketed(source.dropDuplicates([key])).persist()
+    try:
+        touched = [
+            int(r["__bucket"])
+            for r in srcb.select("__bucket").distinct().collect()
+        ]
+        src = srcb.drop("__bucket")
+        cur = table.read_buckets(touched)
+        if when_matched == "replace":
+            kept_cur = cur.join(src.select(key), key, "left_anti")
+            merged = kept_cur.unionByName(src)
+        else:
+            new_src = src.join(cur.select(key), key, "left_anti")
+            merged = cur.unionByName(new_src)
+        table.partial_overwrite(merged, touched, keep_versions=keep_versions)
+    finally:
+        srcb.unpersist()
     return sorted(touched)
 
 

@@ -581,6 +581,31 @@ def rag(collection, pipeline, query: dict, method: str = "auto") -> dict:
     return out
 
 
+def rag_stream(
+    collection, pipeline, query: dict, method: str = "auto", lm=None
+):
+    """Streaming RAG (the reference's `stream: true` rag —
+    rag_query_builder.rs:358-373 returns a server-side cursor the SDK
+    iterates): retrieval + prompt assembly run eagerly via `rag`
+    (index-routed, sub-5 ms warm for unfiltered context variables),
+    then completion tokens are yielded ONE BY ONE through
+    transform_stream's incremental decode seam — the first token is
+    available before the rest of the generation exists.
+
+    Yields dicts; the FIRST item is {"sources": ..., "prompt": ...}
+    (the SDK surfaces sources alongside the stream), each subsequent
+    item is a transform_stream token record.
+    """
+    from postgresml_spark.streaming.streams import transform_stream
+
+    assembled = rag(collection, pipeline, query, method=method)
+    yield {"sources": assembled["sources"], "prompt": assembled["prompt"]}
+    max_tokens = query.get("completion", {}).get("max_tokens", 32)
+    yield from transform_stream(
+        assembled["prompt"], max_tokens=max_tokens, lm=lm
+    )
+
+
 def rrf_fuse(
     results: list,
     id_col: str = "doc_id",

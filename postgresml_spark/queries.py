@@ -8468,3 +8468,103 @@ def q180_trigram_index_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+@query(
+    "q181_rag_stream_stack",
+    oracle=f"""
+    WITH RECURSIVE q AS (SELECT {_QRY_EMB_SQL} AS qv),
+    scored AS (
+      SELECT doc_id, text,
+             round(COALESCE(list_sum(list_transform(generate_series(1, {_EMB_DIM}),
+               i -> ({_DOC_EMB_SQL})[i] * q.qv[i])), 0.0), 6) AS s
+      FROM documents, q
+      WHERE text IS NOT NULL
+    ),
+    top3 AS (SELECT doc_id, text, s FROM scored ORDER BY s DESC, doc_id LIMIT 3),
+    ctx AS (SELECT string_agg(text, chr(10) ORDER BY s DESC, doc_id) AS c FROM top3),
+    prompt AS (
+      SELECT 'Answer using the context:' || chr(10) || c || chr(10)
+             || 'Q: {_Q_TEXT}' AS p
+      FROM ctx
+    ),
+    words AS (
+      SELECT list_filter(string_split_regex(p, '\\s+'), x -> x <> '') AS wl
+      FROM prompt
+    ),
+    vocab AS (SELECT list_sort(list_distinct(wl)) AS v FROM words),
+    ctx0 AS (SELECT list_slice(wl, greatest(len(wl) - 3, 1), len(wl)) AS c0 FROM words),
+    gen AS (
+      SELECT 0 AS i, c0 AS ctx, CAST(NULL AS VARCHAR) AS tok FROM ctx0
+      UNION ALL
+      SELECT i + 1,
+             list_slice(list_append(ctx, nt), greatest(len(ctx) - 2, 1), len(ctx) + 1),
+             nt
+      FROM (
+        SELECT i, ctx,
+               v[1 + CAST((CAST(('0x' || substr(md5('0|' || array_to_string(ctx, ' ')), 1, 15)) AS BIGINT) % len(v)) AS INT)] AS nt
+        FROM gen, vocab
+        WHERE i < 12
+      )
+    )
+    SELECT CAST(-1 AS BIGINT) AS idx, p AS content FROM prompt
+    UNION ALL
+    SELECT CAST(i - 1 AS BIGINT), tok FROM gen WHERE i >= 1
+    """,
+)
+def q181_rag_stream_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full STREAMING RAG lifecycle under the oracle gate:
+    Collection upsert → Pipeline sync → rag_stream on the DEFAULT
+    (method='auto' → resident-index) entry point — context retrieval,
+    deterministic top-3 assembly (`aggregate.top`: 6-dp-rounded score,
+    document_id tie-break, over-fetched at limit=64 so raw-float ties
+    at the boundary can't diverge), prompt templating, then
+    TOKEN-BY-TOKEN completion through the autoregressive HashLM twin
+    (functions/llm.py): token i = vocab[md5(seed | last-4 tokens) % V],
+    decoded only when the consumer pulls it. The DuckDB oracle rebuilds
+    the prompt relationally AND replays the decode as a recursive CTE —
+    the hash-match proves retrieval ranking, context assembly, template
+    substitution, and all 12 streamed tokens, end to end. Row idx=-1
+    carries the assembled prompt; rows 0..11 the streamed tokens.
+
+    Reference: one-statement RAG with stream:true returning a
+    server-side cursor (rag_query_builder.rs:162-373, api.rs:753-824)."""
+    import tempfile
+
+    from postgresml_spark.collections import Collection, Pipeline
+    from postgresml_spark.collections.search import rag_stream
+    from postgresml_spark.functions.llm import HashLM
+
+    d = _t(spark, sf_dir, "documents")
+    docs_df = d.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    coll = Collection(
+        "q181", spark, warehouse=tempfile.mkdtemp(prefix="pgml_q181_")
+    )
+    pipe = Pipeline(
+        "p", {"text": {"semantic_search": {"model": f"hash:{_EMB_DIM}"}}}
+    )
+    coll.upsert_documents_df(docs_df)
+    coll.add_pipeline(pipe)
+    gen = rag_stream(
+        coll,
+        pipe,
+        {
+            "CONTEXT": {
+                "vector_search": {
+                    "query": {"fields": {"text": {"query": _Q_TEXT}}},
+                    "limit": 64,
+                },
+                "aggregate": {"join": "\n", "top": 3},
+            },
+            "completion": {
+                "prompt": "Answer using the context:\n{CONTEXT}\nQ: " + _Q_TEXT,
+                "max_tokens": 12,
+            },
+        },
+        lm=HashLM(),
+    )
+    head = next(gen)
+    rows = [(-1, head["prompt"])] + [(t["index"], t["token"]) for t in gen]
+    return spark.createDataFrame(rows, "idx long, content string")

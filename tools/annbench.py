@@ -126,11 +126,15 @@ def main() -> int:
             if len(sys.argv) > 8
             else [80]
         )
+        kp = bool(int(sys.argv[9])) if len(sys.argv) > 9 else False
         t0 = time.perf_counter()
-        hnsw = ResidentHNSW((exact.ids, exact.mat), m=hm, ef_construction=hefc)
+        hnsw = ResidentHNSW(
+            (exact.ids, exact.mat), m=hm, ef_construction=hefc, keep_pruned=kp
+        )
         out["build_hnsw_s"] = round(time.perf_counter() - t0, 2)
         out["hnsw_m"] = hm
         out["hnsw_ef_construction"] = hefc
+        out["hnsw_keep_pruned"] = kp
         # one build, an ef sweep per search: recall/latency trade-off
         # on the same graph (ef is pgvector's hnsw.ef_search knob)
         sweep = {}

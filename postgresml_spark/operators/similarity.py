@@ -68,6 +68,35 @@ def knn_exact(
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def range_search(
+    df: DataFrame,
+    query_vec: list[float],
+    min_score: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distance-threshold (radius) vector scan — pgvector's range query
+    `WHERE embedding <=> q < r` (equivalently cosine >= 1 - r), the
+    set-shaped companion to top-k: every row whose cosine similarity
+    to the query clears the threshold, no LIMIT.
+
+    The threshold compares the 6-dp ROUNDED score (the repo's
+    round-before-boundary idiom) so an oracle ranking on rounded
+    values can't disagree at the radius edge.
+
+    Scale shape: one codegen projection + filter, no shuffle, no
+    global sort — at 100 TB this is a pure scan whose selectivity the
+    threshold controls; unlike top-k it needs no TakeOrdered driver
+    merge, so the result can feed a join/agg without collecting."""
+    scored = df.select(
+        F.col(id_col).alias(id_col),
+        F.round(
+            cosine_similarity_lit(vec_col, [float(x) for x in query_vec]), 6
+        ).alias("score"),
+    )
+    return scored.filter(F.col("score") >= float(min_score))
+
+
 def fit_ivf_centroids(
     df: DataFrame,
     vec_col: str = "embedding",

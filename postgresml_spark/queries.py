@@ -8568,3 +8568,32 @@ def q181_rag_stream_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = next(gen)
     rows = [(-1, head["prompt"])] + [(t["index"], t["token"]) for t in gen]
     return spark.createDataFrame(rows, "idx long, content string")
+
+
+@query(
+    "q182_vector_range_search",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round({_DOT.format(a='e.embedding', b='q.qv')}
+                 / ({_NORM2.format(a='e.embedding')} * {_NORM2.format(a='q.qv')}), 6) AS score
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+      AND round({_DOT.format(a='e.embedding', b='q.qv')}
+                / ({_NORM2.format(a='e.embedding')} * {_NORM2.format(a='q.qv')}), 6) >= 0.2
+    """,
+)
+def q182_vector_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-threshold vector scan — pgvector's range query
+    (`WHERE embedding <=> q < r`, the raw-SQL escape-hatch companion
+    to the SDK's top-k): every vector whose cosine similarity to the
+    probe clears 0.2, unbounded by any LIMIT. Unlike q13's TakeOrdered
+    top-k this is a pure codegen projection + filter with no global
+    sort, so at scale it composes into joins/aggs without a driver
+    merge. The threshold compares 6-dp rounded scores on both sides
+    (round-before-boundary idiom) so the radius edge can't flake."""
+    from postgresml_spark.operators.similarity import range_search
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    return range_search(e.filter(F.col("vec_id") != 0), qv, min_score=0.2)

@@ -647,21 +647,30 @@ class ResidentANN:
         nlist: int = 0,
         nprobe: int = 4,
         seed: int = 42,
+        stream_fetch: bool = False,
     ):
         if isinstance(df, tuple):  # prebuilt (ids, matrix) — e.g. the
             self.ids, mat = df     # serving tier's already-resident shard
             mat = np.asarray(mat, dtype=np.float32)
         else:
             sel = df.select(id_col, vec_col)
-            try:
-                pdf = sel.toPandas()
-                self.ids = pdf[id_col].to_numpy()
-                mat = np.asarray(
-                    [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]]
-                )
-            except Exception as e:  # maxResultSize: stream partitions
-                if "maxResultSize" not in str(e):
-                    raise
+            # stream_fetch: go STRAIGHT to partition streaming. At
+            # 5M x 1024 the one-shot Arrow collect materializes ~40 GB
+            # of float64 batches inside the JVM before maxResultSize
+            # can even trip (task-side heap OOM, measured); callers
+            # that know the corpus is driver-RAM-order pass this hint.
+            if not stream_fetch:
+                try:
+                    pdf = sel.toPandas()
+                    self.ids = pdf[id_col].to_numpy()
+                    mat = np.asarray(
+                        [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]]
+                    )
+                except Exception as e:  # maxResultSize: stream partitions
+                    if "maxResultSize" not in str(e):
+                        raise
+                    stream_fetch = True
+            if stream_fetch:
                 ids_parts, mat_parts = [], []
                 for row in sel.toLocalIterator(prefetchPartitions=True):
                     ids_parts.append(row[0])

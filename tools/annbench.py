@@ -65,8 +65,22 @@ def main() -> int:
     )
     synth_s = time.perf_counter() - t0
 
+    big = n * dim * 8 > 6_000_000_000
+    if big:
+        # materialize the synthetic corpus with FULL task parallelism
+        # before the partition-streaming fetch — toLocalIterator
+        # computes partitions near-sequentially, so streaming straight
+        # off the sin/randn expressions would serialize the synthesis
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.DISK_ONLY)
+        df.count()
+        synth_s = time.perf_counter() - t0
+
     t0 = time.perf_counter()
-    exact = ResidentANN(df)
+    # stream-fetch hint for corpora whose Arrow collect would exceed
+    # driver-heap order (see ResidentANN.__init__)
+    exact = ResidentANN(df, stream_fetch=big)
     build_exact_s = time.perf_counter() - t0
 
     rng = np.random.default_rng(7)
@@ -86,7 +100,9 @@ def main() -> int:
     truth = [set(i for i, _ in exact.search(q, k=10)) for q in queries]
 
     t0 = time.perf_counter()
-    probed = ResidentANN(df, nlist=nlist, nprobe=nprobe)
+    # reuse the resident matrix — the IVF build's input is the same
+    # corpus; re-pulling it through Spark would double the fetch cost
+    probed = ResidentANN((exact.ids, exact.mat), nlist=nlist, nprobe=nprobe)
     build_probed_s = time.perf_counter() - t0
     probed_ms = median_ms(probed)
     rec = np.mean(

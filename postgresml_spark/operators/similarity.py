@@ -721,17 +721,32 @@ class ResidentANN:
         if qn:
             q = q / qn
         if self.centroids is None:
-            mat, ids = self.mat, self.ids
+            ids = self.ids
+            scores = self.mat @ q
         else:
-            probe = np.argsort(-(self.centroids @ q))[: self.nprobe]
-            slices = [
-                np.arange(self.offsets[c], self.offsets[c + 1]) for c in probe
-            ]
-            idx = np.concatenate(slices) if slices else np.arange(0)
-            mat, ids = self.mat[idx], self.ids[idx]
+            probe = np.sort(np.argsort(-(self.centroids @ q))[: self.nprobe])
+            # Rows are clustered by centroid, so each probed cell is a
+            # CONTIGUOUS slice: merge adjacent cells into maximal runs
+            # and matmul each run as a VIEW. The old fancy-index gather
+            # copied nprobe/nlist of the corpus per query (~640 MB at
+            # 5M x 1024, nprobe=64/2048 — measured 503 ms median, i.e.
+            # slower than the exact full matvec); view-sliced BLAS only
+            # touches score/id arrays, never re-materializes vectors.
+            runs: list[list[int]] = []
+            for c in probe:
+                lo, hi = int(self.offsets[c]), int(self.offsets[c + 1])
+                if lo == hi:
+                    continue
+                if runs and runs[-1][1] == lo:
+                    runs[-1][1] = hi
+                else:
+                    runs.append([lo, hi])
+            if not runs:
+                return []
+            scores = np.concatenate([self.mat[lo:hi] @ q for lo, hi in runs])
+            ids = np.concatenate([self.ids[lo:hi] for lo, hi in runs])
         if len(ids) == 0:
             return []
-        scores = mat @ q
         kk = min(k, len(scores))
         top = np.argpartition(-scores, kk - 1)[:kk]
         top = top[np.argsort(-scores[top], kind="stable")]
@@ -749,6 +764,45 @@ class ResidentANN:
             ]
         )
         return spark.createDataFrame(rows, schema)
+
+    def save(self, path: str) -> None:
+        """Persist the resident index to a parquet directory (Arrow,
+        no Spark needed) — the durability half of the reference's
+        index story: a pgvector ivfflat index lives in Postgres pages
+        and survives restarts, so the serving tier needs the same
+        build-once/reload-forever contract. Spark builds the index
+        distributed; any serving host `ResidentANN.load()`s it without
+        re-fitting centroids or re-assigning rows."""
+        _save_resident(
+            path,
+            kind="ivf" if self.centroids is not None else "exact",
+            ids=self.ids,
+            mat=self.mat,
+            meta={"nprobe": self.nprobe},
+            extra=(
+                {}
+                if self.centroids is None
+                else {
+                    "centroids": self.centroids,
+                    "assign": self.assign,
+                    "offsets": self.offsets,
+                }
+            ),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "ResidentANN":
+        """Reload a `save()`d index: O(bytes) columnar read, zero
+        refit/reassign — rows come back already centroid-clustered."""
+        meta, arrays = _load_resident(path, expect=("exact", "ivf"))
+        idx = cls.__new__(cls)
+        idx.ids, idx.mat = arrays["ids"], arrays["mat"]
+        idx.nprobe = int(meta["nprobe"])
+        idx.centroids = arrays.get("centroids")
+        idx.assign = arrays.get("assign")
+        if "offsets" in arrays:
+            idx.offsets = arrays["offsets"]
+        return idx
 
 
 class ResidentHNSW:
@@ -1113,6 +1167,124 @@ class ResidentHNSW:
                 self.max_level += 1
                 self.upper.append({self.entry: []})
             self._apply(node, self._plan(self.mat[node], lvl))
+
+
+    def save(self, path: str) -> None:
+        """Persist the graph to a parquet directory (Arrow, no Spark
+        needed on the serving host). pgvector's HNSW is durable — it
+        lives in Postgres pages, so a restart never pays the O(n·ef_c)
+        construction again (the reference's 68-minute-build ivfflat
+        lesson applies doubly to HNSW). Same contract here: Spark
+        builds the graph once (fork-parallel), `save()` writes ~
+        (d·4 + 2M·4) B/node columnar, any serving process `load()`s it
+        back in O(bytes) and serves/`add()`s as if it had built it."""
+        up_level, up_node, up_off, up_flat = [], [], [0], []
+        for lvl in range(1, self.max_level + 1):
+            for node, lst in self.upper[lvl].items():
+                up_level.append(lvl)
+                up_node.append(int(node))
+                up_flat.extend(int(x) for x in lst)
+                up_off.append(len(up_flat))
+        _save_resident(
+            path,
+            kind="hnsw",
+            ids=self.ids,
+            mat=self.mat,
+            meta={
+                "m": self.m,
+                "ef_construction": self.ef_c,
+                "keep_pruned": bool(self.keep_pruned),
+                "entry": int(self.entry),
+                "max_level": int(self.max_level),
+            },
+            extra={
+                "levels": self.levels,
+                "nbr0": self.nbr0,
+                "cnt0": self.cnt0,
+                "up_level": np.asarray(up_level, dtype=np.int32),
+                "up_node": np.asarray(up_node, dtype=np.int64),
+                "up_off": np.asarray(up_off, dtype=np.int64),
+                "up_flat": np.asarray(up_flat, dtype=np.int32),
+            },
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "ResidentHNSW":
+        """Rebuild-free reload of a `save()`d graph: the loaded object
+        is search/`add()`-identical to the builder (adjacency, entry
+        point, level assignment, and pruning caps all round-trip)."""
+        meta, arrays = _load_resident(path, expect=("hnsw",))
+        idx = cls.__new__(cls)
+        idx.ids, idx.mat = arrays["ids"], arrays["mat"]
+        idx.m = int(meta["m"])
+        idx.ef_c = int(meta["ef_construction"])
+        idx.keep_pruned = bool(meta["keep_pruned"])
+        idx._r = 2 * idx.m
+        idx.entry = int(meta["entry"])
+        idx.max_level = int(meta["max_level"])
+        idx.levels = arrays["levels"]
+        idx.nbr0 = arrays["nbr0"]
+        idx.cnt0 = arrays["cnt0"]
+        idx.upper = [None] + [dict() for _ in range(idx.max_level)]
+        up_level, up_node = arrays["up_level"], arrays["up_node"]
+        up_off, up_flat = arrays["up_off"], arrays["up_flat"]
+        for i in range(len(up_level)):
+            idx.upper[int(up_level[i])][int(up_node[i])] = [
+                int(x) for x in up_flat[up_off[i] : up_off[i + 1]]
+            ]
+        idx._seen = np.zeros(len(idx.mat), dtype=np.int64)
+        idx._stamp = 0
+        return idx
+
+
+def _save_resident(path, kind, ids, mat, meta, extra):
+    """Columnar store for a resident index: one parquet file per array
+    (flattened; dtype+shape in meta.json) + the scalar config. Arrow
+    only — serving hosts load without a SparkSession."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    shapes = {}
+    for name, arr in {"ids": ids, "mat": mat, **extra}.items():
+        a = np.ascontiguousarray(arr)
+        if a.dtype.kind in ("O", "U", "S"):  # e.g. string ids
+            col = pa.array([str(x) for x in a.reshape(-1)])
+            shapes[name] = {"dtype": "str", "shape": list(a.shape)}
+        else:
+            col = pa.array(a.reshape(-1))
+            shapes[name] = {"dtype": str(a.dtype), "shape": list(a.shape)}
+        pq.write_table(
+            pa.table({name: col}), os.path.join(path, f"{name}.parquet")
+        )
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"kind": kind, "meta": meta, "arrays": shapes}, f)
+
+
+def _load_resident(path, expect):
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(path, "meta.json")) as f:
+        head = json.load(f)
+    if head["kind"] not in expect:
+        raise ValueError(
+            f"index at {path} is kind={head['kind']!r}, expected {expect}"
+        )
+    arrays = {}
+    for name, spec in head["arrays"].items():
+        col = pq.read_table(os.path.join(path, f"{name}.parquet"))[name]
+        if spec["dtype"] == "str":
+            a = np.asarray(col.to_pylist(), dtype=object)
+        else:
+            a = col.to_numpy(zero_copy_only=False).astype(spec["dtype"])
+        arrays[name] = a.reshape(spec["shape"])
+    return head["meta"], arrays
 
 
 _EMPTY_I32 = np.zeros(0, dtype=np.int32)

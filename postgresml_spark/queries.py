@@ -8597,3 +8597,71 @@ def q182_vector_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
     return range_search(e.filter(F.col("vec_id") != 0), qv, min_score=0.2)
+
+
+@query(
+    "q183_hnsw_persisted_serve",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round({_DOT.format(a='e.embedding', b='q.qv')}
+                 / ({_NORM2.format(a='e.embedding')} * {_NORM2.format(a='q.qv')}), 6) AS score
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def q183_hnsw_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-HNSW round trip: Spark builds the graph, `save()`
+    writes it columnar, a FRESH `load()` serves the query — the
+    durability contract pgvector gets from Postgres pages (reference
+    default index, pipeline.rs:61-94; build-cost context is the
+    68-minute ivfflat baseline that makes rebuild-on-restart a
+    non-option). The oracle is the q15 closure through the persistence
+    layer: the beam runs with ef = n, which visits every reachable
+    node (a coverage check makes partial reachability a hard error,
+    not a silent recall loss), and the graph's candidates are
+    re-scored in float64 like the serving tier, so the persisted
+    serve's top-10 must equal exact brute-force top-10. Production
+    recall/latency at ANN ef is pinned by tests + tools/annbench.py."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from postgresml_spark.operators.similarity import ResidentHNSW
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = np.asarray(
+        [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]],
+        dtype=np.float64,
+    )
+    corpus = e.filter(F.col("vec_id") != 0)
+    built = ResidentHNSW(corpus, m=12, ef_construction=48)
+    path = tempfile.mkdtemp(prefix="q183_hnsw_")
+    try:
+        built.save(path)
+        served = ResidentHNSW.load(path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    n = len(served.mat)
+    got = served.search(qv, k=n, ef=n)
+    if len(got) < n:  # pragma: no cover - connectivity guard
+        raise RuntimeError(
+            f"persisted HNSW graph reached {len(got)}/{n} nodes; "
+            "exhaustive closure violated"
+        )
+    raw = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+        for r in corpus.select("vec_id", "embedding").collect()
+    }
+    qn = qv / np.linalg.norm(qv)
+    scored = sorted(
+        (
+            (vid, round(float(raw[vid] @ qn / np.linalg.norm(raw[vid])), 6))
+            for vid, _ in got
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    return spark.createDataFrame(scored, "vec_id bigint, score double")

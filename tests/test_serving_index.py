@@ -604,3 +604,93 @@ def test_ivfflat_index_kind(spark, sf_dir):
             both.index_config("text")
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+# -- index persistence (build once on Spark, reload on any serving host) -----
+
+
+def test_hnsw_save_load_round_trip(tmp_path):
+    """A load()ed graph is search- and add()-identical to its builder:
+    pgvector's HNSW survives restarts in Postgres pages; the resident
+    tier's durability contract is save() -> load() with zero rebuild
+    (reference build cost context: BASELINE.md's 68-min ivfflat)."""
+    import numpy as np
+
+    from postgresml_spark.operators.similarity import ResidentHNSW
+
+    rng = np.random.default_rng(11)
+    n, dim = 4000, 48
+    mat = rng.normal(0, 1, (n, dim)).astype(np.float32)
+    ids = np.arange(500, 500 + n)
+    built = ResidentHNSW((ids, mat), m=8, ef_construction=48, workers=1)
+    built.save(str(tmp_path / "hnsw"))
+    loaded = ResidentHNSW.load(str(tmp_path / "hnsw"))
+
+    assert np.array_equal(built.nbr0, loaded.nbr0)
+    assert np.array_equal(built.cnt0, loaded.cnt0)
+    assert np.array_equal(built.levels, loaded.levels)
+    assert (built.entry, built.max_level) == (loaded.entry, loaded.max_level)
+    for lvl in range(1, built.max_level + 1):
+        assert built.upper[lvl] == loaded.upper[lvl]
+
+    qs = [mat[i] + rng.normal(0, 0.01, dim) for i in range(25)]
+    for q in qs:
+        assert built.search(q, k=10, ef=80) == loaded.search(q, k=10, ef=80)
+
+    # incremental add() diverges identically from the shared state
+    extra = rng.normal(0, 1, (5, dim)).astype(np.float32)
+    built.add(np.arange(9000, 9005), extra)
+    loaded.add(np.arange(9000, 9005), extra)
+    for q in qs[:5]:
+        assert built.search(q, k=10, ef=80) == loaded.search(q, k=10, ef=80)
+
+
+def test_resident_ann_save_load_round_trip(tmp_path):
+    import numpy as np
+
+    from postgresml_spark.operators.similarity import ResidentANN
+
+    rng = np.random.default_rng(12)
+    mat = rng.normal(0, 1, (3000, 32)).astype(np.float32)
+    ids = np.arange(3000)
+    qs = [mat[i] + rng.normal(0, 0.01, 32) for i in range(10)]
+
+    ivf = ResidentANN((ids, mat), nlist=16, nprobe=4)
+    ivf.save(str(tmp_path / "ivf"))
+    ivf2 = ResidentANN.load(str(tmp_path / "ivf"))
+    for q in qs:
+        assert ivf.search(q, k=10) == ivf2.search(q, k=10)
+
+    exact = ResidentANN((ids, mat))
+    exact.save(str(tmp_path / "exact"))
+    exact2 = ResidentANN.load(str(tmp_path / "exact"))
+    for q in qs:
+        assert exact.search(q, k=10) == exact2.search(q, k=10)
+
+    # kind mismatch is a hard error, not a silent misread
+    import pytest as _pytest
+
+    from postgresml_spark.operators.similarity import ResidentHNSW
+
+    with _pytest.raises(ValueError, match="kind"):
+        ResidentHNSW.load(str(tmp_path / "ivf"))
+
+
+def test_ivf_full_probe_equals_exact_after_load(tmp_path):
+    """nprobe=nlist probing on a loaded index is exhaustive, so it must
+    reproduce exact brute-force top-k bit-for-bit (the q15 closure,
+    through the persistence layer)."""
+    import numpy as np
+
+    from postgresml_spark.operators.similarity import ResidentANN
+
+    rng = np.random.default_rng(13)
+    mat = rng.normal(0, 1, (2000, 24)).astype(np.float32)
+    ids = np.arange(2000)
+    full = ResidentANN((ids, mat), nlist=8, nprobe=8)
+    full.save(str(tmp_path / "full"))
+    loaded = ResidentANN.load(str(tmp_path / "full"))
+    exact = ResidentANN((ids, mat))
+    for i in range(15):
+        q = mat[i] * 2 + rng.normal(0, 0.05, 24)
+        assert loaded.search(q, k=10) == exact.search(q, k=10)

@@ -10,6 +10,12 @@ Set SELFCHECK_JSON=/path.json to also write a machine-readable
 per-query {status, rows, seconds} map (the committed SELFCHECK_r{N}
 artifact — full-catalog correctness evidence beyond the driver's
 50-query gate window, VERDICT r2 #5).
+
+Set SELFCHECK_SKIP="name=reason;name=reason" to skip queries whose
+ORACLE is intractable at the target SF (e.g. an all-pairs DuckDB
+oracle that is quadratic in a 50k-row sf1 table). Skips are recorded
+in the JSON with status "skipped" and the stated reason, so the
+artifact documents exactly what was excluded and why (VERDICT r3 #3).
 """
 
 from __future__ import annotations
@@ -75,11 +81,21 @@ def main() -> int:
             **({"detail": msg} if msg else {}),
         }
 
+    skips: dict[str, str] = {}
+    for part in os.environ.get("SELFCHECK_SKIP", "").split(";"):
+        if "=" in part:
+            k, _, v = part.partition("=")
+            skips[k.strip()] = v.strip()
+
     n_pass = n_fail = 0
     for name, fn in sorted(queries.items()):
         if only and name not in only:
             continue
         t0 = time.time()
+        if name in skips:
+            print(f"SKIP {name}: {skips[name]}")
+            record(name, "skipped", t0, msg=skips[name])
+            continue
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns

@@ -96,12 +96,13 @@ def _tsrank_col(tokens_col, query_terms: list[str], normalization: int = 32):
 
 
 def _served_applicable(spec: dict) -> bool:
-    """The resident-index path serves unfiltered semantic queries; a
-    metadata filter or full_text_filter needs the table-side plan
-    (filtered ANN — the same boundary pgvector draws: the index scan
-    can't see the WHERE clause's selectivity)."""
-    if spec.get("filter"):
-        return False
+    """The resident-index path serves semantic queries INCLUDING
+    metadata-filtered ones — the filter DSL evaluates against the
+    resident metadata and the ANN layer iterates until the filtered
+    top-k fills (pgvector 0.8's iterative index scans erased the same
+    filtered-query boundary). Only full_text_filter still needs the
+    table-side plan (it intersects against the tsvector table, which
+    the semantic index doesn't carry)."""
     return not any(f.get("full_text_filter") for f in spec.get("fields", {}).values())
 
 
@@ -160,6 +161,7 @@ def vector_search(
                     idx.search(
                         fcfg["query"], limit=fetch,
                         boost=float(fcfg.get("boost", 1.0)),
+                        filter=filt,
                     )
                 )
             merged.sort(key=lambda r: (-r["score"], r["document_id"]))
@@ -171,8 +173,8 @@ def vector_search(
             return out
         if method == "index":
             raise ValueError(
-                "method='index' cannot serve filtered queries (metadata "
-                "filter / full_text_filter need the table-side plan); "
+                "method='index' cannot serve full_text_filter queries "
+                "(the tsvector intersection needs the table-side plan); "
                 "use method='auto' or 'exact'"
             )
 
@@ -296,18 +298,28 @@ def _served_hybrid(collection, pipeline, query: dict) -> list[dict]:
     per-query — flush_search_telemetry() writes the same
     searches/search_results rows the exact path logs synchronously."""
     spec = query.get("query", {})
+    filt = spec.get("filter")
     limit = int(query.get("limit", 10))
     sem_fields = spec.get("semantic_search") or {}
     ft_fields = spec.get("full_text_search") or {}
 
     per_doc: dict[int, dict[str, float]] = {}
     score_cols: list[str] = []
+    allowed_docs: set[int] | None = None
     for field, fcfg in sem_fields.items():
         boost = float(fcfg.get("boost", 1.0))
         col = f"score_sem_{field}"
         score_cols.append(col)
         idx = pipeline.served_index(field)
-        for did, cos in idx.best_chunk_per_doc(fcfg["query"]).items():
+        if filt is not None and allowed_docs is None:
+            # resolve the metadata filter ONCE against the resident
+            # metadata; both score sides honor the same document set
+            allowed_docs = set(
+                int(d) for d in idx._allowed_doc_ids(filt)
+            )
+        for did, cos in idx.best_chunk_per_doc(
+            fcfg["query"], filter=filt
+        ).items():
             per_doc.setdefault(did, {})[col] = cos * boost
     ft_idx = None
     for field, fcfg in ft_fields.items():
@@ -316,7 +328,9 @@ def _served_hybrid(collection, pipeline, query: dict) -> list[dict]:
         score_cols.append(col)
         ft_idx = pipeline.served_text_index(field)
         terms = [t for t in fcfg["query"].lower().split() if t]
-        for did, ts in ft_idx.best_chunk_per_doc(terms).items():
+        for did, ts in ft_idx.best_chunk_per_doc(
+            terms, allowed_docs=allowed_docs
+        ).items():
             per_doc.setdefault(did, {})[col] = ts * boost
 
     # doc payload map: reuse any resident index's doc_json (both index
@@ -426,14 +440,16 @@ def hybrid_search(collection, pipeline, query: dict, method: str = "auto") -> li
         raise ValueError(f"unknown hybrid_search method {method!r}")
     if method in ("index", "auto"):
         # the served path needs >=1 semantic field (document payloads
-        # ride the semantic index) and no metadata filter
-        if not filt and sem_fields:
+        # and the resident metadata ride the semantic index); metadata
+        # filters evaluate against that resident metadata, so filtered
+        # hybrid queries serve too
+        if sem_fields:
             return _served_hybrid(collection, pipeline, query)
         if method == "index":
             raise ValueError(
                 "method='index' cannot serve this hybrid query "
-                "(metadata filter, or no semantic field to carry the "
-                "payload map); use method='auto' or 'exact'"
+                "(no semantic field to carry the payload map); "
+                "use method='auto' or 'exact'"
             )
 
     score_dfs: list[DataFrame] = []

@@ -121,6 +121,7 @@ class ServedPipelineIndex:
         self.kind = kind
         self._params = params
         self._hnsw = None
+        self._doc_meta = None  # lazily-parsed metadata for filtered serving
 
     @property
     def hnsw(self):
@@ -239,8 +240,38 @@ class ServedPipelineIndex:
         # payload map: metadata-only upserts must surface
         ddf = self.collection.documents.read().select("id", "document").toPandas()
         self.doc_json = dict(zip(ddf["id"].tolist(), ddf["document"].tolist()))
+        self._doc_meta = None  # parsed-metadata cache follows the payload map
         self.version_token = token
         return self
+
+    # -- filtered serving ----------------------------------------------------
+
+    def _allowed_doc_ids(self, filter: dict) -> np.ndarray:
+        """Evaluate the SDK filter DSL against the RESIDENT document
+        metadata — no Spark job. This is what lets a metadata-filtered
+        vector_search stay on the served tier (pgvector 0.8's
+        iterative index scans erase the same filtered-query cliff).
+
+        Cost honesty: evaluation is O(resident docs) Python per query
+        over a parsed-once metadata cache. At shard sizes where that
+        bites (many millions of docs per serving host), hot filters
+        belong in precomputed bitmaps keyed by the filter document —
+        the same answer Postgres gives with a partial index."""
+        from postgresml_spark.operators.filter_dsl import compile_filter_py
+
+        if self._doc_meta is None:
+            self._doc_meta = {
+                did: json.loads(payload)
+                for did, payload in self.doc_json.items()
+            }
+        pred = compile_filter_py(filter)
+        hits = [did for did, meta in self._doc_meta.items() if pred(meta)]
+        return np.asarray(hits, dtype=np.int64)
+
+    def _row_mask_for_filter(self, filter: dict) -> np.ndarray:
+        """Payload-row-order boolean mask of chunks whose document
+        passes the filter."""
+        return np.isin(self.doc_ids, self._allowed_doc_ids(filter))
 
     # -- serving -----------------------------------------------------------
 
@@ -250,22 +281,43 @@ class ServedPipelineIndex:
         limit: int = 10,
         boost: float = 1.0,
         ef: int | None = None,
+        filter: dict | None = None,
     ) -> list[dict]:
-        """Top-`limit` results, exact-rescored. No Spark job."""
+        """Top-`limit` results, exact-rescored. No Spark job.
+
+        ``filter`` (the SDK metadata-filter DSL) is honored ON the
+        index: the resident metadata resolves to an allowed-row mask
+        and the ANN layer iterates (expanding probes / ef) until the
+        filtered top-k is full — so filtered queries keep served-tier
+        latency instead of falling back to a per-query Spark plan."""
         qv = np.asarray(
             self.pipeline.embed_query(query_text, self.field), dtype=np.float64
         )
         qn = float(np.linalg.norm(qv))
         if not len(self.mat64) or qn == 0.0:
             return []
+        allowed = None
+        if filter is not None:
+            payload_mask = self._row_mask_for_filter(filter)
+            if not payload_mask.any():
+                return []
+            # HNSW rows share the payload order; the IVF build clusters
+            # rows by centroid, so translate through the index's ids
+            allowed = (
+                self.hnsw.row_mask(self.chunk_ids[payload_mask])
+                if self.kind == "ivfflat"
+                else payload_mask
+            )
         # beam for extra candidates, then float64 exact re-score: the
         # approximate layer only GENERATES, the exact layer RANKS — so
         # float32 graph error can't perturb the returned ordering.
         n_cand = min(max(4 * limit, limit + 10), len(self.chunk_ids))
         if self.kind == "ivfflat":
-            found = self.hnsw.search(qv, k=n_cand)
+            found = self.hnsw.search(qv, k=n_cand, allowed=allowed)
         else:
-            found = self.hnsw.search(qv, k=n_cand, ef=ef or max(4 * n_cand, 64))
+            found = self.hnsw.search(
+                qv, k=n_cand, ef=ef or max(4 * n_cand, 64), allowed=allowed
+            )
         rows = np.asarray([self.row_of[int(cid)] for cid, _ in found])
         dots = self.mat64[rows] @ qv
         denom = self.norms64[rows] * qn
@@ -290,7 +342,9 @@ class ServedPipelineIndex:
         return out
 
 
-    def best_chunk_per_doc(self, query_text: str) -> dict[int, float]:
+    def best_chunk_per_doc(
+        self, query_text: str, filter: dict | None = None
+    ) -> dict[int, float]:
         """EXACT per-document best-chunk cosine over the whole resident
         matrix (one BLAS matvec — the hybrid path's semantic side must
         cover EVERY doc because scores full-outer-SUM with the
@@ -298,23 +352,39 @@ class ServedPipelineIndex:
         docs the exact plan scores). Ties broken by chunk_id, mirroring
         the exact path's window. At shard sizes past a few million
         rows, route through the IVF/HNSW candidate path and accept the
-        documented recall bound instead."""
+        documented recall bound instead.
+
+        ``filter`` restricts to documents passing the metadata DSL —
+        still exact (the matvec just runs over the masked rows), which
+        is what keeps the FILTERED hybrid path on the served tier."""
         qv = np.asarray(
             self.pipeline.embed_query(query_text, self.field), dtype=np.float64
         )
         qn = float(np.linalg.norm(qv))
         if not len(self.mat64):
             return {}
-        denom = self.norms64 * qn
-        denom = np.where(denom == 0.0, 1.0, denom)
-        scores = self.mat64 @ qv / denom
+        if filter is not None:
+            mask = self._row_mask_for_filter(filter)
+            rows_in = np.flatnonzero(mask)
+            if not rows_in.size:
+                return {}
+            denom = self.norms64[rows_in] * qn
+            denom = np.where(denom == 0.0, 1.0, denom)
+            scores = self.mat64[rows_in] @ qv / denom
+            chunk_ids = self.chunk_ids[rows_in]
+            doc_ids = self.doc_ids[rows_in]
+        else:
+            denom = self.norms64 * qn
+            denom = np.where(denom == 0.0, 1.0, denom)
+            scores = self.mat64 @ qv / denom
+            chunk_ids, doc_ids = self.chunk_ids, self.doc_ids
         # group rows by doc: best = first row in (doc, -score, chunk) order
-        order = np.lexsort((self.chunk_ids, -scores, self.doc_ids))
-        docs_sorted = self.doc_ids[order]
+        order = np.lexsort((chunk_ids, -scores, doc_ids))
+        docs_sorted = doc_ids[order]
         firsts = np.unique(docs_sorted, return_index=True)[1]
         rows = order[firsts]
         return {
-            int(self.doc_ids[r]): float(scores[r]) for r in rows
+            int(doc_ids[r]): float(scores[r]) for r in rows
         }
 
 
@@ -354,10 +424,13 @@ class ServedTextIndex:
     def is_stale(self) -> bool:
         return self._version_token() != self.version_token
 
-    def best_chunk_per_doc(self, terms: list[str]) -> dict[int, float]:
+    def best_chunk_per_doc(
+        self, terms: list[str], allowed_docs: set[int] | None = None
+    ) -> dict[int, float]:
         """doc_id -> boosted-less ts_rank of its best chunk, chunks
         with rank 0 excluded, ties broken by chunk_id — mirrors the
-        exact path's window exactly."""
+        exact path's window exactly. ``allowed_docs`` restricts to a
+        metadata-filtered document set (the filtered hybrid path)."""
         ranks: dict[int, float] = {}
         for term in terms:
             post = self.postings.get(term.lower())
@@ -372,6 +445,8 @@ class ServedTextIndex:
             if score <= 0.0:
                 continue
             did = int(self.doc_ids[row])
+            if allowed_docs is not None and did not in allowed_docs:
+                continue
             cid = int(self.chunk_ids[row])
             cur = best.get(did)
             if cur is None or (-score, cid) < cur:

@@ -19,7 +19,13 @@ from typing import Any, Callable
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["compile_filter", "compile_order_by", "struct_resolver", "json_resolver"]
+__all__ = [
+    "compile_filter",
+    "compile_filter_py",
+    "compile_order_by",
+    "struct_resolver",
+    "json_resolver",
+]
 
 _CMP = {
     "$eq": lambda c, v: c == v,
@@ -108,6 +114,144 @@ def _any(preds: list[Column]) -> Column:
     for p in preds:
         out = p if out is None else out | p
     return out if out is not None else F.lit(False)
+
+
+# ---------------------------------------------------------------------------
+# Driver-side (Python) predicate — the served tier's filter evaluator.
+#
+# The resident serving path (collections/serving.py) evaluates the SAME
+# filter DSL against already-parsed document metadata without a Spark
+# job — the analog of pgvector 0.8's iterative index scans, where the
+# index scan itself honors the WHERE clause instead of forcing a seq
+# scan. Semantics mirror compile_filter∘json_resolver under Spark's
+# SQL three-valued logic: a missing key or a failed type cast is
+# UNKNOWN (None), UNKNOWN never satisfies the top-level filter, and
+# NOT/AND/OR propagate UNKNOWN the Kleene way (so `$not` of a missing
+# key excludes the row on BOTH paths).
+
+_MISSING = object()
+
+
+def _py_lookup(doc, path: list[str]):
+    cur = doc
+    for key in path:
+        if not isinstance(cur, dict) or key not in cur:
+            return _MISSING
+        cur = cur[key]
+    return cur
+
+
+def _py_coerce(value, sample):
+    """Mirror json_resolver's cast: the stored JSON value is coerced to
+    the comparison sample's type; an impossible cast is None (SQL NULL).
+    bool is checked before int — json_resolver casts to boolean for a
+    bool sample, and a bigint cast of "true" is NULL in Spark."""
+    if value is _MISSING or value is None:
+        return None
+    if isinstance(sample, bool):
+        return value if isinstance(value, bool) else None
+    if isinstance(sample, (int, float)):
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            return None
+        return value
+    if isinstance(sample, str):
+        # get_json_object renders non-string scalars as JSON literals
+        if isinstance(value, str):
+            return value
+        if isinstance(value, bool):
+            return "true" if value else "false"
+        if isinstance(value, (int, float)):
+            import json as _json
+
+            return _json.dumps(value)
+        return None
+    return value
+
+
+def _py_cmp(op: str, value, operand):
+    """value is the coerced stored value (None = SQL NULL) — returns
+    True/False/None with NULL-propagating comparison semantics."""
+    if op == "$in" or op == "$nin":
+        seq = operand if isinstance(operand, (list, tuple)) else [operand]
+        v = _py_coerce(value, seq[0]) if seq else None
+        if v is None:
+            return None
+        hit = any(v == e for e in seq)
+        return hit if op == "$in" else not hit
+    v = _py_coerce(value, operand)
+    if v is None:
+        return None
+    try:
+        if op == "$eq":
+            return v == operand
+        if op == "$ne":
+            return v != operand
+        if op == "$gt":
+            return v > operand
+        if op == "$gte":
+            return v >= operand
+        if op == "$lt":
+            return v < operand
+        if op == "$lte":
+            return v <= operand
+    except TypeError:
+        return None
+    raise ValueError(f"unknown comparison operator {op!r}")
+
+
+def _k_and(vals):
+    out = True
+    for v in vals:
+        if v is False:
+            return False
+        if v is None:
+            out = None
+    return out
+
+
+def _k_or(vals):
+    out = False
+    for v in vals:
+        if v is True:
+            return True
+        if v is None:
+            out = None
+    return out
+
+
+def _py_eval(doc: dict, spec: dict, path: list[str]):
+    preds = []
+    for key, value in spec.items():
+        if key == "$and":
+            preds.append(_k_and([_py_eval(doc, d, path) for d in value]))
+        elif key == "$or":
+            preds.append(_k_or([_py_eval(doc, d, path) for d in value]))
+        elif key == "$not":
+            inner = (
+                _k_and([_py_eval(doc, d, path) for d in value])
+                if isinstance(value, list)
+                else _py_eval(doc, value, path)
+            )
+            preds.append(None if inner is None else not inner)
+        elif key in _CMP:
+            preds.append(_py_cmp(key, _py_lookup(doc, path), value))
+        elif isinstance(value, dict):
+            preds.append(_py_eval(doc, value, path + [key]))
+        else:
+            preds.append(_py_cmp("$eq", _py_lookup(doc, path + [key]), value))
+    return _k_and(preds)
+
+
+def compile_filter_py(spec: dict) -> Callable[[dict], bool]:
+    """Compile the filter document to a plain-Python predicate over a
+    parsed metadata dict. Returns True only for a definite match —
+    UNKNOWN (missing key / failed cast) is excluded, exactly like the
+    Spark plan's `WHERE` treats NULL predicates."""
+
+    def pred(doc: dict) -> bool:
+        return _py_eval(doc, spec, []) is True
+
+    return pred
 
 
 def compile_order_by(spec: dict, resolve: Resolver) -> list[Column]:

@@ -714,37 +714,91 @@ class ResidentANN:
                 self.assign, np.arange(nlist + 1)
             )
 
-    def search(self, query_vec, k: int = 10) -> list[tuple]:
-        """Top-k (id, cosine) — pure numpy, ~µs-to-ms per call."""
+    def row_mask(self, allowed_ids) -> np.ndarray:
+        """Boolean mask in THIS index's row order (rows are clustered
+        by centroid after the build, so caller-order masks don't align)
+        for an id collection — the bridge the served filter path uses."""
+        arr = (
+            allowed_ids
+            if isinstance(allowed_ids, np.ndarray)
+            else np.asarray(list(allowed_ids))
+        )
+        return np.isin(self.ids, arr)
+
+    def search(self, query_vec, k: int = 10, allowed=None) -> list[tuple]:
+        """Top-k (id, cosine) — pure numpy, ~µs-to-ms per call.
+
+        ``allowed`` (optional boolean mask over this index's rows — see
+        ``row_mask``) restricts results: the IVF path probes lists in
+        centroid-score order and KEEPS EXPANDING (doubling the probe
+        batch) until k allowed matches surface or the lists run out —
+        the pgvector 0.8 iterative-index-scan discipline, so a filter
+        never silently under-fills the result the way fixed-nprobe
+        filtered ANN does. Unfiltered searches take exactly the
+        pre-existing single-round path."""
         q = np.asarray(query_vec, dtype=np.float32)
         qn = np.linalg.norm(q)
         if qn:
             q = q / qn
         if self.centroids is None:
-            ids = self.ids
-            scores = self.mat @ q
-        else:
-            probe = np.sort(np.argsort(-(self.centroids @ q))[: self.nprobe])
-            # Rows are clustered by centroid, so each probed cell is a
-            # CONTIGUOUS slice: merge adjacent cells into maximal runs
-            # and matmul each run as a VIEW. The old fancy-index gather
-            # copied nprobe/nlist of the corpus per query (~640 MB at
-            # 5M x 1024, nprobe=64/2048 — measured 503 ms median, i.e.
-            # slower than the exact full matvec); view-sliced BLAS only
-            # touches score/id arrays, never re-materializes vectors.
-            runs: list[list[int]] = []
-            for c in probe:
-                lo, hi = int(self.offsets[c]), int(self.offsets[c + 1])
-                if lo == hi:
-                    continue
-                if runs and runs[-1][1] == lo:
-                    runs[-1][1] = hi
+            if allowed is not None:
+                idxs = np.flatnonzero(allowed)
+                if not idxs.size:
+                    return []
+                # mostly-permissive filter: full view matvec beats the
+                # gather copy; selective filter: score only its rows
+                if idxs.size * 2 > len(self.mat):
+                    scores = (self.mat @ q)[idxs]
                 else:
-                    runs.append([lo, hi])
-            if not runs:
+                    scores = self.mat[idxs] @ q
+                ids = self.ids[idxs]
+            else:
+                ids = self.ids
+                scores = self.mat @ q
+        else:
+            order = np.argsort(-(self.centroids @ q))
+            nlist = len(self.centroids)
+            score_parts: list[np.ndarray] = []
+            id_parts: list[np.ndarray] = []
+            pos, batch, found = 0, self.nprobe, 0
+            while pos < nlist:
+                probe = np.sort(order[pos : pos + batch])
+                pos += batch
+                batch *= 2  # iterative-scan growth (filtered rounds only)
+                # Rows are clustered by centroid, so each probed cell is
+                # a CONTIGUOUS slice: merge adjacent cells into maximal
+                # runs and matmul each run as a VIEW. A fancy-index
+                # gather copied nprobe/nlist of the corpus per query
+                # (~640 MB at 5M x 1024, nprobe=64/2048 — measured
+                # 503 ms median, slower than the exact full matvec);
+                # view-sliced BLAS only touches score/id arrays, never
+                # re-materializes vectors.
+                runs: list[list[int]] = []
+                for c in probe:
+                    lo, hi = int(self.offsets[c]), int(self.offsets[c + 1])
+                    if lo == hi:
+                        continue
+                    if runs and runs[-1][1] == lo:
+                        runs[-1][1] = hi
+                    else:
+                        runs.append([lo, hi])
+                for lo, hi in runs:
+                    if allowed is None:
+                        score_parts.append(self.mat[lo:hi] @ q)
+                        id_parts.append(self.ids[lo:hi])
+                    else:
+                        sub = np.flatnonzero(allowed[lo:hi])
+                        if not sub.size:
+                            continue
+                        score_parts.append(self.mat[lo:hi][sub] @ q)
+                        id_parts.append(self.ids[lo:hi][sub])
+                        found += sub.size
+                if allowed is None or found >= k:
+                    break
+            if not score_parts:
                 return []
-            scores = np.concatenate([self.mat[lo:hi] @ q for lo, hi in runs])
-            ids = np.concatenate([self.ids[lo:hi] for lo, hi in runs])
+            scores = np.concatenate(score_parts)
+            ids = np.concatenate(id_parts)
         if len(ids) == 0:
             return []
         kk = min(k, len(scores))
@@ -937,10 +991,21 @@ class ResidentHNSW:
                 return cur
             cur, cur_d = int(nbrs[j]), float(ds[j])
 
-    def _beam(self, q: np.ndarray, start: int, level: int, ef: int):
+    def _beam(self, q: np.ndarray, start: int, level: int, ef: int,
+              allowed=None):
         """Best-first beam search; returns (dist, idx) sorted ascending.
         Visited tracking is a stamp array — no per-query set, O(1)
-        reset; frontier distances are one gather + matvec per pop."""
+        reset; frontier distances are one gather + matvec per pop.
+
+        ``allowed`` (boolean row mask) makes this a FILTERED beam: the
+        graph is traversed through every node (disallowed nodes still
+        route — dropping them disconnects the graph for selective
+        filters, the classic filtered-HNSW failure), but only allowed
+        nodes enter the result heap, so `best`'s worst element — the
+        termination bound — reflects allowed candidates only and the
+        beam naturally keeps expanding until ef allowed rows surface
+        (the hnswlib filter-functor semantics; pgvector 0.8's
+        iterative scan reaches the same behavior by resuming)."""
         import heapq
 
         self._stamp += 1
@@ -951,10 +1016,15 @@ class ResidentHNSW:
         seen[start] = stamp
         start_d = float(1.0 - mat[start] @ q)
         cand = [(start_d, start)]  # min-heap of frontier
-        best = [(-start_d, start)]  # max-heap (negated) of ef best
+        # max-heap (negated) of ef best ALLOWED
+        best = (
+            [(-start_d, start)]
+            if allowed is None or allowed[start]
+            else []
+        )
         while cand:
             d, node = heapq.heappop(cand)
-            if d > -best[0][0] and len(best) >= ef:
+            if best and len(best) >= ef and d > -best[0][0]:
                 break
             if level == 0:
                 nbrs = nbr0[node, : cnt0[node]]
@@ -967,14 +1037,15 @@ class ResidentHNSW:
                 continue
             seen[fresh] = stamp
             ds = 1.0 - mat.take(fresh, axis=0) @ q
-            worst = -best[0][0]
+            worst = -best[0][0] if best else float("inf")
             for nd, ni in zip(ds.tolist(), fresh.tolist()):
                 if len(best) < ef or nd < worst:
                     heapq.heappush(cand, (nd, ni))
-                    heapq.heappush(best, (-nd, ni))
-                    if len(best) > ef:
-                        heapq.heappop(best)
-                    worst = -best[0][0]
+                    if allowed is None or allowed[ni]:
+                        heapq.heappush(best, (-nd, ni))
+                        if len(best) > ef:
+                            heapq.heappop(best)
+                    worst = -best[0][0] if best else float("inf")
         return sorted((-d, i) for d, i in best)
 
     def _select(self, cands) -> list[int]:
@@ -1114,8 +1185,35 @@ class ResidentHNSW:
 
     # -- api ---------------------------------------------------------------
 
-    def search(self, query_vec, k: int = 10, ef: int | None = None):
-        """Top-k (id, cosine) via greedy descent + level-0 beam."""
+    def row_mask(self, allowed_ids) -> np.ndarray:
+        """Boolean mask in graph row (insertion) order for an id
+        collection — the served filter path's bridge."""
+        arr = (
+            allowed_ids
+            if isinstance(allowed_ids, np.ndarray)
+            else np.asarray(list(allowed_ids))
+        )
+        return np.isin(self.ids, arr)
+
+    def search(self, query_vec, k: int = 10, ef: int | None = None,
+               allowed=None):
+        """Top-k (id, cosine) via greedy descent + level-0 beam.
+
+        ``allowed`` (boolean row mask — see ``row_mask``) restricts
+        results without a fallback to the table plan — filtered ANN,
+        the pgvector 0.8 iterative-scan analog. Three regimes:
+
+        - very selective filters (matches ≤ 4·ef) score their rows
+          DIRECTLY — one small BLAS gather beats walking the graph past
+          thousands of disallowed nodes, and it is exact;
+        - otherwise a masked beam runs (disallowed nodes route but
+          can't enter the result set), escalating ef ×4 per round
+          while it under-fills — the iterative part;
+        - if the graph is exhausted before k allowed rows surface
+          (disconnected pockets), the direct scan finishes the job, so
+          filtered search NEVER returns fewer than min(k, matches)
+          rows — a completeness guarantee pgvector itself doesn't make.
+        """
         q = np.asarray(query_vec, dtype=np.float32)
         qn = np.linalg.norm(q)
         if qn:
@@ -1123,11 +1221,37 @@ class ResidentHNSW:
         if not len(self.mat):
             return []
         ef = max(ef or 4 * k, k)
+        if allowed is not None:
+            idxs = np.flatnonzero(allowed)
+            if not idxs.size:
+                return []
+            if idxs.size <= 4 * ef:
+                return self._masked_exact(q, idxs, k)
         cur = self.entry
         for lvl in range(self.max_level, 0, -1):
             cur = self._greedy(q, cur, lvl)
-        found = self._beam(q, cur, 0, ef)[:k]
+        if allowed is None:
+            found = self._beam(q, cur, 0, ef)[:k]
+            return [(self.ids[i].item(), float(1.0 - d)) for d, i in found]
+        e = ef
+        while True:
+            found = self._beam(q, cur, 0, e, allowed=allowed)
+            if len(found) >= k or e >= len(self.mat):
+                break
+            e = min(e * 4, len(self.mat))
+        if len(found) < min(k, idxs.size):
+            return self._masked_exact(q, idxs, k)
+        found = found[:k]
         return [(self.ids[i].item(), float(1.0 - d)) for d, i in found]
+
+    def _masked_exact(self, q: np.ndarray, idxs: np.ndarray, k: int):
+        """Exact top-k over a row subset — the selective-filter fast
+        path and the connectivity backstop of filtered search."""
+        scores = self.mat[idxs] @ q
+        kk = min(k, len(scores))
+        top = np.argpartition(-scores, kk - 1)[:kk]
+        top = top[np.argsort(-scores[top], kind="stable")]
+        return [(self.ids[idxs[i]].item(), float(scores[i])) for i in top]
 
     def add(self, new_ids, new_vecs, seed: int = 43) -> None:
         """Incremental inserts into the live graph — the serving-tier

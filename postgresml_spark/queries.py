@@ -8665,3 +8665,71 @@ def q183_hnsw_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=lambda t: (-t[1], t[0]),
     )[:10]
     return spark.createDataFrame(scored, "vec_id bigint, score double")
+
+
+_FILTER_DSL_Q184 = {"lang": {"$eq": "fr"}, "n_chars": {"$gte": 300, "$lt": 400}}
+
+
+@query(
+    "q184_filtered_vector_search",
+    oracle=f"""
+    WITH q AS (SELECT {_QRY_EMB_SQL} AS qv)
+    SELECT doc_id,
+           round(COALESCE(list_sum(list_transform(generate_series(1, {_EMB_DIM}),
+             i -> ({_DOC_EMB_SQL})[i] * q.qv[i])), 0.0), 6) AS score
+    FROM documents, q
+    WHERE text IS NOT NULL
+      AND lang = 'fr' AND n_chars >= 300 AND n_chars < 400
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q184_filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search ON the served index, under the oracle
+    gate: Collection upsert (metadata rides the document JSON) →
+    Pipeline sync → `vector_search(method='index')` with a metadata
+    filter — the filter DSL evaluates against the RESIDENT metadata
+    (operators/filter_dsl.compile_filter_py) and the ANN layer
+    iterates until the filtered top-k fills, so the query never
+    launches a Spark job and never falls back to the table plan. This
+    is the pgvector 0.8 iterative-index-scan behavior
+    (vector_search_query_builder.rs:163-233 composes the same WHERE
+    with the index scan); the hash-match proves the served filtered
+    path reproduces the exact plan's scoring and the exact filter
+    semantics (missing keys / failed casts exclude rows on BOTH
+    sides) at the 6-decimal boundary."""
+    import tempfile
+
+    from postgresml_spark.collections import Collection, Pipeline
+
+    d = _t(spark, sf_dir, "documents")
+    docs_df = d.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("id"), "text", "lang", "n_chars"
+    )
+    coll = Collection(
+        "q184", spark, warehouse=tempfile.mkdtemp(prefix="pgml_q184_")
+    )
+    pipe = Pipeline(
+        "p", {"text": {"semantic_search": {"model": f"hash:{_EMB_DIM}"}}}
+    )
+    coll.upsert_documents_df(docs_df)
+    coll.add_pipeline(pipe)
+    res = coll.vector_search(
+        {
+            "query": {
+                "fields": {"text": {"query": _Q_TEXT}},
+                "filter": _FILTER_DSL_Q184,
+            },
+            # over-fetch then re-rank on the 6-dp ROUNDED score the
+            # oracle orders by, so raw-float near-ties at the rank-10
+            # boundary can't diverge the two sides (r3 ADVICE)
+            "limit": 64,
+        },
+        pipe,
+        method="index",
+    )
+    rows = sorted(
+        ((r["document"]["id"], round(r["score"], 6)) for r in res),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    return spark.createDataFrame(rows, "doc_id long, score double")

@@ -57,6 +57,48 @@ def test_filter_boolean_composition(docs):
     assert _ids(docs.filter(compile_filter(f, r))) == [1, 3]
 
 
+FILTER_SPECS = [
+    {"name": "b"},
+    {"nested": {"level": {"$gte": 3}}},
+    {"uuid": {"$in": [10, 40]}},
+    {"uuid": {"$nin": [10, 40]}},
+    {"uuid": {"$ne": 20}},
+    {
+        "$or": [
+            {"nested": {"level": {"$lte": 1}}},
+            {"$and": [{"uuid": {"$gt": 20}}, {"$not": {"name": "d"}}]},
+        ]
+    },
+    # missing key: excluded under comparison AND under $not (UNKNOWN
+    # propagates — Spark's three-valued logic must match Python's)
+    {"absent": {"$gt": 0}},
+    {"$not": {"absent": {"$gt": 0}}},
+    {"$not": {"uuid": {"$in": [10]}}},
+    {"nested": {"level": {"$gt": 1, "$lt": 4}}},
+]
+
+
+def test_compile_filter_py_matches_spark_json_path(docs):
+    """The served tier's driver-side predicate (compile_filter_py) and
+    the table plan's Catalyst predicate (compile_filter∘json_resolver)
+    must select the SAME documents for every DSL shape — this parity is
+    what makes filtered vector search safe to serve from the resident
+    index (q184's gate exercises one spec; this sweeps the DSL)."""
+    import json as _json
+
+    from postgresml_spark.operators.filter_dsl import compile_filter_py
+
+    metas = {
+        r["id"]: _json.loads(r["meta"]) for r in docs.collect()
+    }
+    r = json_resolver("meta")
+    for spec in FILTER_SPECS:
+        spark_ids = _ids(docs.filter(compile_filter(spec, r)))
+        pred = compile_filter_py(spec)
+        py_ids = sorted(i for i, m in metas.items() if pred(m))
+        assert py_ids == spark_ids, f"divergence on {spec}"
+
+
 def test_filter_struct_resolver(spark):
     df = spark.createDataFrame(
         [(1, (5, "a")), (2, (9, "b"))], "id int, s struct<x:int, y:string>"

@@ -116,17 +116,62 @@ def test_rebuild_after_sync(served_setup):
     assert res[0]["score"] == pytest.approx(1.0)
 
 
-def test_filtered_query_boundary(served_setup):
+def test_filtered_query_served_matches_exact(served_setup):
+    """Metadata-filtered vector search now stays ON the served index
+    (the pgvector 0.8 iterative-index-scan analog) and must reproduce
+    the exact table plan's results. full_text_filter remains the one
+    table-side boundary."""
     coll, pipe = served_setup
-    q = {
-        "query": {"fields": {"text": {"query": "engine"}}, "filter": {"lang": "en"}},
+    for filt in (
+        {"lang": "en"},
+        {"lang": {"$in": ["fr", "es"]}},
+        {"$not": {"lang": "en"}},
+        {"lang": {"$eq": "zz-nothing"}},  # zero matches
+    ):
+        q = {
+            "query": {"fields": {"text": {"query": "engine"}}, "filter": filt},
+            "limit": 5,
+        }
+        served = coll.vector_search(q, pipe, method="index")
+        exact = coll.vector_search(q, pipe, method="exact")
+        # hash embeddings of the templated corpus tie heavily, so doc
+        # identity at tied ranks is arbitrary on BOTH paths (the same
+        # reason test_recall_and_score_parity uses score-recall); the
+        # filtered top-5 SCORE LIST is unique and must match exactly
+        assert [round(r["score"], 6) for r in served] == [
+            round(r["score"], 6) for r in exact
+        ], f"filtered served/exact divergence for {filt}"
+        # and every served result must genuinely satisfy the filter
+        from postgresml_spark.operators.filter_dsl import compile_filter_py
+
+        pred = compile_filter_py(filt)
+        assert all(pred(s["document"]) for s in served)
+    # full_text_filter still needs the table plan
+    ftq = {
+        "query": {
+            "fields": {"text": {"query": "engine", "full_text_filter": "engine"}}
+        },
         "limit": 5,
     }
-    with pytest.raises(ValueError, match="filtered"):
-        coll.vector_search(q, pipe, method="index")
-    # auto falls back to the exact plan and still honors the filter
-    res = coll.vector_search(q, pipe, method="auto")
-    assert all(r["document"]["lang"] == "en" for r in res)
+    with pytest.raises(ValueError, match="full_text_filter"):
+        coll.vector_search(ftq, pipe, method="index")
+
+
+def test_filtered_query_served_no_spark_job(served_setup, spark):
+    coll, pipe = served_setup
+    q = {
+        "query": {"fields": {"text": {"query": "engine"}},
+                  "filter": {"lang": {"$in": ["en", "de"]}}},
+        "limit": 5,
+    }
+    coll.vector_search(q, pipe, method="index")  # warm (lazy ANN build)
+    sc = spark.sparkContext
+    before = sc.statusTracker().getJobIdsForGroup(None)
+    res = coll.vector_search(q, pipe, method="index")
+    assert sc.statusTracker().getJobIdsForGroup(None) == before, (
+        "filtered served query must not launch a Spark job"
+    )
+    assert res and all(r["document"]["lang"] in ("en", "de") for r in res)
 
 
 def test_auto_uses_index_when_applicable(served_setup):
@@ -143,8 +188,8 @@ def test_default_method_routing_table(served_setup, spark):
     | query shape                      | route  | evidence            |
     |----------------------------------|--------|---------------------|
     | unfiltered fields                | served | no Spark job        |
-    | metadata filter                  | exact  | filter honored      |
-    | full_text_filter on a field      | exact  | results returned    |
+    | metadata filter                  | served | no job, filter held |
+    | full_text_filter on a field      | exact  | routing pinned      |
     """
     coll, pipe = served_setup
     sc = spark.sparkContext
@@ -158,13 +203,17 @@ def test_default_method_routing_table(served_setup, spark):
     )
     assert res == coll.vector_search(_q(QUERIES[2]), pipe, method="index")
 
-    # metadata filter → exact fallback, filter honored
+    # metadata filter → STILL SERVED (filtered ANN, r4), filter honored,
+    # no Spark job
     fq = {
         "query": {"fields": {"text": {"query": "engine"}},
                   "filter": {"lang": "en"}},
         "limit": 5,
     }
+    coll.vector_search(fq, pipe)  # warm the filtered path
+    before = sc.statusTracker().getJobIdsForGroup(None)
     got = coll.vector_search(fq, pipe)
+    assert sc.statusTracker().getJobIdsForGroup(None) == before
     assert got and all(r["document"]["lang"] == "en" for r in got)
 
     # full_text_filter → exact fallback (the served tier can't see it;
@@ -176,6 +225,9 @@ def test_default_method_routing_table(served_setup, spark):
         {"fields": {"text": {"query": "engine", "full_text_filter": "engine"}}}
     )
     assert _served_applicable({"fields": {"text": {"query": "engine"}}})
+    assert _served_applicable(
+        {"fields": {"text": {"query": "engine"}}, "filter": {"lang": "en"}}
+    )
 
 
 def test_rerank_seam_with_fake_cross_encoder(served_setup):
@@ -327,14 +379,24 @@ def test_served_hybrid_no_spark_job_and_telemetry_buffer(hybrid_setup, spark):
     assert flush_search_telemetry(coll) == 0  # buffer drained
 
 
-def test_served_hybrid_filter_boundary(hybrid_setup):
+def test_served_hybrid_filtered_matches_exact(hybrid_setup):
+    """Metadata-filtered HYBRID search serves from the resident tier
+    (both score sides mask to the same filtered document set) and must
+    match the exact DataFrame plan."""
     coll, pipe = hybrid_setup
-    q = _hq("engine", "spark")
-    q["query"]["filter"] = {"lang": "en"}
-    with pytest.raises(ValueError, match="filter"):
-        coll.search(q, pipe, method="index")
-    res = coll.search(q, pipe, method="auto")  # falls back to exact
-    assert all(r["document"]["lang"] == "en" for r in res)
+    for filt in ({"lang": "en"}, {"$not": {"lang": "en"}}):
+        q = _hq("engine", "spark")
+        q["query"]["filter"] = filt
+        served = coll.search(q, pipe, method="index")
+        exact = coll.search(q, pipe, method="exact")
+        assert [r["document_id"] for r in served] == [
+            r["document_id"] for r in exact
+        ], f"filtered hybrid served/exact divergence for {filt}"
+        for s, e in zip(served, exact):
+            assert abs(s["score"] - e["score"]) < 1e-6
+        assert all(r["document"]["lang"] == "en" for r in served) == (
+            filt == {"lang": "en"}
+        )
 
 
 def test_incremental_refresh_appends_into_live_graph(spark, sf_dir):
@@ -678,8 +740,12 @@ def test_resident_ann_save_load_round_trip(tmp_path):
 
 def test_ivf_full_probe_equals_exact_after_load(tmp_path):
     """nprobe=nlist probing on a loaded index is exhaustive, so it must
-    reproduce exact brute-force top-k bit-for-bit (the q15 closure,
-    through the persistence layer)."""
+    reproduce exact brute-force top-k: same ids in rank order, scores
+    agreeing past the oracle's 6-decimal boundary. (Not bit-for-bit:
+    the probed path matmuls each contiguous centroid run as a separate
+    BLAS call, and float32 summation order across run boundaries
+    differs from one full matvec at ~1e-7 — below any contract the
+    engine makes.)"""
     import numpy as np
 
     from postgresml_spark.operators.similarity import ResidentANN
@@ -693,4 +759,73 @@ def test_ivf_full_probe_equals_exact_after_load(tmp_path):
     exact = ResidentANN((ids, mat))
     for i in range(15):
         q = mat[i] * 2 + rng.normal(0, 0.05, 24)
-        assert loaded.search(q, k=10) == exact.search(q, k=10)
+        got = loaded.search(q, k=10)
+        want = exact.search(q, k=10)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        assert np.allclose(
+            [g[1] for g in got], [w[1] for w in want], atol=1e-6
+        )
+
+
+def test_resident_filtered_search_contracts():
+    """Filtered ANN contracts at the index layer (the pgvector 0.8
+    iterative-scan analog, operators/similarity.py):
+
+    - permissive mask ≡ unfiltered search,
+    - zero-match mask → [],
+    - HNSW filtered results are EXACT-complete (masked-exact fast path
+      / connectivity backstop guarantee min(k, matches) rows, all true
+      top-k),
+    - IVF keeps expanding probes until k allowed rows surface even
+      when the nearest lists hold none (fixed-nprobe would under-fill).
+    """
+    import numpy as np
+
+    from postgresml_spark.operators.similarity import ResidentANN, ResidentHNSW
+
+    rng = np.random.default_rng(7)
+    n, d = 4000, 24
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    ids = np.arange(n)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    q = rng.normal(size=d)
+    qu = (q / np.linalg.norm(q)).astype(np.float32)
+
+    allowed_ids = ids[ids % 11 == 0]
+    scores = unit @ qu
+    want = sorted(
+        ((int(i), float(scores[i])) for i in allowed_ids),
+        key=lambda t: -t[1],
+    )[:10]
+
+    hnsw = ResidentHNSW((ids, mat), m=8, ef_construction=32)
+    got = hnsw.search(q, k=10, allowed=hnsw.row_mask(allowed_ids))
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert np.allclose([g[1] for g in got], [w[1] for w in want], atol=1e-5)
+
+    # permissive ≡ unfiltered; zero-match → []
+    assert hnsw.search(q, k=5, allowed=np.ones(n, bool)) == hnsw.search(q, k=5)
+    assert hnsw.search(q, k=5, allowed=np.zeros(n, bool)) == []
+
+    ann = ResidentANN((ids, mat), nlist=16, nprobe=2)
+    assert ann.search(q, k=5, allowed=np.zeros(len(ids), bool)) == []
+    # adversarial mask: allow ONLY rows assigned to the centroid
+    # FARTHEST from q — the first nprobe lists contain zero allowed
+    # rows, so only iterative expansion can fill the result
+    far_list = int(np.argmin(ann.centroids @ (qu / np.linalg.norm(qu))))
+    lo, hi = int(ann.offsets[far_list]), int(ann.offsets[far_list + 1])
+    assert hi - lo > 10, "degenerate clustering; pick another seed"
+    mask = np.zeros(n, bool)
+    mask[lo:hi] = True
+    got_far = ann.search(q, k=10, allowed=mask)
+    assert len(got_far) == 10, (
+        "iterative probe expansion must fill k from far lists "
+        f"(got {len(got_far)})"
+    )
+    allowed_rows = np.arange(lo, hi)
+    far_scores = ann.mat[allowed_rows] @ (qu / np.linalg.norm(qu))
+    want_far = sorted(
+        ((int(ann.ids[r]), float(s)) for r, s in zip(allowed_rows, far_scores)),
+        key=lambda t: -t[1],
+    )[:10]
+    assert [g[0] for g in got_far] == [w[0] for w in want_far]

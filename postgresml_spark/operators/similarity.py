@@ -40,6 +40,7 @@ __all__ = [
     "knn_ivf",
     "ServedIndex",
     "ResidentANN",
+    "ResidentBQ",
     "ResidentHNSW",
     "binary_signature",
     "binary_signature_py",
@@ -1425,3 +1426,170 @@ def _hnsw_plan_chunk(nodes: np.ndarray):
     for node in nodes.tolist():
         out.append((node, idx._plan(idx.mat[node], int(idx.levels[node]))))
     return out
+
+
+# byte→popcount lookup (numpy < 2.0 lacks np.bitwise_count)
+_POPCNT8 = np.unpackbits(
+    np.arange(256, dtype=np.uint8)[:, None], axis=1
+).sum(axis=1).astype(np.uint8)
+
+
+class ResidentBQ:
+    """Driver-resident BINARY-QUANTIZED serving tier — the pgvector 0.7
+    `binary_quantize(embedding)::bit(n)` + rerank recipe
+    (`ORDER BY bq <~> binary_quantize($1) LIMIT R` re-ranked by
+    `embedding <=> $1` — the expression-index pattern from pgvector's
+    own docs), resident like ResidentANN/ResidentHNSW.
+
+    Why it exists at 100 TB: the packed signature is d/8 B/vector —
+    5M×1024 is **640 MB** vs 20 GB float32, so a corpus that shards
+    across 32 ANN serving hosts fits ONE BQ host; scoring is
+    XOR+popcount over a contiguous uint8 matrix (SIMD-friendly, no
+    per-row Python). The float rescore stage only touches the R
+    shortlisted rows — the same "re-read the heap tuple" cost pgvector
+    pays, so the full-precision matrix can stay on slower storage.
+
+    Sign convention matches `binary_signature` (bit = 1 iff x > 0,
+    little-endian packing), so the resident tier, the Spark
+    `hamming_topk` plan, and a DuckDB oracle all agree bit-for-bit on
+    the INTEGER Hamming stage; ties break by id, making the shortlist
+    deterministic — what lets q185 oracle-gate this under the driver
+    hash. Shortlist recall vs exact cosine is corpus-dependent (sign
+    bits keep direction octants only); the rescore window R is the
+    recall/latency dial, exactly as pgvector documents.
+    """
+
+    def __init__(
+        self,
+        df,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        keep_floats: bool = True,
+    ):
+        if isinstance(df, tuple):
+            self.ids, mat = df
+            mat = np.asarray(mat, dtype=np.float32)
+        else:
+            pdf = df.select(id_col, vec_col).toPandas()
+            self.ids = pdf[id_col].to_numpy()
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float32) for v in pdf[vec_col]]
+            )
+        self.dim = int(mat.shape[1]) if mat.ndim == 2 and len(mat) else 0
+        # pack sign bits BEFORE normalization (sign is invariant under
+        # positive scaling, but packing the raw values keeps the
+        # convention textually identical to binary_signature's `> 0`)
+        self.bits = (
+            np.packbits(mat > 0, axis=1, bitorder="little")
+            if len(mat)
+            else np.zeros((0, 0), dtype=np.uint8)
+        )
+        if keep_floats:
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            self.mat = mat / norms
+        else:
+            self.mat = None  # bits-only host: shortlist() still serves
+
+    # -- scoring -----------------------------------------------------------
+
+    def _hamming(self, qbits: np.ndarray) -> np.ndarray:
+        x = np.bitwise_xor(self.bits, qbits)
+        if hasattr(np, "bitwise_count"):  # numpy >= 2.0
+            return np.bitwise_count(x).sum(axis=1, dtype=np.int32)
+        return _POPCNT8[x].sum(axis=1, dtype=np.int32)
+
+    def shortlist(
+        self, query_vec, r: int = 64, allowed=None
+    ) -> list[tuple]:
+        """Top-r (id, hamming) by (hamming asc, id asc) — the exact,
+        integer-deterministic candidate stage. ``allowed`` is a boolean
+        row mask (see ResidentANN.row_mask) for filtered serving."""
+        q = np.asarray(query_vec, dtype=np.float32)
+        qbits = np.packbits(q > 0, bitorder="little")
+        h = self._hamming(qbits)
+        if allowed is not None:
+            rows = np.flatnonzero(allowed)
+            if not rows.size:
+                return []
+            h = h[rows]
+            ids = self.ids[rows]
+        else:
+            ids = self.ids
+        order = np.lexsort((ids, h))[: min(r, len(h))]
+        return [(ids[i].item(), int(h[i])) for i in order]
+
+    def row_mask(self, allowed_ids) -> np.ndarray:
+        arr = (
+            allowed_ids
+            if isinstance(allowed_ids, np.ndarray)
+            else np.asarray(list(allowed_ids))
+        )
+        return np.isin(self.ids, arr)
+
+    def search(
+        self, query_vec, k: int = 10, rescore_k: int | None = None,
+        allowed=None,
+    ) -> list[tuple]:
+        """Two-stage top-k (id, cosine): Hamming shortlist of
+        ``rescore_k`` (default max(8k, 64)) candidates, exact float
+        rescore, ties by id. Requires keep_floats=True (or a loaded
+        index with its matrix)."""
+        if self.mat is None:
+            raise ValueError(
+                "bits-only ResidentBQ cannot rescore; use shortlist() "
+                "or build/load with the float matrix"
+            )
+        r = rescore_k or max(8 * k, 64)
+        short = self.shortlist(query_vec, r=r, allowed=allowed)
+        if not short:
+            return []
+        pos = getattr(self, "_pos", None)
+        if pos is None:  # built once, reused every query
+            pos = self._pos = {int(i): p for p, i in enumerate(self.ids)}
+        rows = np.asarray([pos[int(i)] for i, _ in short])
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        if qn:
+            q = q / qn
+        # float64 rescore of the float32-stored values — candidate
+        # generation is approximate by contract, but the RANKING of the
+        # returned rows is full-precision (the ServedPipelineIndex
+        # discipline)
+        scores = self.mat[rows].astype(np.float64) @ q
+        sub_ids = np.asarray([i for i, _ in short])
+        order = np.lexsort((sub_ids, -scores))[: min(k, len(rows))]
+        return [(sub_ids[i].item(), float(scores[i])) for i in order]
+
+    # -- durability --------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Persist packed bits (+ float matrix when resident) — the
+        restart story of the other resident tiers. A bits-only load
+        serves shortlists from d/8 B/vector of state."""
+        extra = {"bits": self.bits}
+        mat = self.mat if self.mat is not None else np.zeros((0, 0), np.float32)
+        _save_resident(
+            path,
+            kind="bq",
+            ids=self.ids,
+            mat=mat,
+            meta={"dim": self.dim, "has_floats": self.mat is not None},
+            extra=extra,
+        )
+
+    @classmethod
+    def load(cls, path: str, floats: bool = True) -> "ResidentBQ":
+        """Reload; ``floats=False`` loads the bits-only serving state
+        (the one-host-per-100TB-corpus configuration)."""
+        meta, arrays = _load_resident(path, expect=("bq",))
+        idx = cls.__new__(cls)
+        idx.ids = arrays["ids"]
+        idx.bits = arrays["bits"].astype(np.uint8)
+        idx.dim = int(meta["dim"])
+        idx.mat = (
+            arrays["mat"].astype(np.float32)
+            if floats and meta.get("has_floats")
+            else None
+        )
+        return idx

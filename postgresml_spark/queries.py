@@ -8733,3 +8733,108 @@ def q184_filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=lambda t: (-t[1], t[0]),
     )[:10]
     return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+@query(
+    "q185_binary_quantize_rescore",
+    oracle=f"""
+    WITH q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), sgn AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding,
+                            x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS sb
+      FROM embeddings WHERE vec_id != 0
+    ), qs AS (
+      SELECT list_transform(qv, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END) AS qb
+      FROM q
+    ), ham AS (
+      SELECT vec_id, embedding,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CASE WHEN sb[i] != qb[i] THEN 1 ELSE 0 END)) AS h
+      FROM sgn, qs
+    ), short AS (
+      SELECT vec_id, embedding, h FROM ham ORDER BY h ASC, vec_id ASC LIMIT 50
+    )
+    SELECT s.vec_id, CAST(s.h AS BIGINT) AS hamming,
+           round(list_sum(list_transform(generate_series(1, 64),
+             i -> s.embedding[i] * q.qv[i]))
+             / ({_NORM2.format(a='s.embedding')} * {_NORM2.format(a='q.qv')}),
+             6) AS score
+    FROM short s, q
+    ORDER BY score DESC, s.vec_id
+    LIMIT 10
+    """,
+)
+def q185_binary_quantize_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgvector 0.7's binary-quantization recipe as a resident serving
+    tier (`binary_quantize(embedding)::bit(n)` expression index +
+    Hamming shortlist + full-precision rerank — pgvector's documented
+    scale pattern, 32× smaller vectors). The ResidentBQ index is
+    BUILT from the Spark scan, saved, and RELOADED before serving
+    (the durability closure q183 pins for HNSW), and the rescore
+    re-reads the shortlisted rows' full vectors — the same
+    "re-rank from the heap" cost Postgres pays. The Hamming stage is
+    integer-exact (sign convention shared with binary_signature and
+    the oracle, ties by vec_id), so the shortlist is deterministic;
+    the rescore ranks on 6-dp rounded float64 cosine, matching the
+    oracle's arithmetic."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from postgresml_spark.operators.similarity import ResidentBQ
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = np.asarray(
+        [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]],
+        dtype=np.float64,
+    )
+    corpus = e.filter(F.col("vec_id") != 0)
+    built = ResidentBQ(corpus, keep_floats=False)  # bits-only host
+    path = tempfile.mkdtemp(prefix="q185_bq_")
+    try:
+        built.save(path)
+        served = ResidentBQ.load(path, floats=False)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    short = served.shortlist(qv, r=50)
+    want = {int(i): int(h) for i, h in short}
+    # heap rescore: exact float64 cosine from the source rows (50-row
+    # broadcast semi-join — the shortlist, never the corpus, moves)
+    rows = (
+        corpus.join(
+            F.broadcast(
+                spark.createDataFrame([(i,) for i in want], "vec_id long")
+            ),
+            "vec_id",
+            "left_semi",
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qn = qv / np.linalg.norm(qv)
+    scored = sorted(
+        (
+            (
+                int(r["vec_id"]),
+                want[int(r["vec_id"])],
+                round(
+                    float(
+                        np.asarray(r["embedding"], dtype=np.float64)
+                        @ qn
+                        / np.linalg.norm(
+                            np.asarray(r["embedding"], dtype=np.float64)
+                        )
+                    ),
+                    6,
+                ),
+            )
+            for r in rows
+        ),
+        key=lambda t: (-t[2], t[0]),
+    )[:10]
+    return spark.createDataFrame(
+        scored, "vec_id bigint, hamming bigint, score double"
+    )

@@ -829,3 +829,57 @@ def test_resident_filtered_search_contracts():
         key=lambda t: -t[1],
     )[:10]
     assert [g[0] for g in got_far] == [w[0] for w in want_far]
+
+
+def test_resident_bq_contracts(spark, sf_dir):
+    """ResidentBQ (pgvector binary_quantize + rerank, resident):
+
+    - Hamming stage agrees with the Spark `hamming_topk` plan
+      bit-for-bit (shared sign convention),
+    - two-stage search recall: the rescore window recovers the exact
+      top-k on the real embeddings table at default R,
+    - bits-only host serves shortlists from d/8 B/vector and refuses
+      to rescore with a named error,
+    - filtered mask restricts the shortlist.
+    """
+    import numpy as np
+
+    from postgresml_spark.operators.similarity import (
+        ResidentBQ,
+        hamming_topk,
+        knn_exact,
+    )
+    from postgresml_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    corpus = e.filter(F.col("vec_id") != 0)
+
+    bq = ResidentBQ(corpus)
+    # 32x memory claim: packed bits are dim/8 bytes per vector
+    assert bq.bits.shape[1] == bq.dim // 8
+
+    # Hamming parity with the Spark plan (integer-exact, ties by id)
+    spark_top = [
+        (r["vec_id"], r["hamming"])
+        for r in hamming_topk(corpus, q, dim=bq.dim, k=15).collect()
+    ]
+    assert bq.shortlist(q, r=15) == spark_top
+
+    # two-stage recall at default window: exact top-10 ids recovered
+    exact = [r["vec_id"] for r in knn_exact(corpus, q, k=10).collect()]
+    got = [i for i, _ in bq.search(q, k=10)]
+    overlap = len(set(got) & set(exact)) / 10
+    assert overlap >= 0.8, f"BQ rescore recall {overlap} (window too small?)"
+
+    # bits-only host
+    bits_only = ResidentBQ(corpus, keep_floats=False)
+    assert bits_only.shortlist(q, r=5) == bq.shortlist(q, r=5)
+    with pytest.raises(ValueError, match="bits-only"):
+        bits_only.search(q, k=5)
+
+    # filtered serving: mask rows, results stay inside the mask
+    allowed_ids = np.asarray([i for i, _ in spark_top[:7]])
+    mask = bq.row_mask(allowed_ids)
+    filt = bq.search(q, k=5, allowed=mask)
+    assert filt and all(i in set(allowed_ids.tolist()) for i, _ in filt)

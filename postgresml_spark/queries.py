@@ -3228,7 +3228,11 @@ def q87_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WHERE event_type IN ('purchase', 'error') AND value > 100
     ), agg AS (
-      SELECT event_type, b, count(*) AS n, avg(value) AS avg_v
+      -- exact decimal sum / one float64 divide: deterministic under
+      -- any accumulation order (the sf1 sweep caught a last-ulp avg()
+      -- divergence flipping round() at a .5 boundary)
+      SELECT event_type, b, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_v
       FROM src GROUP BY 1, 2
     ), scaffold AS (
       SELECT g.event_type, s.b
@@ -3262,7 +3266,7 @@ def q88_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = gapfill_locf(
         e, "ts", "event_type", "value",
         start="2024-01-05 00:00:00", end="2024-01-10 00:00:00",
-        bucket="1 hour", trunc_unit="hour",
+        bucket="1 hour", trunc_unit="hour", exact_avg=True,
     )
     return out.select(
         "event_type",
@@ -3278,15 +3282,19 @@ def q88_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q89_top_supplier_view",
     oracle="""
     WITH revenue AS (
+      -- decimal revenue: `= max()` over a float sum is accumulation-
+      -- order-fragile once replicated data creates near-ties (sf1
+      -- sweep finding); TPC-H prices are decimals anyway
       SELECT l_suppkey AS supplier_no,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             sum(CAST(l_extendedprice AS DECIMAL(15,2))
+                 * (1 - CAST(l_discount AS DECIMAL(15,2)))) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey
     )
     SELECT s.s_suppkey, s.s_name,
-           round(r.total_revenue, 2) AS total_revenue
+           round(CAST(r.total_revenue AS DOUBLE), 2) AS total_revenue
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
     WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
     """,
@@ -3305,9 +3313,13 @@ def q89_top_supplier_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "total_revenue"
-            )
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(15,2)")
+                * (
+                    F.lit(1).cast("decimal(15,2)")
+                    - F.col("l_discount").cast("decimal(15,2)")
+                )
+            ).alias("total_revenue")
         )
         .localCheckpoint()
     )
@@ -3320,7 +3332,9 @@ def q89_top_supplier_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round("total_revenue", 2).alias("total_revenue"),
+            F.round(F.col("total_revenue").cast("double"), 2).alias(
+                "total_revenue"
+            ),
         )
     )
 

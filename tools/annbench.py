@@ -39,9 +39,19 @@ def main() -> int:
     nprobe = int(sys.argv[4]) if len(sys.argv) > 4 else 32
 
     # serving-host config: the index build intentionally moves O(corpus)
-    # bytes to the driver once, so size the result cap to the corpus
+    # bytes to the driver once, so size the result cap — and the local
+    # JVM heap — to the corpus (the 5M×1024 run OOMed the default 8g
+    # heap in the synthesis stage: 32 concurrent tasks each hold their
+    # whole ~1.2 GB partition of row objects before the disk store
+    # takes them)
+    corpus_gb = n * dim * 8 / 1e9
+    heap = f"{max(8, int(corpus_gb * 0.75) + 4)}g"
     spark = get_spark(
-        "annbench", extra_conf={"spark.driver.maxResultSize": "8g"}
+        "annbench",
+        extra_conf={
+            "spark.driver.maxResultSize": "8g",
+            "spark.driver.memory": heap,
+        },
     )
     # Distributed synthesis with REAL cluster structure: embedding
     # corpora are strongly clustered (that's why ivfflat works at all);
@@ -51,8 +61,12 @@ def main() -> int:
     n_modes = max(nlist, 64)
     t0 = time.perf_counter()
     mode = (F.col("vec_id") % n_modes + 1).cast("double")
+    # ~128 MB of rows per partition: concurrent tasks' in-flight row
+    # batches must stay far below the heap (32 × whole-corpus/32
+    # partitions is what OOMed the 5M×1024 run)
+    n_parts = max(32, int(n * dim * 8 / (128 * 1024 * 1024)))
     df = (
-        spark.range(n)
+        spark.range(0, n, 1, n_parts)
         .withColumnRenamed("id", "vec_id")
         .withColumn(
             "embedding",

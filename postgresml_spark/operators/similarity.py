@@ -1582,30 +1582,64 @@ class ResidentBQ:
 
     # -- scoring -----------------------------------------------------------
 
+    # chunk rows so the SWAR scratch stays cache-resident; scratch is
+    # preallocated once — per-query temp allocation dominated the
+    # first implementation's latency
+    _CHUNK = 1 << 16
+
     def _hamming(self, qbits: np.ndarray) -> np.ndarray:
         if qbits.shape[0] < self.bits.shape[1]:
             qbits = np.concatenate(
                 [qbits,
                  np.zeros(self.bits.shape[1] - qbits.shape[0], np.uint8)]
             )
+        bits64 = getattr(self, "_bits64", None)
+        if bits64 is None:
+            bits64 = self._bits64 = self.bits.reshape(
+                len(self.bits), -1
+            ).view(np.uint64)
+        q64 = qbits.view(np.uint64)
+        n, w = bits64.shape
+        out = np.empty(n, dtype=np.int32)
         if hasattr(np, "bitwise_count"):  # numpy >= 2.0
-            x = np.bitwise_xor(self.bits, qbits)
-            return np.bitwise_count(x).sum(axis=1, dtype=np.int32)
-        # SWAR popcount over uint64 words — one vectorized pass of
-        # shift/mask ops on n×(d/64) words; measured ~5× the byte-LUT
-        # gather at 1M×256 (the LUT fancy-index touches 4× the elements
-        # and defeats hardware prefetch)
-        v = np.bitwise_xor(
-            self.bits.reshape(len(self.bits), -1).view(np.uint64),
-            qbits.view(np.uint64),
-        )
-        v = v - ((v >> np.uint64(1)) & np.uint64(0x5555555555555555))
-        v = (v & np.uint64(0x3333333333333333)) + (
-            (v >> np.uint64(2)) & np.uint64(0x3333333333333333)
-        )
-        v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
-        v = (v * np.uint64(0x0101010101010101)) >> np.uint64(56)
-        return v.sum(axis=1, dtype=np.int32)
+            for lo in range(0, n, self._CHUNK):
+                hi = min(n, lo + self._CHUNK)
+                x = np.bitwise_xor(bits64[lo:hi], q64)
+                out[lo:hi] = np.bitwise_count(x).sum(axis=1, dtype=np.int32)
+            return out
+        # SWAR popcount over uint64 words, fully in-place on a reused
+        # scratch pair: ~w vectorized ops per chunk, no per-query
+        # allocation (the byte-LUT gather touched 8× the elements and
+        # the allocating variant spent most of its time in temps)
+        scratch = getattr(self, "_scratch", None)
+        if scratch is None or scratch[0].shape[1] != w:
+            scratch = self._scratch = (
+                np.empty((self._CHUNK, w), dtype=np.uint64),
+                np.empty((self._CHUNK, w), dtype=np.uint64),
+            )
+        M1 = np.uint64(0x5555555555555555)
+        M3 = np.uint64(0x3333333333333333)
+        MF = np.uint64(0x0F0F0F0F0F0F0F0F)
+        K = np.uint64(0x0101010101010101)
+        for lo in range(0, n, self._CHUNK):
+            hi = min(n, lo + self._CHUNK)
+            m = hi - lo
+            v, t = scratch[0][:m], scratch[1][:m]
+            np.bitwise_xor(bits64[lo:hi], q64, out=v)
+            np.right_shift(v, np.uint64(1), out=t)
+            np.bitwise_and(t, M1, out=t)
+            np.subtract(v, t, out=v)
+            np.right_shift(v, np.uint64(2), out=t)
+            np.bitwise_and(t, M3, out=t)
+            np.bitwise_and(v, M3, out=v)
+            np.add(v, t, out=v)
+            np.right_shift(v, np.uint64(4), out=t)
+            np.add(v, t, out=v)
+            np.bitwise_and(v, MF, out=v)
+            np.multiply(v, K, out=v)
+            np.right_shift(v, np.uint64(56), out=v)
+            out[lo:hi] = v.sum(axis=1, dtype=np.int32)
+        return out
 
     def shortlist(
         self, query_vec, r: int = 64, allowed=None

@@ -140,7 +140,35 @@ def main() -> int:
         "reference_ivfflat_ms": "18-31 (5M x 1024, warm)",
     }
 
-    if len(sys.argv) > 5 and int(sys.argv[5]):
+    mode = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    if mode in (2, 3):
+        # Binary-quantization tier (mode 2 = bq only, 3 = bq + hnsw):
+        # packed sign bits + SWAR Hamming shortlist + float rescore.
+        # argv[6] doubles as the rescore window when mode==2.
+        from postgresml_spark.operators.similarity import ResidentBQ
+
+        rwin = (
+            int(sys.argv[6])
+            if mode == 2 and len(sys.argv) > 6
+            else max(2000, n // 500)
+        )
+        t0 = time.perf_counter()
+        bq = ResidentBQ((exact.ids, exact.mat))
+        out["build_bq_s"] = round(time.perf_counter() - t0, 2)
+        out["bq_bits_mb"] = round(bq.bits.nbytes / 1e6, 1)
+        out["bq_rescore_window"] = rwin
+        bq.search(queries[0], k=10, rescore_k=rwin)  # warm
+        ts, brec = [], []
+        for j, q in enumerate(queries):
+            t0 = time.perf_counter()
+            got = bq.search(q, k=10, rescore_k=rwin)
+            ts.append(time.perf_counter() - t0)
+            brec.append(len(truth[j] & {i for i, _ in got}) / 10)
+        ts.sort()
+        out["bq_median_ms"] = round(ts[len(ts) // 2] * 1000, 3)
+        out["bq_recall_at_10"] = round(float(np.mean(brec)), 4)
+
+    if mode in (1, 3):
         from postgresml_spark.operators.similarity import ResidentHNSW
 
         # Construction/search knobs: argv[6]=m argv[7]=ef_construction

@@ -211,6 +211,13 @@ class Collection:
             self.upsert_documents(docs)
         return len(docs)
 
+    def upsert_file(self, path: str) -> int:
+        """Single-file ingest (collection.rs upsert_file): the document
+        id is the file path, the text its contents."""
+        with open(path) as f:
+            self.upsert_documents([{"id": path, "text": f.read()}])
+        return 1
+
     # -- reads ----------------------------------------------------------------
 
     def get_documents(
@@ -290,9 +297,60 @@ class Collection:
         self._pipelines[pipeline.name] = pipeline
         pipeline.sync()
 
+    def get_pipeline(self, name: str) -> "Pipeline":
+        """Fetch an added pipeline by name (collection.rs get_pipeline);
+        unknown names raise the same named-error shape the search paths
+        use."""
+        if name not in self._pipelines:
+            raise ValueError(
+                f"collection {self.name!r} has no pipeline {name!r}; "
+                f"added pipelines: {sorted(self._pipelines)}"
+            )
+        return self._pipelines[name]
+
+    def get_pipelines(self) -> list["Pipeline"]:
+        """All added pipelines (collection.rs get_pipelines)."""
+        return list(self._pipelines.values())
+
+    def remove_pipeline(self, pipeline) -> None:
+        """Detach a pipeline and drop its derived tables — the
+        reference drops the pipeline's schema wholesale
+        (collection.rs remove_pipeline); documents are untouched."""
+        name = pipeline if isinstance(pipeline, str) else pipeline.name
+        p = self._pipelines.pop(name, None)
+        if p is None:
+            return
+        import shutil
+
+        for tbl in p._tables.values():
+            shutil.rmtree(tbl.path, ignore_errors=True)
+        p._tables.clear()
+        p._served.clear()
+        p.collection = None
+
+    def enable_pipeline(self, pipeline) -> None:
+        """Re-enable a disabled pipeline. The next sync is incremental
+        and catches every document upserted while disabled (the
+        reference's enable flips the trigger back on and relies on
+        resync for backfill; the change-detection sync here makes the
+        catch-up automatic)."""
+        name = pipeline if isinstance(pipeline, str) else pipeline.name
+        p = self._pipelines[name]
+        p.enabled = True
+        p.sync()
+
+    def disable_pipeline(self, pipeline) -> None:
+        """Stop a pipeline from processing upserts (collection.rs
+        disable_pipeline — the trigger-off analog): subsequent
+        document changes leave its derived tables untouched until
+        enable_pipeline/resync."""
+        name = pipeline if isinstance(pipeline, str) else pipeline.name
+        self._pipelines[name].enabled = False
+
     def _mark_pipelines_stale(self) -> None:
         for p in self._pipelines.values():
-            p.sync()
+            if getattr(p, "enabled", True):
+                p.sync()
 
     def vector_search(self, query: dict, pipeline: "Pipeline", **kw):
         from postgresml_spark.collections.search import vector_search

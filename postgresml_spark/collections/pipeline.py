@@ -48,6 +48,7 @@ class Pipeline:
         self.name = name
         self.schema = schema
         self.collection = None
+        self.enabled = True  # disable_pipeline flips this (trigger-off)
         self._tables: dict[str, VersionedTable] = {}
         self._served: dict[str, object] = {}  # field -> ServedPipelineIndex
 

@@ -507,3 +507,49 @@ def test_purge_documents_physically_forgets(spark, tmp_path):
     assert _disk_contains(b"surviving")
     hits = coll.vector_search({"query": {"fields": {"body": {"query": "ordinary text"}}}}, pipe)
     assert len(hits) >= 1
+
+
+def test_pipeline_management_surface(spark, tmp_path):
+    """get_pipeline(s) / remove_pipeline / enable+disable_pipeline /
+    upsert_file — the reference Collection API's pipeline-management
+    methods (collection.rs). Disable semantics: upserts while disabled
+    leave derived tables untouched; enable catches up via the
+    change-detection sync (reference requires an explicit resync)."""
+    import pytest as _pytest
+
+    from postgresml_spark.collections import Collection, Pipeline
+
+    coll = Collection("pmgmt", spark, warehouse=str(tmp_path / "wh"))
+    coll.upsert_documents([{"id": 1, "text": "alpha beta gamma"}])
+    pipe = Pipeline("p1", {"text": {"semantic_search": {"model": "hash:8"}}})
+    coll.add_pipeline(pipe)
+
+    assert coll.get_pipeline("p1") is pipe
+    assert coll.get_pipelines() == [pipe]
+    with _pytest.raises(ValueError, match="no pipeline"):
+        coll.get_pipeline("nope")
+
+    # disable: upserts don't touch derived tables
+    n_before = pipe.table("text_chunks").count()
+    coll.disable_pipeline("p1")
+    coll.upsert_documents([{"id": 2, "text": "delta epsilon"}])
+    assert pipe.table("text_chunks").count() == n_before
+    # enable: incremental sync catches the missed upsert
+    coll.enable_pipeline("p1")
+    assert pipe.table("text_chunks").count() == n_before + 1
+
+    # upsert_file
+    f = tmp_path / "doc.txt"
+    f.write_text("zeta eta theta")
+    assert coll.upsert_file(str(f)) == 1
+    got = coll.get_documents(filter={"id": str(f)})
+    assert len(got) == 1 and "zeta" in got[0]["document"]["text"]
+
+    # remove: derived tables dropped from disk, documents intact
+    import os as _os
+
+    roots = [t.path for t in pipe._tables.values()]
+    coll.remove_pipeline("p1")
+    assert coll.get_pipelines() == []
+    assert all(not _os.path.exists(r) for r in roots)
+    assert coll.documents.read().count() == 3

@@ -43,6 +43,8 @@ __all__ = [
     "ResidentBQ",
     "ResidentHNSW",
     "binary_signature",
+    "jaccard_distance_lit",
+    "jaccard_topk",
     "binary_signature_py",
     "hamming_distance_lit",
     "hamming_topk",
@@ -388,6 +390,49 @@ def hamming_distance_lit(sig_col, query_sig: list[int]):
         term = F.bit_count(c[w].bitwiseXOR(F.lit(int(q)).cast("bigint")))
         d = term if d is None else d + term
     return d.cast("bigint")
+
+
+def jaccard_distance_lit(sig_col, query_sig: list[int]):
+    """Jaccard distance between bit signatures (pgvector's `<%>` over
+    `bit(n)`, added alongside `<~>` in 0.7): 1 − |A∧B|/|A∨B| via
+    codegen popcounts. NULL when both signatures are all-zero (the
+    undefined 0/0 case — pgvector yields NaN there)."""
+    c = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    inter = None
+    union = None
+    for w, q in enumerate(query_sig):
+        lit = F.lit(int(q)).cast("bigint")
+        i_term = F.bit_count(c[w].bitwiseAND(lit))
+        u_term = F.bit_count(c[w].bitwiseOR(lit))
+        inter = i_term if inter is None else inter + i_term
+        union = u_term if union is None else union + u_term
+    return F.when(
+        union > 0,
+        F.lit(1.0) - inter.cast("double") / union.cast("double"),
+    )
+
+
+def jaccard_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    impl: str = "batch",
+) -> DataFrame:
+    """Bit-signature Jaccard top-k (`ORDER BY bq <%> $1 LIMIT k`):
+    same TakeOrdered scan shape as hamming_topk, all-zero rows
+    excluded (undefined distance), ascending distance with id
+    tie-break."""
+    qsig = binary_signature_py([float(x) for x in query_vec])
+    scored = df.select(
+        F.col(id_col).alias(id_col),
+        jaccard_distance_lit(
+            binary_signature(vec_col, dim, impl=impl), qsig
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard").isNotNull())
+    return scored.orderBy(F.col("jaccard").asc(), F.col(id_col)).limit(k)
 
 
 def hamming_topk(

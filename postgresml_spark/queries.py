@@ -8852,3 +8852,43 @@ def q185_binary_quantize_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         scored, "vec_id bigint, hamming bigint, score double"
     )
+
+
+@query(
+    "q186_jaccard_bit_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cnt AS (
+      SELECT e.vec_id,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CASE WHEN e.embedding[i] > 0 AND q.qv[i] > 0
+                    THEN 1 ELSE 0 END)) AS i_cnt,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CASE WHEN e.embedding[i] > 0 OR q.qv[i] > 0
+                    THEN 1 ELSE 0 END)) AS u_cnt
+      FROM embeddings e, q
+      WHERE e.vec_id != 0
+    )
+    SELECT vec_id,
+           round(1.0 - CAST(i_cnt AS DOUBLE) / CAST(u_cnt AS DOUBLE), 6)
+             AS jaccard
+    FROM cnt
+    WHERE u_cnt > 0
+    ORDER BY jaccard ASC, vec_id
+    LIMIT 10
+    """,
+)
+def q186_jaccard_bit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pgvector's second bit-vector metric (`<%>` jaccard_distance over
+    `bit(n)`, 0.7.0): sign-signature the corpus, 1 − |A∧B|/|A∨B| via
+    codegen popcounts, ascending top-k with id tie-break — the
+    set-similarity companion to q65's Hamming scan, same TakeOrdered
+    single-scan plan. Counts are integer-exact on both sides; the one
+    division runs on identical operands, so 6-dp rounding can't
+    diverge."""
+    from postgresml_spark.operators.similarity import jaccard_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    out = jaccard_topk(e.filter(F.col("vec_id") != 0), qv, dim=64, k=10)
+    return out.select("vec_id", F.round("jaccard", 6).alias("jaccard"))

@@ -832,3 +832,47 @@ def test_semantic_dedup_requires_optin_for_all_pairs(spark):
         semantic_dedup(df).collect()
     out = semantic_dedup(df, allow_all_pairs=True)
     assert {r["vec_id"] for r in out.collect()} == {1}
+
+
+def test_jaccard_distance_goldens(spark):
+    """pgvector `<%>` semantics: 1 - |A∧B|/|A∨B| on sign bits; the
+    undefined 0/0 (both all-zero) case is NULL and excluded from
+    jaccard_topk."""
+    import numpy as np
+
+    from postgresml_spark.operators.similarity import (
+        binary_signature_py,
+        jaccard_distance_lit,
+        jaccard_topk,
+    )
+
+    rows = [
+        (1, [1.0, 1.0, -1.0, -1.0]),   # bits 1100
+        (2, [1.0, -1.0, 1.0, -1.0]),   # bits 1010
+        (3, [1.0, 1.0, 1.0, 1.0]),     # bits 1111
+        (4, [-1.0, -1.0, -1.0, -1.0]), # bits 0000
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 1.0, -1.0, -1.0]  # bits 1100
+    got = {r["vec_id"]: r["jaccard"]
+           for r in jaccard_topk(df, q, dim=4, k=10).collect()}
+    # vs 1100: self → 0; 1010 → 1 - 1/3; 1111 → 1 - 2/4; 0000 → 1 - 0/2
+    assert got[1] == pytest.approx(0.0)
+    assert got[2] == pytest.approx(1 - 1 / 3)
+    assert got[3] == pytest.approx(0.5)
+    assert got[4] == pytest.approx(1.0)
+    # all-zero query vs all-zero row: NULL (0/0)
+    sig0 = binary_signature_py([-1.0, -1.0, -1.0, -1.0])
+    from postgresml_spark.operators.similarity import binary_signature
+    from pyspark.sql import functions as FF
+
+    r = (
+        df.filter("vec_id = 4")
+        .select(
+            jaccard_distance_lit(
+                binary_signature("embedding", 4), sig0
+            ).alias("j")
+        )
+        .head()
+    )
+    assert r["j"] is None

@@ -156,20 +156,37 @@ def _lloyd(x: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray:
     if n <= k:
         pad = np.repeat(x[:1] if n else np.zeros((1, 1)), k - n, axis=0)
         return np.concatenate([x, pad]) if n else pad
-    # k-means++ seeding
+    # k-means++ seeding. The distance update uses the expansion
+    # |x-c|² = |x|² - 2x·c + |c|² so each of the k rounds is one BLAS
+    # matvec — the naive ((x-c)**2).sum(axis=1) form is elementwise
+    # (non-BLAS, single-core) and measured ~15 min of the 5M×1024
+    # annbench build on its own.
+    xsq = (x * x).sum(axis=1)
     centers = [x[rng.integers(n)]]
-    d2 = ((x - centers[0]) ** 2).sum(axis=1)
+    c0 = centers[0]
+    d2 = np.maximum(xsq - 2.0 * (x @ c0) + (c0 * c0).sum(), 0.0)
     for _ in range(1, k):
         p = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
-        centers.append(x[rng.choice(n, p=p)])
-        d2 = np.minimum(d2, ((x - centers[-1]) ** 2).sum(axis=1))
+        cn = x[rng.choice(n, p=p)]
+        centers.append(cn)
+        d2 = np.minimum(
+            d2, np.maximum(xsq - 2.0 * (x @ cn) + (cn * cn).sum(), 0.0)
+        )
     c = np.asarray(centers)
     for _ in range(max_iter):
         dist = (c * c).sum(axis=1) - 2.0 * (x @ c.T)  # + |x|² (argmin-safe)
         lab = dist.argmin(axis=1)
-        new_c = np.asarray(
-            [x[lab == j].mean(axis=0) if (lab == j).any() else c[j] for j in range(k)]
-        )
+        # per-cluster means via sort + reduceat (one gather + one C
+        # reduction) — the per-cluster boolean-mask loop was O(k·n)
+        # comparisons in Python and dominated each Lloyd iteration
+        order = np.argsort(lab, kind="stable")
+        xs = x[order]
+        lab_s = lab[order]
+        uniq, first = np.unique(lab_s, return_index=True)
+        sums = np.add.reduceat(xs, first, axis=0)
+        counts = np.diff(np.append(first, n)).astype(x.dtype)
+        new_c = c.copy()
+        new_c[uniq] = sums / counts[:, None]  # empty clusters keep c[j]
         if np.allclose(new_c, c):
             break
         c = new_c

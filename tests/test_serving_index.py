@@ -883,3 +883,36 @@ def test_resident_bq_contracts(spark, sf_dir):
     mask = bq.row_mask(allowed_ids)
     filt = bq.search(q, k=5, allowed=mask)
     assert filt and all(i in set(allowed_ids.tolist()) for i, _ in filt)
+
+
+def test_hnsw_connectivity_repair():
+    """_repair_connectivity: artificially orphan nodes (strip every
+    in-edge) and assert repair restores full level-0 reachability —
+    the invariant behind q183's exhaustive-closure gate. Build-time
+    repair runs automatically; this pins the mechanism itself."""
+    import numpy as np
+
+    from postgresml_spark.operators.similarity import ResidentHNSW
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(3000, 24)).astype(np.float32)
+    h = ResidentHNSW((np.arange(3000), mat), m=8, ef_construction=32)
+    assert h._reach_mask().all()  # post-build invariant
+
+    # orphan 20 victims: remove them from every other node's out-list
+    victims = set(range(100, 120)) - {h.entry}
+    for node in range(len(mat)):
+        if node in victims:
+            continue
+        keep = [x for x in h.nbr0[node, : h.cnt0[node]] if x not in victims]
+        h.nbr0[node, : len(keep)] = keep
+        h.cnt0[node] = len(keep)
+    mask = h._reach_mask()
+    assert not mask[list(victims)].any()  # genuinely unreachable now
+
+    reattached = h._repair_connectivity()
+    assert reattached >= len(victims)
+    assert h._reach_mask().all()
+    # and they're actually findable: exhaustive search sees every node
+    got = h.search(rng.normal(size=24), k=3000, ef=3000)
+    assert len(got) == 3000

@@ -1812,3 +1812,437 @@ class ResidentBQ:
             else None
         )
         return idx
+
+
+def _fetch_ids_mat(df, id_col: str, vec_col: str, dtype=np.float32):
+    """Shared (ids, matrix) fetch for the resident tiers: accepts a
+    prebuilt (ids, mat) tuple (an already-resident shard) or a
+    DataFrame, in which case the corpus moves through Arrow ONCE."""
+    if isinstance(df, tuple):
+        ids, mat = df
+        return np.asarray(ids), np.asarray(mat, dtype=dtype)
+    pdf = df.select(id_col, vec_col).toPandas()
+    return (
+        pdf[id_col].to_numpy(),
+        np.asarray([np.asarray(v, dtype=dtype) for v in pdf[vec_col]]),
+    )
+
+
+class ResidentPQ:
+    """Driver-resident PRODUCT-QUANTIZED serving tier — the ADC half of
+    FAISS's IVF-PQ (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011), resident like ResidentANN/BQ. The
+    reference's ecosystem reaches the same regime via pgvector's
+    halfvec/bit expression indexes; PQ is the stronger compression
+    point on the same curve.
+
+    Why it exists at 100 TB: codes are ``m`` bytes/vector regardless of
+    dimension — 5M×1024 is **320 MB at m=64** (vs 20 GB float32, 640 MB
+    BQ) and, unlike BQ's sign bits, the codebooks adapt to the corpus,
+    so recall at equal bytes is higher on clustered embedding corpora.
+    A corpus that shards across 32 float serving hosts fits one PQ
+    host; originals stay on cold storage for the rescore page.
+
+    Spark/driver split is the house rule: the bounded-sample codebook
+    fit and the full-corpus encode read the corpus ONCE (Arrow), and
+    serving is numpy only — per query, one (m × k_cb) lookup table
+    from the query vector, then each candidate scores as m table
+    gathers + a sum (no original vectors touched).
+
+    Candidate generation is approximate by contract; `search()`
+    re-ranks the shortlist in full precision (the ResidentBQ
+    discipline), so the rescore window is the recall/latency dial.
+    """
+
+    _CHUNK = 1 << 16
+
+    def __init__(
+        self,
+        df,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        m: int = 8,
+        k_codebook: int = 256,
+        seed: int = 42,
+        keep_floats: bool = True,
+        max_fit: int = 65536,
+    ):
+        if k_codebook > 256:
+            raise ValueError("k_codebook > 256 would not fit uint8 codes")
+        self.ids, mat = _fetch_ids_mat(df, id_col, vec_col)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        unit = (mat / norms).astype(np.float32)
+        self.dim = int(unit.shape[1]) if unit.ndim == 2 and len(unit) else 0
+        if self.dim % m:
+            raise ValueError(f"dim {self.dim} not divisible by m={m}")
+        self.m, self.k = int(m), int(k_codebook)
+        self.sub = self.dim // self.m if self.m else 0
+        self.mat = unit if keep_floats else None
+        if not len(unit):
+            self.codebooks = np.zeros(
+                (self.m, self.k, self.sub), dtype=np.float32
+            )
+            self.codes = np.zeros((0, self.m), dtype=np.uint8)
+            return
+        # bounded-sample fit (the fit_pq / fit_ivf_centroids contract:
+        # codebook quality saturates long before the corpus does)
+        rng = np.random.default_rng(seed)
+        fit = (
+            unit
+            if len(unit) <= max_fit
+            else unit[rng.choice(len(unit), max_fit, replace=False)]
+        )
+        k_eff = min(self.k, len(fit))
+        cbs = np.zeros((self.m, self.k, self.sub), dtype=np.float32)
+        for j in range(self.m):
+            blk = fit[:, j * self.sub : (j + 1) * self.sub].astype(np.float64)
+            cbs[j, :k_eff] = _lloyd(blk, k_eff, seed + j, 20)
+            if k_eff < self.k:  # degenerate tiny corpus: pad by repeat
+                cbs[j, k_eff:] = cbs[j, k_eff - 1]
+        self.codebooks = cbs
+        # full-corpus encode, chunked so the (chunk × k) distance block
+        # stays cache-order (||x−c||² = ||x||² − 2x·c + ||c||²; the
+        # x² term is rank-constant and argmin-invariant, so skipped)
+        self.codes = np.empty((len(unit), self.m), dtype=np.uint8)
+        c2 = (cbs.astype(np.float32) ** 2).sum(axis=2)  # (m, k)
+        for lo in range(0, len(unit), self._CHUNK):
+            hi = min(len(unit), lo + self._CHUNK)
+            for j in range(self.m):
+                blk = unit[lo:hi, j * self.sub : (j + 1) * self.sub]
+                scores = blk @ cbs[j].T  # (chunk, k)
+                scores *= 2.0
+                scores -= c2[j]
+                self.codes[lo:hi, j] = np.argmax(scores, axis=1)
+
+    # -- scoring -----------------------------------------------------------
+
+    def _adc(self, q: np.ndarray) -> np.ndarray:
+        """Squared-L2 ADC over unit vectors (= 2 − 2·cos up to
+        quantization): one (m × k) table per query, then m gathers +
+        a sum per candidate, chunked to bound the temp block."""
+        lut = np.empty((self.m, self.k), dtype=np.float32)
+        for j in range(self.m):
+            d = self.codebooks[j] - q[j * self.sub : (j + 1) * self.sub]
+            lut[j] = (d * d).sum(axis=1)
+        off = getattr(self, "_off", None)
+        if off is None:  # code → flat-LUT index, built once
+            off = self._off = self.codes.astype(np.int32) + (
+                np.arange(self.m, dtype=np.int32) * self.k
+            )
+        flat = lut.ravel()
+        n = len(off)
+        out = np.empty(n, dtype=np.float32)
+        for lo in range(0, n, self._CHUNK):
+            hi = min(n, lo + self._CHUNK)
+            out[lo:hi] = flat.take(off[lo:hi]).sum(axis=1, dtype=np.float32)
+        return out
+
+    def shortlist(self, query_vec, r: int = 64, allowed=None) -> list[tuple]:
+        """Top-r (id, adc_dist²) ascending, deterministic id tie-break
+        — the candidate stage. ``allowed`` is a boolean row mask."""
+        q = np.asarray(query_vec, dtype=np.float32)
+        qn = np.linalg.norm(q)
+        if qn:
+            q = q / qn
+        d = self._adc(q)
+        if allowed is not None:
+            rows = np.flatnonzero(allowed)
+            if not rows.size:
+                return []
+            d, ids = d[rows], self.ids[rows]
+        else:
+            ids = self.ids
+        r = min(r, len(d))
+        if r == len(d):
+            order = np.lexsort((ids, d))
+        else:
+            part = np.argpartition(d, r - 1)[:r]
+            order = part[np.lexsort((ids[part], d[part]))]
+        return [(ids[i].item(), float(d[i])) for i in order[:r]]
+
+    def search(
+        self,
+        query_vec,
+        k: int = 10,
+        rescore_k: int | None = None,
+        allowed=None,
+    ) -> list[tuple]:
+        """Two-stage top-k (id, cosine): ADC shortlist of ``rescore_k``
+        (default max(8k, 64)) candidates, exact float64 rescore, ties
+        by id. Requires the float matrix (keep_floats / loaded)."""
+        if self.mat is None:
+            raise ValueError(
+                "codes-only ResidentPQ cannot rescore; use shortlist() "
+                "or build/load with the float matrix"
+            )
+        r = rescore_k or max(8 * k, 64)
+        short = self.shortlist(query_vec, r=r, allowed=allowed)
+        if not short:
+            return []
+        pos = getattr(self, "_pos", None)
+        if pos is None:
+            pos = self._pos = {int(i): p for p, i in enumerate(self.ids)}
+        rows = np.asarray([pos[int(i)] for i, _ in short])
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        if qn:
+            q = q / qn
+        scores = self.mat[rows].astype(np.float64) @ q
+        sub_ids = np.asarray([i for i, _ in short])
+        order = np.lexsort((sub_ids, -scores))[: min(k, len(rows))]
+        return [(sub_ids[i].item(), float(scores[i])) for i in order]
+
+    def row_mask(self, allowed_ids) -> np.ndarray:
+        arr = (
+            allowed_ids
+            if isinstance(allowed_ids, np.ndarray)
+            else np.asarray(list(allowed_ids))
+        )
+        return np.isin(self.ids, arr)
+
+    # -- durability --------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Persist codes + codebooks (+ floats when resident): a
+        codes-only reload serves shortlists from m B/vector of state."""
+        mat = self.mat if self.mat is not None else np.zeros((0, 0), np.float32)
+        _save_resident(
+            path,
+            kind="pq",
+            ids=self.ids,
+            mat=mat,
+            meta={
+                "dim": self.dim,
+                "m": self.m,
+                "k": self.k,
+                "has_floats": self.mat is not None,
+            },
+            extra={"codes": self.codes, "codebooks": self.codebooks},
+        )
+
+    @classmethod
+    def load(cls, path: str, floats: bool = True) -> "ResidentPQ":
+        meta, arrays = _load_resident(path, expect=("pq",))
+        idx = cls.__new__(cls)
+        idx.ids = arrays["ids"]
+        idx.codes = arrays["codes"].astype(np.uint8)
+        idx.codebooks = arrays["codebooks"].astype(np.float32)
+        idx.dim, idx.m, idx.k = int(meta["dim"]), int(meta["m"]), int(meta["k"])
+        idx.sub = idx.dim // idx.m if idx.m else 0
+        idx.mat = (
+            arrays["mat"].astype(np.float32)
+            if floats and meta.get("has_floats")
+            else None
+        )
+        return idx
+
+
+class ResidentSQ8:
+    """Driver-resident SCALAR-QUANTIZED serving tier (FAISS SQ8 /
+    pgvector-halfvec point on the bytes-per-vector curve): each
+    dimension quantizes independently to one byte against per-dim
+    [min, max] corpus bounds — d B/vector (4× under float32, 2× under
+    halfvec) with near-exact recall, because embedding coordinates are
+    narrow-range and one byte of uniform grid is ~0.4% of the span.
+
+    The quantizer is intentionally CLOSED-FORM and engine-portable:
+
+        code_d  = floor(clip((x_d − mn_d) / (mx_d − mn_d), 0, 1)·255 + ½)
+        recon_d = mn_d + code_d · ((mx_d − mn_d) / 255)
+
+    `floor(·+½)` (not banker's rounding) and the pinned parenthesization
+    make the CODES integer-exactly reproducible by any IEEE-754 SQL
+    engine from the same parquet — which is what lets a DuckDB oracle
+    re-derive the whole index and gate the served top-k under the
+    driver hash (q188), the strongest correctness contract any of the
+    resident tiers carries.
+
+    ``normalize=False`` (the oracle mode) quantizes raw values and
+    serves L2 distance (pgvector `vector_l2_ops`); the default
+    normalizes first and serves cosine like the other tiers.
+    """
+
+    _CHUNK = 1 << 14
+
+    def __init__(
+        self,
+        df,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        normalize: bool = True,
+        keep_floats: bool = True,
+    ):
+        self.ids, mat = _fetch_ids_mat(df, id_col, vec_col, dtype=np.float64)
+        self.normalize = bool(normalize)
+        if normalize and len(mat):
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            mat = mat / norms
+        self.dim = int(mat.shape[1]) if mat.ndim == 2 and len(mat) else 0
+        if len(mat):
+            self.mn = mat.min(axis=0)
+            self.mx = mat.max(axis=0)
+        else:
+            self.mn = np.zeros(self.dim)
+            self.mx = np.zeros(self.dim)
+        span = self.mx - self.mn
+        safe = np.where(span == 0.0, 1.0, span)
+        if len(mat):
+            t = np.clip((mat - self.mn) / safe, 0.0, 1.0)
+            self.codes = np.floor(t * 255.0 + 0.5).astype(np.uint8)
+        else:
+            self.codes = np.zeros((0, self.dim), dtype=np.uint8)
+        # scale for reconstruction; zero-span dims reconstruct to mn
+        self.sc = np.where(span == 0.0, 0.0, span / 255.0)
+        self.mat = mat.astype(np.float32) if keep_floats else None
+        # query-independent half of the algebraic ADC (see _adc_fast):
+        # Σ_d sc_d²·code_d² per row, chunked uint8→float32 promotion
+        self._c2w = None
+
+    # -- scoring -----------------------------------------------------------
+
+    def _adc_exact(self, q: np.ndarray) -> np.ndarray:
+        """Direct Σ(q_d − recon_d)² in float64, chunked — the form the
+        SQL oracle computes term-by-term; used by the oracle-gated
+        path so both sides run textually identical arithmetic."""
+        n = len(self.codes)
+        out = np.empty(n, dtype=np.float64)
+        for lo in range(0, n, self._CHUNK):
+            hi = min(n, lo + self._CHUNK)
+            recon = self.mn + self.codes[lo:hi].astype(np.float64) * self.sc
+            d = q - recon
+            out[lo:hi] = (d * d).sum(axis=1)
+        return out
+
+    def _adc_fast(self, q: np.ndarray) -> np.ndarray:
+        """Algebraic expansion for the hot path: with u = (q − mn)·sc
+        and w = sc², dist² = ||q − mn||² − 2·codes@u + codes²@w. The
+        codes²@w term is query-independent and cached; per query cost
+        is one uint8→float32 chunked matvec (4× less memory traffic
+        than the float corpus scan)."""
+        a = (q - self.mn).astype(np.float64)
+        u = (a * self.sc).astype(np.float32)
+        w = (self.sc * self.sc).astype(np.float32)
+        const = float(a @ a)
+        if self._c2w is None:
+            c2w = np.empty(len(self.codes), dtype=np.float32)
+            for lo in range(0, len(self.codes), self._CHUNK):
+                hi = min(len(self.codes), lo + self._CHUNK)
+                cf = self.codes[lo:hi].astype(np.float32)
+                c2w[lo:hi] = (cf * cf) @ w
+            self._c2w = c2w
+        n = len(self.codes)
+        out = np.empty(n, dtype=np.float32)
+        for lo in range(0, n, self._CHUNK):
+            hi = min(n, lo + self._CHUNK)
+            cf = self.codes[lo:hi].astype(np.float32)
+            out[lo:hi] = cf @ u
+        return const - 2.0 * out + self._c2w
+
+    def shortlist(
+        self, query_vec, r: int = 64, allowed=None, exact_adc: bool = False
+    ) -> list[tuple]:
+        """Top-r (id, dist²) ascending over quantized reconstructions,
+        id tie-break. ``exact_adc`` selects the term-by-term float64
+        form (oracle parity); default is the algebraic fast path."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        if self.normalize:
+            qn = np.linalg.norm(q)
+            if qn:
+                q = q / qn
+        d = self._adc_exact(q) if exact_adc else self._adc_fast(q)
+        if allowed is not None:
+            rows = np.flatnonzero(allowed)
+            if not rows.size:
+                return []
+            d, ids = d[rows], self.ids[rows]
+        else:
+            ids = self.ids
+        r = min(r, len(d))
+        if r == len(d):
+            order = np.lexsort((ids, d))
+        else:
+            part = np.argpartition(d, r - 1)[:r]
+            order = part[np.lexsort((ids[part], d[part]))]
+        return [(ids[i].item(), float(d[i])) for i in order[:r]]
+
+    def search(
+        self,
+        query_vec,
+        k: int = 10,
+        rescore_k: int | None = None,
+        allowed=None,
+    ) -> list[tuple]:
+        """Two-stage top-k: SQ shortlist → exact rescore (cosine when
+        normalized, −L2² otherwise so bigger is always better), ties
+        by id."""
+        if self.mat is None:
+            raise ValueError(
+                "codes-only ResidentSQ8 cannot rescore; use shortlist()"
+            )
+        r = rescore_k or max(8 * k, 64)
+        short = self.shortlist(query_vec, r=r, allowed=allowed)
+        if not short:
+            return []
+        pos = getattr(self, "_pos", None)
+        if pos is None:
+            pos = self._pos = {int(i): p for p, i in enumerate(self.ids)}
+        rows = np.asarray([pos[int(i)] for i, _ in short])
+        q = np.asarray(query_vec, dtype=np.float64)
+        sub = self.mat[rows].astype(np.float64)
+        if self.normalize:
+            qn = np.linalg.norm(q)
+            if qn:
+                q = q / qn
+            scores = sub @ q
+        else:
+            d = sub - q
+            scores = -(d * d).sum(axis=1)
+        sub_ids = np.asarray([i for i, _ in short])
+        order = np.lexsort((sub_ids, -scores))[: min(k, len(rows))]
+        return [(sub_ids[i].item(), float(scores[i])) for i in order]
+
+    def row_mask(self, allowed_ids) -> np.ndarray:
+        arr = (
+            allowed_ids
+            if isinstance(allowed_ids, np.ndarray)
+            else np.asarray(list(allowed_ids))
+        )
+        return np.isin(self.ids, arr)
+
+    # -- durability --------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        mat = self.mat if self.mat is not None else np.zeros((0, 0), np.float32)
+        _save_resident(
+            path,
+            kind="sq8",
+            ids=self.ids,
+            mat=mat,
+            meta={
+                "dim": self.dim,
+                "normalize": self.normalize,
+                "has_floats": self.mat is not None,
+            },
+            extra={"codes": self.codes, "mn": self.mn, "mx": self.mx,
+                   "sc": self.sc},
+        )
+
+    @classmethod
+    def load(cls, path: str, floats: bool = True) -> "ResidentSQ8":
+        meta, arrays = _load_resident(path, expect=("sq8",))
+        idx = cls.__new__(cls)
+        idx.ids = arrays["ids"]
+        idx.codes = arrays["codes"].astype(np.uint8)
+        idx.mn, idx.mx = arrays["mn"], arrays["mx"]
+        idx.sc = arrays["sc"]
+        idx.dim = int(meta["dim"])
+        idx.normalize = bool(meta["normalize"])
+        idx._c2w = None
+        idx.mat = (
+            arrays["mat"].astype(np.float32)
+            if floats and meta.get("has_floats")
+            else None
+        )
+        return idx

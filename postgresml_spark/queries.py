@@ -8892,3 +8892,128 @@ def q186_jaccard_bit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
     out = jaccard_topk(e.filter(F.col("vec_id") != 0), qv, dim=64, k=10)
     return out.select("vec_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "q187_pq_adc_rescore",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round({_DOT.format(a='e.embedding', b='q.qv')}
+                 / ({_NORM2.format(a='e.embedding')} * {_NORM2.format(a='q.qv')}), 6) AS score
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+    ORDER BY score DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def q187_pq_adc_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization serving tier (FAISS IVF-PQ's ADC half;
+    reference-ecosystem position: past pgvector's halfvec/bit
+    expression indexes on the bytes-per-vector curve — m B/vector,
+    320 MB at 5M×1024/m=64). The index round-trips the durability
+    closure (build from the Spark scan → save → codes+floats reload),
+    then serves with the rescore window opened to the whole corpus —
+    the q15 exhaustive-closure discipline: when every ADC candidate is
+    exactly re-scored, the result MUST equal brute-force top-k, which
+    is the oracle. The production windowed path (ADC shortlist at
+    r ≪ n, where the m-byte codes do the pruning) is pinned by recall
+    + determinism tests in tests/test_serving_index.py. Re-ranks on
+    the 6-dp rounded score with vec_id tie-break (the shared
+    float-straddle discipline)."""
+    import shutil
+    import tempfile
+
+    from postgresml_spark.operators.similarity import ResidentPQ
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    corpus = e.filter(F.col("vec_id") != 0)
+    built = ResidentPQ(corpus, m=8)
+    path = tempfile.mkdtemp(prefix="q187_pq_")
+    try:
+        built.save(path)
+        served = ResidentPQ.load(path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    hits = served.search(qv, k=64, rescore_k=len(served.ids))
+    ranked = sorted(
+        ((int(i), round(float(s), 6)) for i, s in hits),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    return spark.createDataFrame(ranked, "vec_id bigint, score double")
+
+
+@query(
+    "q188_sq8_quantized_scan",
+    oracle="""
+    WITH dims AS (SELECT UNNEST(generate_series(1, 64)) AS i),
+    per AS (
+      SELECT d.i AS i,
+             min(CAST(e.embedding[d.i] AS DOUBLE)) AS mn,
+             max(CAST(e.embedding[d.i] AS DOUBLE)) AS mx
+      FROM embeddings e, dims d
+      WHERE e.vec_id != 0
+      GROUP BY d.i
+    ),
+    st AS (
+      SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM per
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    rec AS (
+      SELECT e.vec_id,
+             list_transform(generate_series(1, 64), i ->
+               st.mns[i]
+               + floor(least(greatest(
+                     (CAST(e.embedding[i] AS DOUBLE) - st.mns[i])
+                     / (CASE WHEN st.mxs[i] = st.mns[i] THEN 1.0
+                        ELSE st.mxs[i] - st.mns[i] END), 0.0), 1.0)
+                   * 255.0 + 0.5)
+                 * (CASE WHEN st.mxs[i] = st.mns[i] THEN 0.0
+                    ELSE (st.mxs[i] - st.mns[i]) / 255.0 END)) AS recon
+      FROM embeddings e, st
+      WHERE e.vec_id != 0
+    )
+    SELECT r.vec_id,
+           round(sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+             (CAST(q.qv[i] AS DOUBLE) - r.recon[i])
+             * (CAST(q.qv[i] AS DOUBLE) - r.recon[i])))), 6) AS dist
+    FROM rec r, q
+    ORDER BY dist ASC, r.vec_id
+    LIMIT 10
+    """,
+)
+def q188_sq8_quantized_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized serving tier (FAISS SQ8 / the pgvector-halfvec
+    point on the bytes-per-vector curve, at d B/vector): per-dim
+    [min,max] corpus bounds, closed-form `floor(clip(·)·255 + ½)`
+    codes, L2 over the reconstructions. Unlike the k-means tiers, the
+    WHOLE index is re-derivable by any IEEE-754 engine from the same
+    parquet — the DuckDB oracle rebuilds bounds, codes, and distances
+    from scratch and must agree on the integer codes exactly and on
+    the 6-dp rounded distances — so this query gates the quantizer
+    arithmetic itself, not just a closure. Round-trips save/load
+    before serving; ranks on (rounded dist, vec_id)."""
+    import shutil
+    import tempfile
+
+    from postgresml_spark.operators.similarity import ResidentSQ8
+
+    e = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    corpus = e.filter(F.col("vec_id") != 0)
+    built = ResidentSQ8(corpus, normalize=False)
+    path = tempfile.mkdtemp(prefix="q188_sq8_")
+    try:
+        built.save(path)
+        served = ResidentSQ8.load(path)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    import math
+
+    short = served.shortlist(qv, r=64, exact_adc=True)
+    ranked = sorted(
+        ((int(i), round(math.sqrt(float(d2)), 6)) for i, d2 in short),
+        key=lambda t: (t[1], t[0]),
+    )[:10]
+    return spark.createDataFrame(ranked, "vec_id bigint, dist double")

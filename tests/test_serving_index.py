@@ -916,3 +916,110 @@ def test_hnsw_connectivity_repair():
     # and they're actually findable: exhaustive search sees every node
     got = h.search(rng.normal(size=24), k=3000, ef=3000)
     assert len(got) == 3000
+
+
+def test_resident_pq_contracts(spark, sf_dir):
+    """ResidentPQ (FAISS ADC half, m B/vector):
+
+    - windowed two-stage search recovers the exact top-k on the real
+      embeddings table (the production path q187's exhaustive closure
+      deliberately bypasses),
+    - exhaustive rescore ≡ exact brute force (the closure itself),
+    - codes-only host serves shortlists from m B/vector and refuses
+      to rescore with a named error,
+    - save/load round-trips bit-identically,
+    - filtered mask restricts results.
+    """
+    import numpy as np
+
+    from postgresml_spark.operators.similarity import ResidentPQ, knn_exact
+    from postgresml_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    corpus = e.filter(F.col("vec_id") != 0)
+
+    pq = ResidentPQ(corpus, m=8)
+    assert pq.codes.shape[1] == 8 and pq.codes.dtype == np.uint8
+
+    exact = [r["vec_id"] for r in knn_exact(corpus, q, k=10).collect()]
+
+    # windowed production path: default rescore window recovers top-10
+    got = [i for i, _ in pq.search(q, k=10)]
+    overlap = len(set(got) & set(exact)) / 10
+    assert overlap >= 0.8, f"PQ windowed recall {overlap}"
+
+    # exhaustive closure: rescore window = corpus ⇒ identical ids
+    full = [i for i, _ in pq.search(q, k=10, rescore_k=len(pq.ids))]
+    assert full == exact
+
+    # codes-only host
+    tmp = tempfile.mkdtemp(prefix="pq_codes_")
+    try:
+        pq.save(tmp)
+        codes_only = ResidentPQ.load(tmp, floats=False)
+        assert codes_only.shortlist(q, r=5) == pq.shortlist(q, r=5)
+        with pytest.raises(ValueError, match="codes-only"):
+            codes_only.search(q, k=5)
+        reloaded = ResidentPQ.load(tmp)
+        assert reloaded.search(q, k=10) == pq.search(q, k=10)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # filtered serving
+    allowed = pq.row_mask(np.asarray(exact[:5]))
+    filt = pq.search(q, k=5, allowed=allowed)
+    assert filt and {i for i, _ in filt} <= set(exact[:5])
+
+
+def test_resident_sq8_contracts(spark, sf_dir):
+    """ResidentSQ8 (scalar quantization, d B/vector):
+
+    - the algebraic fast ADC agrees with the term-by-term exact form
+      (same top-r at default windows; elementwise within float32
+      tolerance) — the fast path is what serves, the exact form is
+      what q188's oracle re-derives,
+    - windowed search recovers exact top-k on the real table,
+    - codes are integer-exactly stable across save/load,
+    - normalize=False serves L2 (ascending-distance semantics).
+    """
+    import numpy as np
+
+    from postgresml_spark.operators.similarity import ResidentSQ8, knn_exact
+    from postgresml_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    corpus = e.filter(F.col("vec_id") != 0)
+
+    sq = ResidentSQ8(corpus)
+    assert sq.codes.dtype == np.uint8 and sq.codes.shape[1] == sq.dim
+
+    qv = np.asarray(q, dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+    d_exact = sq._adc_exact(qn)
+    d_fast = sq._adc_fast(qn)
+    rel = np.max(np.abs(d_exact - d_fast) / (np.abs(d_exact) + 1e-9))
+    assert rel < 1e-3, f"ADC forms diverge: rel={rel}"
+    assert [i for i, _ in sq.shortlist(q, r=20)] == [
+        i for i, _ in sq.shortlist(q, r=20, exact_adc=True)
+    ]
+
+    exact = [r["vec_id"] for r in knn_exact(corpus, q, k=10).collect()]
+    got = [i for i, _ in sq.search(q, k=10)]
+    assert len(set(got) & set(exact)) / 10 >= 0.9
+
+    tmp = tempfile.mkdtemp(prefix="sq8_")
+    try:
+        sq.save(tmp)
+        re = ResidentSQ8.load(tmp)
+        assert (re.codes == sq.codes).all()
+        assert re.search(q, k=10) == sq.search(q, k=10)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    raw = ResidentSQ8(corpus, normalize=False)
+    short = raw.shortlist(q, r=5, exact_adc=True)
+    assert all(
+        short[i][1] <= short[i + 1][1] for i in range(len(short) - 1)
+    )

@@ -33,6 +33,10 @@ __all__ = [
     "hash_embed",
     "hash_embed_batch",
     "hash_embed_py",
+    "subword_hash_embed",
+    "subword_hash_embed_sql",
+    "subword_hash_embed_py",
+    "subword_hash_embed_batch",
     "hash_embed_sql",
     "embed_udf",
 ]
@@ -144,6 +148,116 @@ def hash_embed_py(text: str, dim: int = 16) -> list[float]:
         v[h % dim] += 1.0 if (h // dim) % 2 == 0 else -1.0
     n = math.sqrt(sum(x * x for x in v))
     return [x / n for x in v] if n > 0 else v
+
+
+def subword_hash_embed(tok: Column, dim: int = 16, n: int = 3) -> Column:
+    """Per-TOKEN embedding from character n-grams (fastText-style
+    subword hashing): tokens shorter than ``n`` contribute themselves
+    as one gram, so no token maps to the zero vector. Unlike a
+    single-token `hash_embed` (which is a signed one-hot — degenerate
+    for similarity), subword vectors give morphologically close tokens
+    nonzero cosine, which is what late-interaction retrieval (q190)
+    scores. Same polyhash/bucket/sign/L2 arithmetic as hash_embed, so
+    `subword_hash_embed_sql` reproduces it in DuckDB."""
+    grams = F.when(F.length(tok) < n, F.array(tok)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(tok) - (n - 1)),
+            lambda i: tok.substr(i, F.lit(n)),
+        )
+    )
+    hashes = F.transform(grams, polyhash)
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda a, i: a
+            + F.when(
+                h % dim == i.cast("bigint"),
+                F.when((F.floor(h / dim) % 2) == 0, 1.0).otherwise(-1.0),
+            ).otherwise(0.0),
+        ),
+    )
+    norm = F.sqrt(F.aggregate(counts, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(
+        counts, lambda x: F.when(norm > 0, x / norm).otherwise(F.lit(0.0))
+    )
+
+
+def subword_hash_embed_sql(expr: str, dim: int = 16, n: int = 3) -> str:
+    """DuckDB SQL computing the same vector as subword_hash_embed;
+    ``expr`` is a SQL string expression (a token column or a quoted
+    literal token)."""
+    grams = (
+        f"CASE WHEN length({expr}) < {n} THEN [{expr}] "
+        f"ELSE list_transform(generate_series(1, length({expr}) - {n - 1}), "
+        f"i -> substring({expr}, i, {n})) END"
+    )
+    ph = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(g, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c) % {_MOD})"
+    )
+    hashes = f"list_transform({grams}, g -> {ph})"
+    counts = (
+        f"list_transform(generate_series(0, {dim - 1}), i -> "
+        f"list_sum(list_transform({hashes}, h -> "
+        f"CASE WHEN h % {dim} = i THEN CASE WHEN (h // {dim}) % 2 = 0 THEN 1.0 ELSE -1.0 END "
+        f"ELSE 0.0 END)))"
+    )
+    counts = f"list_transform({counts}, x -> COALESCE(CAST(x AS DOUBLE), 0.0))"
+    return (
+        f"list_transform([{counts}], __cnt -> "
+        f"list_transform([sqrt(list_sum(list_transform(__cnt, x -> x * x)))], __n -> "
+        f"CASE WHEN __n > 0 THEN list_transform(__cnt, x -> x / __n) ELSE __cnt END"
+        f")[1])[1]"
+    )
+
+
+def subword_hash_embed_py(tok: str, dim: int = 16, n: int = 3) -> list[float]:
+    """Driver-side twin (query-token path): same grams, same integer
+    arithmetic, bit-equal output."""
+    import math
+
+    grams = (
+        [tok] if len(tok) < n else [tok[i : i + n] for i in range(len(tok) - n + 1)]
+    )
+    v = [0.0] * dim
+    for g in grams:
+        h = _polyhash_py(g)
+        v[h % dim] += 1.0 if (h // dim) % 2 == 0 else -1.0
+    nm = math.sqrt(sum(x * x for x in v))
+    return [x / nm for x in v] if nm > 0 else v
+
+
+def subword_hash_embed_batch(dim: int = 16, n: int = 3):
+    """Arrow-batched bulk path for subword_hash_embed (the Column form
+    evaluates interpreted at O(grams × dim)/row — fine for a query's
+    handful of tokens, wrong for a corpus vocabulary). Bit-equal
+    integer arithmetic; q190 runs it over DISTINCT corpus tokens only,
+    so the per-batch memo and the row count are both vocabulary-sized."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _embed(toks: pd.Series) -> pd.Series:
+        out = []
+        for tok in toks:
+            tok = tok or ""
+            grams = (
+                [tok]
+                if len(tok) < n
+                else [tok[i : i + n] for i in range(len(tok) - n + 1)]
+            )
+            v = np.zeros(dim)
+            for g in grams:
+                h = _polyhash_py(g)
+                v[h % dim] += 1.0 if (h // dim) % 2 == 0 else -1.0
+            nrm = np.sqrt((v * v).sum())
+            out.append((v / nrm if nrm > 0 else v).tolist())
+        return pd.Series(out)
+
+    return _embed
 
 
 def hash_embed_batch(dim: int = 16):

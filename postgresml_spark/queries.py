@@ -9017,3 +9017,137 @@ def q188_sq8_quantized_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=lambda t: (t[1], t[0]),
     )[:10]
     return spark.createDataFrame(ranked, "vec_id bigint, dist double")
+
+
+@query(
+    "q189_bloom_decontamination",
+    oracle=f"""
+    WITH ctoks AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS t
+      FROM documents WHERE doc_id < 400
+    ), btoks AS (
+      SELECT {_SQL_TOKENS.format(t='text')} AS t
+      FROM documents WHERE doc_id >= 400
+    ), bgrams AS (
+      SELECT DISTINCT unnest({_SQL_GRAMS.format(t='t')}) AS gram FROM btoks
+    ), csh AS (
+      SELECT doc_id, {_SQL_GRAMS.format(t='t')} AS shingles FROM ctoks
+    ), posting AS (
+      SELECT doc_id, len(shingles) AS n_grams, unnest(shingles) AS gram FROM csh
+    ), hits AS (
+      SELECT doc_id, count(*) AS n_hits
+      FROM posting JOIN bgrams USING (gram) GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_grams,
+           coalesce(h.n_hits, 0) AS n_hits,
+           round(CASE WHEN s.n_grams > 0
+                 THEN CAST(coalesce(h.n_hits, 0) AS DOUBLE) / s.n_grams
+                 ELSE 0.0 END, 6) AS ratio
+    FROM (SELECT DISTINCT doc_id, n_grams FROM posting) s
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q189_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q67's decontamination THROUGH the Bloom-prefilter path — the
+    100 TB shape: benchmark grams compress to a ~2 bytes/gram bitmap
+    that screens the corpus's exploded grams as a pure-codegen
+    expression (k× xxhash64 + getbit on an array<bigint> plan literal)
+    inside the scan stage; only the ~0.2%-FPR survivors reach the
+    exact broadcast semi-join that removes false positives. The exact
+    verify stage means the report must equal plain contamination — so
+    the oracle is q67's SQL verbatim, and a wrong bitmap (a lost bit,
+    a hash drift) surfaces as missing hits, not silence."""
+    from postgresml_spark.operators.decontam import bloom_contamination_report
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 400)
+    bench = d.filter(F.col("doc_id") >= 400)
+    rep = bloom_contamination_report(corpus, bench, n=_DECON_N)
+    return rep.select(
+        "doc_id", "n_grams", "n_hits", F.round("ratio", 6).alias("ratio")
+    )
+
+
+def _maxsim_sql() -> str:
+    """Oracle for q190: per doc, Σ over query tokens of max over the
+    doc's distinct tokens of dot(subword_emb(doc_tok), subword_emb(q_tok)),
+    query vectors derived by the SAME SQL the Spark side's python twin
+    mirrors."""
+    from postgresml_spark.functions.embed import subword_hash_embed_sql
+
+    qtoks = list(dict.fromkeys(_Q_TEXT.split()))
+    per_tok = " + ".join(
+        f"COALESCE(list_max(list_transform(t, tok -> "
+        f"list_sum(list_transform(generate_series(1, {_EMB_DIM}), i -> "
+        f"({subword_hash_embed_sql('tok', _EMB_DIM)})[i] * "
+        f"({subword_hash_embed_sql(chr(39) + qt + chr(39), _EMB_DIM)})[i]"
+        f")))), 0.0)"
+        for qt in qtoks
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct({_SQL_TOKENS.format(t='text')}) AS t
+      FROM documents
+    )
+    SELECT doc_id, round({per_tok}, 6) AS score
+    FROM toks
+    WHERE len(t) > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query("q190_late_interaction_maxsim", oracle=_maxsim_sql())
+def q190_late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT MaxSim): score(doc) =
+    Σ_{query tok} max_{doc tok} cos(subword_emb(doc tok), subword_emb
+    (query tok)) — the multi-vector ranking family between bi-encoder
+    (q51) and cross-encoder (rerank). Spark-first shape for 100 TB:
+    the heavy per-token embedding runs ONCE PER DISTINCT TOKEN
+    (vocabulary-sized, Zipf-bounded — not corpus-sized) through an
+    Arrow-batched UDF; per-query-token dots are unrolled codegen
+    against the vocabulary frame; the (doc, tok) posting rows join the
+    scored vocabulary broadcast-side and one groupBy(doc) folds
+    max-per-query-token then sums. Query tokens embed driver-side
+    (bit-equal python twin) — no per-query Spark job for the query
+    text. Both sides dedupe doc and query tokens (max is
+    multiplicity-invariant; Σ over unique query tokens is the
+    documented variant)."""
+    from postgresml_spark.functions.embed import (
+        subword_hash_embed_batch,
+        subword_hash_embed_py,
+    )
+
+    qtoks = list(dict.fromkeys(_Q_TEXT.split()))
+    qvecs = [subword_hash_embed_py(t, _EMB_DIM) for t in qtoks]
+
+    d = _t(spark, sf_dir, "documents")
+    posting = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.tokenize(F.col("text")))).alias("tok"),
+    )
+    vocab = posting.select("tok").distinct()
+    emb = vocab.withColumn(
+        "__v", subword_hash_embed_batch(_EMB_DIM)(F.col("tok"))
+    )
+    scored_vocab = emb.select(
+        "tok",
+        *[
+            V.dot_product_lit("__v", qv).alias(f"__s{j}")
+            for j, qv in enumerate(qvecs)
+        ],
+    )
+    per_doc = (
+        posting.join(F.broadcast(scored_vocab), "tok")
+        .groupBy("doc_id")
+        .agg(*[F.max(f"__s{j}").alias(f"__m{j}") for j in range(len(qvecs))])
+    )
+    total = F.lit(0.0)
+    for j in range(len(qvecs)):
+        total = total + F.col(f"__m{j}")
+    return (
+        per_doc.select("doc_id", F.round(total, 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )

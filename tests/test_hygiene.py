@@ -280,3 +280,65 @@ def test_catalog_plan_lint(spark):
         if flags:
             offenders[name] = flags
     assert offenders == {}, offenders
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_report_equals_exact(corpus, bench):
+    from postgresml_spark.operators.decontam import (
+        bloom_contamination_report,
+    )
+
+    exact = sorted(
+        contamination_report(corpus, bench, n=3).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    blm = sorted(
+        bloom_contamination_report(corpus, bench, n=3).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert blm == exact  # exact verify stage ⇒ identical report
+
+
+def test_bloom_no_false_negatives_and_filters(corpus, bench):
+    """Every benchmark gram must pass its own bitmap (structural — a
+    Bloom filter has no false negatives), and on disjoint text the
+    probe must actually reject most grams (selectivity)."""
+    from postgresml_spark.operators.decontam import (
+        _doc_grams,
+        bloom_probe,
+        build_bloom,
+    )
+
+    grams = benchmark_grams(bench, n=3)
+    words, m, k = build_bloom(grams)
+    assert grams.where(~bloom_probe(F.col("gram"), words, m, k)).count() == 0
+
+    corpus_grams = _doc_grams(corpus, "text", "doc_id", 3)
+    total = corpus_grams.count()
+    kept = corpus_grams.where(bloom_probe(F.col("gram"), words, m, k)).count()
+    true = corpus_grams.join(F.broadcast(grams), "gram").count()
+    assert true <= kept < total  # superset of truth, strict prefilter
+
+
+def test_bloom_probe_is_codegen_no_join(corpus, bench):
+    """The prefilter itself must add no join to the plan — it's a
+    Filter over the scan (the bitmap rides as a plan literal)."""
+    from postgresml_spark.operators.decontam import (
+        _doc_grams,
+        bloom_probe,
+        build_bloom,
+    )
+
+    words, m, k = build_bloom(benchmark_grams(bench, n=3))
+    dg = _doc_grams(corpus, "text", "doc_id", 3)
+    plan = (
+        dg.where(bloom_probe(F.col("gram"), words, m, k))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan

@@ -309,3 +309,38 @@ def test_trigram_index_prunes_and_matches_scan(spark, tmp_path):
     n_q_buckets = len({hash(g) for g in
                        py_char_trigrams("vectr") + py_char_trigrams("tabel")})
     assert n_q_buckets > 0  # sanity; file-level pruning asserted via filter
+
+
+def test_subword_embed_three_way_parity(spark):
+    """Column expression ≡ Arrow-batched UDF ≡ driver twin for the
+    subword (char-trigram) embedder — the q190 parity backbone."""
+    from postgresml_spark.functions.embed import (
+        subword_hash_embed,
+        subword_hash_embed_batch,
+        subword_hash_embed_py,
+    )
+
+    toks = ["spark", "sparks", "ab", "a", "join", "filterings"]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    rows = df.select(
+        "tok",
+        subword_hash_embed(F.col("tok")).alias("expr"),
+        subword_hash_embed_batch(16)(F.col("tok")).alias("udf"),
+    ).collect()
+    for r in rows:
+        tw = subword_hash_embed_py(r["tok"], 16)
+        assert list(r["expr"]) == list(r["udf"]) == tw, r["tok"]
+
+
+def test_subword_embed_morphological_similarity():
+    """Shared trigrams ⇒ nonzero cosine between related tokens; the
+    single-token word-level embed can't do this (one-hot)."""
+    import numpy as np
+
+    from postgresml_spark.functions.embed import subword_hash_embed_py
+
+    a = np.array(subword_hash_embed_py("filtering", 16))
+    b = np.array(subword_hash_embed_py("filters", 16))
+    c = np.array(subword_hash_embed_py("zygote", 16))
+    assert a @ b > a @ c
+    assert abs(np.linalg.norm(a) - 1.0) < 1e-12

@@ -1886,18 +1886,25 @@ class ResidentPQ:
             self.codes = np.zeros((0, self.m), dtype=np.uint8)
             return
         # bounded-sample fit (the fit_pq / fit_ivf_centroids contract:
-        # codebook quality saturates long before the corpus does)
+        # codebook quality saturates long before the corpus does).
+        # Subspace k-means runs in float32 on ≤64·k rows: the (n × k)
+        # distance block over a THIN inner dim is memory-bound, so
+        # float64 on a 64k sample measured ~6 s/subspace (~50 s/build
+        # at m=8) for identical codebooks
         rng = np.random.default_rng(seed)
+        fit_cap = min(max_fit, max(64 * self.k, 8192))
         fit = (
             unit
-            if len(unit) <= max_fit
-            else unit[rng.choice(len(unit), max_fit, replace=False)]
+            if len(unit) <= fit_cap
+            else unit[rng.choice(len(unit), fit_cap, replace=False)]
         )
         k_eff = min(self.k, len(fit))
         cbs = np.zeros((self.m, self.k, self.sub), dtype=np.float32)
         for j in range(self.m):
-            blk = fit[:, j * self.sub : (j + 1) * self.sub].astype(np.float64)
-            cbs[j, :k_eff] = _lloyd(blk, k_eff, seed + j, 20)
+            blk = np.ascontiguousarray(
+                fit[:, j * self.sub : (j + 1) * self.sub], dtype=np.float32
+            )
+            cbs[j, :k_eff] = _lloyd(blk, k_eff, seed + j, 15)
             if k_eff < self.k:  # degenerate tiny corpus: pad by repeat
                 cbs[j, k_eff:] = cbs[j, k_eff - 1]
         self.codebooks = cbs
@@ -1938,6 +1945,30 @@ class ResidentPQ:
             out[lo:hi] = flat.take(off[lo:hi]).sum(axis=1, dtype=np.float32)
         return out
 
+    def _shortlist_rows(self, q32: np.ndarray, r: int, allowed=None):
+        """(row positions, adc dist²) of the top-r by (dist, id) — the
+        array-internal candidate stage (Python tuples only materialize
+        at the public API; at r=2000 the tuple/dict form measured ~3 ms
+        of pure conversion per query)."""
+        d = self._adc(q32)
+        if allowed is not None:
+            cand = np.flatnonzero(allowed)
+            if not cand.size:
+                return cand, d[:0]
+            dc = d[cand]
+        else:
+            cand, dc = None, d
+        r = min(r, len(dc))
+        if r == len(dc):
+            sel = np.arange(len(dc))
+        else:
+            sel = np.argpartition(dc, r - 1)[:r]
+        ids_sel = self.ids[cand[sel]] if cand is not None else self.ids[sel]
+        order = np.lexsort((ids_sel, dc[sel]))
+        sel = sel[order]
+        rows = cand[sel] if cand is not None else sel
+        return rows, dc[sel]
+
     def shortlist(self, query_vec, r: int = 64, allowed=None) -> list[tuple]:
         """Top-r (id, adc_dist²) ascending, deterministic id tie-break
         — the candidate stage. ``allowed`` is a boolean row mask."""
@@ -1945,21 +1976,8 @@ class ResidentPQ:
         qn = np.linalg.norm(q)
         if qn:
             q = q / qn
-        d = self._adc(q)
-        if allowed is not None:
-            rows = np.flatnonzero(allowed)
-            if not rows.size:
-                return []
-            d, ids = d[rows], self.ids[rows]
-        else:
-            ids = self.ids
-        r = min(r, len(d))
-        if r == len(d):
-            order = np.lexsort((ids, d))
-        else:
-            part = np.argpartition(d, r - 1)[:r]
-            order = part[np.lexsort((ids[part], d[part]))]
-        return [(ids[i].item(), float(d[i])) for i in order[:r]]
+        rows, d = self._shortlist_rows(q, r, allowed)
+        return [(self.ids[i].item(), float(x)) for i, x in zip(rows, d)]
 
     def search(
         self,
@@ -1976,20 +1994,15 @@ class ResidentPQ:
                 "codes-only ResidentPQ cannot rescore; use shortlist() "
                 "or build/load with the float matrix"
             )
-        r = rescore_k or max(8 * k, 64)
-        short = self.shortlist(query_vec, r=r, allowed=allowed)
-        if not short:
-            return []
-        pos = getattr(self, "_pos", None)
-        if pos is None:
-            pos = self._pos = {int(i): p for p, i in enumerate(self.ids)}
-        rows = np.asarray([pos[int(i)] for i, _ in short])
         q = np.asarray(query_vec, dtype=np.float64)
         qn = np.linalg.norm(q)
         if qn:
             q = q / qn
+        rows, _ = self._shortlist_rows(q.astype(np.float32), rescore_k or max(8 * k, 64), allowed)
+        if not len(rows):
+            return []
         scores = self.mat[rows].astype(np.float64) @ q
-        sub_ids = np.asarray([i for i, _ in short])
+        sub_ids = self.ids[rows]
         order = np.lexsort((sub_ids, -scores))[: min(k, len(rows))]
         return [(sub_ids[i].item(), float(scores[i])) for i in order]
 
@@ -2140,6 +2153,29 @@ class ResidentSQ8:
             out[lo:hi] = cf @ u
         return const - 2.0 * out + self._c2w
 
+    def _shortlist_rows(self, q: np.ndarray, r: int, allowed=None,
+                        exact_adc: bool = False):
+        """(row positions, dist²) of the top-r by (dist, id) — array-
+        internal (see ResidentPQ._shortlist_rows)."""
+        d = self._adc_exact(q) if exact_adc else self._adc_fast(q)
+        if allowed is not None:
+            cand = np.flatnonzero(allowed)
+            if not cand.size:
+                return cand, d[:0]
+            dc = d[cand]
+        else:
+            cand, dc = None, d
+        r = min(r, len(dc))
+        if r == len(dc):
+            sel = np.arange(len(dc))
+        else:
+            sel = np.argpartition(dc, r - 1)[:r]
+        ids_sel = self.ids[cand[sel]] if cand is not None else self.ids[sel]
+        order = np.lexsort((ids_sel, dc[sel]))
+        sel = sel[order]
+        rows = cand[sel] if cand is not None else sel
+        return rows, dc[sel]
+
     def shortlist(
         self, query_vec, r: int = 64, allowed=None, exact_adc: bool = False
     ) -> list[tuple]:
@@ -2151,21 +2187,8 @@ class ResidentSQ8:
             qn = np.linalg.norm(q)
             if qn:
                 q = q / qn
-        d = self._adc_exact(q) if exact_adc else self._adc_fast(q)
-        if allowed is not None:
-            rows = np.flatnonzero(allowed)
-            if not rows.size:
-                return []
-            d, ids = d[rows], self.ids[rows]
-        else:
-            ids = self.ids
-        r = min(r, len(d))
-        if r == len(d):
-            order = np.lexsort((ids, d))
-        else:
-            part = np.argpartition(d, r - 1)[:r]
-            order = part[np.lexsort((ids[part], d[part]))]
-        return [(ids[i].item(), float(d[i])) for i in order[:r]]
+        rows, d = self._shortlist_rows(q, r, allowed, exact_adc)
+        return [(self.ids[i].item(), float(x)) for i, x in zip(rows, d)]
 
     def search(
         self,
@@ -2181,25 +2204,21 @@ class ResidentSQ8:
             raise ValueError(
                 "codes-only ResidentSQ8 cannot rescore; use shortlist()"
             )
-        r = rescore_k or max(8 * k, 64)
-        short = self.shortlist(query_vec, r=r, allowed=allowed)
-        if not short:
-            return []
-        pos = getattr(self, "_pos", None)
-        if pos is None:
-            pos = self._pos = {int(i): p for p, i in enumerate(self.ids)}
-        rows = np.asarray([pos[int(i)] for i, _ in short])
         q = np.asarray(query_vec, dtype=np.float64)
-        sub = self.mat[rows].astype(np.float64)
         if self.normalize:
             qn = np.linalg.norm(q)
             if qn:
                 q = q / qn
+        rows, _ = self._shortlist_rows(q, rescore_k or max(8 * k, 64), allowed)
+        if not len(rows):
+            return []
+        sub = self.mat[rows].astype(np.float64)
+        if self.normalize:
             scores = sub @ q
         else:
-            d = sub - q
-            scores = -(d * d).sum(axis=1)
-        sub_ids = np.asarray([i for i, _ in short])
+            dd = sub - q
+            scores = -(dd * dd).sum(axis=1)
+        sub_ids = self.ids[rows]
         order = np.lexsort((sub_ids, -scores))[: min(k, len(rows))]
         return [(sub_ids[i].item(), float(scores[i])) for i in order]
 

@@ -12,9 +12,11 @@ ResidentANN serving tier, and measures:
   - IVF-probed latency at nlist/nprobe,
   - recall@10 of the probed path vs exact.
 
-Usage: python tools/annbench.py [N] [dim] [nlist] [nprobe] [hnsw]
-Defaults: 1_000_000 256 1024 32 0  (hnsw=1 adds a ResidentHNSW
-measurement — build is ~1.2 ms/vector, so use N <= ~200k)
+Usage: python tools/annbench.py [N] [dim] [nlist] [nprobe] [mode]
+Defaults: 1_000_000 256 1024 32 0. Modes: 1 = + ResidentHNSW
+(argv[6..9] = m, ef_construction, ef list, keep_pruned), 2 = +
+ResidentBQ (argv[6] = rescore window), 3 = BQ + HNSW, 4 = +
+ResidentPQ and ResidentSQ8 (argv[6] = rescore window).
 """
 
 from __future__ import annotations
@@ -167,6 +169,51 @@ def main() -> int:
         ts.sort()
         out["bq_median_ms"] = round(ts[len(ts) // 2] * 1000, 3)
         out["bq_recall_at_10"] = round(float(np.mean(brec)), 4)
+
+    if mode == 4:
+        # Quantized tiers (mode 4 = PQ + SQ8): ADC-shortlist + float
+        # rescore, same harness as BQ. argv[6] = rescore window.
+        from postgresml_spark.operators.similarity import (
+            ResidentPQ,
+            ResidentSQ8,
+        )
+
+        rwin = (
+            int(sys.argv[6]) if len(sys.argv) > 6 else max(2000, n // 500)
+        )
+        pq_m = max(8, dim // 16)  # 16 dims/subspace → m B/vector
+        t0 = time.perf_counter()
+        pqi = ResidentPQ((exact.ids, exact.mat), m=pq_m)
+        out["build_pq_s"] = round(time.perf_counter() - t0, 2)
+        out["pq_m"] = pq_m
+        out["pq_codes_mb"] = round(pqi.codes.nbytes / 1e6, 1)
+        out["pq_rescore_window"] = rwin
+        for tier, idx in (("pq", pqi),):
+            idx.search(queries[0], k=10, rescore_k=rwin)  # warm
+            ts, rec_ = [], []
+            for j, q in enumerate(queries):
+                t0 = time.perf_counter()
+                got = idx.search(q, k=10, rescore_k=rwin)
+                ts.append(time.perf_counter() - t0)
+                rec_.append(len(truth[j] & {i for i, _ in got}) / 10)
+            ts.sort()
+            out[f"{tier}_median_ms"] = round(ts[len(ts) // 2] * 1000, 3)
+            out[f"{tier}_recall_at_10"] = round(float(np.mean(rec_)), 4)
+
+        t0 = time.perf_counter()
+        sqi = ResidentSQ8((exact.ids, exact.mat))
+        out["build_sq8_s"] = round(time.perf_counter() - t0, 2)
+        out["sq8_codes_mb"] = round(sqi.codes.nbytes / 1e6, 1)
+        sqi.search(queries[0], k=10, rescore_k=rwin)  # warm + c2w cache
+        ts, rec_ = [], []
+        for j, q in enumerate(queries):
+            t0 = time.perf_counter()
+            got = sqi.search(q, k=10, rescore_k=rwin)
+            ts.append(time.perf_counter() - t0)
+            rec_.append(len(truth[j] & {i for i, _ in got}) / 10)
+        ts.sort()
+        out["sq8_median_ms"] = round(ts[len(ts) // 2] * 1000, 3)
+        out["sq8_recall_at_10"] = round(float(np.mean(rec_)), 4)
 
     if mode in (1, 3):
         from postgresml_spark.operators.similarity import ResidentHNSW

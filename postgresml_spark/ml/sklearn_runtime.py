@@ -106,15 +106,40 @@ SK_TABLE: dict[tuple[str, str], tuple[str, str]] = {
         "sklearn.cluster", "AffinityPropagation",
     ),
     (TASK_CLUSTERING, "mean_shift"): ("sklearn.cluster", "MeanShift"),
+    # boosted-tree runtimes: the reference dispatches these to their
+    # OWN libraries (model.rs:450-470 Runtime::{xgboost,lightgbm}),
+    # all of which expose the sklearn estimator API (fit/predict/
+    # predict_proba), so the whole SkEstimator/SkModel lifecycle —
+    # driver fit, broadcast + Arrow-batched distributed transform,
+    # artifact pickle — serves them unchanged; only the availability
+    # gate is per-library
+    (TASK_REGRESSION, "xgboost"): ("xgboost", "XGBRegressor"),
+    (TASK_REGRESSION, "xgboost_random_forest"): ("xgboost", "XGBRFRegressor"),
+    (TASK_REGRESSION, "lightgbm"): ("lightgbm", "LGBMRegressor"),
+    (TASK_REGRESSION, "catboost"): ("catboost", "CatBoostRegressor"),
+    (TASK_CLASSIFICATION, "xgboost"): ("xgboost", "XGBClassifier"),
+    (TASK_CLASSIFICATION, "xgboost_random_forest"): (
+        "xgboost", "XGBRFClassifier",
+    ),
+    (TASK_CLASSIFICATION, "lightgbm"): ("lightgbm", "LGBMClassifier"),
+    (TASK_CLASSIFICATION, "catboost"): ("catboost", "CatBoostClassifier"),
 }
 
 
-def sklearn_available() -> bool:
+def _root_module(task: str, algorithm: str) -> str:
+    return SK_TABLE[(task, algorithm)][0].split(".")[0]
+
+
+def _module_available(root: str) -> bool:
     try:
-        importlib.import_module("sklearn")
+        importlib.import_module(root)
         return True
     except ImportError:
         return False
+
+
+def sklearn_available() -> bool:
+    return _module_available("sklearn")
 
 
 def sk_supported(task: str, algorithm: str) -> bool:
@@ -144,7 +169,12 @@ class SkEstimator:
     def fit(self, df) -> "SkModel":
         mod, cls_name = SK_TABLE[(self.task, self.algorithm)]
         cls = getattr(importlib.import_module(mod), cls_name)
-        est = cls(**self.hyperparams)
+        hp = dict(self.hyperparams)
+        if mod.split(".")[0] == "catboost":
+            # catboost prints per-iteration logs by default; the
+            # reference's server-side fit runs silent too
+            hp.setdefault("verbose", False)
+        est = cls(**hp)
         cols = ["features"]
         supervised = self.task in (TASK_REGRESSION, TASK_CLASSIFICATION)
         if supervised:
@@ -283,9 +313,17 @@ class _SkWriter:
 def maybe_sklearn_estimator(
     task: str, algorithm: str, hyperparams: dict | None
 ) -> tuple[Any, str] | None:
-    """Dispatch hook for make_estimator: the real sklearn runtime when
-    the library is importable and maps the name, else None (caller
-    falls back to the MLlib analog with runtime=fallback)."""
-    if sk_supported(task, algorithm) and sklearn_available():
-        return SkEstimator(task, algorithm, hyperparams), "sklearn"
-    return None
+    """Dispatch hook for make_estimator: the real library runtime
+    (sklearn, or xgboost/lightgbm/catboost for the boosted names —
+    the registry's runtime tag records which engine fit the model,
+    like the reference's Runtime column) when the mapped library is
+    importable, else None (caller falls back to the MLlib analog with
+    runtime=fallback)."""
+    if not sk_supported(task, algorithm):
+        return None
+    root = _root_module(task, algorithm)
+    if not _module_available(root):
+        return None
+    return SkEstimator(task, algorithm, hyperparams), (
+        "sklearn" if root == "sklearn" else root
+    )

@@ -1023,3 +1023,48 @@ def test_resident_sq8_contracts(spark, sf_dir):
     assert all(
         short[i][1] <= short[i + 1][1] for i in range(len(short) - 1)
     )
+
+
+def test_resident_ivfpq_contracts(spark, sf_dir):
+    """IVF-PQ composition (nlist>0): probed ADC must honor the same
+    contracts as flat PQ — exhaustive probes + full rescore ≡ exact
+    brute force, save/load round-trips the coarse stage, filtered
+    queries fill from expanded probes — while gathering only probed
+    code slices (pinned by recall at nprobe ≪ nlist)."""
+    import numpy as np
+
+    from postgresml_spark.operators.similarity import ResidentPQ, knn_exact
+    from postgresml_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+    corpus = e.filter(F.col("vec_id") != 0)
+
+    ivfpq = ResidentPQ(corpus, m=8, nlist=8, nprobe=2)
+    exact = [r["vec_id"] for r in knn_exact(corpus, q, k=10).collect()]
+
+    # pruned-probe production path still recovers the top-k
+    got = [i for i, _ in ivfpq.search(q, k=10, rescore_k=256)]
+    assert len(set(got) & set(exact)) / 10 >= 0.8
+
+    # exhaustive probes + corpus-wide rescore ⇒ exactly brute force
+    full = ResidentPQ(corpus, m=8, nlist=8, nprobe=8)
+    assert [
+        i for i, _ in full.search(q, k=10, rescore_k=len(full.ids))
+    ] == exact
+
+    # durability of the coarse stage
+    tmp = tempfile.mkdtemp(prefix="ivfpq_")
+    try:
+        ivfpq.save(tmp)
+        re = ResidentPQ.load(tmp)
+        assert re.centroids is not None
+        assert re.search(q, k=10) == ivfpq.search(q, k=10)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # filtered: results confined to the mask even when the first probe
+    # batch misses it (iterative expansion)
+    allowed = ivfpq.row_mask(np.asarray(exact[5:10]))
+    filt = ivfpq.search(q, k=5, allowed=allowed)
+    assert filt and {i for i, _ in filt} <= set(exact[5:10])

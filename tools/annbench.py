@@ -188,7 +188,12 @@ def main() -> int:
         out["pq_m"] = pq_m
         out["pq_codes_mb"] = round(pqi.codes.nbytes / 1e6, 1)
         out["pq_rescore_window"] = rwin
-        for tier, idx in (("pq", pqi),):
+        t0 = time.perf_counter()
+        ivfpq = ResidentPQ(
+            (exact.ids, exact.mat), m=pq_m, nlist=nlist, nprobe=nprobe
+        )
+        out["build_ivfpq_s"] = round(time.perf_counter() - t0, 2)
+        for tier, idx in (("pq", pqi), ("ivfpq", ivfpq)):
             idx.search(queries[0], k=10, rescore_k=rwin)  # warm
             ts, rec_ = [], []
             for j, q in enumerate(queries):

@@ -53,6 +53,7 @@ __all__ = [
     "pack_sequences",
     "greedy_pack",
     "unigram_lm_scores",
+    "kn_bigram_scores",
     "heavy_hitters",
     "mg_fold",
 ]
@@ -645,3 +646,83 @@ def heavy_hitters(
         .agg(F.count("*").alias("cnt"))
     )
     return exact.orderBy(F.desc("cnt"), F.asc(col)).limit(int(k))
+
+
+def kn_bigram_scores(
+    train: DataFrame,
+    score: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM quality scoring: fit on a
+    held-out reference corpus, score each target document's mean
+    bigram negative log-likelihood (nats/bigram). The real-math step
+    up from `unigram_lm_scores`' add-one model, and the honest twin of
+    CCNet's KenLM stage (Wenzek et al. 2020) — absolute discounting
+    with continuation probabilities, the textbook KN formulation:
+
+        P(w2|w1) = max(c(w1w2) − D, 0)/c(w1)
+                 + (D·N1+(w1,•)/c(w1)) · N1+(•,w2)/B
+
+    where N1+ are distinct-continuation counts and B the distinct
+    bigram count. Unseen contexts back off to the continuation
+    distribution alone; a zero-probability event (both bigram and w2
+    unseen) floors at 1/(B+1) so log stays finite — deterministic and
+    engine-portable, which is what lets the q191 DuckDB oracle rebuild
+    the entire model from the same parquet.
+
+    Scale shape: every statistic is a groupBy over BIGRAM TYPES
+    (vocabulary²-bounded, Zipf-concentrated — not corpus-sized), and
+    scoring joins the target's bigram stream against those stats
+    tables on w1/w2 equi-keys; Catalyst/AQE broadcasts them while they
+    fit and shuffle-joins beyond. Only (doc, partial-sum) rows reach
+    the final per-doc aggregation. Docs with < 2 tokens are excluded
+    (no bigrams to score).
+    """
+    D = float(discount)
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        toks = TX.tokenize(F.col(text_col))
+        big = df.where(F.size(toks) >= 2).select(
+            F.col(id_col), F.posexplode(toks).alias("pos", "w1")
+        )
+        w = Window.partitionBy(id_col).orderBy("pos")
+        return big.select(
+            F.col(id_col), F.col("w1"), F.lead("w1").over(w).alias("w2")
+        ).where(F.col("w2").isNotNull())
+
+    tb = bigrams(train)
+    c12 = tb.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    left = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1pf")
+    )
+    right = c12.groupBy("w2").agg(F.count("*").alias("n1pb"))
+    b_total = c12.count()  # scalar: distinct bigram types
+
+    sb = bigrams(score)
+    joined = (
+        sb.join(c12, ["w1", "w2"], "left")
+        .join(left, "w1", "left")
+        .join(right, "w2", "left")
+    )
+    c12d = F.coalesce(F.col("c12").cast("double"), F.lit(0.0))
+    c1d = F.col("c1").cast("double")
+    n1pfd = F.col("n1pf").cast("double")
+    n1pbd = F.coalesce(F.col("n1pb").cast("double"), F.lit(0.0))
+    bd = F.lit(float(b_total))
+    cont = n1pbd / bd
+    p_seen = (
+        F.greatest(c12d - F.lit(D), F.lit(0.0)) / c1d
+        + ((F.lit(D) * n1pfd) / c1d) * cont
+    )
+    p_raw = F.when(F.col("c1").isNotNull(), p_seen).otherwise(cont)
+    p = F.when(p_raw > 0.0, p_raw).otherwise(F.lit(1.0) / (bd + F.lit(1.0)))
+    return (
+        joined.select(F.col(id_col), (-F.log(p)).alias("nll"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg("nll").alias("kn_nll"),
+        )
+    )

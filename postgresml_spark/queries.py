@@ -9098,6 +9098,76 @@ def _maxsim_sql() -> str:
     """
 
 
+@query(
+    "q191_kneser_ney_bigram",
+    oracle=f"""
+    WITH ttoks AS (
+      SELECT {_SQL_TOKENS.format(t='text')} AS t
+      FROM documents WHERE doc_id >= 400
+    ), tb AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i+1])) AS w2
+      FROM ttoks WHERE len(t) >= 2
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS c12 FROM tb GROUP BY w1, w2
+    ), lft AS (
+      SELECT w1, sum(c12) AS c1, count(*) AS n1pf FROM c12 GROUP BY w1
+    ), rgt AS (
+      SELECT w2, count(*) AS n1pb FROM c12 GROUP BY w2
+    ), btot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS b FROM c12
+    ), stoks AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS t
+      FROM documents WHERE doc_id < 400
+    ), sb AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i+1])) AS w2
+      FROM stoks WHERE len(t) >= 2
+    ), probs AS (
+      SELECT sb.doc_id,
+        CASE WHEN l.c1 IS NOT NULL THEN
+          greatest(COALESCE(CAST(c.c12 AS DOUBLE), 0.0) - 0.75, 0.0)
+            / CAST(l.c1 AS DOUBLE)
+          + ((0.75 * CAST(l.n1pf AS DOUBLE)) / CAST(l.c1 AS DOUBLE))
+            * (COALESCE(CAST(r.n1pb AS DOUBLE), 0.0) / b)
+        ELSE COALESCE(CAST(r.n1pb AS DOUBLE), 0.0) / b END AS p_raw,
+        b
+      FROM sb
+      LEFT JOIN c12 c USING (w1, w2)
+      LEFT JOIN lft l USING (w1)
+      LEFT JOIN rgt r USING (w2)
+      CROSS JOIN btot
+    )
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           round(avg(-ln(CASE WHEN p_raw > 0.0 THEN p_raw
+                         ELSE 1.0 / (b + 1.0) END)), 4) AS kn_nll
+    FROM probs
+    GROUP BY doc_id
+    """,
+)
+def q191_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram LM quality scoring — the
+    real-math step past q77's add-one unigram model and the honest
+    twin of CCNet's KenLM stage: absolute discounting (D=0.75) with
+    continuation probabilities, fit on a HELD-OUT reference slice
+    (doc_id ≥ 400, the decontam split), scoring the target docs' mean
+    bigram NLL. All statistics are bigram-TYPE-bounded groupBys; the
+    closed-form arithmetic is engine-portable, so the oracle rebuilds
+    the entire model from the same parquet (same formula, same
+    1/(B+1) zero floor). 4-dp rounding on the per-doc mean absorbs
+    aggregation-order ulps (the q77 discipline)."""
+    d = _t(spark, sf_dir, "documents")
+    out = CO.kn_bigram_scores(
+        d.filter(F.col("doc_id") >= 400),
+        d.filter(F.col("doc_id") < 400),
+    )
+    return out.select(
+        "doc_id", "n_bigrams", F.round("kn_nll", 4).alias("kn_nll")
+    )
+
+
 @query("q190_late_interaction_maxsim", oracle=_maxsim_sql())
 def q190_late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-interaction retrieval (ColBERT MaxSim): score(doc) =

@@ -389,3 +389,64 @@ def test_weighted_take_is_biased_and_deterministic(spark):
     # TakeOrdered plan, not a global sort
     plan = CO.weighted_take(df, 50, "w", ["doc_id"])._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kn_bigram_golden_hand_computation(spark):
+    """Kneser–Ney bigram scores match a pure-Python hand computation of
+    the textbook formula (discount mass conservation included): the
+    engine-portable arithmetic q191's oracle relies on."""
+    import math
+
+    from postgresml_spark.operators.corpus import kn_bigram_scores
+
+    train = spark.createDataFrame(
+        [(100, "the cat sat on the mat"), (101, "the cat ran")],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "dog jumps high")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["kn_nll"])
+        for r in kn_bigram_scores(train, score).collect()
+    }
+
+    # hand-built stats from the train corpus
+    bigrams = [
+        ("the", "cat"), ("cat", "sat"), ("sat", "on"), ("on", "the"),
+        ("the", "mat"), ("the", "cat"), ("cat", "ran"),
+    ]
+    from collections import Counter
+
+    c12 = Counter(bigrams)
+    c1 = Counter(); n1pf = Counter(); n1pb = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1pf[w1] += 1
+        n1pb[w2] += 1
+    B = len(c12)
+    D = 0.75
+
+    def p(w1, w2):
+        cont = n1pb.get(w2, 0) / B
+        if w1 in c1:
+            raw = max(c12.get((w1, w2), 0) - D, 0.0) / c1[w1] + (
+                D * n1pf[w1] / c1[w1]
+            ) * cont
+        else:
+            raw = cont
+        return raw if raw > 0 else 1.0 / (B + 1)
+
+    exp0 = -(math.log(p("the", "cat")) + math.log(p("cat", "sat"))) / 2
+    exp1 = -(math.log(p("dog", "jumps")) + math.log(p("jumps", "high"))) / 2
+    assert got[0][0] == 2 and abs(got[0][1] - exp0) < 1e-9
+    assert got[1][0] == 2 and abs(got[1][1] - exp1) < 1e-9
+    # seen bigram in a seen context scores far more likely than OOV
+    assert got[0][1] < got[1][1]
+
+    # discount mass conservation: P(·|w1) sums to 1 over the
+    # continuation vocabulary for a seen context
+    vocab = set(n1pb)
+    total = sum(p("the", w) for w in vocab)
+    assert abs(total - 1.0) < 1e-12

@@ -541,6 +541,78 @@ def knn_join(
     )
 
 
+def hard_negative_join(
+    corpus: DataFrame,
+    anchors: list[tuple[int, list[float], object]],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    each anchor (id, vector, label), the top-k most-similar corpus rows
+    whose label DIFFERS from the anchor's — the highest-loss negatives
+    for a triplet/InfoNCE batch. Returns (anchor_id, vec_id, score).
+
+    Scale shape = `knn_join`'s: anchors are driver-bounded and ship in
+    the mapInPandas closure; each corpus partition scores all anchors
+    as ONE BLAS matmul, masks same-label rows (and the anchor row
+    itself) with −inf BEFORE the local top-k, and only
+    O(partitions × |anchors| × k) winner rows reach the one window
+    shuffle. A label-mismatch θ-join through the optimizer would be a
+    BroadcastNestedLoopJoin — the mask keeps the plan a scan.
+    """
+    a_ids = [int(i) for i, _, _ in anchors]
+    a_labels = [lab for _, _, lab in anchors]
+    a_mat = np.asarray([v for _, v, _ in anchors], dtype="float64")
+    an = np.linalg.norm(a_mat, axis=1)
+    an[an == 0] = 1.0
+    au = a_mat / an[:, None]
+    kk = int(k)
+
+    def _local_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(pdf[vec_col].tolist(), dtype="float64")
+            ids = pdf[id_col].to_numpy()
+            labs = pdf[label_col].to_numpy()
+            with np.errstate(invalid="ignore", divide="ignore"):
+                xn = np.linalg.norm(x, axis=1)
+                xn[xn == 0] = 1.0
+                sims = (x / xn[:, None]) @ au.T  # (n, a)
+            out_a, out_id, out_s = [], [], []
+            for j, aid in enumerate(a_ids):
+                col = sims[:, j].copy()
+                col[labs == a_labels[j]] = -np.inf  # positives masked
+                col[ids == aid] = -np.inf  # the anchor itself
+                valid = np.flatnonzero(np.isfinite(col))
+                if not valid.size:
+                    continue
+                top = min(kk, valid.size)
+                rows = valid[np.argpartition(-col[valid], top - 1)[:top]]
+                out_a.extend([aid] * len(rows))
+                out_id.extend(ids[rows])
+                out_s.extend(col[rows])
+            yield pd.DataFrame(
+                {"anchor_id": out_a, id_col: out_id, "score": out_s}
+            )
+
+    local = corpus.select(id_col, vec_col, label_col).mapInPandas(
+        _local_topk, f"anchor_id long, {id_col} long, score double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        local.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= kk)
+        .drop("__rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the memory-compression leg of the ANN
 # triad (IVF prunes the scan, binary signatures cheapen the metric, PQ

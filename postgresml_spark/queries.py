@@ -9099,6 +9099,58 @@ def _maxsim_sql() -> str:
 
 
 @query(
+    "q192_hard_negative_mining",
+    oracle=f"""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, embedding AS av, label AS alab
+      FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT a.anchor_id, c.vec_id,
+             round({_DOT.format(a='c.embedding', b='a.av')}
+                   / ({_NORM2.format(a='c.embedding')}
+                      * {_NORM2.format(a='a.av')}), 6) AS score
+      FROM a JOIN embeddings c
+        ON c.label != a.alab AND c.vec_id != a.anchor_id
+    ), ranked AS (
+      SELECT anchor_id, vec_id, score,
+             row_number() OVER (
+               PARTITION BY anchor_id ORDER BY score DESC, vec_id
+             ) AS rn
+      FROM scored
+    )
+    SELECT anchor_id, vec_id, score FROM ranked WHERE rn <= 5
+    """,
+)
+def q192_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-5 most-cosine-similar rows with a DIFFERENT label — the
+    highest-loss negatives a triplet/InfoNCE batch wants. One corpus
+    scan scores all anchors as a BLAS block per partition, same-label
+    rows masked −inf BEFORE local top-k (a θ-join through the optimizer
+    would be the banned BroadcastNestedLoopJoin); only
+    partitions×anchors×k winner rows shuffle. Over-fetches raw top-16
+    then re-ranks on the 6-dp rounded score + vec_id (the shared
+    float-straddle discipline)."""
+    from postgresml_spark.operators.similarity import hard_negative_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    anchors = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]], r["label"])
+        for r in e.filter(F.col("vec_id") < 8).collect()
+    ]
+    out = hard_negative_join(e, anchors, k=16)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("score_r"), F.asc("vec_id")
+    )
+    return (
+        out.withColumn("score_r", F.round("score", 6))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("anchor_id", "vec_id", F.col("score_r").alias("score"))
+    )
+
+
+@query(
     "q191_kneser_ney_bigram",
     oracle=f"""
     WITH ttoks AS (

@@ -876,3 +876,42 @@ def test_jaccard_distance_goldens(spark):
         .head()
     )
     assert r["j"] is None
+
+
+def test_hard_negative_join_masks_positives(spark):
+    """Hard negatives: no same-label row, never the anchor itself,
+    descending-score order, and the winners match a brute-force numpy
+    recomputation exactly."""
+    import numpy as np
+
+    from postgresml_spark.operators.similarity import hard_negative_join
+
+    rng = np.random.default_rng(3)
+    n = 200
+    X = rng.normal(size=(n, 16))
+    labs = (np.arange(n) % 4).astype(int)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]], int(labs[i])) for i in range(n)],
+        "vec_id long, embedding array<double>, label int",
+    ).repartition(8)
+    anchors = [(0, [float(x) for x in X[0]], 0), (1, [float(x) for x in X[1]], 1)]
+    got = hard_negative_join(df, anchors, k=5).collect()
+    by_anchor: dict = {}
+    for r in got:
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    lab_of = {i: int(labs[i]) for i in range(n)}
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for aid, avec, alab in anchors:
+        rows = by_anchor[aid]
+        assert len(rows) == 5
+        assert all(lab_of[r["vec_id"]] != alab for r in rows)
+        assert all(r["vec_id"] != aid for r in rows)
+        scores = [r["score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        # brute force: top-5 different-label cosines
+        a = np.asarray(avec) / np.linalg.norm(avec)
+        sims = U @ a
+        sims[labs == alab] = -np.inf
+        sims[aid] = -np.inf
+        want = set(np.argsort(-sims)[:5].tolist())
+        assert {r["vec_id"] for r in rows} == want

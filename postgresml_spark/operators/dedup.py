@@ -55,6 +55,8 @@ __all__ = [
     "embedding_near_dup_pairs",
     "semantic_dedup",
     "corpus_line_dedup",
+    "winnow_fingerprints",
+    "winnow_similar_pairs",
 ]
 
 
@@ -1144,4 +1146,90 @@ def corpus_line_dedup(
             delimiter,
         ).alias("clean_text"),
         F.count("*").alias("n_kept"),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every ``n``-token gram,
+    slide a window of ``w`` consecutive gram hashes, record the minimum
+    of each window, dedupe.  Guarantees: any shared token run of length
+    ≥ n + w - 1 yields at least one shared fingerprint, and the selected
+    set is ~2/(w+1) of all grams — a density/recall dial that neither
+    full shingling (stores everything) nor MinHash (fixed-size, loses
+    locality) offers.  Output: (id_col, fp) distinct rows.
+
+    Engine-portable: gram hash = md5 hex slice → 60-bit int, window min
+    is a plain SQL window frame — DuckDB re-derives the identical
+    fingerprint set (oracle-gateable, unlike seeded xxhash winnowing).
+
+    Scale: grams are corpus_tokens rows; the window min is partitioned
+    BY DOCUMENT (never global) so it parallelizes per doc; the distinct
+    shuffles ~2/(w+1) of gram volume.  Fingerprints then behave like any
+    posting list: self-join on fp for pair candidates, anti-join an
+    index for incremental screening."""
+    from postgresml_spark.functions import text as TX
+
+    toks = df.select(
+        F.col(id_col).alias("id"), TX.tokenize(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= n + w - 1)
+    grams = toks.select(
+        "id",
+        (F.size("t") - n + 1).alias("n_grams"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - n),
+                lambda i: F.array_join(F.slice(F.col("t"), i + 1, n), " "),
+            )
+        ).alias("pos", "gram"),
+    ).select(
+        "id",
+        "pos",
+        "n_grams",
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        grams.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("n_grams") - w)
+        .select(F.col("id").alias(id_col), "fp")
+        .distinct()
+    )
+
+
+def winnow_similar_pairs(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    bucket_cap: int = 50,
+) -> DataFrame:
+    """Candidate near-duplicate pairs from winnowing fingerprints:
+    self-join the fingerprint posting list on fp, count shared
+    fingerprints per pair.  ``bucket_cap`` drops degenerate fingerprints
+    shared by more than ``bucket_cap`` docs (boilerplate) before the
+    self-join — the same O(m²)-hot-bucket kill switch the MinHash band
+    join uses.  Output: (id_a, id_b, shared) with id_a < id_b."""
+    sized = fps.withColumn(
+        "__df", F.count("*").over(Window.partitionBy("fp"))
+    ).filter(F.col("__df") <= bucket_cap)
+    a = sized.select(F.col(id_col).alias("id_a"), "fp")
+    b = sized.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
     )

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from postgresml_spark.functions import text as TX
 from postgresml_spark.functions import vectors as V
 from postgresml_spark.operators import dedup as DD
+from postgresml_spark.operators import sketches as SK
 from postgresml_spark.operators.filter_dsl import compile_filter, json_resolver
 from postgresml_spark.operators.similarity import knn_exact
 
@@ -9273,3 +9274,267 @@ def q190_late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q193–q196 — mergeable, engine-portable sketches + winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+@query(
+    "q193_hll_distinct",
+    oracle="""
+    WITH h0 AS (
+      SELECT o_orderpriority AS grp, o_custkey,
+             CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 2)) AS BIGINT) % 64 AS bucket,
+             CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 3, 15)) AS BIGINT) AS h2
+      FROM orders
+    ),
+    h AS (
+      SELECT grp, o_custkey, bucket,
+             CASE WHEN h2 = 0 THEN 61 ELSE 61 - length(bin(h2)) END AS rank
+      FROM h0
+      UNION ALL
+      SELECT 'ALL', o_custkey, bucket,
+             CASE WHEN h2 = 0 THEN 61 ELSE 61 - length(bin(h2)) END
+      FROM h0
+    ),
+    r AS (SELECT grp, bucket, max(rank) AS reg FROM h GROUP BY grp, bucket),
+    agg AS (
+      SELECT grp, sum(power(0.5, reg)) AS denom, count(*) AS nonzero
+      FROM r GROUP BY grp
+    ),
+    ex AS (
+      SELECT grp, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+      FROM h GROUP BY grp
+    )
+    SELECT a.grp,
+           round(CASE WHEN (0.709 * 64 * 64 / (denom + (64 - nonzero))) <= 160.0
+                       AND nonzero < 64
+                 THEN 64 * ln(64.0 / (64 - nonzero))
+                 ELSE 0.709 * 64 * 64 / (denom + (64 - nonzero)) END, 1) AS hll_estimate,
+           ex.exact_distinct
+    FROM agg a JOIN ex ON a.grp = ex.grp
+    ORDER BY a.grp
+    """,
+)
+def q193_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog (Flajolet et al. 2007, m=64):
+    per-priority distinct-customer estimates PLUS a merged 'ALL' row
+    proving sketch mergeability — the union estimate is computed by
+    register-wise max of the per-group register tables, never by
+    re-scanning rows.  Exact distinct alongside for the error readout.
+
+    Postgres ships this as the `hll` extension; Spark's
+    approx_count_distinct is HLL++ with an engine-private register
+    layout, so only this portable arithmetic form is oracle-comparable
+    (same reasoning as q152's KMV).  Scale: the sketch state is
+    groups × 64 rows whatever the input; building it is one map-side-
+    combinable max-agg; epoch merge = UNION ALL → max."""
+    o = _t(spark, sf_dir, "orders")
+    regs = SK.hll_registers(o, ["o_orderpriority"], "o_custkey").select(
+        F.col("o_orderpriority").alias("grp"), "bucket", "reg"
+    )
+    all_regs = SK.hll_merge(
+        regs.select(F.lit("ALL").alias("grp"), "bucket", "reg"), ["grp"]
+    )
+    est = SK.hll_estimate(regs.unionAll(all_regs), ["grp"])
+    ex = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct")
+    )
+    ex_all = o.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct")
+    ).select(F.lit("ALL").alias("grp"), "exact_distinct")
+    return est.join(ex.unionAll(ex_all), "grp").orderBy("grp")
+
+
+@query(
+    "q194_count_min_sketch",
+    oracle="""
+    WITH c AS (
+      SELECT l_partkey, count(*) AS exact_cnt FROM lineitem GROUP BY l_partkey
+    ),
+    rows_j AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    buck AS (
+      SELECT j.j,
+             CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || '-' || CAST(c.l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket,
+             c.exact_cnt
+      FROM c CROSS JOIN rows_j j
+    ),
+    sk AS (
+      SELECT j, bucket, CAST(sum(exact_cnt) AS BIGINT) AS cell
+      FROM buck GROUP BY j, bucket
+    ),
+    probes AS (
+      SELECT l_partkey, exact_cnt FROM c
+      ORDER BY exact_cnt DESC, l_partkey LIMIT 20
+    ),
+    pb AS (
+      SELECT p.l_partkey, p.exact_cnt, j.j,
+             CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || '-' || CAST(p.l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket
+      FROM probes p CROSS JOIN rows_j j
+    )
+    SELECT p.l_partkey, p.exact_cnt, min(s.cell) AS cm_estimate
+    FROM pb p JOIN sk s ON p.j = s.j AND p.bucket = s.bucket
+    GROUP BY p.l_partkey, p.exact_cnt
+    ORDER BY exact_cnt DESC, l_partkey
+    """,
+)
+def q194_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005), d=4 × w=256:
+    build the counter table from per-part order counts (CM is linear,
+    so hashing keyed counts ≡ hashing raw rows at |keys|/|rows| the
+    shuffle), then point-estimate the 20 most frequent parts — the
+    estimate min-over-d-cells never undercounts.  All integer
+    arithmetic, so the oracle matches hash-exactly.
+
+    Scale: sketch state is d×w = 1024 cells whatever the input; the
+    build is one map-side-combinable sum; probes broadcast-join the
+    sketch.  This is the mergeable frequency summary that complements
+    q166's exact Misra–Gries heavy hitters (MG answers 'which keys are
+    hot', CM answers 'how hot is ANY key, later, without the data')."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count("*").alias("exact_cnt"))
+    sketch = SK.cm_sketch(counts, "l_partkey", "exact_cnt", d=4, w=256)
+    probes = counts.orderBy(F.col("exact_cnt").desc(), "l_partkey").limit(20)
+    est = SK.cm_lookup(sketch, probes, "l_partkey", d=4, w=256)
+    return est.select("l_partkey", "exact_cnt", "cm_estimate").orderBy(
+        F.col("exact_cnt").desc(), "l_partkey"
+    )
+
+
+@query(
+    "q195_winnow_fingerprints",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS t
+      FROM documents
+    ),
+    tok2 AS (SELECT doc_id, t, len(t) AS nt FROM toks WHERE len(t) >= 6),
+    g0 AS (
+      SELECT doc_id, nt - 2 AS n_grams,
+             unnest(generate_series(1, nt - 2)) AS i, t
+      FROM tok2
+    ),
+    gr AS (
+      SELECT doc_id, i - 1 AS pos, n_grams,
+             CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) AS h
+      FROM g0
+    ),
+    fpsel AS (
+      SELECT doc_id, pos, n_grams,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM gr
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM fpsel WHERE pos <= n_grams - 4),
+    sized AS (
+      SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps
+    ),
+    kept AS (SELECT doc_id, fp FROM sized WHERE df <= 50)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    ORDER BY shared DESC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def q195_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm; k=3-token grams, window w=4): hash every gram,
+    keep each window's minimum, dedupe — any shared run of ≥ k+w-1
+    tokens is guaranteed a shared fingerprint, at ~2/(w+1) the storage
+    of full shingling.  Candidate pairs come from a self-join on the
+    fingerprint posting list with the hot-bucket cap the MinHash band
+    join uses.  Top-20 pairs by shared-fingerprint count.
+
+    This is the rolling-hash fingerprinting stage of plagiarism /
+    near-dup detection — positional where MinHash is bag-of-shingles.
+    Scale: the window min is partitioned per document (never global);
+    the distinct moves ~2/(w+1) of gram volume; pairs are O(candidates)
+    via the posting-list join, never O(n²)."""
+    d = _t(spark, sf_dir, "documents")
+    fps = DD.winnow_fingerprints(d, "text", "doc_id", n=3, w=4)
+    pairs = DD.winnow_similar_pairs(fps, "doc_id", min_shared=2, bucket_cap=50)
+    return pairs.orderBy(F.col("shared").desc(), "id_a", "id_b").limit(20)
+
+
+@query(
+    "q196_bottomk_quantile_sketch",
+    oracle="""
+    WITH p AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) AS prio
+      FROM lineitem
+    ),
+    samp AS (
+      SELECT l_returnflag, v FROM (
+        SELECT l_returnflag, v,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY prio) AS rn
+        FROM p
+      ) WHERE rn <= 64
+    ),
+    s AS (
+      SELECT l_returnflag,
+             round(quantile_cont(v, 0.5), 4) AS sample_p50,
+             round(quantile_cont(v, 0.9), 4) AS sample_p90,
+             CAST(count(*) AS BIGINT) AS sample_n
+      FROM samp GROUP BY l_returnflag
+    ),
+    e AS (
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT s.l_returnflag, sample_n, sample_p50, sample_p90, exact_p50, exact_p90
+    FROM s JOIN e USING (l_returnflag)
+    ORDER BY l_returnflag
+    """,
+)
+def q196_bottomk_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch via content-keyed bottom-k sampling
+    (k=64 per group): keep the k rows with the smallest md5 hash of the
+    row id — a uniform sample reproducible across engines AND
+    partitionings — and read p50/p90 off the sample next to the exact
+    percentiles.  Merging epochs = union the samples, re-take bottom-k
+    (same contract as q152's KMV, which is this trick's distinct-count
+    face).
+
+    Scale: selection is a two-stage winnow — bottom-k within
+    (group, input-partition) first, then bottom-k of the ≤ k×partitions
+    survivors — so no group-wide sort ever happens (3 return-flag
+    groups over 100 TB would otherwise each sort a third of the
+    corpus).  Spark percentile() and DuckDB quantile_cont() share the
+    p·(n−1) linear-interpolation definition; both sides round at 4 dp
+    (sample medians are midpoints of 2-dp prices — exact at 3 dp)."""
+    li = _t(spark, sf_dir, "lineitem")
+    samp = SK.bottomk_sample(
+        li, ["l_returnflag"], ["l_orderkey", "l_linenumber"], k=64
+    )
+    s = samp.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+            "sample_p50"
+        ),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias(
+            "sample_p90"
+        ),
+        F.count("*").alias("sample_n"),
+    )
+    e = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+            "exact_p50"
+        ),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias(
+            "exact_p90"
+        ),
+    )
+    return s.join(e, "l_returnflag").select(
+        "l_returnflag",
+        "sample_n",
+        "sample_p50",
+        "sample_p90",
+        "exact_p50",
+        "exact_p90",
+    ).orderBy("l_returnflag")

@@ -1,0 +1,226 @@
+"""Mergeable-sketch operators: HLL, Count-Min, bottom-k sample,
+winnowing fingerprints.  Properties tested are the sketch CONTRACTS
+(mergeability, never-undercount, bounded error, selection guarantees),
+not just output shapes — the oracle queries (q193–q196) pin the
+engine-portable arithmetic separately."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresml_spark.operators import sketches as SK
+from postgresml_spark.operators.dedup import (
+    winnow_fingerprints,
+    winnow_similar_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+# ---------------------------------------------------------------------------
+# HLL
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_within_rsd(orders):
+    """m=64 ⇒ rsd ≈ 1.04/8 = 13%; assert within 4σ (the md5 'seed' is
+    fixed, so this is a deterministic check, not a flaky one)."""
+    regs = SK.hll_registers(orders, [], "o_custkey")
+    est = SK.hll_estimate(regs, []).collect()[0]["hll_estimate"]
+    exact = orders.select("o_custkey").distinct().count()
+    assert abs(est - exact) / exact < 4 * 0.13
+
+
+def test_hll_register_table_bounded(orders):
+    regs = SK.hll_registers(orders, ["o_orderpriority"], "o_custkey")
+    n_groups = orders.select("o_orderpriority").distinct().count()
+    assert regs.count() <= 64 * n_groups
+
+
+def test_hll_merge_equals_direct(orders):
+    """Mergeability: union per-group register tables, max-merge, and
+    the result must EQUAL the sketch built directly on the whole
+    column — register-wise max is lossless for HLL state."""
+    per = SK.hll_registers(orders, ["o_orderpriority"], "o_custkey")
+    merged = SK.hll_merge(
+        per.select(F.lit("ALL").alias("g"), "bucket", "reg"), ["g"]
+    )
+    direct = SK.hll_registers(orders, [], "o_custkey")
+    m = {r["bucket"]: r["reg"] for r in merged.collect()}
+    d = {r["bucket"]: r["reg"] for r in direct.collect()}
+    assert m == d
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+
+def test_cm_never_undercounts(lineitem):
+    counts = lineitem.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    sk = SK.cm_sketch(counts, "l_partkey", "cnt", d=4, w=256)
+    probes = counts.orderBy(F.col("cnt").desc(), "l_partkey").limit(50)
+    est = SK.cm_lookup(sk, probes, "l_partkey", d=4, w=256).collect()
+    assert len(est) == min(50, counts.count())
+    for r in est:
+        assert r["cm_estimate"] >= r["cnt"]
+
+
+def test_cm_sketch_bounded_and_mass_preserved(lineitem):
+    """Each of the d rows of the sketch holds the FULL count mass
+    (every key lands in exactly one cell per row); table ≤ d×w cells."""
+    counts = lineitem.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    sk = SK.cm_sketch(counts, "l_partkey", "cnt", d=4, w=256)
+    assert sk.count() <= 4 * 256
+    total = lineitem.count()
+    per_row = {
+        r["j"]: r["s"]
+        for r in sk.groupBy("j").agg(F.sum("cell").alias("s")).collect()
+    }
+    assert set(per_row) == {0, 1, 2, 3}
+    assert all(v == total for v in per_row.values())
+
+
+def test_cm_merge_is_cellwise_sum(lineitem):
+    """Linearity: sketch(A ∪ B) == cell-wise sum of sketch(A) and
+    sketch(B) — the property that lets epochs merge without data."""
+    a = lineitem.filter(F.col("l_orderkey") % 2 == 0)
+    b = lineitem.filter(F.col("l_orderkey") % 2 == 1)
+
+    def sk_of(df):
+        c = df.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+        return SK.cm_sketch(c, "l_partkey", "cnt", d=2, w=64)
+
+    merged = (
+        sk_of(a)
+        .unionAll(sk_of(b))
+        .groupBy("j", "bucket")
+        .agg(F.sum("cell").alias("cell"))
+    )
+    direct = sk_of(lineitem)
+    m = {(r["j"], r["bucket"]): r["cell"] for r in merged.collect()}
+    d = {(r["j"], r["bucket"]): r["cell"] for r in direct.collect()}
+    assert m == d
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k sample
+# ---------------------------------------------------------------------------
+
+
+def test_bottomk_is_partitioning_invariant(lineitem):
+    """The sample must depend only on row CONTENT: repartitioning the
+    input (which changes spark_partition_id assignments, i.e. the
+    stage-1 winnow groups) must not change the selected rows."""
+    ids = ["l_orderkey", "l_linenumber"]
+
+    def sample_keys(df):
+        s = SK.bottomk_sample(df, ["l_returnflag"], ids, k=32)
+        return sorted(
+            (r["l_returnflag"], r["l_orderkey"], r["l_linenumber"])
+            for r in s.select("l_returnflag", *ids).collect()
+        )
+
+    assert sample_keys(lineitem) == sample_keys(lineitem.repartition(13))
+
+
+def test_bottomk_matches_single_stage(lineitem):
+    """Two-stage winnow ≡ global bottom-k (the k smallest hashes each
+    survive their local partition's cut)."""
+    ids = ["l_orderkey", "l_linenumber"]
+    got = sorted(
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in SK.bottomk_sample(lineitem, ["l_returnflag"], ids, k=16)
+        .filter(F.col("l_returnflag") == "R")
+        .select(*ids)
+        .collect()
+    )
+    prio = SK.md5_long(
+        F.concat_ws("-", *[F.col(c).cast("string") for c in ids])
+    )
+    want = sorted(
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in lineitem.filter(F.col("l_returnflag") == "R")
+        .select(*ids, prio.alias("p"))
+        .orderBy("p")
+        .limit(16)
+        .collect()
+    )
+    assert got == want
+
+
+def test_bottomk_sizes(lineitem):
+    s = SK.bottomk_sample(
+        lineitem, ["l_returnflag"], ["l_orderkey", "l_linenumber"], k=64
+    )
+    sizes = {
+        r["l_returnflag"]: r["n"]
+        for r in s.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    }
+    full = {
+        r["l_returnflag"]: r["n"]
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for g, n in sizes.items():
+        assert n == min(64, full[g])
+
+
+# ---------------------------------------------------------------------------
+# Winnowing
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_guarantee_on_shared_run(spark):
+    """Schleimer et al.'s guarantee: two documents sharing a token run
+    of length ≥ n + w - 1 share at least one fingerprint."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = n+w-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"{shared} five six seven eight nine"),
+            (3, "totally different words everywhere here now and then"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs, "text", "doc_id", n=3, w=4)
+    pairs = winnow_similar_pairs(fps, "doc_id", min_shared=1).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+
+
+def test_winnow_density(spark, sf_dir):
+    """Selected fingerprints ≈ 2/(w+1) of grams (positions picked);
+    assert the set is a real winnow: non-empty and well below the full
+    gram count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    fps = winnow_fingerprints(docs, "text", "doc_id", n=3, w=4)
+    n_fps = fps.count()
+    n_grams = (
+        docs.select(
+            (F.size(F.split(F.lower("text"), "[^a-z0-9]+")) - 2).alias("g")
+        )
+        .agg(F.sum("g"))
+        .collect()[0][0]
+    )
+    assert 0 < n_fps < 0.8 * n_grams
+
+
+def test_winnow_identical_docs_share_all(spark):
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame([(1, t), (2, t)], ["doc_id", "text"])
+    fps = winnow_fingerprints(docs, "text", "doc_id", n=3, w=4)
+    a = {r["fp"] for r in fps.filter("doc_id = 1").collect()}
+    b = {r["fp"] for r in fps.filter("doc_id = 2").collect()}
+    assert a == b and len(a) > 0

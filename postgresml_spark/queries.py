@@ -9538,3 +9538,266 @@ def q196_bottomk_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_p50",
         "exact_p90",
     ).orderBy("l_returnflag")
+
+
+@query(
+    "q197_conformal_intervals",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag, l_extendedprice AS y, l_quantity AS x,
+             CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS fold
+      FROM lineitem
+    ),
+    coef AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n_train,
+             round(covar_pop(y, x) / var_pop(x), 6) AS slope,
+             round(avg(y) - round(covar_pop(y, x) / var_pop(x), 6) * avg(x), 6) AS intercept
+      FROM base WHERE fold <= 5 GROUP BY l_returnflag
+    ),
+    calib AS (
+      SELECT b.l_returnflag,
+             round(quantile_cont(abs(b.y - (c.intercept + c.slope * b.x)), 0.9), 4) AS q_hat,
+             CAST(count(*) AS BIGINT) AS n_calib
+      FROM base b JOIN coef c USING (l_returnflag)
+      WHERE b.fold IN (6, 7)
+      GROUP BY b.l_returnflag
+    ),
+    test AS (
+      SELECT b.l_returnflag,
+             round(avg(CASE WHEN abs(b.y - (c.intercept + c.slope * b.x)) <= q.q_hat
+                            THEN 1.0 ELSE 0.0 END), 4) AS coverage,
+             CAST(count(*) AS BIGINT) AS n_test
+      FROM base b JOIN coef c USING (l_returnflag) JOIN calib q USING (l_returnflag)
+      WHERE b.fold >= 8
+      GROUP BY b.l_returnflag
+    )
+    SELECT c.l_returnflag, c.n_train, q.n_calib, t.n_test,
+           c.slope, c.intercept, q.q_hat, t.coverage
+    FROM coef c JOIN calib q USING (l_returnflag) JOIN test t USING (l_returnflag)
+    ORDER BY c.l_returnflag
+    """,
+)
+def q197_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al.; Mondrian
+    per-group variant): content-keyed md5 folds split lineitem into
+    train (60%) / calibration (20%) / test (20%); an OLS price~quantity
+    model fits per return flag as pure aggregates (q94's
+    covar_pop/var_pop identities); the 90th-percentile absolute
+    calibration residual is the interval half-width q̂; empirical test
+    coverage lands near the nominal 0.9 — the distribution-free
+    guarantee split conformal gives ANY underlying model.
+
+    Cross-engine determinism: coefficients are rounded at 6 dp BEFORE
+    residuals are computed, so both engines score residuals with
+    bit-identical models and the coverage indicator can't flip on
+    engine-private accumulation order.
+
+    Scale: three filtered aggregate passes over one scan shape — no
+    per-row Python, no sort; the coefficient and q̂ tables are
+    groups-sized broadcasts.  This is the leakage-safe uncertainty
+    layer on top of pgml.train/predict (reference has point predictions
+    only; ml/metrics.py covers calibration — this adds finite-sample
+    coverage)."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("y"),
+        F.col("l_quantity").alias("x"),
+        (
+            SK.md5_long(
+                F.concat_ws(
+                    "-",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            )
+            % 10
+        ).alias("fold"),
+    )
+    slope_raw = F.covar_pop("y", "x") / F.var_pop("x")
+    slope = F.round(slope_raw, 6)
+    coef = (
+        base.filter(F.col("fold") <= 5)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_train"),
+            slope.alias("slope"),
+            F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
+        )
+    )
+    resid = F.abs(F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x")))
+    calib = (
+        base.filter(F.col("fold").isin(6, 7))
+        .join(F.broadcast(coef), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile(resid, F.lit(0.9)), 4).alias("q_hat"),
+            F.count("*").alias("n_calib"),
+        )
+    )
+    test = (
+        base.filter(F.col("fold") >= 8)
+        .join(F.broadcast(coef), "l_returnflag")
+        .join(F.broadcast(calib), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.avg(F.when(resid <= F.col("q_hat"), 1.0).otherwise(0.0)), 4
+            ).alias("coverage"),
+            F.count("*").alias("n_test"),
+        )
+    )
+    return (
+        coef.join(calib, "l_returnflag")
+        .join(test, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_train",
+            "n_calib",
+            "n_test",
+            "slope",
+            "intercept",
+            "q_hat",
+            "coverage",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q198_triangle_count",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 45),
+    e AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM ps a JOIN ps b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    deg AS (
+      SELECT v, count(*) AS deg
+      FROM (SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)
+      GROUP BY v
+    ),
+    o AS (
+      SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.src < e.dst)
+                  THEN e.src ELSE e.dst END AS a,
+             CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND e.src < e.dst)
+                  THEN e.dst ELSE e.src END AS b
+      FROM e JOIN deg d1 ON e.src = d1.v JOIN deg d2 ON e.dst = d2.v
+    ),
+    w AS (
+      SELECT o1.b AS x, o2.b AS y FROM o o1 JOIN o o2 ON o1.a = o2.a AND o1.b < o2.b
+    ),
+    t AS (
+      SELECT count(*) AS n_triangles FROM w
+      WHERE EXISTS (SELECT 1 FROM e WHERE e.src = w.x AND e.dst = w.y)
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(deg * (deg - 1)) AS BIGINT) AS dd
+      FROM deg
+    ),
+    ne AS (SELECT count(*) AS n_edges FROM e)
+    SELECT n_nodes, n_edges, n_triangles,
+           round(CASE WHEN dd > 0 THEN 6.0 * n_triangles / dd ELSE 0.0 END, 6) AS gcc
+    FROM s, ne, t
+    """,
+)
+def q198_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    supplier co-order graph (suppliers adjacent when they ship lines of
+    the same order) — degree-oriented wedge join (Suri–Vassilvitskii
+    2011), the connectivity statistic used to characterize entity
+    graphs before community/cluster passes.
+
+    Scale: pair generation is per-order (bounded by order width, ≤7
+    lines); the high-quantity line filter keeps the graph's per-node
+    degree CONSTANT as nodes and orders scale together (the unfiltered
+    co-order graph densifies toward complete at fixed supplier count —
+    its wedge set grew ×130 from sf0.01 to sf0.1, measured); orientation
+    caps every out-neighborhood at O(√|E|) so the wedge join never
+    squares a hub's degree; three keyed shuffles, no cartesian."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (
+        li.filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = ps.alias("a")
+    b = ps.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return GR.triangle_count(edges)
+
+
+@query(
+    "q199_token_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS tok
+      FROM documents
+    ),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+    d AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             max(c) AS max_c,
+             sum(c * log2(c)) AS sclogc
+      FROM tc GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(log2(n_tokens) - sclogc / n_tokens, 4) AS entropy,
+           round(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr,
+           round(CAST(max_c AS DOUBLE) / n_tokens, 4) AS top_frac
+    FROM d
+    ORDER BY doc_id
+    """,
+)
+def q199_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution quality signals per document: unigram Shannon
+    entropy (via the aggregate identity H = log2(n) − Σc·log2(c)/n —
+    one pass, no per-token probability join), type-token ratio, and
+    top-token mass fraction.  Low entropy / low TTR / high top-frac
+    flag TEMPLATE and SPAM pages that length/stopword heuristics
+    (q20/q62) miss — the standard complement in CCNet/RefinedWeb-style
+    quality stacks.
+
+    Scale: explode → two map-side-combinable groupBys keyed by doc;
+    the entropy identity avoids a per-(doc,token) probability column
+    feeding a second shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    tc = (
+        d.select(
+            "doc_id", F.explode(TX.tokenize(F.col("text"))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.max("c").alias("max_c"),
+        F.sum(F.col("c") * F.log2("c")).alias("sclogc"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.log2("n_tokens") - F.col("sclogc") / F.col("n_tokens"), 4
+        ).alias("entropy"),
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 4).alias(
+            "ttr"
+        ),
+        F.round(F.col("max_c").cast("double") / F.col("n_tokens"), 4).alias(
+            "top_frac"
+        ),
+    ).orderBy("doc_id")

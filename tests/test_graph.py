@@ -71,3 +71,29 @@ def test_bfs_levels_shortest_paths_with_cycle(spark):
     got2 = {r["node"]: r["level"]
             for r in bfs_levels(edges, ["a", "e"], max_depth=10).collect()}
     assert got2["e"] == 0 and got2["a"] == 0 and got2["b"] == 1
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 minus one edge: 5 edges, 2 triangles; gcc = 6*2 / Σd(d-1) =
+    12 / (2+6+6+2 → d=[2,3,3,2] → Σd(d-1)=2+6+6+2=16) = 0.75."""
+    from postgresml_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)], ["src", "dst"]
+    )
+    r = triangle_count(edges).collect()[0]
+    assert r["n_nodes"] == 4
+    assert r["n_edges"] == 5
+    assert r["n_triangles"] == 2
+    assert abs(r["gcc"] - 0.75) < 1e-9
+
+
+def test_triangle_count_triangle_free(spark):
+    from postgresml_spark.operators.graph import triangle_count
+
+    # a 4-cycle has wedges but no triangles
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], ["src", "dst"]
+    )
+    r = triangle_count(edges).collect()[0]
+    assert r["n_triangles"] == 0 and r["gcc"] == 0.0

@@ -9801,3 +9801,304 @@ def q199_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_frac"
         ),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q200–q202 — random projection, collocations, WOE/IV
+# ---------------------------------------------------------------------------
+
+def _jl_signs(k: int = 16, d: int = 64) -> list[list[float]]:
+    """Deterministic ±1 Johnson–Lindenstrauss sign matrix from md5
+    parity — reproducible across engines/runs with no RNG state."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{j}-{i}".encode()).hexdigest()[-1], 16) % 2
+            == 0
+            else -1.0
+            for i in range(d)
+        ]
+        for j in range(k)
+    ]
+
+
+def _jl_dot_text(idx: str, signs: list[float]) -> str:
+    """Explicit left-associated dot product text: identical token
+    stream on both engines ⇒ bit-identical accumulation order."""
+    terms = " + ".join(
+        f"{idx}[{i + 1}] * {s!r}" for i, s in enumerate(signs)
+    )
+    return f"(0.0 + {terms})"
+
+
+def _jl_sq_text() -> str:
+    terms = " + ".join(f"dv[{i + 1}] * dv[{i + 1}]" for i in range(64))
+    return f"(0.0 + {terms})"
+
+
+def _jl_proj_sq_text() -> str:
+    signs = _jl_signs()
+    terms = " + ".join(
+        f"power({_jl_dot_text('dv', s)}, 2)" for s in signs
+    )
+    return f"(0.0 + {terms})"
+
+
+@query(
+    "q200_jl_random_projection",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    c AS (
+      SELECT e.vec_id,
+             list_transform(list_zip(e.embedding, q.qv),
+                            p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS dv
+      FROM embeddings e, q
+      WHERE e.vec_id != 0 AND e.vec_id <= 200
+    )
+    , r AS (
+      SELECT vec_id,
+             round(sqrt({_jl_sq_text()}), 4) AS orig_dist,
+             round(sqrt({_jl_proj_sq_text()}) / 4.0, 4) AS proj_dist
+      FROM c
+    )
+    SELECT vec_id, orig_dist, proj_dist,
+           round(proj_dist / orig_dist, 4) AS ratio
+    FROM r
+    ORDER BY vec_id
+    LIMIT 50
+    """,
+)
+def q200_jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sparse sign projection (Achlioptas 2003):
+    project 64-dim embeddings to 16 dims through a deterministic
+    md5-parity ±1 matrix scaled 1/√k, and report per-vector distance
+    preservation (projected/original L2 ratio to the vec_id=0 anchor).
+    JL guarantees the ratio concentrates near 1 — the cheap
+    pre-reduction in front of ANN indexing and pairwise near-dup
+    scoring when the raw dim is large.
+
+    Determinism: both engines evaluate textually identical
+    left-associated dot expressions (generated from the same sign
+    matrix), so accumulation order is bit-identical; the projection is
+    linear, so projecting the DIFFERENCE vector equals differencing
+    projections.
+
+    Scale: the sign matrix is a plan literal (k×d ≤ 16k doubles);
+    projection is k codegen dot products per row — no shuffle, no UDF;
+    at 100 TB this runs map-side in the scan stage."""
+    e = _t(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    cand = (
+        e.filter((F.col("vec_id") != 0) & (F.col("vec_id") <= 200))
+        .crossJoin(F.broadcast(qrow))
+        .withColumn(
+            "dv",
+            F.zip_with(
+                "embedding",
+                "qv",
+                lambda a, b: a.cast("double") - b.cast("double"),
+            ),
+        )
+    )
+    sq = _jl_sq_text().replace("dv[", "element_at(dv, ").replace("]", ")")
+    psq = (
+        _jl_proj_sq_text()
+        .replace("dv[", "element_at(dv, ")
+        .replace("]", ")")
+    )
+    r = cand.select(
+        "vec_id",
+        F.round(F.expr(f"sqrt({sq})"), 4).alias("orig_dist"),
+        F.round(F.expr(f"sqrt({psq}) / 4.0"), 4).alias("proj_dist"),
+    ).localCheckpoint()
+    return (
+        r.select(
+            "vec_id",
+            "orig_dist",
+            "proj_dist",
+            F.round(F.col("proj_dist") / F.col("orig_dist"), 4).alias(
+                "ratio"
+            ),
+        )
+        .orderBy("vec_id")
+        .limit(50)
+    )
+
+
+@query(
+    "q201_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS t
+      FROM documents
+    ),
+    bg0 AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks WHERE len(t) >= 2)
+    ),
+    bg AS (SELECT w1, w2, count(*) AS c12 FROM bg0 GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+    c2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM bg GROUP BY w2),
+    n AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM bg)
+    SELECT bg.w1, bg.w2, bg.c12,
+           round(log2(CAST(bg.c12 AS DOUBLE) * n.n / (c1.c1 * c2.c2)), 4) AS pmi
+    FROM bg JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+    WHERE bg.c12 >= 5
+    ORDER BY pmi DESC, bg.w1, bg.w2
+    LIMIT 20
+    """,
+)
+def q201_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (Church & Hanks 1990): top bigrams by
+    pointwise mutual information log2(p(w1,w2)/(p(w1)p(w2))) with a
+    min-support cut — the classic phrase/multi-word-expression detector
+    that feeds tokenizer vocab curation and stop-phrase lists.
+    Positional marginals (c1 = w as first token, c2 = w as second) —
+    the standard bigram-table formulation.
+
+    Scale: one explode → three map-side-combinable groupBys; marginals
+    join back on the word keys; N broadcasts.  Ordering is on the
+    ROUNDED pmi with (w1, w2) tie-breaks so both engines rank on
+    identical keys."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(TX.tokenize(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = (
+        toks.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    c1 = bg.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    c2 = bg.groupBy("w2").agg(F.sum("c12").cast("bigint").alias("c2"))
+    n = bg.agg(F.sum("c12").cast("bigint").alias("n"))
+    return (
+        bg.filter(F.col("c12") >= 5)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log2(
+                    F.col("c12").cast("double")
+                    * F.col("n")
+                    / (F.col("c1") * F.col("c2"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+@query(
+    "q202_woe_iv_binning",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(l_discount * 100) AS BIGINT) AS bin,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ev
+      FROM lineitem
+    ),
+    per AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ev) AS BIGINT) AS events,
+             CAST(count(*) - sum(ev) AS BIGINT) AS nonevents
+      FROM b GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(sum(events) AS BIGINT) AS te,
+             CAST(sum(nonevents) AS BIGINT) AS tn
+      FROM per
+    ),
+    w AS (
+      SELECT per.bin, per.n, per.events,
+             round(CAST(per.events AS DOUBLE) / per.n, 4) AS event_rate,
+             round(ln(CAST(per.events AS DOUBLE) * tot.tn /
+                      (CAST(per.nonevents AS DOUBLE) * tot.te)), 4) + 0.0 AS woe,
+             (CAST(per.events AS DOUBLE) / tot.te -
+              CAST(per.nonevents AS DOUBLE) / tot.tn) *
+             ln(CAST(per.events AS DOUBLE) * tot.tn /
+                (CAST(per.nonevents AS DOUBLE) * tot.te)) AS ivc
+      FROM per CROSS JOIN tot
+    ),
+    iv AS (SELECT round(sum(ivc), 4) + 0.0 AS iv FROM w)
+    SELECT w.bin, w.n, w.event_rate, w.woe, iv.iv
+    FROM w CROSS JOIN iv
+    ORDER BY w.bin
+    """,
+)
+def q202_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence binning + information value (the
+    credit-scoring feature-selection classic): bucket l_discount into
+    its natural percent bins, score each bin's return-rate evidence
+    woe = ln((events/ΣE)/(nonevents/ΣNE)), and sum the per-bin IV —
+    the monotonic-risk encoding and the keep/drop score a feature
+    screen uses before training.  Complements snapshot target encoding
+    (q42): WOE is the log-odds form with an additive global score.
+
+    Determinism: woe computed as one textually identical expression
+    (integer cell counts, one double division order) on both engines.
+
+    Scale: one map-side-combinable groupBy on the bin key; totals and
+    IV are bin-count-sized broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.floor(F.col("l_discount") * 100).cast("bigint").alias("bin"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ev"),
+    )
+    per = b.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("ev").cast("bigint").alias("events"),
+        (F.count("*") - F.sum("ev")).cast("bigint").alias("nonevents"),
+    )
+    tot = per.agg(
+        F.sum("events").cast("bigint").alias("te"),
+        F.sum("nonevents").cast("bigint").alias("tn"),
+    )
+    woe_expr = F.log(
+        F.col("events").cast("double")
+        * F.col("tn")
+        / (F.col("nonevents").cast("double") * F.col("te"))
+    )
+    w = per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "events",
+        F.round(F.col("events").cast("double") / F.col("n"), 4).alias(
+            "event_rate"
+        ),
+        (F.round(woe_expr, 4) + 0.0).alias("woe"),
+        (
+            (
+                F.col("events").cast("double") / F.col("te")
+                - F.col("nonevents").cast("double") / F.col("tn")
+            )
+            * woe_expr
+        ).alias("ivc"),
+    )
+    iv = w.agg((F.round(F.sum("ivc"), 4) + 0.0).alias("iv"))
+    return (
+        w.crossJoin(F.broadcast(iv))
+        .select("bin", "n", "event_rate", "woe", "iv")
+        .orderBy("bin")
+    )

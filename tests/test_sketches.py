@@ -224,3 +224,23 @@ def test_winnow_identical_docs_share_all(spark):
     a = {r["fp"] for r in fps.filter("doc_id = 1").collect()}
     b = {r["fp"] for r in fps.filter("doc_id = 2").collect()}
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# JL projection (q200's machinery)
+# ---------------------------------------------------------------------------
+
+
+def test_jl_ratio_concentrates(spark, sf_dir):
+    """JL with k=16: distance ratios concentrate near 1 — assert every
+    emitted ratio is within [0.4, 1.8] and the mean within 15% of 1
+    (k=16 gives ε≈sqrt(8·ln n / k)≈... loose bounds chosen 4σ-safe;
+    deterministic sign matrix ⇒ not flaky)."""
+    from postgresml_spark.queries import q200_jl_random_projection
+
+    rows = q200_jl_random_projection(spark, sf_dir).collect()
+    assert len(rows) > 0
+    ratios = [r["ratio"] for r in rows]
+    assert all(0.4 < x < 1.8 for x in ratios)
+    mean = sum(ratios) / len(ratios)
+    assert abs(mean - 1.0) < 0.15

@@ -132,24 +132,34 @@ def build_bloom(
     key_col: str = "gram",
     bits_per_key: int = 16,
     k: int = 4,
-) -> tuple[list[int], int, int]:
+) -> tuple[bytes, int, int]:
     """Build a Bloom filter over a bounded key set: returns
-    (words, m, k) where `words` is the bitmap as int64 words (two's
-    complement — the probe uses unsigned shifts) and `m` the bit count
-    (power of two, ≥ 4096).
+    (bitmap, m, k) where `bitmap` is the bit array packed as BIG-ENDIAN
+    uint32 words (a BINARY plan literal) and `m` the bit count (power
+    of two, ≥ 4096).
 
     Distributed build: each key hashes to k positions JVM-side
-    (xxhash64 seeds 0..k-1), the DISTINCT positions — bounded by m
-    bits, never by key count — come back to the driver, and numpy ORs
-    them into the packed bitmap. At 16 bits/key, k=4 the false-positive
-    rate is ~0.2%; the bitmap for a 10M-gram benchmark suite is 20 MB —
-    plan-literal territory, vs a multi-GB broadcast hash set of the
-    gram STRINGS."""
+    (xxhash64 seeds 0..k-1); positions PACK INTO WORDS JVM-side too
+    (groupBy pos÷32 → bit_or of the shifted masks — map-side
+    combinable, output bounded by m/32 words, never by key count); the
+    word rows come back through Arrow for a numpy scatter.
+
+    Why BYTES and not an array<bigint> literal (measured via q189 at
+    sf0.1, 207k benchmark grams, m=4M bits): collecting distinct BIT
+    POSITIONS as Rows cost ~60 s of driver deserialization; an
+    array literal from a Python list costs ~35 s of py4j element-wise
+    transfer PER REFERENCE and a 65k-child CreateArray the analyzer
+    walks; F.lit(numpy) is one Literal but still ~10 s of py4j; a
+    bytearray literal ships in 0.04 s and is ONE plan node at any
+    size — a 10M-gram suite is a 20 MB binary, vs a multi-GB broadcast
+    hash set of the gram STRINGS. At 16 bits/key, k=4 the
+    false-positive rate is ~0.2%."""
     import numpy as np
 
     n_keys = keys.count()
     m = 1 << max(12, int(bits_per_key * max(n_keys, 1) - 1).bit_length())
-    pos_rows = (
+    pos = F.col("pos")
+    word_rows = (
         keys.select(
             F.explode(
                 F.array(
@@ -162,32 +172,49 @@ def build_bloom(
                 )
             ).alias("pos")
         )
-        .distinct()
-        .collect()
-    )
-    words = np.zeros(m // 64, dtype=np.uint64)
-    if pos_rows:
-        pos = np.fromiter((r["pos"] for r in pos_rows), dtype=np.int64)
-        np.bitwise_or.at(
-            words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
+        .select(
+            (pos / 32).cast("long").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+            ).alias("mask"),
         )
-    return [int(x) for x in words.astype(np.int64)], m, k
+        .groupBy("w")
+        .agg(F.expr("bit_or(mask)").alias("mask"))
+        .toPandas()
+    )
+    words = np.zeros(m // 32, dtype=np.uint32)
+    if len(word_rows):
+        words[word_rows["w"].to_numpy()] = word_rows["mask"].to_numpy().astype(
+            np.uint32
+        )
+    return words.astype(">u4").tobytes(), m, k
 
 
-def bloom_probe(col: Column, words: list[int], m: int, k: int) -> Column:
+def bloom_probe(col: Column, bitmap: bytes, m: int, k: int) -> Column:
     """Membership test against a `build_bloom` bitmap, pure codegen:
-    k×(hash, pmod, element_at on the array literal, unsigned shift) —
-    no UDF, no join. True ⇒ maybe-member (verify exactly downstream);
-    False ⇒ definitely absent. The bitmap travels inside the plan as
-    an array<bigint> literal (serialized once per task, not per row);
-    past ~100 MB of filter, ship it as a broadcast variable into a
-    pandas UDF instead."""
-    arr = F.lit(words)
+    k×(hash, pmod, 4-byte substring of the binary literal, hex→int,
+    getbit) — no UDF, no join. True ⇒ maybe-member (verify exactly
+    downstream); False ⇒ definitely absent. The bitmap travels inside
+    the plan as ONE BinaryType literal node (serialized once per task,
+    not per row, O(1) analyzer cost at any bitmap size); past ~100 MB
+    of filter, ship it as a broadcast variable into a pandas UDF
+    instead."""
+    bin_lit = F.lit(bytearray(bitmap))
     cond = None
     for i in range(k):
         pos = F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m))
-        word = F.element_at(arr, F.floor(pos / 64).cast("int") + 1)
-        c = F.getbit(word, pos % 64) == 1
+        word = F.conv(
+            F.hex(
+                F.substring(
+                    bin_lit,
+                    ((pos / 32).cast("long") * 4 + 1).cast("int"),
+                    F.lit(4),
+                )
+            ),
+            16,
+            10,
+        ).cast("long")
+        c = F.getbit(word, pos % 32) == 1
         cond = c if cond is None else cond & c
     return cond
 
@@ -209,7 +236,11 @@ def bloom_contamination_report(
     Because the verify stage is exact, the report equals
     `contamination_report` row-for-row (the q189 oracle contract);
     the Bloom only changes how few rows pay the join."""
-    grams = benchmark_grams(bench, text_col, n)
+    # One materialization of the benchmark gram set: build_bloom reads
+    # it twice (count + hash/pack) and the exact verify join once —
+    # without the checkpoint the distinct-gram pipeline runs 3×
+    # (measured 17.6 → 13.3 s at sf0.1's 2M-gram suite; 69 s before the binary-literal bitmap).
+    grams = benchmark_grams(bench, text_col, n).localCheckpoint()
     words, m, kk = build_bloom(grams, "gram", bits_per_key, k)
     doc_grams = _doc_grams(corpus, text_col, id_col, n)
     candidates = doc_grams.where(bloom_probe(F.col("gram"), words, m, kk))

@@ -229,6 +229,23 @@ class Pipeline:
             "ef_construction": int(h.get("ef_construction", 64)),
         }
 
+    def declares_index(self, field: str) -> bool:
+        """True when the pipeline schema asks for an ANN index on this
+        field (`semantic_search.hnsw` or `.ivfflat` present) — the
+        SDK's CREATE INDEX statement.  method='auto' serves from the
+        resident tier only for declared (or already-built) indexes and
+        seq-scans otherwise, exactly pgvector's planner behavior; only
+        an explicit method='index' builds one unasked."""
+        cfg = self.schema.get(field, {}).get("semantic_search") or {}
+        return "hnsw" in cfg or "ivfflat" in cfg
+
+    def has_live_index(self, field: str) -> bool:
+        """True when a resident index for this field is already built
+        and fresh in this process (e.g. via an earlier method='index'
+        call) — auto reuses it even without a schema declaration."""
+        idx = self._served.get(field)
+        return idx is not None and not idx.is_stale()
+
     def index_config(self, field: str) -> tuple[str, dict[str, int]]:
         """Per-field ANN index choice, mirroring pgvector's two index
         types: `semantic_search.hnsw {m, ef_construction}` (the

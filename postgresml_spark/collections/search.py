@@ -153,7 +153,18 @@ def vector_search(
     if method not in ("exact", "index", "auto"):
         raise ValueError(f"unknown vector_search method {method!r}")
     if method in ("index", "auto"):
-        if _served_applicable(spec):
+        # auto serves from the resident tier only when every queried
+        # field DECLARES an index in the pipeline schema (or already
+        # has a live one from an explicit method='index' call) —
+        # pgvector's planner seq-scans when no CREATE INDEX was issued,
+        # and silently paying an index BUILD inside a user's first
+        # query is the wrong default (measured: a 50k-doc lifecycle's
+        # filtered search jumped 0.6 s → 6 s when auto force-built).
+        indexed = all(
+            pipeline.declares_index(f) or pipeline.has_live_index(f)
+            for f in fields
+        )
+        if (method == "index" or indexed) and _served_applicable(spec):
             merged: list[dict] = []
             for field, fcfg in fields.items():
                 idx = pipeline.served_index(field)
@@ -442,8 +453,14 @@ def hybrid_search(collection, pipeline, query: dict, method: str = "auto") -> li
         # the served path needs >=1 semantic field (document payloads
         # and the resident metadata ride the semantic index); metadata
         # filters evaluate against that resident metadata, so filtered
-        # hybrid queries serve too
-        if sem_fields:
+        # hybrid queries serve too.  auto additionally requires the
+        # schema to DECLARE the index (or a live one to exist) — same
+        # no-silent-build contract as vector_search.
+        indexed = all(
+            pipeline.declares_index(f) or pipeline.has_live_index(f)
+            for f in sem_fields
+        )
+        if sem_fields and (method == "index" or indexed):
             return _served_hybrid(collection, pipeline, query)
         if method == "index":
             raise ValueError(

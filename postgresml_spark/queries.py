@@ -3812,15 +3812,18 @@ def q99_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_ts timestamp_ntz, event_type string, n bigint, "
         "total_dec decimal(18,4), key string",
         key="key",
-        n_buckets=16,
+        n_buckets=8,
     )
-    store.overwrite(rollup(e.filter(F.col("bucket_ts") < cutoff)))
-
-    late = e.filter(F.col("bucket_ts") >= cutoff)
-    affected = late.select("bucket_ts", "event_type").distinct()
-    refreshed = rollup(
-        e.join(F.broadcast(affected), ["bucket_ts", "event_type"], "left_semi")
-    )
+    # ONE events scan + shuffle serves both the seed and the refresh:
+    # bucket_ts IS the group key, so a group is affected by the late
+    # batch iff its bucket_ts ≥ cutoff — the affected-group recompute
+    # (rollup over events semi-joined to affected keys) is exactly the
+    # ≥cutoff slice of the full rollup. The previous two-scan form
+    # (seed rollup + semi-join rollup) re-read and re-shuffled events
+    # twice for identical output — r3 VERDICT #6's regression.
+    rolled = rollup(e).localCheckpoint()
+    store.overwrite(rolled.filter(F.col("bucket_ts") < cutoff))
+    refreshed = rolled.filter(F.col("bucket_ts") >= cutoff)
     merge_into(store, refreshed, key="key")
 
     out = store.read().select(

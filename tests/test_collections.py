@@ -205,10 +205,19 @@ def test_hybrid_search_and_telemetry(coll, pipe):
     assert res[0]["document"]["id"] == 2  # both signals agree
     assert res[0]["score"] >= res[-1]["score"]
     assert "search_id" in res[0]
-    # default (auto) routes unfiltered hybrids to the served tier, so
-    # telemetry is buffered — flushed rows match the synchronous shape
+    # this pipeline declares no index, so the default (auto) runs the
+    # exact plan with SYNCHRONOUS telemetry; an explicit method='index'
+    # hybrid serves from the resident tier and BUFFERS telemetry —
+    # flushed rows match the synchronous shape
     from postgresml_spark.collections.search import flush_search_telemetry
 
+    coll.search(
+        {"query": {
+            "semantic_search": {"body": {"query": "machine learning database"}},
+        }, "limit": 3},
+        pipe,
+        method="index",
+    )
     assert flush_search_telemetry(coll) >= 1
     cur = open(f"{coll.root}/searches/_current").read().strip()
     searches = coll.spark.read.parquet(f"{coll.root}/searches/v_{cur}")

@@ -1068,3 +1068,57 @@ def test_resident_ivfpq_contracts(spark, sf_dir):
     allowed = ivfpq.row_mask(np.asarray(exact[5:10]))
     filt = ivfpq.search(q, k=5, allowed=allowed)
     assert filt and {i for i, _ in filt} <= set(exact[5:10])
+
+
+def test_auto_does_not_build_undeclared_index(spark, sf_dir):
+    """auto = pgvector planner semantics: a pipeline whose schema
+    declares NO index (no hnsw/ivfflat key) seq-scans — the exact
+    DataFrame plan, no silent index build inside the user's first
+    query.  An explicit method='index' call may build one; auto then
+    reuses the live index (no-job check)."""
+    import shutil
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="pgml_noidx_")
+    try:
+        d = load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        coll = Collection("noidx", spark, warehouse=wh)
+        coll.upsert_documents_df(
+            d.select(F.col("doc_id").alias("id"), "text", "lang")
+        )
+        pipe = Pipeline(
+            "p", {"text": {"semantic_search": {"model": "hash:32"}}}
+        )
+        coll.add_pipeline(pipe)
+        assert not pipe.declares_index("text")
+
+        q = {"query": {"fields": {"text": {"query": QUERIES[0]}}}, "limit": 5}
+        sc = spark.sparkContext
+        before = sc.statusTracker().getJobIdsForGroup(None)
+        exact_default = coll.vector_search(q, pipe)  # default = auto
+        after = sc.statusTracker().getJobIdsForGroup(None)
+        assert after != before, (
+            "auto on an undeclared-index pipeline must run the exact "
+            "Spark plan (a Spark job), not silently build an index"
+        )
+        assert pipe._served.get("text") is None
+
+        # same results as explicit exact
+        exact = coll.vector_search(q, pipe, method="exact")
+        assert [r["document_id"] for r in exact_default] == [
+            r["document_id"] for r in exact
+        ]
+
+        # explicit opt-in builds; auto reuses the live index afterwards
+        served = coll.vector_search(q, pipe, method="index")
+        assert pipe.has_live_index("text")
+        before = sc.statusTracker().getJobIdsForGroup(None)
+        again = coll.vector_search(q, pipe)
+        assert sc.statusTracker().getJobIdsForGroup(None) == before
+        assert [r["document_id"] for r in again] == [
+            r["document_id"] for r in served
+        ]
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -57,6 +57,7 @@ __all__ = [
     "corpus_line_dedup",
     "winnow_fingerprints",
     "winnow_similar_pairs",
+    "set_similarity_join",
 ]
 
 
@@ -1232,4 +1233,97 @@ def winnow_similar_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)
+    )
+
+
+def set_similarity_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact set-similarity self-join via PREFIX FILTERING (PPJoin,
+    Xiao et al. WWW 2008): all pairs with Jaccard(shingle sets) ≥
+    threshold, NO false negatives and no LSH tuning — the exact
+    complement to banded MinHash (probabilistic recall) and q23's plain
+    inverted-index join (which joins on EVERY shingle).
+
+    Prefix principle: order each set's shingles by ascending global
+    document frequency (rarest first, ties by shingle); two sets with
+    Jaccard ≥ t MUST share a shingle within each other's first
+    |s| − ⌈t·|s|⌉ + 1 shingles (pigeonhole), so the candidate join runs
+    on the PREFIX posting list only — rare shingles, small buckets —
+    plus a length filter (|b| ≥ t·|a|).  Survivors verify exactly with
+    one array_intersect.
+
+    Scale: the df-rank is one groupBy + one per-doc window (bounded by
+    doc length); the candidate join shuffles prefix postings (a
+    (1−t)-fraction of shingle volume, biased to the rarest shingles);
+    the verify join moves only candidate pairs.  Output:
+    (id_a, id_b, jaccard)."""
+    from postgresml_spark.functions import text as TX
+
+    toks = df.select(
+        F.col(id_col).alias("id"), TX.tokenize(F.col(text_col)).alias("t")
+    )
+    sh = toks.select(
+        "id",
+        F.array_distinct(
+            F.when(
+                F.size("t") >= shingle_n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - shingle_n),
+                    lambda i: F.array_join(
+                        F.slice(F.col("t"), i + 1, shingle_n), " "
+                    ),
+                ),
+            ).otherwise(F.array(F.array_join(F.col("t"), " ")))
+        ).alias("s"),
+    ).withColumn("n", F.size("s"))
+    posting = sh.select("id", "n", F.explode("s").alias("shingle"))
+    gdf = posting.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = posting.join(gdf, "shingle").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("df", "shingle")
+        ),
+    )
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(
+        "id", "n", "shingle"
+    )
+    a = prefix.select(
+        F.col("id").alias("id_a"), F.col("n").alias("n_a"), "shingle"
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), F.col("n").alias("n_b"), "shingle"
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+            & (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("s_a", "s_b"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.size("s_a") + F.size("s_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )

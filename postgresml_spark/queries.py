@@ -10105,3 +10105,269 @@ def q202_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin", "n", "event_rate", "woe", "iv")
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q203–q206 — PPJoin, MAD outliers, funnels, retention cohorts
+# ---------------------------------------------------------------------------
+
+@query(
+    "q203_set_similarity_join",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS.format(t='text')} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= 3
+               THEN list_transform(generate_series(0, greatest(len(t) - 3, 0)),
+                                   i -> array_to_string(t[i+1:i+3], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS shingles
+      FROM toks
+    ),
+    posting AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             count(*) AS n_inter
+      FROM posting a JOIN posting b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard
+    FROM inter
+    WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def q203_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join over the FULL corpus via prefix
+    filtering (PPJoin, Xiao et al. 2008): every doc pair with
+    Jaccard(3-gram shingle sets) ≥ 0.3, no sampling, no doc_id bound
+    (contrast q23's bounded inverted-index form), no LSH false
+    negatives (contrast q24's banding).  Candidates come only from the
+    rarest |s|−⌈t|s|⌉+1 shingles of each set (pigeonhole guarantee) +
+    a length filter; survivors verify with one array_intersect.  The
+    oracle is the plain every-shingle inverted join — prefix filtering
+    must lose nothing."""
+    d = _t(spark, sf_dir, "documents")
+    out = DD.set_similarity_join(d, "text", "doc_id", shingle_n=3, threshold=0.3)
+    return out.orderBy("id_a", "id_b")
+
+
+@query(
+    "q204_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, m.med,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_type,
+           round(d.med, 4) AS med,
+           round(d.mad, 4) AS mad,
+           CAST(sum(CASE WHEN abs(e.value - d.med) > 3.0 * 1.4826 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(avg(CASE WHEN abs(e.value - d.med) > 3.0 * 1.4826 * d.mad
+                          THEN 1.0 ELSE 0.0 END), 6) AS outlier_rate
+    FROM events e JOIN mad d USING (event_type)
+    GROUP BY e.event_type, d.med, d.mad
+    ORDER BY e.event_type
+    """,
+)
+def q204_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation (the
+    Hampel / modified-z rule: |x − med| > 3·1.4826·MAD): per event
+    type, the two-level median that mean/stddev z-scores can't fake on
+    heavy-tailed data (q143's winsorize cousin, but breakdown-point
+    0.5).  1.4826 is the normal-consistency constant.
+
+    Determinism: both engines share the percentile interpolation
+    (proved by q196); med is computed once and carried so the MAD and
+    the flags use IDENTICAL inputs on both sides.
+
+    Scale: two aggregate passes + a counting pass, all map-side
+    combinable on the type key; no window, no sort of the raw data."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            )
+        )
+    )
+    flag = F.abs(F.col("value") - F.col("med")) > 3.0 * 1.4826 * F.col("mad")
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(F.when(flag, 1).otherwise(0)).cast("bigint").alias(
+                "n_outliers"
+            ),
+            F.round(F.avg(F.when(flag, 1.0).otherwise(0.0)), 6).alias(
+                "outlier_rate"
+            ),
+        )
+        .select(
+            "event_type",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers",
+            "outlier_rate",
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q205_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+      GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase,
+           round((SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v), 4) AS rate_click,
+           round((SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM c), 4) AS rate_purchase
+    """,
+)
+def q205_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): a user
+    advances a step only with a LATER event of the next type — the
+    sequenced-min chaining every product-analytics engine (Amplitude
+    funnels, window_funnel) implements, here as three
+    conditional-min aggregates with strictly-ordered joins.
+
+    Scale: each step is one filtered aggregate on the user key joined
+    to the previous step's (user, ts) — per-step shuffles bounded by
+    surviving users, never a per-user event sort."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count("*").alias("n_view"))
+    nc = c.agg(F.count("*").alias("n_click"))
+    np_ = p.agg(F.count("*").alias("n_purchase"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.round(F.col("n_click") * 1.0 / F.col("n_view"), 4).alias(
+                "rate_click"
+            ),
+            F.round(F.col("n_purchase") * 1.0 / F.col("n_click"), 4).alias(
+                "rate_purchase"
+            ),
+        )
+    )
+
+
+@query(
+    "q206_retention_cohorts",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+      FROM events
+    ),
+    first AS (SELECT user_id, min(w) AS cw FROM act GROUP BY user_id),
+    joined AS (
+      SELECT f.cw, CAST(datediff('day', f.cw, a.w) / 7 AS BIGINT) AS week_offset,
+             a.user_id
+      FROM act a JOIN first f USING (user_id)
+    ),
+    counts AS (
+      SELECT cw, week_offset, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+      FROM joined GROUP BY cw, week_offset
+    ),
+    base AS (SELECT cw, n_active AS cohort_size FROM counts WHERE week_offset = 0)
+    SELECT c.cw AS cohort_week, c.week_offset, c.n_active,
+           round(c.n_active * 1.0 / b.cohort_size, 4) AS retention
+    FROM counts c JOIN base b USING (cw)
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def q206_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix: users grouped by first-activity
+    week, per-offset distinct-active counts, retention normalized to
+    the cohort's week-0 size — the product-analytics table every
+    warehouse job produces, in two keyed aggregates.
+
+    Scale: the distinct (user, week) activity set is the only shuffle
+    on raw volume (map-side combinable); everything after is
+    cohort-cardinality-sized.  Both engines truncate weeks to Monday
+    and difference dates as integer days/7."""
+    e = _t(spark, sf_dir, "events")
+    act = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("w").alias("cw"))
+    joined = act.join(first, "user_id").select(
+        "cw",
+        (F.datediff(F.col("w"), F.col("cw")) / 7).cast("bigint").alias(
+            "week_offset"
+        ),
+        "user_id",
+    )
+    counts = joined.groupBy("cw", "week_offset").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_active")
+    )
+    base = counts.filter(F.col("week_offset") == 0).select(
+        "cw", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        counts.join(F.broadcast(base), "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 4).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -244,3 +244,53 @@ def test_jl_ratio_concentrates(spark, sf_dir):
     assert all(0.4 < x < 1.8 for x in ratios)
     mean = sum(ratios) / len(ratios)
     assert abs(mean - 1.0) < 0.15
+
+
+# ---------------------------------------------------------------------------
+# PPJoin set-similarity join
+# ---------------------------------------------------------------------------
+
+
+def test_ppjoin_equals_every_shingle_join(spark, sf_dir):
+    """Prefix filtering must lose nothing: PPJoin output == the plain
+    inverted-index (every-shingle) join's thresholded output."""
+    from postgresml_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        set_similarity_join,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pp = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in set_similarity_join(
+            docs, "text", "doc_id", shingle_n=3, threshold=0.3
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", shingle_n=3, threshold=0.3
+        ).collect()
+    }
+    assert pp == exact and len(pp) > 0
+
+
+def test_ppjoin_prefix_actually_filters(spark):
+    """The candidate prefix posting list must be a strict subset of the
+    full posting list (the whole point); verify on synthetic docs with
+    a known near-dup pair."""
+    from postgresml_spark.operators.dedup import set_similarity_join
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),
+            (3, "completely different words here and there everywhere now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = set_similarity_join(docs, "text", "doc_id", 3, 0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5
+    assert not any(3 in p for p in pairs)

@@ -10371,3 +10371,203 @@ def q206_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# q207–q209 — fuzzy entity join, multivariate grouped OLS, Welch's t
+# ---------------------------------------------------------------------------
+
+@query(
+    "q207_fuzzy_entity_join",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY dist, name_a, name_b
+    """,
+)
+def q207_fuzzy_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-join: all distinct part-name pairs
+    within Levenshtein distance 3, via CHARACTER-BIGRAM COUNT BLOCKING
+    (Gravano et al. 2001): edit distance ≤ k implies the pair shares ≥
+    max(|a|,|b|) − q + 1 − k·q positional-free q-grams, so candidates
+    come from a bigram posting-list join with that count filter, and
+    only survivors pay the dynamic-programming verify — never the
+    quadratic name cross join.  The oracle IS the quadratic join (the
+    name-distinct set is bounded), so the blocking's zero-false-negative
+    guarantee is hash-checked, not assumed.
+
+    Scale: entity vocabularies (names, addresses, titles) are
+    distinct-bounded, not row-bounded; the bigram postings shuffle
+    |name|×|distinct| rows and hot bigrams behave like any posting
+    bucket.  levenshtein() is JVM codegen in Spark and native in
+    DuckDB — same classic DP definition."""
+    p = _t(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    # multiset bigrams (no dedup): the Gravano count bound is on gram
+    # multiplicity; a distinct-set intersection could undercount and
+    # drop a true pair, while the multiset join only overcounts — a
+    # safe superset before the exact verify
+    grams = names.select(
+        "p_name",
+        F.length("p_name").alias("len"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("p_name") - 1),
+                lambda i: F.col("p_name").substr(i, F.lit(2)),
+            )
+        ).alias("g"),
+    )
+    a = grams.select(
+        F.col("p_name").alias("name_a"), F.col("len").alias("len_a"), "g"
+    )
+    b = grams.select(
+        F.col("p_name").alias("name_b"), F.col("len").alias("len_b"), "g"
+    )
+    cand = (
+        a.join(b, "g")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .groupBy("name_a", "name_b", "len_a", "len_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(
+            F.col("shared")
+            >= F.greatest("len_a", "len_b") - 1 - 2 * 3
+        )
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("bigint")
+        )
+        .filter(F.col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
+        .orderBy("dist", "name_a", "name_b")
+    )
+
+
+@query(
+    "q208_grouped_ols2",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round((covar_pop(l_quantity, l_discount) * covar_pop(l_quantity, l_discount) -
+                  var_pop(l_quantity) * var_pop(l_discount)) * -1.0, 6) AS det,
+           round((var_pop(l_discount) * covar_pop(l_quantity, l_extendedprice) -
+                  covar_pop(l_quantity, l_discount) * covar_pop(l_discount, l_extendedprice)) /
+                 (var_pop(l_quantity) * var_pop(l_discount) -
+                  covar_pop(l_quantity, l_discount) * covar_pop(l_quantity, l_discount)), 4) AS b_qty,
+           round((var_pop(l_quantity) * covar_pop(l_discount, l_extendedprice) -
+                  covar_pop(l_quantity, l_discount) * covar_pop(l_quantity, l_extendedprice)) /
+                 (var_pop(l_quantity) * var_pop(l_discount) -
+                  covar_pop(l_quantity, l_discount) * covar_pop(l_quantity, l_discount)), 4) AS b_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q208_grouped_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group TWO-FEATURE OLS (price ~ quantity + discount) in
+    closed form: the 2×2 normal equations invert symbolically
+    (Cramer's rule over var/covar aggregates), so a million per-entity
+    multivariate models fit in ONE map-side-combinable shuffle — q94's
+    single-feature identity generalized, and the aggregate-only
+    alternative to per-group MLlib fits (one driver round per model).
+
+    Determinism: one textually identical arithmetic expression over
+    var_pop/covar_pop on both engines; coefficients rounded at 4 dp.
+
+    Scale: 6 covariance aggregates per group, nothing else — the
+    d-feature generalization keeps d(d+1)/2 aggregates and a
+    driver-side d×d solve per group (bounded by group count)."""
+    li = _t(spark, sf_dir, "lineitem")
+    y, x1, x2 = (
+        F.col("l_extendedprice"),
+        F.col("l_quantity"),
+        F.col("l_discount"),
+    )
+    s11, s22 = F.var_pop(x1), F.var_pop(x2)
+    s12 = F.covar_pop(x1, x2)
+    s1y, s2y = F.covar_pop(x1, y), F.covar_pop(x2, y)
+    det = s11 * s22 - s12 * s12
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round((s12 * s12 - s11 * s22) * -1.0, 6).alias("det"),
+            F.round((s22 * s1y - s12 * s2y) / det, 4).alias("b_qty"),
+            F.round((s11 * s2y - s12 * s1y) / det, 4).alias("b_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q209_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(value) AS m,
+             var_samp(value) AS v
+      FROM events
+      WHERE event_type IN ('purchase', 'click')
+      GROUP BY event_type
+    ),
+    w AS (
+      SELECT
+        (SELECT n FROM s WHERE event_type = 'purchase') AS n1,
+        (SELECT n FROM s WHERE event_type = 'click') AS n2,
+        (SELECT m FROM s WHERE event_type = 'purchase') AS m1,
+        (SELECT m FROM s WHERE event_type = 'click') AS m2,
+        (SELECT v FROM s WHERE event_type = 'purchase') AS v1,
+        (SELECT v FROM s WHERE event_type = 'click') AS v2
+    )
+    SELECT n1, n2,
+           round(m1 - m2, 4) AS mean_diff,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+           round(power(v1 / n1 + v2 / n2, 2) /
+                 (power(v1 / n1, 2) / (n1 - 1) + power(v2 / n2, 2) / (n2 - 1)), 2) AS df
+    FROM w
+    """,
+)
+def q209_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test (purchase vs click
+    event values): t statistic and Welch–Satterthwaite effective df —
+    the A/B-testing primitive, as two aggregates and closed-form
+    arithmetic (complements q139's rank-based Mann–Whitney with the
+    parametric version).
+
+    Scale: one filtered aggregate per arm, map-side combinable;
+    everything downstream is two rows."""
+    e = _t(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    p = s.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("v").alias("v1")
+    )
+    c = s.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("v").alias("v2")
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return p.crossJoin(F.broadcast(c)).select(
+        "n1",
+        "n2",
+        F.round(F.col("m1") - F.col("m2"), 4).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            2,
+        ).alias("df"),
+    )

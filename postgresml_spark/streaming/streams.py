@@ -791,3 +791,51 @@ def expectations_quarantine_stream(
         )
         .start()
     )
+
+
+def streaming_hll_registers(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    m: int = 64,
+) -> DataFrame:
+    """Streaming HyperLogLog per event-time window: the register table
+    (window, bucket, reg) maintained as a NATIVE streaming max-
+    aggregate — no custom state store, no applyInPandasWithState.
+    Spark's incremental aggregation IS the sketch update rule because
+    HLL registers are a max-monoid; the watermark bounds state to the
+    open windows × m rows.
+
+    Downstream, `operators.sketches.hll_estimate` reads per-window
+    distinct estimates off the registers, and epoch merge (UNION ALL →
+    max) composes a day from its hours without touching raw events —
+    the streaming twin of q193's batch sketch (identical md5 bucket/
+    rank arithmetic, so a streamed register table hash-matches the
+    batch one over the same rows; pinned in tests).
+
+    Scale: per-batch shuffle carries ≤ open_windows × m combiner rows
+    per partition (map-side max); the output table is windows × m
+    regardless of stream volume."""
+    from postgresml_spark.operators.sketches import hll_registers  # noqa: F401
+
+    h = F.md5(F.col(value_col).cast("string"))
+    bucket = (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % m).alias(
+        "bucket"
+    )
+    h2 = F.conv(F.substring(h, 3, 15), 16, 10).cast("long")
+    rank = F.when(h2 == 0, F.lit(61)).otherwise(
+        F.lit(61) - F.length(F.bin(h2))
+    )
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(
+            F.window(F.col(ts_col), window).alias("win"),
+            bucket,
+            rank.alias("rank"),
+        )
+        .groupBy("win", "bucket")
+        .agg(F.max("rank").alias("reg"))
+        .select(F.col("win.start").alias("window_start"), "bucket", "reg")
+    )

@@ -294,3 +294,64 @@ def test_ppjoin_prefix_actually_filters(spark):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 0.5
     assert not any(3 in p for p in pairs)
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL (streams.streaming_hll_registers)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_hll_matches_batch_registers(spark, tmp_path):
+    """The streamed register table must EQUAL the batch hll_registers
+    over the same rows (same md5 arithmetic, max-monoid incremental
+    update), and hll_estimate must read a sane distinct estimate off
+    it — the streaming twin of q193."""
+    import json
+    import os
+
+    from postgresml_spark.operators.sketches import hll_estimate
+    from postgresml_spark.streaming.streams import streaming_hll_registers
+
+    src = str(tmp_path / "hll_in")
+    os.makedirs(src)
+    rows = [
+        {"ts": f"2026-01-01T10:{m:02d}:00", "user_id": uid}
+        for m, uid in enumerate([1, 2, 3, 1, 2, 4, 5, 1, 6, 7] * 3)
+    ]
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema("ts timestamp, user_id long").json(src)
+    regs = streaming_hll_registers(
+        stream, ts_col="ts", value_col="user_id", window="1 hour"
+    )
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r["bucket"], r["reg"])
+            for r in spark.sql("SELECT bucket, reg FROM hll_out").collect()
+        }
+    finally:
+        q.stop()
+
+    from postgresml_spark.operators.sketches import hll_registers
+
+    batch = spark.read.schema("ts timestamp, user_id long").json(src)
+    expect = {
+        (r["bucket"], r["reg"])
+        for r in hll_registers(batch, [], "user_id").collect()
+    }
+    assert streamed == expect
+
+    est_df = spark.sql(
+        "SELECT window_start AS g, bucket, reg FROM hll_out"
+    )
+    est = hll_estimate(est_df, ["g"]).collect()[0]["hll_estimate"]
+    assert abs(est - 7) / 7 < 0.55  # m=64 rsd on a tiny set — sanity only

@@ -10571,3 +10571,140 @@ def q209_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("df"),
     )
+
+
+@query(
+    "q210_revenue_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name, c.c_custkey, sum(o.o_totalprice) AS r
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, c.c_custkey
+    ),
+    ranked AS (
+      SELECT n_name, r,
+             row_number() OVER (PARTITION BY n_name ORDER BY r, c_custkey) AS i,
+             count(*) OVER (PARTITION BY n_name) AS n,
+             sum(r) OVER (PARTITION BY n_name) AS total
+      FROM rev
+    )
+    SELECT n_name,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           round(max(total), 2) AS total_rev,
+           round(2.0 * sum(i * r) / (max(n) * max(total)) -
+                 (max(n) + 1.0) / max(n), 4) AS gini,
+           round(sum((r / total) * (r / total)), 6) AS hhi,
+           round(max(r) / max(total), 4) AS top1_share
+    FROM ranked
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q210_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration diagnostics per nation: Gini coefficient
+    (2Σi·rᵢ/(n·Σr) − (n+1)/n over ascending per-customer revenue),
+    Herfindahl–Hirschman index (Σ share²), and top-1 customer share —
+    the inequality/concentration measures a curriculum-mixing or
+    market-analysis pass reads before weighting sources.
+
+    Determinism: ties in revenue make Σi·rᵢ order-invariant within the
+    tie block, and the i-ranking tie-breaks on custkey anyway; both
+    engines share the formula text.
+
+    Scale: the window is partitioned per nation over PER-CUSTOMER
+    aggregates (customer-cardinality rows, not order rows); everything
+    upstream is keyed joins + one groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum("o_totalprice").alias("r"))
+    )
+    w = Window.partitionBy("n_name")
+    ranked = rev.select(
+        "n_name",
+        "r",
+        F.row_number()
+        .over(Window.partitionBy("n_name").orderBy("r", "c_custkey"))
+        .alias("i"),
+        F.count("*").over(w).alias("n"),
+        F.sum("r").over(w).alias("total"),
+    )
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.round(F.max("total"), 2).alias("total_rev"),
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("r"))
+                / (F.max("n") * F.max("total"))
+                - (F.max("n") + 1.0) / F.max("n"),
+                4,
+            ).alias("gini"),
+            F.round(
+                F.sum((F.col("r") / F.col("total")) * (F.col("r") / F.col("total"))),
+                6,
+            ).alias("hhi"),
+            F.round(F.max("r") / F.max("total"), 4).alias("top1_share"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q211_join_key_skew_report",
+    oracle="""
+    WITH sizes AS (
+      SELECT 'l_orderkey' AS key_col, count(*) AS cnt FROM lineitem GROUP BY l_orderkey
+      UNION ALL
+      SELECT 'l_partkey', count(*) FROM lineitem GROUP BY l_partkey
+      UNION ALL
+      SELECT 'l_suppkey', count(*) FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT key_col,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(cnt) AS BIGINT) AS max_rows,
+           round(quantile_cont(cnt, 0.99), 2) AS p99_rows,
+           round(avg(cnt), 4) AS avg_rows,
+           round(max(cnt) / avg(cnt), 2) AS skew_ratio
+    FROM sizes
+    GROUP BY key_col
+    ORDER BY key_col
+    """,
+)
+def q211_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the pre-flight a 100 TB shuffle
+    plan reads before choosing salting (q83) vs AQE skew-join vs
+    broadcast: per candidate key, group-size max/p99/mean and the
+    max/mean skew ratio.  A skew_ratio near 1 shuffles clean; tens+
+    means the hottest key serializes a task.
+
+    Scale: one map-side-combinable count per key column (three scans
+    of one column each, parquet-pruned); the report is key-cardinality
+    rows reduced to 3."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def sizes(col):
+        return li.groupBy(col).agg(F.count("*").alias("cnt")).select(
+            F.lit(col).alias("key_col"), "cnt"
+        )
+
+    s = sizes("l_orderkey").unionAll(sizes("l_partkey")).unionAll(
+        sizes("l_suppkey")
+    )
+    return (
+        s.groupBy("key_col")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.max("cnt").cast("bigint").alias("max_rows"),
+            F.round(F.percentile("cnt", F.lit(0.99)), 2).alias("p99_rows"),
+            F.round(F.avg("cnt"), 4).alias("avg_rows"),
+            F.round(F.max("cnt") / F.avg("cnt"), 2).alias("skew_ratio"),
+        )
+        .orderBy("key_col")
+    )

@@ -839,3 +839,64 @@ def streaming_hll_registers(
         .agg(F.max("rank").alias("reg"))
         .select(F.col("win.start").alias("window_start"), "bucket", "reg")
     )
+
+
+def streaming_cm_sketch(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Streaming Count-Min sketch per event-time window: the d×w
+    counter table (window, j, bucket, cell) as a NATIVE streaming
+    sum-aggregate — CM cells form a sum-monoid, so Spark's incremental
+    aggregation is the update rule, exactly as max is for
+    streaming_hll_registers.  Watermark bounds state to
+    open_windows × d × w cells regardless of stream volume or key
+    cardinality (contrast streaming_heavy_hitters, whose Misra–Gries
+    state answers 'which keys are hot' — CM answers 'how hot is ANY
+    key, later, without the data').
+
+    Point estimates read off the stored cells with
+    `operators.sketches.cm_lookup`; cells are hash-compatible with the
+    batch `cm_sketch` built from the same rows (same salted-md5
+    buckets — pinned in tests), so streamed epochs merge with batch
+    history by cell-wise sum."""
+    key = F.col(key_col)
+    row_buckets = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(F.lit(f"{j}-"), key.cast("string"))
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % w
+                ).alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .select(
+            F.window(F.col(ts_col), window).alias("win"),
+            F.explode(row_buckets).alias("rb"),
+        )
+        .groupBy("win", "rb.j", "rb.bucket")
+        .agg(F.count("*").alias("cell"))
+        .select(
+            F.col("win.start").alias("window_start"), "j", "bucket", "cell"
+        )
+    )

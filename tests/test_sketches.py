@@ -355,3 +355,52 @@ def test_streaming_hll_matches_batch_registers(spark, tmp_path):
     )
     est = hll_estimate(est_df, ["g"]).collect()[0]["hll_estimate"]
     assert abs(est - 7) / 7 < 0.55  # m=64 rsd on a tiny set — sanity only
+
+
+def test_streaming_cm_matches_batch_cells(spark, tmp_path):
+    """Streamed CM cells over one window must equal the batch cm_sketch
+    built from the same rows' per-key counts (CM linearity + identical
+    salted-md5 buckets)."""
+    import json
+    import os
+
+    from postgresml_spark.streaming.streams import streaming_cm_sketch
+
+    src = str(tmp_path / "cm_in")
+    os.makedirs(src)
+    uids = [1, 2, 3, 1, 2, 1, 7, 7, 7, 7, 9] * 2
+    rows = [
+        {"ts": f"2026-01-01T10:{m:02d}:00", "user_id": uid}
+        for m, uid in enumerate(uids)
+    ]
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema("ts timestamp, user_id long").json(src)
+    cm = streaming_cm_sketch(
+        stream, ts_col="ts", key_col="user_id", window="1 hour", d=2, w=64
+    )
+    q = (
+        cm.writeStream.format("memory")
+        .queryName("cm_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "cm_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r["j"], r["bucket"]): r["cell"]
+            for r in spark.sql("SELECT j, bucket, cell FROM cm_out").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = spark.read.schema("ts timestamp, user_id long").json(src)
+    counts = batch.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    expect = {
+        (r["j"], r["bucket"]): r["cell"]
+        for r in SK.cm_sketch(counts, "user_id", "cnt", d=2, w=64).collect()
+    }
+    assert streamed == expect
+    assert sum(v for (j, _), v in streamed.items() if j == 0) == len(uids)

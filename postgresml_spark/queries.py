@@ -9907,16 +9907,28 @@ def q200_jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    sq = _jl_sq_text().replace("dv[", "element_at(dv, ").replace("]", ")")
-    psq = (
-        _jl_proj_sq_text()
-        .replace("dv[", "element_at(dv, ")
-        .replace("]", ")")
+    # Left-fold aggregates, NOT the oracle's explicit "+"-chain text:
+    # fold order ((0+t1)+t2)+... is bit-identical to the left-assoc
+    # chain, but the expression TREE is ~64 nodes instead of ~4k —
+    # the explicit form cost ~8 s of analyzer/codegen per run for a
+    # 200-row result (the q189 literal lesson, expression edition).
+    # Rows are bounded (≤200), so interpreted HOF evaluation is free.
+    sq = F.aggregate(
+        "dv", F.lit(0.0), lambda acc, x: acc + x * x
     )
+    psq = None
+    for s in _jl_signs():
+        pj = F.aggregate(
+            F.zip_with("dv", F.lit(s), lambda x, sv: x * sv),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.pow(pj, F.lit(2.0))
+        psq = term if psq is None else psq + term
     r = cand.select(
         "vec_id",
-        F.round(F.expr(f"sqrt({sq})"), 4).alias("orig_dist"),
-        F.round(F.expr(f"sqrt({psq}) / 4.0"), 4).alias("proj_dist"),
+        F.round(F.sqrt(sq), 4).alias("orig_dist"),
+        F.round(F.sqrt(F.lit(0.0) + psq) / 4.0, 4).alias("proj_dist"),
     ).localCheckpoint()
     return (
         r.select(

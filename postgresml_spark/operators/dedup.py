@@ -1291,13 +1291,30 @@ def set_similarity_join(
     )
     prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
     prefix = ranked.filter(F.col("pos") <= prefix_len).select(
-        "id", "n", "shingle"
+        "id", "n", "pos", "shingle"
     )
     a = prefix.select(
-        F.col("id").alias("id_a"), F.col("n").alias("n_a"), "shingle"
+        F.col("id").alias("id_a"),
+        F.col("n").alias("n_a"),
+        F.col("pos").alias("pos_a"),
+        "shingle",
     )
     b = prefix.select(
-        F.col("id").alias("id_b"), F.col("n").alias("n_b"), "shingle"
+        F.col("id").alias("id_b"),
+        F.col("n").alias("n_b"),
+        F.col("pos").alias("pos_b"),
+        "shingle",
+    )
+    # PPJoin positional filter: overlap ≥ ⌈t/(1+t)·(|a|+|b|)⌉ is needed
+    # for Jaccard ≥ t, and a match at prefix positions (i, j) caps the
+    # achievable overlap at 1 + min(|a|−i, |b|−j) — candidates that
+    # can't reach the bound are pruned BEFORE the distinct/verify
+    # shuffle (result-identical: only unreachable pairs drop)
+    required = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b"))
+    )
+    ubound = 1 + F.least(
+        F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b")
     )
     cand = (
         a.join(b, "shingle")
@@ -1305,6 +1322,7 @@ def set_similarity_join(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
             & (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
+            & (ubound >= required)
         )
         .select("id_a", "id_b")
         .distinct()

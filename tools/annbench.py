@@ -149,26 +149,34 @@ def main() -> int:
         # argv[6] doubles as the rescore window when mode==2.
         from postgresml_spark.operators.similarity import ResidentBQ
 
-        rwin = (
-            int(sys.argv[6])
+        rwins = (
+            [int(x) for x in sys.argv[6].split(",")]
             if mode == 2 and len(sys.argv) > 6
-            else max(2000, n // 500)
+            else [max(2000, n // 500)]
         )
         t0 = time.perf_counter()
         bq = ResidentBQ((exact.ids, exact.mat))
         out["build_bq_s"] = round(time.perf_counter() - t0, 2)
         out["bq_bits_mb"] = round(bq.bits.nbytes / 1e6, 1)
-        out["bq_rescore_window"] = rwin
-        bq.search(queries[0], k=10, rescore_k=rwin)  # warm
-        ts, brec = [], []
-        for j, q in enumerate(queries):
-            t0 = time.perf_counter()
-            got = bq.search(q, k=10, rescore_k=rwin)
-            ts.append(time.perf_counter() - t0)
-            brec.append(len(truth[j] & {i for i, _ in got}) / 10)
-        ts.sort()
-        out["bq_median_ms"] = round(ts[len(ts) // 2] * 1000, 3)
-        out["bq_recall_at_10"] = round(float(np.mean(brec)), 4)
+        sweep = {}
+        for rwin in rwins:
+            bq.search(queries[0], k=10, rescore_k=rwin)  # warm
+            ts, brec = [], []
+            for j, q in enumerate(queries):
+                t0 = time.perf_counter()
+                got = bq.search(q, k=10, rescore_k=rwin)
+                ts.append(time.perf_counter() - t0)
+                brec.append(len(truth[j] & {i for i, _ in got}) / 10)
+            ts.sort()
+            sweep[rwin] = {
+                "median_ms": round(ts[len(ts) // 2] * 1000, 3),
+                "recall_at_10": round(float(np.mean(brec)), 4),
+            }
+        out["bq_rescore_sweep"] = sweep
+        last = rwins[-1]
+        out["bq_rescore_window"] = last
+        out["bq_median_ms"] = sweep[last]["median_ms"]
+        out["bq_recall_at_10"] = sweep[last]["recall_at_10"]
 
     if mode == 4:
         # Quantized tiers (mode 4 = PQ + SQ8): ADC-shortlist + float
@@ -178,9 +186,12 @@ def main() -> int:
             ResidentSQ8,
         )
 
-        rwin = (
-            int(sys.argv[6]) if len(sys.argv) > 6 else max(2000, n // 500)
+        rwins = (
+            [int(x) for x in sys.argv[6].split(",")]
+            if len(sys.argv) > 6
+            else [max(2000, n // 500)]
         )
+        rwin = rwins[-1]
         pq_m = max(8, dim // 16)  # 16 dims/subspace → m B/vector
         t0 = time.perf_counter()
         pqi = ResidentPQ((exact.ids, exact.mat), m=pq_m)
@@ -193,32 +204,29 @@ def main() -> int:
             (exact.ids, exact.mat), m=pq_m, nlist=nlist, nprobe=nprobe
         )
         out["build_ivfpq_s"] = round(time.perf_counter() - t0, 2)
-        for tier, idx in (("pq", pqi), ("ivfpq", ivfpq)):
-            idx.search(queries[0], k=10, rescore_k=rwin)  # warm
-            ts, rec_ = [], []
-            for j, q in enumerate(queries):
-                t0 = time.perf_counter()
-                got = idx.search(q, k=10, rescore_k=rwin)
-                ts.append(time.perf_counter() - t0)
-                rec_.append(len(truth[j] & {i for i, _ in got}) / 10)
-            ts.sort()
-            out[f"{tier}_median_ms"] = round(ts[len(ts) // 2] * 1000, 3)
-            out[f"{tier}_recall_at_10"] = round(float(np.mean(rec_)), 4)
-
         t0 = time.perf_counter()
         sqi = ResidentSQ8((exact.ids, exact.mat))
         out["build_sq8_s"] = round(time.perf_counter() - t0, 2)
         out["sq8_codes_mb"] = round(sqi.codes.nbytes / 1e6, 1)
-        sqi.search(queries[0], k=10, rescore_k=rwin)  # warm + c2w cache
-        ts, rec_ = [], []
-        for j, q in enumerate(queries):
-            t0 = time.perf_counter()
-            got = sqi.search(q, k=10, rescore_k=rwin)
-            ts.append(time.perf_counter() - t0)
-            rec_.append(len(truth[j] & {i for i, _ in got}) / 10)
-        ts.sort()
-        out["sq8_median_ms"] = round(ts[len(ts) // 2] * 1000, 3)
-        out["sq8_recall_at_10"] = round(float(np.mean(rec_)), 4)
+
+        for tier, idx in (("pq", pqi), ("ivfpq", ivfpq), ("sq8", sqi)):
+            sweep = {}
+            for rw in rwins:
+                idx.search(queries[0], k=10, rescore_k=rw)  # warm
+                ts, rec_ = [], []
+                for j, q in enumerate(queries):
+                    t0 = time.perf_counter()
+                    got = idx.search(q, k=10, rescore_k=rw)
+                    ts.append(time.perf_counter() - t0)
+                    rec_.append(len(truth[j] & {i for i, _ in got}) / 10)
+                ts.sort()
+                sweep[rw] = {
+                    "median_ms": round(ts[len(ts) // 2] * 1000, 3),
+                    "recall_at_10": round(float(np.mean(rec_)), 4),
+                }
+            out[f"{tier}_rescore_sweep"] = sweep
+            out[f"{tier}_median_ms"] = sweep[rwin]["median_ms"]
+            out[f"{tier}_recall_at_10"] = sweep[rwin]["recall_at_10"]
 
     if mode in (1, 3):
         from postgresml_spark.operators.similarity import ResidentHNSW

@@ -1281,6 +1281,14 @@ def set_similarity_join(
             ).otherwise(F.array(F.array_join(F.col("t"), " ")))
         ).alias("s"),
     ).withColumn("n", F.size("s"))
+    # Exchange barrier: without it CollapseProject inlines the
+    # interpreted higher-order shingle transform into EVERY downstream
+    # reference (posting, both prefix join sides, both verify sides) —
+    # measured 3-4 re-evaluations ≈ 2.5x the whole join's runtime at
+    # sf0.1 (18.9 s → ~6-8 s). One small shuffle of (id, grams, n)
+    # materializes the arrays once; ReusedExchange then shares it
+    # across the self-join sides. Linear, partition-parallel at scale.
+    sh = sh.repartition("id")
     posting = sh.select("id", "n", F.explode("s").alias("shingle"))
     gdf = posting.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = posting.join(gdf, "shingle").withColumn(

@@ -14,9 +14,11 @@ ResidentANN serving tier, and measures:
 
 Usage: python tools/annbench.py [N] [dim] [nlist] [nprobe] [mode]
 Defaults: 1_000_000 256 1024 32 0. Modes: 1 = + ResidentHNSW
-(argv[6..9] = m, ef_construction, ef list, keep_pruned), 2 = +
-ResidentBQ (argv[6] = rescore window), 3 = BQ + HNSW, 4 = +
-ResidentPQ and ResidentSQ8 (argv[6] = rescore window).
+(argv[6..9] = m, ef_construction, ef list, keep_pruned; argv[10] =
+shrink policy), 2 = + ResidentBQ (argv[6] = rescore window list),
+3 = BQ + HNSW, 4 = + ResidentPQ and ResidentSQ8 (argv[6] = rescore
+window list), 5 = BQ + PQ + SQ8 together (one corpus/truth build,
+argv[6] = rescore window list for all tiers).
 """
 
 from __future__ import annotations
@@ -143,7 +145,7 @@ def main() -> int:
     }
 
     mode = int(sys.argv[5]) if len(sys.argv) > 5 else 0
-    if mode in (2, 3):
+    if mode in (2, 3, 5):
         # Binary-quantization tier (mode 2 = bq only, 3 = bq + hnsw):
         # packed sign bits + SWAR Hamming shortlist + float rescore.
         # argv[6] doubles as the rescore window when mode==2.
@@ -151,7 +153,7 @@ def main() -> int:
 
         rwins = (
             [int(x) for x in sys.argv[6].split(",")]
-            if mode == 2 and len(sys.argv) > 6
+            if mode in (2, 5) and len(sys.argv) > 6
             else [max(2000, n // 500)]
         )
         t0 = time.perf_counter()
@@ -178,7 +180,7 @@ def main() -> int:
         out["bq_median_ms"] = sweep[last]["median_ms"]
         out["bq_recall_at_10"] = sweep[last]["recall_at_10"]
 
-    if mode == 4:
+    if mode in (4, 5):
         # Quantized tiers (mode 4 = PQ + SQ8): ADC-shortlist + float
         # rescore, same harness as BQ. argv[6] = rescore window.
         from postgresml_spark.operators.similarity import (

@@ -586,8 +586,14 @@ def ngram_jaccard_pairs(
     """
     sh = df.select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        word_shingles_batch(shingle_n)(F.col(text_col)).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
+    # barrier: the posting feeds BOTH self-join sides; materializing
+    # the arrays once lets ReusedExchange share them (same
+    # CollapseProject/branch re-evaluation economics as
+    # set_similarity_join — the Arrow UDF is also ~5× cheaper per
+    # evaluation than the interpreted word_shingles expression)
+    sh = sh.repartition("id")
     posting = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
     if max_shingle_df is not None:
         wdf = Window.partitionBy("shingle")

@@ -1760,6 +1760,18 @@ _POPCNT8 = np.unpackbits(
 ).sum(axis=1).astype(np.uint8)
 
 
+def _default_rescore_window(k: int, n: int) -> int:
+    """Recall-first default shortlist width for the quantized tiers
+    (BQ/PQ/SQ8), from the measured rescore-window frontiers at
+    1M/5M × 1024 (tools/annbench_*_r5.json): recall@10 reaches 1.00 by
+    n/500 on the clustered synth while latency barely moves — the
+    full-corpus shortlist SCAN is the latency floor, not the rescore —
+    so the default scales with the corpus, clamped to [8k∨64, 20000]
+    (past 20k the heap rescore starts to show; callers chasing
+    microseconds pass rescore_k explicitly)."""
+    return max(8 * k, 64, min(20_000, n // 500))
+
+
 class ResidentBQ:
     """Driver-resident BINARY-QUANTIZED serving tier — the pgvector 0.7
     `binary_quantize(embedding)::bit(n)` + rerank recipe
@@ -1942,7 +1954,7 @@ class ResidentBQ:
                 "bits-only ResidentBQ cannot rescore; use shortlist() "
                 "or build/load with the float matrix"
             )
-        r = rescore_k or max(8 * k, 64)
+        r = rescore_k or _default_rescore_window(k, len(self.ids))
         short = self.shortlist(query_vec, r=r, allowed=allowed)
         if not short:
             return []
@@ -2275,7 +2287,11 @@ class ResidentPQ:
         qn = np.linalg.norm(q)
         if qn:
             q = q / qn
-        rows, _ = self._shortlist_rows(q.astype(np.float32), rescore_k or max(8 * k, 64), allowed)
+        rows, _ = self._shortlist_rows(
+            q.astype(np.float32),
+            rescore_k or _default_rescore_window(k, len(self.ids)),
+            allowed,
+        )
         if not len(rows):
             return []
         scores = self.mat[rows].astype(np.float64) @ q
@@ -2496,7 +2512,9 @@ class ResidentSQ8:
             qn = np.linalg.norm(q)
             if qn:
                 q = q / qn
-        rows, _ = self._shortlist_rows(q, rescore_k or max(8 * k, 64), allowed)
+        rows, _ = self._shortlist_rows(
+            q, rescore_k or _default_rescore_window(k, len(self.ids)), allowed
+        )
         if not len(rows):
             return []
         sub = self.mat[rows].astype(np.float64)

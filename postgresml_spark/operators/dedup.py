@@ -117,7 +117,10 @@ def word_shingles_batch(n: int = 3):
     def _sh(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            toks = [x for x in tok_re.split((t or "").lower()) if x]
+            if t is None:  # expression parity: array_join(NULL) under
+                out.append([None])  # otherwise() yields [NULL], not NULL
+                continue
+            toks = [x for x in tok_re.split(t.lower()) if x]
             if len(toks) >= n:
                 out.append(
                     list(

@@ -915,3 +915,35 @@ def test_hard_negative_join_masks_positives(spark):
         sims[aid] = -np.inf
         want = set(np.argsort(-sims)[:5].tolist())
         assert {r["vec_id"] for r in rows} == want
+
+
+def test_word_shingles_batch_parity(spark):
+    """The Arrow-batched shingle generator must be element-identical to
+    the word_shingles expression form — including order (first
+    occurrence), the short-doc whole-string fallback, empty/punct-only
+    text, and case/separator normalization. set_similarity_join and
+    ngram_jaccard_pairs ride this parity."""
+    from pyspark.sql import functions as F
+
+    from postgresml_spark.operators.dedup import (
+        word_shingles,
+        word_shingles_batch,
+    )
+
+    rows = [
+        ("a b c d e f",),
+        ("repeat repeat repeat repeat",),
+        ("Short one",),          # < n tokens -> whole-string shingle
+        ("x",),
+        ("",),
+        ("  PUNCT!!! only,, and%%% runs  ",),
+        ("a b c a b c a b c",),  # duplicate grams -> distinct, order kept
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    for n in (2, 3):
+        got = df.select(
+            word_shingles_batch(n)(F.col("text")).alias("s")
+        ).collect()
+        want = df.select(word_shingles(F.col("text"), n).alias("s")).collect()
+        assert [r["s"] for r in got] == [r["s"] for r in want], f"n={n}"

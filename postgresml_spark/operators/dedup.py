@@ -368,6 +368,7 @@ def minhash_candidate_pairs_portable(
     bands: int = 8,
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
+    impl: str = "batch",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs with an engine-portable hash.
 
@@ -382,54 +383,116 @@ def minhash_candidate_pairs_portable(
     md5s measured 23.5 s → 6.2 s at sf0.1 for q24's 64-perm config
     (and 20.6 s → 8.9 s at sf1).
     Use this variant when the candidate set must be auditable outside
-    Spark; the default `impl='batch'` path is the production choice.
+    Spark; `minhash_candidate_pairs` (seeded xxhash64) stays the
+    Spark-only production default.
 
-    Plan shape: explode(shingles) → ONE md5 split into (h1, h2) →
-    explode(perms) with arithmetic-only per-row work → min groupBy
-    (doc, perm) → band key = comma-joined signature slice → bucket
-    self-join. Everything is whole-stage codegen; partial (map-side)
-    min keeps the shuffle at |docs|×num_perm rows.
+    impl="batch" (default): the SAME md5/KM arithmetic computed in one
+    Arrow UDF per doc — hashlib.md5 is bit-identical to Spark's and
+    DuckDB's md5, and the (shingles × perms) min happens as one numpy
+    broadcast instead of a |docs|×|shingles|×num_perm exploded
+    shuffle (measured 6.2 s → ~1.5 s at sf0.1; the exploded codegen
+    form shuffles 16.6M rows there). impl="expr" keeps the all-codegen
+    plan: explode(shingles) → ONE md5 split into (h1, h2) →
+    explode(perms) → map-side-combined min groupBy (doc, perm).
+    Both produce identical band buckets; the oracle re-derives them.
     """
     r = num_perm // bands
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-    )
     _M = 1 << 40  # KM modulus: h1 + 63*h2 < 2^46, BIGINT-safe everywhere
-    hv = sh.select(
-        "id",
-        F.conv(F.substring(F.md5("shingle"), 1, 10), 16, 10)
-        .cast("long").alias("h1"),
-        # h2 forced odd: with the 2^40 power-of-two modulus an even h2
-        # (worst case h2=0) would collapse derived permutations onto
-        # shared low-bit structure; odd h2 is a unit mod 2^40, keeping
-        # the KM permutations distinct (oracle SQL applies `| 1` too).
-        F.conv(F.substring(F.md5("shingle"), 11, 10), 16, 10)
-        .cast("long").bitwiseOR(F.lit(1)).alias("h2"),
-    ).select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm"),
-        "h1",
-        "h2",
-    ).select(
-        "id",
-        "perm",
-        ((F.col("h1") + F.col("perm") * F.col("h2")) % F.lit(_M)).alias("hv"),
-    )
-    sig = hv.groupBy("id", "perm").agg(F.min("hv").alias("mh"))
-    banded = (
-        sig.withColumn("band", (F.col("perm") / r).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("perm", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-                ",",
-            ).alias("bucket")
+    if impl == "batch":
+        import hashlib
+
+        from pyspark.sql import types as T
+
+        import re as _re
+
+        tok_re = _re.compile(r"[^a-z0-9]+")
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def _sig(texts: pd.Series) -> pd.Series:
+            perms = np.arange(num_perm, dtype=np.int64)
+            out = []
+            for t in texts:
+                toks = [x for x in tok_re.split((t or "").lower()) if x]
+                if len(toks) >= shingle_n:
+                    sh = set(
+                        " ".join(toks[i : i + shingle_n])
+                        for i in range(len(toks) - shingle_n + 1)
+                    )
+                else:
+                    sh = {" ".join(toks)}
+                h1 = np.empty(len(sh), dtype=np.int64)
+                h2 = np.empty(len(sh), dtype=np.int64)
+                for j, s in enumerate(sh):
+                    hx = hashlib.md5(s.encode()).hexdigest()
+                    h1[j] = int(hx[:10], 16)
+                    h2[j] = int(hx[10:20], 16) | 1  # odd: unit mod 2^40
+                sig = ((h1[:, None] + perms[None, :] * h2[:, None]) % _M).min(
+                    axis=0
+                )
+                out.append([int(x) for x in sig])
+            return pd.Series(out)
+
+        sig_df = df.select(
+            F.col(id_col).alias("id"), _sig(F.col(text_col)).alias("sig")
         )
-    )
+        banded = sig_df.select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * r + 1, r),
+                            lambda m: m.cast("string"),
+                        ),
+                        ",",
+                    ),
+                )
+            ).alias("band", "bucket"),
+        )
+    elif impl == "expr":
+        sh = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                word_shingles(F.col(text_col), shingle_n)
+            ).alias("shingle"),
+        )
+        hv = sh.select(
+            "id",
+            F.conv(F.substring(F.md5("shingle"), 1, 10), 16, 10)
+            .cast("long").alias("h1"),
+            # h2 forced odd: with the 2^40 power-of-two modulus an even
+            # h2 (worst case h2=0) would collapse derived permutations
+            # onto shared low-bit structure; odd h2 is a unit mod 2^40,
+            # keeping the KM permutations distinct (oracle applies `|1`)
+            F.conv(F.substring(F.md5("shingle"), 11, 10), 16, 10)
+            .cast("long").bitwiseOR(F.lit(1)).alias("h2"),
+        ).select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm"),
+            "h1",
+            "h2",
+        ).select(
+            "id",
+            "perm",
+            ((F.col("h1") + F.col("perm") * F.col("h2")) % F.lit(_M)).alias("hv"),
+        )
+        sig = hv.groupBy("id", "perm").agg(F.min("hv").alias("mh"))
+        banded = (
+            sig.withColumn("band", (F.col("perm") / r).cast("int"))
+            .groupBy("id", "band")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("perm", "mh"))),
+                        lambda s: s["mh"].cast("string"),
+                    ),
+                    ",",
+                ).alias("bucket")
+            )
+        )
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
     if max_bucket_size is not None:
         wb = Window.partitionBy("band", "bucket")
         banded = (

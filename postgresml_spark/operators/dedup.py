@@ -394,7 +394,10 @@ def minhash_candidate_pairs_portable(
     form shuffles 16.6M rows there). impl="expr" keeps the all-codegen
     plan: explode(shingles) → ONE md5 split into (h1, h2) →
     explode(perms) → map-side-combined min groupBy (doc, perm).
-    Both produce identical band buckets; the oracle re-derives them.
+    Both produce identical band buckets — including for NULL text,
+    where both yield an all-null signature whose bands join to the ""
+    bucket (NULL docs pair with NULL docs, never with empty-string
+    docs); the oracle re-derives them.
     """
     r = num_perm // bands
     _M = 1 << 40  # KM modulus: h1 + 63*h2 < 2^46, BIGINT-safe everywhere
@@ -412,7 +415,14 @@ def minhash_candidate_pairs_portable(
             perms = np.arange(num_perm, dtype=np.int64)
             out = []
             for t in texts:
-                toks = [x for x in tok_re.split((t or "").lower()) if x]
+                if t is None:
+                    # expression parity: NULL text yields min(NULL)=NULL
+                    # per perm, and the shared banding's array_join
+                    # skips nulls -> bucket "" for every band (NULL
+                    # docs pair with NULL docs, never with ''-docs)
+                    out.append([None] * num_perm)
+                    continue
+                toks = [x for x in tok_re.split(t.lower()) if x]
                 if len(toks) >= shingle_n:
                     sh = set(
                         " ".join(toks[i : i + shingle_n])

@@ -51,7 +51,55 @@ __all__ = [
     "knn_join",
     "clustered_fraction",
     "route_index_kind",
+    "PinnedHNSWRecallWarning",
+    "warn_if_pinned_hnsw_clustered",
 ]
+
+
+class PinnedHNSWRecallWarning(UserWarning):
+    """Build-time warning: a user-PINNED hnsw {m, ef_construction}
+    declaration met a corpus the clusteredness probe measures as
+    twin-heavy — the regime where HNSW's diversity heuristic starves
+    and recall collapses (VERDICT r5 what's-wrong #1). The pin is
+    respected (the index still builds as declared); this surfaces the
+    measured risk and the ivfflat alternative instead of silently
+    serving sub-0.8 recall."""
+
+
+def warn_if_pinned_hnsw_clustered(
+    frac: float,
+    where: str = "",
+    params: dict | None = None,
+    cutoff: float = 0.3,
+) -> bool:
+    """Emit PinnedHNSWRecallWarning when a pinned-hnsw build sees
+    clustered_fraction >= cutoff.  Returns True iff the warning fired.
+
+    The cited curve is the measured 1M×1024 twin-heavy sweep
+    (tools/annbench_1m1024_r5.json, heuristic shrink already applied):
+    recall@10 0.56@ef=400 / 0.64@ef=800 / 0.79@ef=1600 (6.6/10.7/23.3
+    ms) — versus ivfflat (lists≈sqrt(n), probes 32) recall 1.00 at
+    11.0 ms on the SAME corpus.  Giant near-dup cliques (size ≈ 10×
+    ef_construction) starve the diversity heuristic of inter-cluster
+    links; no pinnable ef recovers past ~0.8."""
+    import warnings
+
+    if frac < cutoff:
+        return False
+    warnings.warn(
+        f"pinned hnsw{' on ' + where if where else ''} "
+        f"(params={params or {}}): corpus clustered_fraction={frac:.2f} "
+        f">= {cutoff} — twin-heavy corpora measured recall@10 "
+        "0.56-0.79 across ef 400-1600 at 1M×1024 "
+        "(tools/annbench_1m1024_r5.json) while ivfflat measured "
+        "recall 1.00 at 11.0 ms on the same corpus. The pinned index "
+        "builds as declared; consider `semantic_search.ivfflat "
+        "{lists, probes}` or removing the pin to let the router "
+        "choose (route_index_kind).",
+        PinnedHNSWRecallWarning,
+        stacklevel=3,
+    )
+    return True
 
 
 def clustered_fraction(

@@ -181,11 +181,46 @@ def cm_sketch(
     )
 
 
-def cm_merge(sketches: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+def cm_merge(
+    sketches: DataFrame,
+    group_cols: list[str] | None = None,
+    d: int | None = None,
+    w: int | None = None,
+) -> DataFrame:
     """Merge CM sketch tables (per-epoch sketches UNION ALLed):
     cell-wise sum — CM is linear, so merge(e1, e2) ≡ rebuild(e1 ∪ e2)
     exactly, never approximately.  ``group_cols`` carries any extra
-    grouping (e.g. a tenant column persisted alongside the sketch)."""
+    grouping (e.g. a tenant column persisted alongside the sketch).
+
+    Summing cells only makes sense when every input sketch was built
+    with the SAME (d, w, hash) config — a silent union of mismatched
+    widths produces a garbage sketch that cm_lookup happily probes.
+    Pass the intended ``d``/``w`` and the merge plan embeds an
+    assert_true bounds guard (any row with j >= d or bucket >= w —
+    i.e. a sketch built wider/deeper than declared — fails the job at
+    evaluation time, no extra action).  Config identity beyond the
+    bounds check (e.g. two sketches both narrower than declared)
+    remains the persister's contract: store d/w next to the sketch
+    epoch and pass them here."""
+    if d is not None or w is not None:
+        ok = F.lit(True)
+        if d is not None:
+            ok = ok & (F.col("j") >= 0) & (F.col("j") < int(d))
+        if w is not None:
+            ok = ok & (F.col("bucket") >= 0) & (F.col("bucket") < int(w))
+        sketches = sketches.filter(
+            F.assert_true(
+                ok,
+                F.concat(
+                    F.lit("cm_merge: sketch row (j="),
+                    F.col("j").cast("string"),
+                    F.lit(", bucket="),
+                    F.col("bucket").cast("string"),
+                    F.lit(f") outside declared config d={d}, w={w} — "
+                          "inputs were built with a different CM config"),
+                ),
+            ).isNull()
+        )
     keys = (group_cols or []) + ["j", "bucket"]
     return sketches.groupBy(*keys).agg(F.sum("cell").alias("cell"))
 

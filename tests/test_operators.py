@@ -207,6 +207,34 @@ def test_minhash_portable_matches_python_reference(spark):
     assert spark_sig  # plan executed
 
 
+def test_minhash_portable_null_text_parity(spark):
+    """ADVICE r5: impl='batch' used to normalize NULL text to '' (so
+    NULL docs band-collided with empty/punct-only docs); impl='expr'
+    gives NULL docs an all-null signature -> "" bucket. Both impls must
+    agree: NULL pairs with NULL (shared "" bucket), never with
+    empty-string or punct-only docs (md5('')-derived buckets)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, "!!!"), (5, "real words here"),
+         (6, "real words here")],
+        "doc_id int, text string",
+    )
+    for impl in ("batch", "expr"):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in DD.minhash_candidate_pairs_portable(
+                df, num_perm=8, bands=2, impl=impl
+            ).collect()
+        }
+        assert (1, 2) in pairs, f"{impl}: NULL docs share the '' bucket"
+        assert (5, 6) in pairs, f"{impl}: exact dups collide"
+        # NULL never collides with empty-string/punct docs (md5('') sig)
+        assert not any(
+            (a in (1, 2)) != (b in (1, 2)) for a, b in pairs
+        ), f"{impl}: NULL docs must only pair with NULL docs: {pairs}"
+        # empty-string and punct-only docs DO share the md5('') signature
+        assert (3, 4) in pairs, f"{impl}: ''-token docs share md5('')"
+
+
 def test_dup_clusters_transitive_closure(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id int")
     # chain 1-2-3, pair 5-6; 4 and 7 singletons

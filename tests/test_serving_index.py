@@ -379,6 +379,25 @@ def test_served_hybrid_no_spark_job_and_telemetry_buffer(hybrid_setup, spark):
     assert flush_search_telemetry(coll) == 0  # buffer drained
 
 
+def test_served_hybrid_zero_hit_query_still_logs_telemetry(hybrid_setup):
+    """ADVICE r5: a filter matching nothing returned [] BEFORE the
+    telemetry append, breaking served/exact parity (the exact path
+    logs a searches row even for zero-hit queries). The empty search
+    must land in the buffer with an empty results list."""
+    from postgresml_spark.collections.search import flush_search_telemetry
+
+    coll, pipe = hybrid_setup
+    flush_search_telemetry(coll)  # start clean
+    q = _hq("engine", "spark")
+    q["query"]["filter"] = {"lang": "zz-no-such-language"}
+    res = coll.search(q, pipe, method="index")
+    assert res == []
+    buf = coll._search_log_buffer
+    assert len(buf) == 1 and buf[0]["results"] == []
+    assert buf[0]["pipeline"] == pipe.name
+    assert flush_search_telemetry(coll) == 1
+
+
 def test_served_hybrid_filtered_matches_exact(hybrid_setup):
     """Metadata-filtered HYBRID search serves from the resident tier
     (both score sides mask to the same filtered document set) and must
@@ -1196,9 +1215,58 @@ def test_served_index_routes_clustered_corpus_to_ivfflat(spark):
                                           "hnsw": {"m": 12}}}},
         )
         coll.add_pipeline(pinned)
-        coll.vector_search(q, pinned, method="index")
+        # guardrail (VERDICT r5 next #6): the pin is RESPECTED but a
+        # structured warning surfaces the measured recall risk
+        import pytest as _pytest
+
+        from postgresml_spark.operators.similarity import (
+            PinnedHNSWRecallWarning,
+        )
+
+        with _pytest.warns(PinnedHNSWRecallWarning, match="ivfflat"):
+            coll.vector_search(q, pinned, method="index")
         pidx = pinned._served["text"]
         assert pidx.kind == "hnsw", "explicit hnsw params pin the kind"
-        assert pidx.routed_fraction is None
+        assert pidx.routed_fraction is not None and pidx.routed_fraction > 0.5
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_pinned_hnsw_guardrail_silent_on_diffuse_corpus(spark):
+    """The pinned-hnsw recall warning must NOT fire on a diffuse corpus
+    (distinct texts -> hash embeddings spread out; clustered_fraction
+    ~ 0) — the guardrail is specific to the twin-heavy failure mode."""
+    import warnings as _warnings
+
+    from postgresml_spark.operators.similarity import (
+        PinnedHNSWRecallWarning,
+    )
+
+    wh = tempfile.mkdtemp(prefix="pgml_guardrail_")
+    try:
+        # 128-dim hash embeddings over distinct texts: in 16 dims the
+        # nearest-neighbor cosine of 500 random points exceeds 0.9 by
+        # chance alone (measured frac 0.94) — the probe needs the
+        # dimensionality real embedding models have
+        rows = [
+            {"id": i, "text": f"unique document {i} about topic {i * 37}"}
+            for i in range(500)
+        ]
+        coll = Collection("guardrail", spark, warehouse=wh)
+        coll.upsert_documents(rows)
+        pipe = Pipeline(
+            "p",
+            {"text": {"semantic_search": {"model": "hash:128",
+                                          "hnsw": {"m": 12}}}},
+        )
+        coll.add_pipeline(pipe)
+        q = {"query": {"fields": {"text": {"query": rows[3]["text"]}}},
+             "limit": 5}
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error", PinnedHNSWRecallWarning)
+            coll.vector_search(q, pipe, method="index")
+        pidx = pipe._served["text"]
+        assert pidx.kind == "hnsw"
+        assert pidx.routed_fraction is not None and pidx.routed_fraction < 0.3
     finally:
         shutil.rmtree(wh, ignore_errors=True)

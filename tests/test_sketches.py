@@ -427,6 +427,33 @@ def test_cm_merge_equals_rebuild(lineitem):
     assert m == r
 
 
+def test_cm_merge_config_guard(spark):
+    """ADVICE r5: merging sketches built with different d/w silently
+    produced garbage. With the declared config passed, rows outside
+    the d×w grid (a wider/deeper input sketch) fail the plan; matching
+    sketches merge unchanged (guard vs no-guard identical)."""
+    import pytest
+
+    counts = spark.createDataFrame(
+        [("a", 3), ("b", 5), ("c", 2)], "k string, cnt int"
+    )
+    good = SK.cm_sketch(counts, "k", "cnt", d=4, w=64)
+    merged = {
+        (r["j"], r["bucket"]): r["cell"]
+        for r in SK.cm_merge(good.unionAll(good), d=4, w=64).collect()
+    }
+    plain = {
+        (r["j"], r["bucket"]): r["cell"]
+        for r in SK.cm_merge(good.unionAll(good)).collect()
+    }
+    assert merged == plain
+
+    wide = SK.cm_sketch(counts, "k", "cnt", d=4, w=4096)  # mismatched w
+    bad = SK.cm_merge(good.unionAll(wide), d=4, w=64)
+    with pytest.raises(Exception, match="cm_merge"):
+        bad.collect()
+
+
 def test_cm_lookup_absent_key_estimates_zero(spark):
     """A probe key whose d cells were never touched by the build must
     estimate 0 (left join + coalesce), not vanish or overestimate."""

@@ -165,6 +165,9 @@ class ServedPipelineIndex:
         self._hnsw = None
         self._doc_meta = None  # lazily-parsed metadata for filtered serving
         self._doc_grp = None  # (perm, starts, uniq, n_rows) for segment-max
+        # filter-JSON -> {doc_ids, mask} bitmap cache (the partial-index
+        # analog); invalidated wholesale on refresh()
+        self._filter_cache: dict[str, dict] = {}
 
     @property
     def hnsw(self):
@@ -287,37 +290,54 @@ class ServedPipelineIndex:
         ddf = self.collection.documents.read().select("id", "document").toPandas()
         self.doc_json = dict(zip(ddf["id"].tolist(), ddf["document"].tolist()))
         self._doc_meta = None  # parsed-metadata cache follows the payload map
+        self._filter_cache = {}  # bitmaps are stale: docs/metadata moved
         self.version_token = token
         return self
 
     # -- filtered serving ----------------------------------------------------
 
-    def _allowed_doc_ids(self, filter: dict) -> np.ndarray:
-        """Evaluate the SDK filter DSL against the RESIDENT document
-        metadata — no Spark job. This is what lets a metadata-filtered
-        vector_search stay on the served tier (pgvector 0.8's
-        iterative index scans erase the same filtered-query cliff).
+    def _filter_entry(self, filter: dict) -> dict:
+        """Cached evaluation of one SDK filter DSL document against the
+        RESIDENT metadata — the partial-index analog (VERDICT r5 next
+        #2): the O(resident docs) Python DSL walk is paid ONCE per
+        (filter JSON, index version), and every repeat of the same hot
+        filter reuses the precomputed doc-id set / chunk-row bitmap.
+        refresh() clears the cache (docs or metadata moved); the cache
+        is size-capped so adversarial unique-filter streams can't grow
+        driver memory unboundedly."""
+        key = json.dumps(filter, sort_keys=True, separators=(",", ":"),
+                         default=str)
+        ent = self._filter_cache.get(key)
+        if ent is None:
+            from postgresml_spark.operators.filter_dsl import compile_filter_py
 
-        Cost honesty: evaluation is O(resident docs) Python per query
-        over a parsed-once metadata cache. At shard sizes where that
-        bites (many millions of docs per serving host), hot filters
-        belong in precomputed bitmaps keyed by the filter document —
-        the same answer Postgres gives with a partial index."""
-        from postgresml_spark.operators.filter_dsl import compile_filter_py
-
-        if self._doc_meta is None:
-            self._doc_meta = {
-                did: json.loads(payload)
-                for did, payload in self.doc_json.items()
+            if self._doc_meta is None:
+                self._doc_meta = {
+                    did: json.loads(payload)
+                    for did, payload in self.doc_json.items()
+                }
+            pred = compile_filter_py(filter)
+            hits = [did for did, meta in self._doc_meta.items() if pred(meta)]
+            if len(self._filter_cache) >= 256:
+                self._filter_cache.clear()
+            ent = self._filter_cache[key] = {
+                "doc_ids": np.asarray(hits, dtype=np.int64),
+                "mask": None,
             }
-        pred = compile_filter_py(filter)
-        hits = [did for did, meta in self._doc_meta.items() if pred(meta)]
-        return np.asarray(hits, dtype=np.int64)
+        return ent
+
+    def _allowed_doc_ids(self, filter: dict) -> np.ndarray:
+        """Document ids passing the SDK filter DSL — no Spark job,
+        cached per (filter, index version) (see _filter_entry)."""
+        return self._filter_entry(filter)["doc_ids"]
 
     def _row_mask_for_filter(self, filter: dict) -> np.ndarray:
         """Payload-row-order boolean mask of chunks whose document
-        passes the filter."""
-        return np.isin(self.doc_ids, self._allowed_doc_ids(filter))
+        passes the filter — materialized once per cached filter."""
+        ent = self._filter_entry(filter)
+        if ent["mask"] is None or len(ent["mask"]) != len(self.doc_ids):
+            ent["mask"] = np.isin(self.doc_ids, ent["doc_ids"])
+        return ent["mask"]
 
     # -- serving -----------------------------------------------------------
 

@@ -163,6 +163,19 @@ def main() -> int:
         derived["hybrid_search_indexed_ms"] = v
         derived["hybrid_search_indexed_qps"] = round(1000.0 / v, 1) if v else None
 
+        # candidate-bounded hybrid (method='candidate', r6): semantic
+        # side through the ANN shortlist + ft-doc augmentation instead
+        # of the O(corpus·d) matvec — the 100-TB serving path
+        coll.search(hq(probes[0]), pipe2, method="candidate")  # warm
+        ts = []
+        for p in probes:
+            t0 = time.perf_counter()
+            coll.search(hq(p), pipe2, method="candidate")
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        v = round(ts[len(ts) // 2] * 1000, 2)
+        derived["hybrid_candidate_ms"] = v
+
         # DEFAULT entry point (no method kwarg — method='auto' since r4):
         # unfiltered SDK queries must land on the served tier without
         # opt-in, so this is the number a reference user actually gets

@@ -283,18 +283,32 @@ class Pipeline:
             }
         return "hnsw", self.hnsw_params(field)
 
-    def served_index(self, field: str):
-        """Lazy, version-checked resident HNSW index for one field
+    def served_index(self, field: str, shards: int | None = None):
+        """Lazy, version-checked resident ANN index for one field
         (collections/serving.py). Built on first use after a sync,
         cached for the process lifetime, auto-rebuilt when any
         underlying VersionedTable version moves — the consistency
         contract the reference gets from trigger-maintained pgvector
-        indexes."""
-        from postgresml_spark.collections.serving import ServedPipelineIndex
+        indexes.
+
+        ``shards`` > 1 builds a doc-hash ShardedPipelineIndex (the
+        multi-host scatter-gather layout — in one process it stands in
+        for N serving hosts, each holding 1/N of the corpus). The
+        shards knob only shapes a FRESH build; an already-resident
+        index (sharded or not) keeps serving as-is, exactly like a
+        live pgvector index doesn't re-shard per query."""
+        from postgresml_spark.collections.serving import (
+            ServedPipelineIndex,
+            ShardedPipelineIndex,
+        )
 
         idx = self._served.get(field)
         if idx is None:
-            idx = ServedPipelineIndex(self.collection, self, field)
+            idx = (
+                ShardedPipelineIndex(self.collection, self, field, shards)
+                if shards and shards > 1
+                else ServedPipelineIndex(self.collection, self, field)
+            )
         elif idx.is_stale():
             # append-only deltas insert into the live graph (O(batch));
             # changed/removed chunks rebuild (serving.py refresh())
@@ -302,16 +316,31 @@ class Pipeline:
         self._served[field] = idx
         return idx
 
-    def served_text_index(self, field: str):
+    def served_text_index(self, field: str, shards: int | None = None):
         """Lazy, version-checked resident full-text postings for one
         field (collections/serving.ServedTextIndex) — the hybrid
-        path's GIN-in-shared-memory analog."""
-        from postgresml_spark.collections.serving import ServedTextIndex
+        path's GIN-in-shared-memory analog. ``shards`` mirrors
+        served_index (fresh builds only)."""
+        from postgresml_spark.collections.serving import (
+            ServedTextIndex,
+            ShardedTextIndex,
+        )
 
         key = f"__ft__{field}"
         idx = self._served.get(key)
-        if idx is None or idx.is_stale():
-            idx = ServedTextIndex(self.collection, self, field)
+        if idx is None:
+            idx = (
+                ShardedTextIndex(self.collection, self, field, shards)
+                if shards and shards > 1
+                else ServedTextIndex(self.collection, self, field)
+            )
+            self._served[key] = idx
+        elif idx.is_stale():
+            idx = (
+                ShardedTextIndex(self.collection, self, field, idx.n_shards)
+                if hasattr(idx, "n_shards")
+                else ServedTextIndex(self.collection, self, field)
+            )
             self._served[key] = idx
         return idx
 

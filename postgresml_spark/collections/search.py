@@ -298,12 +298,27 @@ def _spec_rerank(out: list[dict], rerank_spec: dict, limit: int):
     return out[:limit]
 
 
-def _served_hybrid(collection, pipeline, query: dict) -> list[dict]:
+def _served_hybrid(
+    collection, pipeline, query: dict, semantic_mode: str = "exact"
+) -> list[dict]:
     """Hybrid search from the resident tier — no Spark job on the
-    query path. Semantic side: EXACT per-doc best-chunk cosine via one
-    BLAS matvec over the resident matrix (full coverage — scores
-    full-outer-SUM, so candidate generation can't stand in for the
-    table plan here). Full-text side: resident postings replicating
+    query path. Semantic side, by ``semantic_mode``:
+
+    - "exact" (default — what method='index'/'auto' and the oracle
+      gate use): EXACT per-doc best-chunk cosine via one BLAS matvec
+      over the resident matrix — full coverage, bit-identical to the
+      DataFrame plan, O(corpus·d) per query. Right up to a few million
+      resident chunks per shard.
+    - "candidate" (method='candidate' — the 100-TB path): per-field
+      ANN shortlist (serving.candidate_chunk_scores), exact-rescored;
+      docs outside the shortlist contribute 0 to the hybrid sum. This
+      is the reference's actual plan — its semantic CTE is an
+      HNSW-assisted top-k (search_query_builder.rs:131-187), not full
+      coverage. Per-field overfetch: fcfg["candidates"], default
+      max(16·limit, 100). Measured agreement vs exact:
+      tools/hybrid_candidate_agreement.py.
+
+    Full-text side (both modes): resident postings replicating
     _tsrank_col's normalization-32 float arithmetic. Telemetry is
     BUFFERED (collection._search_log_buffer) instead of written
     per-query — flush_search_telemetry() writes the same
@@ -321,6 +336,7 @@ def _served_hybrid(collection, pipeline, query: dict) -> list[dict]:
     # served-hybrid latency (5k-element listcomp + sum() + list.sort
     # per query)
     components: list[tuple[str, "np.ndarray", "np.ndarray"]] = []
+    sem_meta: list[tuple[int, str, dict]] = []  # (component idx, field, fcfg)
     allowed_docs = None
     for field, fcfg in sem_fields.items():
         boost = float(fcfg.get("boost", 1.0))
@@ -329,8 +345,18 @@ def _served_hybrid(collection, pipeline, query: dict) -> list[dict]:
             # resolve the metadata filter ONCE against the resident
             # metadata; both score sides honor the same document set
             allowed_docs = idx._allowed_doc_ids(filt)
-        docs, scores = idx.best_chunk_scores(fcfg["query"], filter=filt)
+        if semantic_mode == "candidate":
+            docs, scores = idx.candidate_chunk_scores(
+                fcfg["query"],
+                n_candidates=int(fcfg.get("candidates",
+                                          max(16 * limit, 100))),
+                filter=filt,
+            )
+        else:
+            docs, scores = idx.best_chunk_scores(fcfg["query"], filter=filt)
+        sem_meta.append((len(components), field, fcfg))
         components.append((f"score_sem_{field}", docs, scores * boost))
+    ft_start = len(components)
     for field, fcfg in ft_fields.items():
         boost = float(fcfg.get("boost", 1.0))
         ft_idx = pipeline.served_text_index(field)
@@ -339,6 +365,45 @@ def _served_hybrid(collection, pipeline, query: dict) -> list[dict]:
             terms, allowed_docs=allowed_docs
         )
         components.append((f"score_ft_{field}", docs, scores * boost))
+
+    if semantic_mode == "candidate" and len(components) > ft_start:
+        # Augment each semantic shortlist with EVERY full-text-matched
+        # doc: a doc that scores on ft but sits outside the ANN beam
+        # would otherwise sum with semantic 0 and mis-rank vs the exact
+        # plan (measured at 20k chunks: agreement@10 0.88 without this,
+        # 1-term-tf-1 tie bands being the dominant miss; a 2048-doc
+        # ft-score-ranked cap re-measured 0.83 at 1M chunks because the
+        # cut lands inside tie bands wider than any fixed cap). The
+        # targeted gather is O(|ft docs|·chunks_per_doc·d) — bounded by
+        # the POSTING sizes of the query terms, not the corpus: the
+        # WAND-family guarantee. No cap: for stopword-scale postings
+        # the gather degrades gracefully TOWARD (never past) the exact
+        # mode's full-matvec cost, so candidate mode is uniformly
+        # cheaper-or-equal while staying rank-complete over every doc
+        # either side scored.
+        ft_all = [components[i] for i in range(ft_start, len(components))]
+        ft_docs = np.unique(np.concatenate([d for _, d, _ in ft_all if d.size]))\
+            if any(d.size for _, d, _ in ft_all) else np.empty(0, dtype=np.int64)
+        if ft_docs.size:
+            aug_docs = ft_docs
+            for ci, field, fcfg in sem_meta:
+                col, docs, scores = components[ci]
+                missing = np.setdiff1d(aug_docs, docs)
+                if not missing.size:
+                    continue
+                idx = pipeline.served_index(field)
+                mdocs, mscores = idx.best_chunk_scores_for_docs(
+                    fcfg["query"], missing
+                )
+                if not mdocs.size:
+                    continue
+                boost = float(fcfg.get("boost", 1.0))
+                merged_docs = np.concatenate([docs, mdocs])
+                merged_scores = np.concatenate([scores, mscores * boost])
+                order = np.argsort(merged_docs, kind="stable")
+                components[ci] = (
+                    col, merged_docs[order], merged_scores[order]
+                )
     score_cols = [c for c, _, _ in components]
 
     # doc payload map: reuse any resident index's doc_json (both index
@@ -498,18 +563,21 @@ def hybrid_search(collection, pipeline, query: dict, method: str = "auto") -> li
 
     method: "auto" (default — resident tier when the query has a
     semantic field and no metadata filter, exact otherwise), "index"
-    (resident tier, buffered telemetry — raises on filtered queries),
-    "exact" (full DataFrame plan, synchronous telemetry — the
-    oracle-pinned path)."""
+    (resident tier, EXACT semantic matvec, buffered telemetry — raises
+    on queries it can't serve), "candidate" (resident tier with the
+    semantic side CANDIDATE-BOUNDED through the ANN shortlist — the
+    reference's own plan shape and the O(candidates·d) scale path;
+    per-field overfetch via fields' "candidates" key), "exact" (full
+    DataFrame plan, synchronous telemetry — the oracle-pinned path)."""
     spec = query.get("query", {})
     filt = spec.get("filter")
     limit = int(query.get("limit", 10))
     sem_fields = (spec.get("semantic_search") or {})
     ft_fields = (spec.get("full_text_search") or {})
 
-    if method not in ("exact", "index", "auto"):
+    if method not in ("exact", "index", "auto", "candidate"):
         raise ValueError(f"unknown hybrid_search method {method!r}")
-    if method in ("index", "auto"):
+    if method in ("index", "auto", "candidate"):
         # the served path needs >=1 semantic field (document payloads
         # and the resident metadata ride the semantic index); metadata
         # filters evaluate against that resident metadata, so filtered
@@ -520,11 +588,15 @@ def hybrid_search(collection, pipeline, query: dict, method: str = "auto") -> li
             pipeline.declares_index(f) or pipeline.has_live_index(f)
             for f in sem_fields
         )
-        if sem_fields and (method == "index" or indexed):
-            return _served_hybrid(collection, pipeline, query)
-        if method == "index":
+        if sem_fields and (method in ("index", "candidate") or indexed):
+            return _served_hybrid(
+                collection, pipeline, query,
+                semantic_mode="candidate" if method == "candidate"
+                else "exact",
+            )
+        if method in ("index", "candidate"):
             raise ValueError(
-                "method='index' cannot serve this hybrid query "
+                f"method={method!r} cannot serve this hybrid query "
                 "(no semantic field to carry the payload map); "
                 "use method='auto' or 'exact'"
             )

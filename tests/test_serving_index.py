@@ -457,6 +457,48 @@ def test_served_hybrid_zero_hit_query_still_logs_telemetry(hybrid_setup):
     assert flush_search_telemetry(coll) == 1
 
 
+def test_hybrid_candidate_mode_agreement(hybrid_setup, spark):
+    """VERDICT r5 next #1: method='candidate' bounds the semantic side
+    to an ANN shortlist (the reference's own plan shape —
+    search_query_builder.rs:131-187) instead of the O(corpus·d) full
+    matvec. Contract: >=0.95 mean top-10 agreement with the exact
+    served plan on the bench corpus, no Spark job, and docs absent
+    from the shortlist contribute 0 (never a crash or a NaN)."""
+    coll, pipe = hybrid_setup
+    cases = [
+        ("distributed query engine", "spark stream"),
+        ("vector similarity search", "vector merge table"),
+        ("columnar storage format", "row group scan"),
+        ("hash join strategy", "hash table build"),
+        ("window aggregate partition", "window frame"),
+    ]
+    coll.search(_hq(*cases[0]), pipe, method="candidate")  # build + warm
+    agree = 0.0
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    for sem, ft in cases:
+        exact = coll.search(_hq(sem, ft), pipe, method="index")
+        cand = coll.search(_hq(sem, ft), pipe, method="candidate")
+        e_ids = [r["document_id"] for r in exact]
+        c_ids = [r["document_id"] for r in cand]
+        agree += len(set(e_ids) & set(c_ids)) / max(len(e_ids), 1)
+        # any doc whose semantic score the shortlist DID cover must
+        # carry the identical float64 exact-rescored value
+        e_sem = {r["document_id"]: r["score_sem_text"] for r in exact}
+        for r in cand:
+            if r["score_sem_text"] is not None and r["document_id"] in e_sem:
+                assert r["score_sem_text"] == pytest.approx(
+                    e_sem[r["document_id"]], abs=1e-9
+                )
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert after == before, "candidate hybrid must not launch Spark jobs"
+    assert agree / len(cases) >= 0.95, f"top-10 agreement {agree/len(cases)}"
+    # per-field overfetch knob: tiny candidates still returns sane rows
+    q = _hq("distributed query engine", "spark stream")
+    q["query"]["semantic_search"]["text"]["candidates"] = 3
+    rows = coll.search(q, pipe, method="candidate")
+    assert rows and all(r["score"] == r["score"] for r in rows)  # no NaN
+
+
 def test_served_hybrid_filtered_matches_exact(hybrid_setup):
     """Metadata-filtered HYBRID search serves from the resident tier
     (both score sides mask to the same filtered document set) and must
@@ -1329,3 +1371,150 @@ def test_pinned_hnsw_guardrail_silent_on_diffuse_corpus(spark):
         assert pidx.routed_fraction is not None and pidx.routed_fraction < 0.3
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+# -- multi-shard scatter-gather serving (VERDICT r5 next #4) -----------------
+
+
+@pytest.fixture(scope="module")
+def shard_setup(spark, sf_dir):
+    """One collection, TWO resident layouts over identical data: the
+    single-shard index and a 2-shard doc-hash scatter-gather. ivfflat
+    probes == lists makes the per-shard ANN exhaustive, so the layouts
+    must agree EXACTLY (result identity, not just recall)."""
+    wh = tempfile.mkdtemp(prefix="pgml_shards_")
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    coll = Collection("shards", spark, warehouse=wh)
+    coll.upsert_documents_df(d.select(F.col("doc_id").alias("id"), "text", "lang"))
+    pipe = Pipeline(
+        "p",
+        {
+            "text": {
+                "semantic_search": {"model": "hash:32",
+                                    "ivfflat": {"lists": 4, "probes": 4}},
+                "full_text_search": {"configuration": "english"},
+            }
+        },
+    )
+    coll.add_pipeline(pipe)
+    from postgresml_spark.collections.serving import (
+        ServedPipelineIndex,
+        ShardedPipelineIndex,
+        ShardedTextIndex,
+    )
+
+    single = ServedPipelineIndex(coll, pipe, "text")
+    sharded = ShardedPipelineIndex(coll, pipe, "text", 2)
+    sharded_ft = ShardedTextIndex(coll, pipe, "text", 2)
+    yield coll, pipe, single, sharded, sharded_ft
+    shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_shards_partition_the_corpus(shard_setup):
+    """Doc-hash shards are disjoint and cover the corpus exactly."""
+    _, _, single, sharded, _ = shard_setup
+    a = set(sharded.shards[0].doc_json)
+    b = set(sharded.shards[1].doc_json)
+    assert a and b and not (a & b)
+    assert a | b == set(single.doc_json)
+    # chunk rows partition too (no chunk counted twice or dropped)
+    assert (len(sharded.shards[0].chunk_ids) + len(sharded.shards[1].chunk_ids)
+            == len(single.chunk_ids))
+    # the merged payload view is the full corpus
+    assert set(sharded.doc_json) == set(single.doc_json)
+
+
+def test_scatter_gather_search_identity(shard_setup):
+    """2-shard scatter-gather top-k == single-shard top-k: same docs,
+    same order, same float64 exact-rescored scores — with and without
+    a metadata filter."""
+    _, _, single, sharded, _ = shard_setup
+    for qt in QUERIES:
+        for filt in (None, {"lang": {"$in": ["en", "fr"]}}):
+            one = single.search(qt, limit=10, filter=filt)
+            two = sharded.search(qt, limit=10, filter=filt)
+            assert [round(r["score"], 9) for r in one] == [
+                round(r["score"], 9) for r in two
+            ], f"shard score divergence for {qt!r} filter={filt}"
+            if one and len({round(r["score"], 9) for r in one}) == len(one):
+                # tie-free top-k: document identity holds exactly; a
+                # tie band returns an arbitrary tied member on EITHER
+                # layout (same as `ORDER BY dist LIMIT k` on pgvector)
+                assert [r["document_id"] for r in one] == [
+                    r["document_id"] for r in two
+                ], f"shard doc divergence for {qt!r} filter={filt}"
+
+
+def test_scatter_gather_hybrid_arrays_identity(shard_setup):
+    """The hybrid building blocks gather to IDENTICAL arrays: exact
+    best-chunk scores (full coverage), candidate shortlist scores, and
+    targeted doc gathers are doc-disjoint concatenations."""
+    import numpy as np
+
+    _, _, single, sharded, _ = shard_setup
+    for qt in QUERIES[:3]:
+        d1, s1 = single.best_chunk_scores(qt)
+        d2, s2 = sharded.best_chunk_scores(qt)
+        # doc arrays identical; scores to 1e-12 (BLAS matvec blocking
+        # differs with matrix row count, so the last float64 ulp can —
+        # the oracle gate rounds at 6 decimals)
+        assert np.array_equal(d1, d2)
+        assert np.allclose(s1, s2, atol=1e-12, rtol=0)
+        sub = d1[:: max(1, len(d1) // 50)]
+        g1 = single.best_chunk_scores_for_docs(qt, sub)
+        g2 = sharded.best_chunk_scores_for_docs(qt, sub)
+        assert np.array_equal(g1[0], g2[0])
+        assert np.allclose(g1[1], g2[1], atol=1e-12, rtol=0)
+
+
+def test_sharded_hybrid_end_to_end(shard_setup):
+    """Full hybrid search served from the 2-shard layout (semantic +
+    full-text scatter-gather through the REAL merge) equals the
+    single-shard served result — exact and candidate modes."""
+    coll, pipe, single, sharded, sharded_ft = shard_setup
+    pipe._served["text"] = single
+    pipe._served.pop("__ft__text", None)
+    for sem, ft in [("distributed query engine", "spark stream"),
+                    ("columnar storage format", "row group scan")]:
+        one_exact = coll.search(_hq(sem, ft), pipe, method="index")
+        one_cand = coll.search(_hq(sem, ft), pipe, method="candidate")
+        pipe._served["text"] = sharded
+        pipe._served["__ft__text"] = sharded_ft
+        two_exact = coll.search(_hq(sem, ft), pipe, method="index")
+        two_cand = coll.search(_hq(sem, ft), pipe, method="candidate")
+        pipe._served["text"] = single
+        pipe._served.pop("__ft__text", None)
+        for one, two in ((one_exact, two_exact), (one_cand, two_cand)):
+            assert [(r["document_id"], round(r["score"], 9)) for r in one] == [
+                (r["document_id"], round(r["score"], 9)) for r in two
+            ]
+
+
+def test_sharded_refresh_routes_append_to_owning_shard(shard_setup):
+    """An upsert lands on exactly ONE shard's resident state after
+    refresh(), and the scatter-gather finds it."""
+    coll, pipe, single, sharded, _ = shard_setup
+    coll.upsert_documents(
+        [{"id": 77_000_001, "text": "sharded zebra quantum refresh probe"}]
+    )
+    assert sharded.is_stale()
+    sharded.refresh()
+    res = sharded.search("sharded zebra quantum refresh probe", limit=3)
+    assert res and res[0]["document"]["id"] == 77_000_001
+    assert res[0]["score"] == pytest.approx(1.0)
+    did = res[0]["document_id"]  # surrogate table id, the doc_json key
+    owners = [i for i, s in enumerate(sharded.shards) if did in s.doc_json]
+    assert len(owners) == 1, f"doc must live on exactly one shard: {owners}"
+
+
+def test_pipeline_served_index_shards_knob(shard_setup):
+    """pipeline.served_index(field, shards=n) builds the sharded layout
+    on a fresh build and keeps serving a live index as-is."""
+    coll, pipe, *_ = shard_setup
+    from postgresml_spark.collections.serving import ShardedPipelineIndex
+
+    pipe._served.pop("text", None)
+    idx = pipe.served_index("text", shards=2)
+    assert isinstance(idx, ShardedPipelineIndex)
+    # live index reused even without the knob (no silent re-shard)
+    assert pipe.served_index("text") is idx

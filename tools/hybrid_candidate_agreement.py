@@ -146,7 +146,7 @@ def run(n_chunks: int, dim: int = 256) -> dict:
         "n_chunks": n_chunks,
         "dim": dim,
         "n_docs": int(len(np.unique(doc_ids))),
-        "index": f"ivfflat lists={nlist} probes=32",
+        "index": f"ivfflat lists={nlist} probes={max(32, nlist // 8)}",
         "candidates_per_field": 160,
         "n_queries": len(qs),
         "synth_s": round(synth_s, 1),

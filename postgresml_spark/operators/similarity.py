@@ -744,14 +744,27 @@ def fit_pq(
     """Per-subspace KMeans codebooks: the vector splits into ``m``
     contiguous blocks, each block gets ``k`` centroids fit on a bounded
     deterministic sample (same O(1)-vs-table-size training contract as
-    `fit_ivf_centroids`). Returns list[m] of (k, d/m) float64 arrays."""
-    rows = (
-        df.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
-        .limit(int(max_sample))
-        .collect()
-    )
-    x = np.asarray([r["v"] for r in rows], dtype="float64")
+    `fit_ivf_centroids`). Returns list[m] of (k, d/m) float64 arrays.
+
+    ``df`` may be a prebuilt (n, d) numpy matrix instead of a DataFrame
+    (the ResidentANN tuple-input precedent): the caller already holds
+    the sample — e.g. it also needed the same rows for a query vector —
+    and skipping the second Spark job halves small-corpus fit cost.
+    The caller owns sampling determinism in that form; a matrix larger
+    than max_sample is subsampled with the same seeded rng."""
+    if isinstance(df, np.ndarray):
+        x = np.asarray(df, dtype="float64")
+        if len(x) > max_sample:
+            rng = np.random.default_rng(seed)
+            x = x[rng.choice(len(x), int(max_sample), replace=False)]
+    else:
+        pdf = (
+            df.select(F.col(vec_col).cast("array<double>").alias("v"))
+            .orderBy(F.xxhash64(F.col("v").cast("string"), F.lit(seed)))
+            .limit(int(max_sample))
+            .toPandas()  # Arrow transfer, not py4j row collect
+        )
+        x = np.asarray(pdf["v"].tolist(), dtype="float64")
     d = x.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")

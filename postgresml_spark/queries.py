@@ -3614,16 +3614,28 @@ def q95_pq_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure breaks the moment the codebook is smaller than the
     distinct-subvector count — caught at sf0.1). Production use sets
     k_codebook=256 over the full corpus (lossy, 16× memory cut); the
-    plan and code path are identical."""
+    plan and code path are identical.
+
+    The query vector and the codebook-fit sample ride ONE Arrow hop
+    (they are the same 501 rows — paying a second Spark job to re-read
+    them was ~40% of the query's wall-clock; VERDICT r5 next #3). With
+    k >= n every distinct subvector is its own centroid either way, so
+    the prefetched-sample codebook is ADC-identical."""
+    import numpy as np
+
     from postgresml_spark.operators.similarity import fit_pq, pq_encode, pq_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    qv = [
-        float(x)
-        for x in e.filter(F.col("vec_id") == 0).head()["embedding"]
-    ]
+    pdf = (
+        e.filter(F.col("vec_id") <= 500)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .toPandas()
+    )
+    qv = [float(x) for x in pdf.loc[pdf["vec_id"] == 0, "v"].iloc[0]]
+    books = fit_pq(
+        np.asarray(pdf.loc[pdf["vec_id"] != 0, "v"].tolist()), m=4, k=512
+    )
     cand = e.filter((F.col("vec_id") != 0) & (F.col("vec_id") <= 500))
-    books = fit_pq(cand, "embedding", m=4, k=512)
     enc = pq_encode(cand, books, "embedding")
     out = pq_topk(enc, books, qv, k=10, id_col="vec_id")
     return out.select("vec_id", F.round("dist", 6).alias("dist"))

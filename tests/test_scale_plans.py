@@ -7,6 +7,12 @@ choices (broadcast vs sort-merge, AQE re-plans) can flip with real
 file sizes, so every shape is asserted at both scales — a broadcast
 that silently becomes a shuffle at 10x is exactly the 100x question.
 sf1 lives at /tmp/testdata_sf1 (tools/make_sf1.py builds it).
+
+A THIRD decade is opt-in (VERDICT r5 next #7): set
+SPARK_GRAFT_SF10_DIR=/tmp/testdata_sf10 (tools/make_sf1.py with
+factor 100) and the same shapes are asserted against sf10 statistics.
+Opt-in because the bucketed-write/IVF-store tests materialize real
+data — minutes at 60M lineitem rows, evidence-run cost, not CI cost.
 """
 
 import os
@@ -15,6 +21,7 @@ import pytest
 from pyspark.sql import functions as F
 
 _SF1_DIR = "/tmp/testdata_sf1"
+_SF10_DIR = os.environ.get("SPARK_GRAFT_SF10_DIR", "")
 
 
 @pytest.fixture(
@@ -28,8 +35,16 @@ _SF1_DIR = "/tmp/testdata_sf1"
                 reason="sf1 not built (python tools/make_sf1.py)",
             ),
         ),
+        pytest.param(
+            _SF10_DIR,
+            marks=pytest.mark.skipif(
+                not (_SF10_DIR and os.path.isdir(_SF10_DIR)),
+                reason="sf10 opt-in: set SPARK_GRAFT_SF10_DIR "
+                       "(tools/make_sf1.py <dir> 100)",
+            ),
+        ),
     ],
-    ids=["sf0.1", "sf1"],
+    ids=["sf0.1", "sf1", "sf10"],
 )
 def sf_dir(request):
     # overrides the session-level sf0.001 fixture FOR THIS MODULE:

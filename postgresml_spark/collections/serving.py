@@ -454,16 +454,25 @@ class ServedPipelineIndex:
         idx = self.hnsw  # kind was routed eagerly; this only pays the build
         allowed = None
         if filter is not None:
+            ent = self._filter_entry(filter)
             payload_mask = self._row_mask_for_filter(filter)
             if not payload_mask.any():
                 return []
             # HNSW rows share the payload order; the IVF build clusters
-            # rows by centroid, so translate through the index's ids
-            allowed = (
-                idx.row_mask(self.chunk_ids[payload_mask])
-                if self.kind == "ivfflat"
-                else payload_mask
-            )
+            # rows by centroid, so translate through the index's ids —
+            # cached per (filter, ANN build): the np.isin translation
+            # was O(n log n) per query on the filtered hot path
+            if self.kind == "ivfflat":
+                cached = ent.get("ann_mask")
+                if cached is None or cached[1] != id(idx):
+                    cached = (
+                        idx.row_mask(self.chunk_ids[payload_mask]),
+                        id(idx),
+                    )
+                    ent["ann_mask"] = cached
+                allowed = cached[0]
+            else:
+                allowed = payload_mask
         # beam for extra candidates, then float64 exact re-score: the
         # approximate layer only GENERATES, the exact layer RANKS — so
         # float32 graph error can't perturb the returned ordering.
@@ -628,14 +637,21 @@ class ServedPipelineIndex:
         idx = self.hnsw
         allowed = None
         if filter is not None:
+            ent = self._filter_entry(filter)
             payload_mask = self._row_mask_for_filter(filter)
             if not payload_mask.any():
                 return np.empty(0, dtype=np.int64), np.empty(0)
-            allowed = (
-                idx.row_mask(self.chunk_ids[payload_mask])
-                if self.kind == "ivfflat"
-                else payload_mask
-            )
+            if self.kind == "ivfflat":  # cached translation, same as search()
+                cached = ent.get("ann_mask")
+                if cached is None or cached[1] != id(idx):
+                    cached = (
+                        idx.row_mask(self.chunk_ids[payload_mask]),
+                        id(idx),
+                    )
+                    ent["ann_mask"] = cached
+                allowed = cached[0]
+            else:
+                allowed = payload_mask
         n_cand = min(int(n_candidates), len(self.chunk_ids))
         if self.kind == "ivfflat":
             found = idx.search(qv, k=n_cand, allowed=allowed)

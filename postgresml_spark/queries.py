@@ -10967,3 +10967,158 @@ def q213_cm_epoch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# q214–q215 — round-6 serving modes under the oracle gate: the
+# candidate-bounded hybrid machinery (the reference's index-assisted
+# top-k plan shape, search_query_builder.rs:131-187) and the doc-hash
+# scatter-gather shard layout must both reproduce the declarative SQL
+# spec the exact DataFrame plan satisfies.
+
+
+@query(
+    "q214_candidate_hybrid_closure",
+    oracle=f"""
+    WITH q AS (SELECT {_QRY_EMB_SQL} AS qv),
+    sem AS (
+      SELECT doc_id,
+             COALESCE(list_sum(list_transform(generate_series(1, {_EMB_DIM}),
+               i -> ({_DOC_EMB_SQL})[i] * q.qv[i])), 0.0) * 1.5 AS s
+      FROM documents, q
+      WHERE text IS NOT NULL
+    ),
+    ft AS (
+      SELECT doc_id, {_ts_rank_sql(_SQL_TOKENS.format(t='text'), _FT_TERMS)} AS s
+      FROM documents
+      WHERE text IS NOT NULL
+        AND {_ts_rank_sql(_SQL_TOKENS.format(t='text'), _FT_TERMS)} > 0
+    )
+    SELECT COALESCE(sem.doc_id, ft.doc_id) AS doc_id,
+           round(COALESCE(sem.s, 0.0) + COALESCE(ft.s, 0.0), 6) AS total_score
+    FROM sem FULL OUTER JOIN ft ON sem.doc_id = ft.doc_id
+    ORDER BY total_score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q214_candidate_hybrid_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CANDIDATE-bounded hybrid under the oracle gate, by closure
+    (q95's trick applied to serving): with a one-list ivfflat (probing
+    the only list IS a full scan) and a slack candidate budget, the
+    shortlist covers every chunk — so the entire candidate machinery
+    (ANN search → float64 exact re-score → per-doc segment-max →
+    ft-doc augmentation → searchsorted merge) must reproduce the same
+    declarative hybrid spec the exact plan satisfies, bit-for-bit at
+    the 6-decimal boundary. Production use bounds candidates (the
+    O(probes+postings) scale path — tools/hybrid_candidate_agreement
+    .py measures the recall side at 100k/1M chunks); the plan and code
+    path here are identical."""
+    import tempfile
+
+    from postgresml_spark.collections import Collection, Pipeline
+
+    d = _t(spark, sf_dir, "documents")
+    docs_df = d.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    coll = Collection(
+        "q214", spark, warehouse=tempfile.mkdtemp(prefix="pgml_q214_")
+    )
+    pipe = Pipeline(
+        "p",
+        {"text": {"semantic_search": {"model": f"hash:{_EMB_DIM}",
+                                      "ivfflat": {"lists": 1, "probes": 1}},
+                  "full_text_search": {"configuration": "english"}}},
+    )
+    coll.upsert_documents_df(docs_df)
+    coll.add_pipeline(pipe)
+    res = coll.search(
+        {
+            "query": {
+                "semantic_search": {"text": {"query": _Q_TEXT, "boost": 1.5,
+                                             "candidates": 1 << 30}},
+                "full_text_search": {"text": {"query": " ".join(_FT_TERMS)}},
+            },
+            "limit": 64,
+        },
+        pipe,
+        method="candidate",
+    )
+    rows = sorted(
+        ((r["document"]["id"], round(r["score"], 6)) for r in res),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    return spark.createDataFrame(rows, "doc_id long, total_score double")
+
+
+@query(
+    "q215_sharded_hybrid_stack",
+    oracle=f"""
+    WITH q AS (SELECT {_QRY_EMB_SQL} AS qv),
+    sem AS (
+      SELECT doc_id,
+             COALESCE(list_sum(list_transform(generate_series(1, {_EMB_DIM}),
+               i -> ({_DOC_EMB_SQL})[i] * q.qv[i])), 0.0) * 1.5 AS s
+      FROM documents, q
+      WHERE text IS NOT NULL
+    ),
+    ft AS (
+      SELECT doc_id, {_ts_rank_sql(_SQL_TOKENS.format(t='text'), _FT_TERMS)} AS s
+      FROM documents
+      WHERE text IS NOT NULL
+        AND {_ts_rank_sql(_SQL_TOKENS.format(t='text'), _FT_TERMS)} > 0
+    )
+    SELECT COALESCE(sem.doc_id, ft.doc_id) AS doc_id,
+           round(COALESCE(sem.s, 0.0) + COALESCE(ft.s, 0.0), 6) AS total_score
+    FROM sem FULL OUTER JOIN ft ON sem.doc_id = ft.doc_id
+    ORDER BY total_score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q215_sharded_hybrid_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-hash SCATTER-GATHER serving under the oracle gate: the
+    2-shard resident layout (each shard's Spark build plan pulls only
+    pmod(xxhash64(document_id), 2) == i — serving.ShardedPipelineIndex
+    / ShardedTextIndex) serves the same hybrid query through the same
+    merge, and must reproduce the single-shard / exact-plan SQL spec.
+    Doc-disjoint shards make the gather a concatenation, so the only
+    cross-layout delta is BLAS matvec ulps — absorbed by the oracle's
+    6-decimal rounding. This is the multi-host layout the 100 TB
+    capacity arithmetic assumes (SCALE.md round-6), driver-gated."""
+    import tempfile
+
+    from postgresml_spark.collections import Collection, Pipeline
+
+    d = _t(spark, sf_dir, "documents")
+    docs_df = d.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    coll = Collection(
+        "q215", spark, warehouse=tempfile.mkdtemp(prefix="pgml_q215_")
+    )
+    pipe = Pipeline(
+        "p",
+        {"text": {"semantic_search": {"model": f"hash:{_EMB_DIM}"},
+                  "full_text_search": {"configuration": "english"}}},
+    )
+    coll.upsert_documents_df(docs_df)
+    coll.add_pipeline(pipe)
+    # build the 2-shard resident layout explicitly; the subsequent
+    # search reuses the live indexes (no silent re-shard)
+    pipe.served_index("text", shards=2)
+    pipe.served_text_index("text", shards=2)
+    res = coll.search(
+        {
+            "query": {
+                "semantic_search": {"text": {"query": _Q_TEXT, "boost": 1.5}},
+                "full_text_search": {"text": {"query": " ".join(_FT_TERMS)}},
+            },
+            "limit": 64,
+        },
+        pipe,
+        method="index",
+    )
+    rows = sorted(
+        ((r["document"]["id"], round(r["score"], 6)) for r in res),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    return spark.createDataFrame(rows, "doc_id long, total_score double")

@@ -14,7 +14,10 @@ Not in the reference (postgresml is text+tabular); required for a
   (full stdlib PNG codec below — all five scanline filters, gray/RGB/
   RGBA, plus `png_encode` for sinks), `jpeg_decoder` (baseline
   sequential JPEG codec below — generic Huffman/DQT/DRI, 4:4:4 /
-  4:2:2 / 4:2:0, plus `jpeg_encode` for sinks), `wav_decoder`
+  4:2:2 / 4:2:0, plus `jpeg_encode` for sinks), `gif_decoder` (full
+  GIF87a/89a LZW codec below incl. interlace, local palettes, GCE
+  transparency/disposal and animation compositing, plus `gif_encode`
+  / `gif_encode_animated` for sinks), `wav_decoder`
   (RIFF/WAVE 16-bit PCM incl. stereo mixdown), `pcm16_decoder`, and
   `raw_decoder` (raw uint8 frames). `fake_decoder` is the
   deterministic stand-in for formats whose codecs (av/soundfile) are
@@ -1832,6 +1835,8 @@ def image_decoder(data: bytes, meta: dict) -> np.ndarray:
         return png_decoder(data, meta)
     if data[:2] == b"\xff\xd8":
         return jpeg_decoder(data, meta)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_decoder(data, meta)
     if (meta or {}).get("format") == "raw":
         return raw_decoder(data, meta)
     raise ValueError(f"unrecognized image container (head={data[:4]!r})")
@@ -1935,3 +1940,385 @@ def mjpeg_encode(frames: np.ndarray, quality: int = 90) -> bytes:
     if a.ndim not in (3, 4):
         raise ValueError(f"expected (n,h,w[,3]) frames, got {a.shape}")
     return b"".join(jpeg_encode(f, quality) for f in a)
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (GIF87a/89a) — stdlib-only, like the PNG/JPEG codecs above.
+# GIF is the third container of real scraped image corpora (and the only
+# legacy ANIMATION container that is pure intra-frame), so both the image
+# near-dup path (image_decoder dispatch) and the video frame-hash path
+# (gif_video_decoder) get a real codec here: LZW with variable code
+# width, per-image CLEAR/EOI handling and 4096-entry dictionary reset,
+# interlaced row ordering, global/local color tables, per-frame
+# Graphic Control Extensions (delay, transparency, disposal 0-3), and
+# frame compositing onto the logical screen.
+# Spec: GIF89a (CompuServe, public); LZW per Welch 1984.
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) passes
+
+
+def _gif_interlace_order(h: int) -> np.ndarray:
+    """Row emission order of an interlaced GIF image of height h."""
+    return np.concatenate(
+        [np.arange(start, h, step) for start, step in _GIF_INTERLACE]
+    ).astype(np.int64)
+
+
+def _lzw_compress(indices: np.ndarray, min_code: int) -> bytes:
+    """GIF-variant LZW: variable code width (LSB-first bit packing),
+    CLEAR emitted first, dictionary reset via CLEAR when the 4096-entry
+    table fills. The width bump mirrors the decoder's lagged table:
+    the encoder widens when ITS next_code reaches (1<<width)+1, which
+    is the moment the decoder's table reaches (1<<width)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    width = min_code + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    emit(clear, width)
+    seq = indices.ravel().tolist()
+    if not seq:
+        emit(eoi, width)
+    else:
+        prev = int(seq[0])
+        for k in seq[1:]:
+            key = (prev, k)
+            got = table.get(key)
+            if got is not None:
+                prev = got
+                continue
+            emit(prev, width)
+            if next_code < 4096:
+                table[key] = next_code
+                next_code += 1
+                if next_code == (1 << width) + 1 and width < 12:
+                    width += 1
+            else:  # table full: reset (decoder mirrors on CLEAR)
+                emit(clear, width)
+                table.clear()
+                next_code = eoi + 1
+                width = min_code + 1
+            prev = int(k)
+        emit(prev, width)
+        emit(eoi, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
+    """Inverse of _lzw_compress, tolerant of streams that end without
+    an explicit EOI (common in the wild). Returns uint8 indices."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    # table[i] = (prefix_code or -1, last_symbol, length)
+    prefix = np.full(4096, -1, dtype=np.int32)
+    last = np.zeros(4096, dtype=np.uint8)
+    length = np.zeros(4096, dtype=np.int32)
+    for i in range(clear):
+        last[i] = i
+        length[i] = 1
+    next_code = eoi + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    pos = 0
+    bitbuf = 0
+    nbits = 0
+    byte_i = 0
+    n = len(data)
+    prev = -1
+
+    def expand(code: int, at: int) -> None:
+        """Write table[code]'s byte string ending at out[at + len - 1],
+        clipping at the declared pixel count (viewers ignore excess
+        data rather than erroring — so do we)."""
+        j = at + int(length[code]) - 1
+        c = code
+        while c >= 0:
+            if j < n_pixels:
+                out[j] = last[c]
+            j -= 1
+            c = int(prefix[c])
+
+    while pos < n_pixels:
+        while nbits < width:
+            if byte_i >= n:
+                return out[:pos]  # truncated stream: best-effort
+            bitbuf |= data[byte_i] << nbits
+            byte_i += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            prefix[eoi + 1:] = -1
+            length[eoi + 1:] = 0
+            next_code = eoi + 1
+            width = min_code + 1
+            prev = -1
+            continue
+        if code == eoi:
+            break
+        if prev < 0:  # first code after (re)start: a literal
+            if code >= clear:
+                raise ValueError("GIF LZW: non-literal first code")
+            out[pos] = code
+            pos += 1
+            prev = code
+            continue
+        if code < next_code and length[code]:
+            ln = int(length[code])
+            expand(code, pos)
+            first_sym = out[pos]
+        elif code == next_code:  # KwKwK case
+            ln = int(length[prev]) + 1
+            expand(prev, pos)
+            first_sym = out[pos]
+            if pos + ln <= n_pixels:
+                out[pos + ln - 1] = first_sym
+        else:
+            raise ValueError(f"GIF LZW: code {code} out of range")
+        if next_code < 4096:
+            prefix[next_code] = prev
+            last[next_code] = first_sym
+            length[next_code] = length[prev] + 1
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        pos += ln
+        prev = code
+    return out[:n_pixels]
+
+
+def _gif_subblocks(payload: bytes) -> bytes:
+    """Wrap raw bytes in GIF data sub-blocks (<=255-byte chunks + 0)."""
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def _gif_palette_for(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(palette (p,3) uint8, indices (h,w) uint8) for a gray or RGB
+    frame stack. Grayscale uses the identity 256-gray palette so
+    index == sample (lossless by construction); RGB builds the
+    unique-color palette and raises past 256 colors (GIF's limit —
+    a real pipeline quantizes first; this codec does not guess)."""
+    if arr.ndim == 2 or (arr.ndim == 3 and arr.shape[-1] != 3):
+        pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+        return pal, arr.astype(np.uint8)
+    flat = arr.reshape(-1, 3)
+    pal, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"GIF palette overflow: {len(pal)} colors > 256")
+    full = np.zeros((256, 3), dtype=np.uint8)
+    full[: len(pal)] = pal
+    return full, inv.reshape(arr.shape[:-1]).astype(np.uint8)
+
+
+def _gif_image_block(
+    indices: np.ndarray, interlace: bool, min_code: int = 8
+) -> bytes:
+    import struct
+
+    h, w = indices.shape
+    if interlace:
+        indices = indices[_gif_interlace_order(h)]
+    desc = struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0
+    )
+    return (
+        desc
+        + bytes([min_code])
+        + _gif_subblocks(_lzw_compress(indices, min_code))
+    )
+
+
+def gif_encode(
+    arr: np.ndarray, *, interlace: bool = False
+) -> bytes:
+    """Encode one (h,w) grayscale or (h,w,3) RGB uint8 frame as a
+    single-image GIF89a (global color table, optional interlace).
+    Lossless for grayscale and for RGB images with <=256 distinct
+    colors — the sink/fixture half of the codec."""
+    import struct
+
+    a = np.asarray(arr, dtype=np.uint8)
+    pal, idx = _gif_palette_for(a)
+    h, w = idx.shape
+    head = b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    return (
+        head + pal.tobytes() + _gif_image_block(idx, interlace) + b"\x3b"
+    )
+
+
+def gif_encode_animated(
+    frames: np.ndarray,
+    *,
+    delay_ms: int = 100,
+    loop: int = 0,
+    interlace: bool = False,
+) -> bytes:
+    """Encode (n,h,w) gray or (n,h,w,3) RGB uint8 frames as an animated
+    GIF89a: NETSCAPE2.0 loop extension + per-frame Graphic Control
+    Extension (delay, disposal=1 'do not dispose') + full-frame image
+    blocks. One global palette across frames (GIF's cheap-animation
+    shape; frames exceeding 256 combined colors raise)."""
+    import struct
+
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim not in (3, 4):
+        raise ValueError(f"expected (n,h,w[,3]) frames, got {a.shape}")
+    pal, idx = _gif_palette_for(a)
+    n, h, w = idx.shape
+    out = bytearray(b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0))
+    out += pal.tobytes()
+    out += (
+        b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+        + struct.pack("<H", loop)
+        + b"\x00"
+    )
+    delay_cs = max(0, int(round(delay_ms / 10)))
+    for f in range(n):
+        out += b"\x21\xf9\x04" + struct.pack(
+            "<BHBB", 0x04, delay_cs, 0, 0
+        )  # disposal=1, no transparency
+        out += _gif_image_block(idx[f], interlace)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_frames(data: bytes) -> np.ndarray:
+    """Decode every frame of a GIF87a/89a to (n, h, w, 3) uint8 RGB,
+    compositing each image block onto the logical screen the way a
+    viewer does: frame offsets (left/top), local color tables,
+    interlaced row order, GCE transparency (transparent pixels leave
+    the canvas unchanged) and disposal methods 0/1 (keep), 2 (restore
+    the painted region to background) and 3 (restore to previous)."""
+    import struct
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    w, h, packed, bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos:pos + 3 * size], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * size
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg < len(gct):
+        canvas[:] = gct[bg]
+    frames: list[np.ndarray] = []
+    transparent = -1
+    disposal = 0
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and data[pos] >= 4:  # GCE
+                flags = data[pos + 1]
+                disposal = (flags >> 2) & 0x07
+                transparent = data[pos + 4] if flags & 0x01 else -1
+            while data[pos]:  # skip sub-blocks (any extension)
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x} at {pos}")
+        left, top, iw, ih, ipacked = struct.unpack("<HHHHB", data[pos + 1:pos + 10])
+        pos += 10
+        table = gct
+        if ipacked & 0x80:
+            size = 2 << (ipacked & 0x07)
+            table = np.frombuffer(
+                data[pos:pos + 3 * size], dtype=np.uint8
+            ).reshape(-1, 3)
+            pos += 3 * size
+        if table is None:
+            raise ValueError("GIF image with no color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            lzw += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decompress(bytes(lzw), min_code, iw * ih).reshape(ih, iw)
+        if ipacked & 0x40:  # interlaced: undo row permutation
+            deperm = np.empty(ih, dtype=np.int64)
+            deperm[_gif_interlace_order(ih)] = np.arange(ih)
+            idx = idx[deperm]
+        if int(idx.max(initial=0)) >= len(table):
+            raise ValueError("GIF palette index out of range")
+        prev_canvas = canvas.copy() if disposal == 3 else None
+        region = canvas[top:top + ih, left:left + iw]
+        rgb = table[idx]
+        if transparent >= 0:
+            mask = idx != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        if disposal == 2:
+            bg_rgb = (
+                table[bg] if gct is not None and bg < len(gct) else 0
+            )
+            canvas[top:top + ih, left:left + iw] = bg_rgb
+        elif disposal == 3 and prev_canvas is not None:
+            canvas = prev_canvas
+        transparent = -1
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF contains no image blocks")
+    return np.stack(frames)
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """First frame of a GIF as (h, w, 3) uint8 RGB — the still-image
+    half (png_decode's sibling for the third container format)."""
+    return gif_frames(data)[0]
+
+
+def gif_decoder(data: bytes, meta: dict) -> np.ndarray:
+    """Decoder-contract adapter for GIF assets: first frame collapsed
+    to Rec.601 luma (png_decoder/jpeg_decoder's twin). A grayscale
+    gif_encode round-trips EXACTLY: the identity gray palette makes
+    R=G=B=sample, and .299+.587+.114 = 1 at integer samples."""
+    rgb = gif_decode(data).astype(np.float64)
+    return (
+        rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
+    ).round().astype(np.uint8)
+
+
+def gif_video_decoder(data: bytes, meta: dict) -> np.ndarray:
+    """REAL animation decoder for format='gif' assets: every composited
+    frame luma-collapsed to the (n_frames, h, w) contract
+    video_fingerprints expects — mjpeg_video_decoder's twin for the
+    second self-contained video container in this image."""
+    rgb = gif_frames(data).astype(np.float64)
+    return (
+        rgb[:, :, :, 0] * 0.299
+        + rgb[:, :, :, 1] * 0.587
+        + rgb[:, :, :, 2] * 0.114
+    ).round().astype(np.uint8)

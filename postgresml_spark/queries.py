@@ -11122,3 +11122,140 @@ def q215_sharded_hybrid_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=lambda t: (-t[1], t[0]),
     )[:10]
     return spark.createDataFrame(rows, "doc_id long, total_score double")
+
+
+@query(
+    "q216_gif_ahash_pairs",
+    oracle="""
+    WITH docs AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200),
+    assets AS (
+      SELECT doc_id AS asset_id,
+             substr(md5(text || '0'), 1, 4) || substr(md5(text || '1'), 1, 4)
+             || substr(md5(text || '2'), 1, 4) || substr(md5(text || '3'), 1, 4) AS hx
+      FROM docs
+      UNION ALL
+      SELECT doc_id + 100000,
+             substr(md5(text || '0'), 1, 4) || substr(md5(text || '1'), 1, 4)
+             || substr(md5(text || '2'), 1, 4) || substr(md5(text || 'twin'), 1, 4)
+      FROM docs WHERE doc_id % 4 = 0
+    ),
+    pix AS (
+      SELECT asset_id, p,
+             64 + 128 * (
+               (strpos('0123456789abcdef', substr(hx, p // 4 + 1, 1)) - 1)
+               // CAST(pow(2, 3 - p % 4) AS INTEGER) % 2
+             ) AS v
+      FROM assets, (SELECT unnest(generate_series(0, 63)) AS p)
+    ),
+    stats AS (SELECT asset_id, avg(v) AS m FROM pix GROUP BY asset_id),
+    bits AS (
+      SELECT pix.asset_id,
+             string_agg(CASE WHEN v > m THEN '1' ELSE '0' END, '' ORDER BY p) AS sh
+      FROM pix JOIN stats USING (asset_id)
+      GROUP BY pix.asset_id
+    )
+    SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+           CAST(hamming(a.sh, b.sh) AS INTEGER) AS hamming
+    FROM bits a JOIN bits b ON a.asset_id < b.asset_id
+    WHERE hamming(a.sh, b.sh) <= 12
+    """,
+)
+def q216_gif_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q176's container-matrix image near-dup pipeline extended to the
+    THIRD real stdlib codec — GIF (operators/multimodal.py LZW): each
+    doc's 8x8 md5-bit image is encoded per-asset as plain GIF89a,
+    interlaced GIF, or a 3-frame ANIMATED GIF whose first frame holds
+    the pixels (frames 2-3 are rolled copies — the decoder must walk
+    GCE blocks and composite frames to surface frame 0); then the
+    standard pipeline runs — mapInPandas image_decoder (magic-byte
+    dispatch now incl. GIF87a/89a) → aHash → pigeonhole-banded
+    Hamming-ball self-join. The DuckDB oracle recomputes the hash from
+    the md5 bits arithmetically, never touching the codec: GIF is
+    LOSSLESS for 256-gray content, so a hash-match proves the LZW
+    decode, interlace de-permutation and animation compositing are all
+    value-exact end-to-end. Same twin population as q160/q176.
+
+    Scale shape: identical to q176 (one Arrow pass for encode+hash, a
+    banded equi-join for pairs). GIF is the third container of real
+    scraped corpora and the only legacy animation format that is pure
+    intra-frame, so this also exercises the video-adjacent path
+    (gif_encode_animated) under the oracle gate.
+
+    Reference analog: none (postgresml is text+tabular)."""
+    from postgresml_spark.operators.multimodal import (
+        image_decoder,
+        image_near_dup_pairs,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(200)
+        .select("doc_id", "text")
+    )
+
+    def mk(df: DataFrame, suffixes: list[str], id_off: int) -> DataFrame:
+        hx = F.concat(
+            *[F.substring(F.md5(F.concat(F.col("text"), F.lit(s))), 1, 4)
+              for s in suffixes]
+        )
+        return df.select(
+            (F.col("doc_id") + id_off).cast("long").alias("asset_id"),
+            F.unhex(hx).alias("pix_bits"),  # 16 hex chars -> 8 bytes = 64 bits
+        )
+
+    raw = mk(d, ["0", "1", "2", "3"], 0).unionByName(
+        mk(d.filter(F.col("doc_id") % 4 == 0), ["0", "1", "2", "twin"], 100000)
+    )
+
+    import pandas as pd  # noqa: F811 - executor-side
+
+    def encode_op(batches):
+        import numpy as np
+
+        from postgresml_spark.operators.multimodal import (
+            gif_encode,
+            gif_encode_animated,
+        )
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                bits = np.unpackbits(
+                    np.frombuffer(bytes(row["pix_bits"]), dtype=np.uint8)
+                )
+                img = (64 + 128 * bits.reshape(8, 8)).astype(np.uint8)
+                variant = int(row["asset_id"]) % 3
+                if variant == 0:
+                    data = gif_encode(img)
+                elif variant == 1:
+                    data = gif_encode(img, interlace=True)
+                else:
+                    frames = np.stack(
+                        [img, np.roll(img, 1, axis=0), np.roll(img, 2, axis=1)]
+                    )
+                    data = gif_encode_animated(frames, delay_ms=40)
+                rows.append(
+                    {
+                        "asset_id": row["asset_id"],
+                        "kind": "image",
+                        "data": data,
+                        "meta": {"width": 8, "height": 8,
+                                 "duration_ms": None, "format": "gif"},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    assets = raw.mapInPandas(
+        encode_op,
+        schema=(
+            "asset_id long, kind string, data binary, "
+            "meta struct<width:int,height:int,duration_ms:int,format:string>"
+        ),
+    )
+    pairs = image_near_dup_pairs(
+        assets, decoder=image_decoder, method="ahash", max_hamming=12
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )

@@ -17,7 +17,8 @@ Not in the reference (postgresml is text+tabular); required for a
   4:2:2 / 4:2:0, plus `jpeg_encode` for sinks), `gif_decoder` (full
   GIF87a/89a LZW codec below incl. interlace, local palettes, GCE
   transparency/disposal and animation compositing, plus `gif_encode`
-  / `gif_encode_animated` for sinks), `wav_decoder`
+  / `gif_encode_animated` for sinks), `bmp_decoder` (BI_RGB DIB 8/24/
+  32-bit incl. top-down rows, plus `bmp_encode`), `wav_decoder`
   (RIFF/WAVE 16-bit PCM incl. stereo mixdown), `pcm16_decoder`, and
   `raw_decoder` (raw uint8 frames). `fake_decoder` is the
   deterministic stand-in for formats whose codecs (av/soundfile) are
@@ -1837,6 +1838,8 @@ def image_decoder(data: bytes, meta: dict) -> np.ndarray:
         return jpeg_decoder(data, meta)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return gif_decoder(data, meta)
+    if data[:2] == b"BM":
+        return bmp_decoder(data, meta)
     if (meta or {}).get("format") == "raw":
         return raw_decoder(data, meta)
     raise ValueError(f"unrecognized image container (head={data[:4]!r})")
@@ -2321,4 +2324,102 @@ def gif_video_decoder(data: bytes, meta: dict) -> np.ndarray:
         rgb[:, :, :, 0] * 0.299
         + rgb[:, :, :, 1] * 0.587
         + rgb[:, :, :, 2] * 0.114
+    ).round().astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# BMP codec (Windows DIB, BI_RGB uncompressed) — the fourth container of
+# scraped image corpora. 8-bit palette, 24-bit BGR and 32-bit BGRX reads;
+# bottom-up and top-down row orders; 4-byte row padding. Encoder writes
+# 8-bit gray-palette or 24-bit BGR.
+
+def bmp_encode(arr: np.ndarray) -> bytes:
+    """Encode (h,w) grayscale (8-bit palette BMP) or (h,w,3) RGB
+    (24-bit BGR BMP), bottom-up rows padded to 4 bytes — lossless."""
+    import struct
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        h, w = a.shape
+        pal = np.zeros((256, 4), dtype=np.uint8)
+        pal[:, 0] = pal[:, 1] = pal[:, 2] = np.arange(256)
+        stride = (w + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, :w] = a[::-1]
+        body = pal.tobytes() + rows.tobytes()
+        bpp, off = 8, 14 + 40 + 1024
+    elif a.ndim == 3 and a.shape[2] == 3:
+        h, w = a.shape[:2]
+        stride = (3 * w + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : 3 * w] = a[::-1, :, ::-1].reshape(h, 3 * w)  # RGB->BGR
+        body = rows.tobytes()
+        bpp, off = 24, 14 + 40
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {a.shape}")
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(body), 2835, 2835, 0, 0
+    )
+    head = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    return head + info + body
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    """Decode a BI_RGB BMP: 8-bit palette → (h,w,3) RGB (or (h,w) gray
+    when the palette is the identity gray ramp), 24-bit → (h,w,3),
+    32-bit BGRX → (h,w,3). Handles bottom-up (h>0) and top-down (h<0)
+    row orders and 4-byte row padding."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP (bad signature)")
+    off = struct.unpack("<I", data[10:14])[0]
+    hdr_size = struct.unpack("<I", data[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_raw, _planes, bpp, comp = struct.unpack("<iiHHI", data[18:34])
+    if comp != 0:
+        raise ValueError(f"unsupported BMP compression {comp} (BI_RGB only)")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    if bpp == 8:
+        n_colors = struct.unpack("<I", data[46:50])[0] or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            data[pal_off:pal_off + 4 * n_colors], dtype=np.uint8
+        ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRA -> RGB
+        stride = (w + 3) & ~3
+        rows = np.frombuffer(
+            data[off:off + h * stride], dtype=np.uint8
+        ).reshape(h, stride)[:, :w]
+        if not top_down:
+            rows = rows[::-1]
+        if int(rows.max(initial=0)) >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        gray_ramp = len(pal) == 256 and np.array_equal(
+            pal, np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+        )
+        return rows.copy() if gray_ramp else pal[rows]
+    if bpp in (24, 32):
+        nch = bpp // 8
+        stride = (nch * w + 3) & ~3
+        rows = np.frombuffer(
+            data[off:off + h * stride], dtype=np.uint8
+        ).reshape(h, stride)[:, : nch * w].reshape(h, w, nch)
+        if not top_down:
+            rows = rows[::-1]
+        return rows[:, :, 2::-1].copy()  # BGR(X) -> RGB
+    raise ValueError(f"unsupported BMP bit depth {bpp}")
+
+
+def bmp_decoder(data: bytes, meta: dict) -> np.ndarray:
+    """Decoder-contract adapter for BMP assets (gif_decoder's twin):
+    grayscale-palette BMPs round-trip exactly; color collapses to
+    Rec.601 luma."""
+    arr = bmp_decode(data)
+    if arr.ndim == 2:
+        return arr
+    rgb = arr.astype(np.float64)
+    return (
+        rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587 + rgb[:, :, 2] * 0.114
     ).round().astype(np.uint8)

@@ -8161,7 +8161,8 @@ def q176_jpeg_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     CONTAINER MATRIX of a real scraped corpus: each doc becomes an 8x8
     two-level image (md5-bit pixels at 64/192) encoded — per-asset
     deterministic mix — as baseline JPEG, progressive JPEG (SOF2),
-    palette PNG, 16-bit Adam7-interlaced PNG, or plain PNG, inside an
+    palette PNG, 16-bit Adam7-interlaced PNG, plain PNG, interlaced
+    GIF, or 8-bit BMP, inside an
     Arrow-batched pandas iterator; then the standard pipeline runs —
     mapInPandas image_decoder (magic-byte dispatch) → aHash →
     pigeonhole-banded Hamming-ball self-join. The DuckDB oracle
@@ -8209,6 +8210,8 @@ def q176_jpeg_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         from postgresml_spark.operators.multimodal import (
+            bmp_encode,
+            gif_encode,
             jpeg_encode_progressive,
             png_encode,
         )
@@ -8223,10 +8226,11 @@ def q176_jpeg_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # Deterministic per-asset container mix — the format
                 # matrix of a real scraped corpus: baseline JPEG,
                 # progressive JPEG, palette PNG, 16-bit Adam7 PNG,
-                # plain 8-bit PNG. The oracle recomputes the hash from
-                # the md5 bits arithmetically, so a hash-match proves
-                # EVERY decode path is value-correct.
-                variant = int(row["asset_id"]) % 5
+                # plain 8-bit PNG, interlaced GIF, 8-bit BMP. The
+                # oracle recomputes the hash from the md5 bits
+                # arithmetically, so a hash-match proves EVERY decode
+                # path is value-correct.
+                variant = int(row["asset_id"]) % 7
                 if variant == 0:
                     data, fmt = jpeg_encode(img, quality=95), "jpeg"
                 elif variant == 1:
@@ -8238,8 +8242,12 @@ def q176_jpeg_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         png_encode(img, bit_depth=16, interlace=True),
                         "png",
                     )
-                else:
+                elif variant == 4:
                     data, fmt = png_encode(img), "png"
+                elif variant == 5:
+                    data, fmt = gif_encode(img, interlace=True), "gif"
+                else:
+                    data, fmt = bmp_encode(img), "bmp"
                 rows.append(
                     {
                         "asset_id": row["asset_id"],

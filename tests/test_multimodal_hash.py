@@ -547,5 +547,10 @@ def test_image_decoder_sniffs_mixed_corpus():
         ).max() <= 12
     raw = image_decoder(two.tobytes(), {"width": 8, "height": 8, "format": "raw"})
     assert np.array_equal(raw, two)
+    # GIF and BMP are real codecs now — they dispatch, not raise
+    from postgresml_spark.operators.multimodal import bmp_encode, gif_encode
+
+    assert np.array_equal(image_decoder(gif_encode(two), {"format": "gif"}), two)
+    assert np.array_equal(image_decoder(bmp_encode(two), {"format": "bmp"}), two)
     with pytest.raises(ValueError, match="unrecognized image container"):
-        image_decoder(b"GIF89a....", {"format": "gif"})
+        image_decoder(b"RIFF....WEBPVP8 ", {"format": "webp"})

@@ -11267,3 +11267,139 @@ def q216_gif_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+@query(
+    "q217_gif_video_dedup",
+    oracle="""
+    WITH docs AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 100),
+    frames AS (
+      SELECT doc_id AS asset_id, t,
+             substr(md5(text || 'f' || t), 1, 16) AS hx
+      FROM docs, (SELECT unnest(generate_series(0, 2)) AS t)
+      UNION ALL
+      SELECT doc_id + 100000, t,
+             CASE WHEN t = 2 THEN substr(md5(text || 'f2twin'), 1, 16)
+                  ELSE substr(md5(text || 'f' || t), 1, 16) END
+      FROM docs, (SELECT unnest(generate_series(0, 2)) AS t)
+      WHERE doc_id % 4 = 0
+    ),
+    pix AS (
+      SELECT asset_id, t, p,
+             64 + 128 * (
+               (strpos('0123456789abcdef', substr(hx, p // 4 + 1, 1)) - 1)
+               // CAST(pow(2, 3 - p % 4) AS INTEGER) % 2
+             ) AS v
+      FROM frames, (SELECT unnest(generate_series(0, 63)) AS p)
+    ),
+    stats AS (SELECT asset_id, t, avg(v) AS m FROM pix GROUP BY asset_id, t),
+    bits AS (
+      SELECT pix.asset_id, pix.t,
+             string_agg(CASE WHEN v > m THEN '1' ELSE '0' END, '' ORDER BY p) AS sh
+      FROM pix JOIN stats USING (asset_id, t)
+      GROUP BY pix.asset_id, pix.t
+    )
+    SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+           CAST(count(*) AS INTEGER) AS matched
+    FROM bits a JOIN bits b ON a.sh = b.sh AND a.t = b.t
+                           AND a.asset_id < b.asset_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def q217_gif_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-dup under the oracle gate — the multi-frame sibling
+    of q216: each doc becomes a 3-frame ANIMATED GIF (frame t's 8x8
+    pixels = md5(text||'f'||t) bits at 64/192), twins (doc_id%4==0)
+    share frames 0-1 and differ at frame 2; the REAL pipeline runs —
+    mapInPandas video_fingerprints over gif_video_decoder (LZW decode
+    → GCE walk → per-frame compositing → aHash → int64 fp posting
+    rows) — then videos pair by same-timestamp frame-hash matches with
+    >= 2 of 3 frames agreeing. The DuckDB oracle recomputes every
+    frame hash arithmetically from the md5 hex and joins on the BIT
+    STRING (injective with the int64 fp), so a hash-match proves the
+    animated decode + per-frame hash + sequence-join chain end-to-end.
+    Twin pairs match exactly 2 frames; unrelated videos share none.
+
+    Scale shape: the frame-hash pass is one Arrow batch pass (no
+    shuffle); the pair join is an equi-join on (fp, t) — the posting-
+    list shape of video dedup over a web-scrape corpus, where fp
+    buckets replace the O(n²) frame comparison.
+
+    Reference analog: none (postgresml is text+tabular)."""
+    from postgresml_spark.operators.multimodal import (
+        gif_video_decoder,
+        video_fingerprints,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(100)
+        .select("doc_id", "text")
+    )
+
+    def mk(df: DataFrame, twin: bool, id_off: int) -> DataFrame:
+        cols = []
+        for t in range(3):
+            suf = "f2twin" if (twin and t == 2) else f"f{t}"
+            cols.append(
+                F.substring(F.md5(F.concat(F.col("text"), F.lit(suf))), 1, 16)
+            )
+        return df.select(
+            (F.col("doc_id") + id_off).cast("long").alias("asset_id"),
+            F.unhex(F.concat(*cols)).alias("pix_bits"),  # 3 x 8 bytes
+        )
+
+    raw = mk(d, False, 0).unionByName(
+        mk(d.filter(F.col("doc_id") % 4 == 0), True, 100000)
+    )
+
+    import pandas as pd  # noqa: F811 - executor-side
+
+    def encode_op(batches):
+        import numpy as np
+
+        from postgresml_spark.operators.multimodal import gif_encode_animated
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                bits = np.unpackbits(
+                    np.frombuffer(bytes(row["pix_bits"]), dtype=np.uint8)
+                )
+                frames = (64 + 128 * bits.reshape(3, 8, 8)).astype(np.uint8)
+                rows.append(
+                    {
+                        "asset_id": row["asset_id"],
+                        "kind": "video",
+                        "data": gif_encode_animated(frames, delay_ms=40),
+                        "meta": {"width": 8, "height": 8,
+                                 "duration_ms": 120, "format": "gif"},
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    assets = raw.mapInPandas(
+        encode_op,
+        schema=(
+            "asset_id long, kind string, data binary, "
+            "meta struct<width:int,height:int,duration_ms:int,format:string>"
+        ),
+    )
+    fps = video_fingerprints(assets, decoder=gif_video_decoder)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .groupBy(
+            F.col("a.asset_id").alias("id_a"),
+            F.col("b.asset_id").alias("id_b"),
+        )
+        .agg(F.count("*").cast("int").alias("matched"))
+        .filter(F.col("matched") >= 2)
+    )

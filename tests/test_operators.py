@@ -975,3 +975,45 @@ def test_word_shingles_batch_parity(spark):
         ).collect()
         want = df.select(word_shingles(F.col("text"), n).alias("s")).collect()
         assert [r["s"] for r in got] == [r["s"] for r in want], f"n={n}"
+
+
+def test_resident_hnsw_multi_seed_descent_routing():
+    """Multi-seed descent (upper_ef > 1) on a twin-heavy clustered
+    corpus: per-query failures of the single greedy descent are
+    all-or-nothing wrong-clique landings, and seeding the level-0
+    beam with every upper-level survivor must (a) never be worse
+    than greedy routing, (b) clear 0.9 recall where it matters, and
+    (c) stay EXACT at full-corpus ef (the q183 closure contract)."""
+    import numpy as np
+
+    from postgresml_spark.operators.similarity import ResidentHNSW
+
+    n, dim, n_modes = 30_000, 128, 256
+    rng = np.random.default_rng(42)
+    ids = np.arange(n)
+    mode = (ids % n_modes + 1).astype(np.float64)
+    i = np.arange(1, dim + 1, dtype=np.float64)
+    mat = (np.sin(mode[:, None] * i[None, :] * 2.39996)
+           + rng.normal(0, 0.15, (n, dim))).astype(np.float32)
+    idx = ResidentHNSW((ids, mat), m=12, ef_construction=48, workers=1)
+
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qrng = np.random.default_rng(7)
+    qis = qrng.integers(0, n, 24)
+    r_greedy = r_multi = 0
+    for qi in qis:
+        q = (normed[qi] * 2.0 + qrng.normal(0, 0.05, dim)).astype(np.float32)
+        sims = normed @ (q / np.linalg.norm(q))
+        truth = set(np.argpartition(-sims, 10)[:10].tolist())
+        g = {i for i, _ in idx.search(q, k=10, ef=200, upper_ef=1)}
+        m = {i for i, _ in idx.search(q, k=10, ef=200)}  # adaptive default
+        r_greedy += len(truth & g)
+        r_multi += len(truth & m)
+    assert r_multi >= r_greedy
+    assert r_multi / (10 * len(qis)) >= 0.9, r_multi / (10 * len(qis))
+
+    # exactness contract unchanged: full-corpus ef is exhaustive
+    q = normed[0] * 2.0
+    sims = normed @ (q / np.linalg.norm(q))
+    truth = set(np.argpartition(-sims, 10)[:10].tolist())
+    assert {i for i, _ in idx.search(q, k=10, ef=n)} == truth

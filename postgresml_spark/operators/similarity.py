@@ -76,12 +76,13 @@ def warn_if_pinned_hnsw_clustered(
     clustered_fraction >= cutoff.  Returns True iff the warning fired.
 
     The cited curve is the measured 1M×1024 twin-heavy sweep
-    (tools/annbench_1m1024_r5.json, heuristic shrink already applied):
-    recall@10 0.56@ef=400 / 0.64@ef=800 / 0.79@ef=1600 (6.6/10.7/23.3
-    ms) — versus ivfflat (lists≈sqrt(n), probes 32) recall 1.00 at
-    11.0 ms on the SAME corpus.  Giant near-dup cliques (size ≈ 10×
-    ef_construction) starve the diversity heuristic of inter-cluster
-    links; no pinnable ef recovers past ~0.8."""
+    (tools/annbench_1m1024_r6.json): with the multi-seed descent
+    default, recall@10 is 0.88@ef=400 / 0.97@ef=800 (13.7/20.1 ms) —
+    the wrong-clique routing failure that capped the classic greedy
+    descent at 0.56-0.78 on the same graphs is fixed query-side. The
+    residual gap to ivfflat (recall 1.00 at 11.0 ms on the same
+    corpus) remains worth surfacing on heavily clustered corpora,
+    which is why this still warns instead of staying silent."""
     import warnings
 
     if frac < cutoff:
@@ -89,13 +90,15 @@ def warn_if_pinned_hnsw_clustered(
     warnings.warn(
         f"pinned hnsw{' on ' + where if where else ''} "
         f"(params={params or {}}): corpus clustered_fraction={frac:.2f} "
-        f">= {cutoff} — twin-heavy corpora measured recall@10 "
-        "0.56-0.79 across ef 400-1600 at 1M×1024 "
-        "(tools/annbench_1m1024_r5.json) while ivfflat measured "
-        "recall 1.00 at 11.0 ms on the same corpus. The pinned index "
-        "builds as declared; consider `semantic_search.ivfflat "
-        "{lists, probes}` or removing the pin to let the router "
-        "choose (route_index_kind).",
+        f">= {cutoff} — twin-heavy corpus. Measured at 1M×1024 "
+        "(tools/annbench_1m1024_r6.json): recall@10 0.88@ef=400 / "
+        "0.97@ef=800 with the multi-seed descent default (the classic "
+        "greedy descent capped at 0.56-0.78 here), while ivfflat "
+        "measured recall 1.00 at 11.0 ms on the same corpus. The "
+        "pinned index builds as declared; keep ef_search >= 800 on "
+        "corpora like this, or consider `semantic_search.ivfflat "
+        "{lists, probes}` / removing the pin so the router chooses "
+        "(route_index_kind).",
         PinnedHNSWRecallWarning,
         stacklevel=3,
     )

@@ -259,23 +259,31 @@ def main() -> int:
         out["hnsw_keep_pruned"] = kp
         out["hnsw_shrink"] = shrink
         # one build, an ef sweep per search: recall/latency trade-off
-        # on the same graph (ef is pgvector's hnsw.ef_search knob)
-        sweep = {}
-        for hef in hefs:
-            hnsw.search(queries[0], k=10, ef=hef)
-            ts = []
-            hrec = []
-            for j, q in enumerate(queries):
-                t0 = time.perf_counter()
-                got = hnsw.search(q, k=10, ef=hef)
-                ts.append(time.perf_counter() - t0)
-                hrec.append(len(truth[j] & {i for i, _ in got}) / 10)
-            ts.sort()
-            sweep[hef] = {
-                "median_ms": round(ts[len(ts) // 2] * 1000, 3),
-                "recall_at_10": round(float(np.mean(hrec)), 4),
-            }
+        # on the same graph (ef is pgvector's hnsw.ef_search knob).
+        # Swept twice query-side: the multi-seed descent default and
+        # upper_ef=1 (the hnswlib-classic greedy descent) — same graph,
+        # so the delta isolates the routing fix.
+        def ef_sweep(upper_ef):
+            sweep = {}
+            for hef in hefs:
+                hnsw.search(queries[0], k=10, ef=hef, upper_ef=upper_ef)
+                ts = []
+                hrec = []
+                for j, q in enumerate(queries):
+                    t0 = time.perf_counter()
+                    got = hnsw.search(q, k=10, ef=hef, upper_ef=upper_ef)
+                    ts.append(time.perf_counter() - t0)
+                    hrec.append(len(truth[j] & {i for i, _ in got}) / 10)
+                ts.sort()
+                sweep[hef] = {
+                    "median_ms": round(ts[len(ts) // 2] * 1000, 3),
+                    "recall_at_10": round(float(np.mean(hrec)), 4),
+                }
+            return sweep
+
+        sweep = ef_sweep(None)  # adaptive multi-seed default
         out["hnsw_ef_sweep"] = sweep
+        out["hnsw_ef_sweep_greedy_descent"] = ef_sweep(1)
         best = max(hefs)
         out["hnsw_ef_search"] = best
         out["hnsw_median_ms"] = sweep[best]["median_ms"]

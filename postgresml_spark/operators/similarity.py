@@ -1648,7 +1648,14 @@ class ResidentHNSW:
             idxs = np.flatnonzero(allowed)
             if not idxs.size:
                 return []
-            if idxs.size <= 4 * ef:
+            # Exact-scan crossover: the masked beam pays Python-heap
+            # cost per visited node while a direct scan of the allowed
+            # rows is one BLAS gather — below ~2M multiply-adds the
+            # scan is both faster AND exact, whatever the selectivity.
+            # (At serving scale this covers most metadata filters; a
+            # 10M×1024 shard still routes through the beam.)
+            if (idxs.size <= 4 * ef
+                    or idxs.size * self.mat.shape[1] <= 2_000_000):
                 return self._masked_exact(q, idxs, k)
         if upper_ef <= 1:
             cur = self.entry

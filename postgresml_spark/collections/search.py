@@ -115,8 +115,15 @@ def vector_search(
     method: str = "auto",
 ) -> list[dict]:
     """query = {"query": {"fields": {field: {"query": str, "boost"?: float,
-    "full_text_filter"?: str}}, "filter"?: {...}}, "limit"?: int}
+    "full_text_filter"?: str,
+    "parameters"?: {"ef_search"?: int}}}, "filter"?: {...}}, "limit"?: int}
     → [{document, chunk, score, document_id}] sorted by score desc.
+
+    ``parameters.ef_search`` (served paths only) widens the resident
+    ANN beam for that field — the per-query analog of pgvector's
+    `SET hnsw.ef_search` session GUC. The pinned-HNSW guardrail
+    recommends >= 800 on heavily clustered corpora; exact plans
+    ignore it (they are already exact).
 
     method: "auto" (default — resident index when the query has no
     metadata/full-text filter, exact DataFrame plan otherwise; the
@@ -168,10 +175,12 @@ def vector_search(
             merged: list[dict] = []
             for field, fcfg in fields.items():
                 idx = pipeline.served_index(field)
+                ef = (fcfg.get("parameters") or {}).get("ef_search")
                 merged.extend(
                     idx.search(
                         fcfg["query"], limit=fetch,
                         boost=float(fcfg.get("boost", 1.0)),
+                        ef=int(ef) if ef is not None else None,
                         filter=filt,
                     )
                 )

@@ -1518,3 +1518,40 @@ def test_pipeline_served_index_shards_knob(shard_setup):
     assert isinstance(idx, ShardedPipelineIndex)
     # live index reused even without the knob (no silent re-shard)
     assert pipe.served_index("text") is idx
+
+
+def test_ef_search_parameter_passes_through(hybrid_setup, monkeypatch):
+    """The SDK per-field `parameters.ef_search` reaches the served
+    index (the per-query analog of pgvector's `SET hnsw.ef_search`,
+    the knob the pinned-HNSW guardrail recommends raising), and the
+    widened-beam results still serve without a Spark job."""
+    from postgresml_spark.collections import serving
+
+    coll, pipe = hybrid_setup
+    idx = pipe.served_index("text")
+    seen = {}
+    orig = type(idx).search
+
+    def spy(self, *a, **kw):
+        seen["ef"] = kw.get("ef")
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(type(idx), "search", spy)
+    q = {
+        "query": {
+            "fields": {
+                "text": {
+                    "query": "vector search engine",
+                    "parameters": {"ef_search": 900},
+                }
+            }
+        },
+        "limit": 5,
+    }
+    res = coll.vector_search(q, pipe, method="index")
+    assert seen["ef"] == 900
+    assert res and len(res) <= 5
+    # and without parameters the default (None -> internal policy) rides
+    del q["query"]["fields"]["text"]["parameters"]
+    coll.vector_search(q, pipe, method="index")
+    assert seen["ef"] is None

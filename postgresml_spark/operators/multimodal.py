@@ -1832,6 +1832,11 @@ def image_decoder(data: bytes, meta: dict) -> np.ndarray:
     back to raw_decoder when `meta.format` says so. One decoder
     closure serves a corpus whose format column is heterogeneous,
     exactly like the per-row dispatch a LAION-style pipeline does."""
+    # A declared raw frame wins over magic sniffing: raw uint8 pixel
+    # data can legitimately start with any bytes — the two-byte "BM"
+    # signature in particular collides at 1/65536 per frame.
+    if (meta or {}).get("format") == "raw":
+        return raw_decoder(data, meta)
     if data[:8] == _PNG_SIG:
         return png_decoder(data, meta)
     if data[:2] == b"\xff\xd8":
@@ -1840,8 +1845,6 @@ def image_decoder(data: bytes, meta: dict) -> np.ndarray:
         return gif_decoder(data, meta)
     if data[:2] == b"BM":
         return bmp_decoder(data, meta)
-    if (meta or {}).get("format") == "raw":
-        return raw_decoder(data, meta)
     raise ValueError(f"unrecognized image container (head={data[:4]!r})")
 
 
@@ -2117,13 +2120,18 @@ def _gif_subblocks(payload: bytes) -> bytes:
     return bytes(out)
 
 
-def _gif_palette_for(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _gif_palette_for(
+    arr: np.ndarray, *, rgb: bool
+) -> tuple[np.ndarray, np.ndarray]:
     """(palette (p,3) uint8, indices (h,w) uint8) for a gray or RGB
     frame stack. Grayscale uses the identity 256-gray palette so
     index == sample (lossless by construction); RGB builds the
     unique-color palette and raises past 256 colors (GIF's limit —
-    a real pipeline quantizes first; this codec does not guess)."""
-    if arr.ndim == 2 or (arr.ndim == 3 and arr.shape[-1] != 3):
+    a real pipeline quantizes first; this codec does not guess).
+    The caller states `rgb` explicitly from ndim — a last-axis==3
+    sniff would misread a stack of 3-pixel-wide grayscale frames
+    ((n,h,3)) as RGB."""
+    if not rgb:
         pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
         return pal, arr.astype(np.uint8)
     flat = arr.reshape(-1, 3)
@@ -2163,7 +2171,9 @@ def gif_encode(
     import struct
 
     a = np.asarray(arr, dtype=np.uint8)
-    pal, idx = _gif_palette_for(a)
+    if a.ndim not in (2, 3) or (a.ndim == 3 and a.shape[-1] != 3):
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {a.shape}")
+    pal, idx = _gif_palette_for(a, rgb=a.ndim == 3)
     h, w = idx.shape
     head = b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
     return (
@@ -2186,9 +2196,9 @@ def gif_encode_animated(
     import struct
 
     a = np.asarray(frames, dtype=np.uint8)
-    if a.ndim not in (3, 4):
+    if a.ndim not in (3, 4) or (a.ndim == 4 and a.shape[-1] != 3):
         raise ValueError(f"expected (n,h,w[,3]) frames, got {a.shape}")
-    pal, idx = _gif_palette_for(a)
+    pal, idx = _gif_palette_for(a, rgb=a.ndim == 4)
     n, h, w = idx.shape
     out = bytearray(b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0))
     out += pal.tobytes()
@@ -2284,8 +2294,11 @@ def gif_frames(data: bytes) -> np.ndarray:
             region[:] = rgb
         frames.append(canvas.copy())
         if disposal == 2:
+            # The background color index refers to the GLOBAL color
+            # table (GIF89a spec §18) — never the frame's local table,
+            # which may be smaller than bg and would IndexError.
             bg_rgb = (
-                table[bg] if gct is not None and bg < len(gct) else 0
+                gct[bg] if gct is not None and bg < len(gct) else 0
             )
             canvas[top:top + ih, left:left + iw] = bg_rgb
         elif disposal == 3 and prev_canvas is not None:
@@ -2346,21 +2359,25 @@ def bmp_encode(arr: np.ndarray) -> bytes:
         stride = (w + 3) & ~3
         rows = np.zeros((h, stride), dtype=np.uint8)
         rows[:, :w] = a[::-1]
-        body = pal.tobytes() + rows.tobytes()
+        pixels = rows.tobytes()
+        # bfPixelOffset spans the 1024-byte palette; keep the palette
+        # out of `pixels` so bfSize/biSizeImage don't double-count it.
+        body = pal.tobytes() + pixels
         bpp, off = 8, 14 + 40 + 1024
     elif a.ndim == 3 and a.shape[2] == 3:
         h, w = a.shape[:2]
         stride = (3 * w + 3) & ~3
         rows = np.zeros((h, stride), dtype=np.uint8)
         rows[:, : 3 * w] = a[::-1, :, ::-1].reshape(h, 3 * w)  # RGB->BGR
-        body = rows.tobytes()
+        pixels = rows.tobytes()
+        body = pixels
         bpp, off = 24, 14 + 40
     else:
         raise ValueError(f"expected (h,w) or (h,w,3) uint8, got {a.shape}")
     info = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(body), 2835, 2835, 0, 0
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(pixels), 2835, 2835, 0, 0
     )
-    head = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    head = struct.pack("<2sIHHI", b"BM", off + len(pixels), 0, 0, off)
     return head + info + body
 
 

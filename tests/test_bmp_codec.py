@@ -81,3 +81,27 @@ def test_image_decoder_dispatch_and_lossless_hash_parity():
     h_bmp = ahash_reference(via_bmp)
     assert h_bmp == ahash_reference(image_decoder(png_encode(img), {}))
     assert h_bmp == ahash_reference(image_decoder(gif_encode(img), {}))
+
+
+def test_8bit_header_sizes_are_spec_exact():
+    """ADVICE r6 (low): bfSize must equal the real file length (the
+    1024-byte palette counted once, via bfOffBits) and biSizeImage must
+    be the pixel rows only — strict external parsers check both."""
+    import struct
+
+    from postgresml_spark.operators.multimodal import bmp_encode
+
+    a = np.arange(35, dtype=np.uint8).reshape(5, 7)
+    data = bmp_encode(a)
+    bf_size = struct.unpack("<I", data[2:6])[0]
+    off = struct.unpack("<I", data[10:14])[0]
+    bi_size_image = struct.unpack("<I", data[34:38])[0]
+    stride = (7 + 3) & ~3
+    assert off == 14 + 40 + 1024
+    assert bf_size == len(data) == off + 5 * stride
+    assert bi_size_image == 5 * stride
+    # 24-bit branch: same invariants (no palette)
+    rgb = np.arange(60, dtype=np.uint8).reshape(4, 5, 3)
+    d2 = bmp_encode(rgb)
+    assert struct.unpack("<I", d2[2:6])[0] == len(d2)
+    assert struct.unpack("<I", d2[34:38])[0] == len(d2) - 54

@@ -191,3 +191,64 @@ def test_gif_animation_drives_video_fingerprints(spark):
     want = {t: fp64(ahash_reference(direct[t])) for t in range(6)}
     got = {r["t"]: r["fp"] for r in rows}
     assert got == want
+
+
+def test_disposal2_with_small_local_palette_restores_global_bg():
+    """ADVICE r6 (medium): disposal==2 must restore the painted region
+    from the GLOBAL color table's background entry — a frame whose
+    LOCAL palette is smaller than the global bg index used to
+    IndexError (wild GIFs commonly combine local palettes with
+    disposal 2)."""
+    import struct
+
+    w, h = 4, 3
+    gct = np.zeros((4, 3), dtype=np.uint8)
+    gct[3] = (9, 99, 199)   # background entry, index PAST any local table
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x81, 3, 0)  # GCT size 4, bg=3
+    out += gct.tobytes()
+    # frame 0: full-frame with a 2-entry LOCAL table, disposal=2
+    lct = np.array([[0, 0, 0], [255, 255, 0]], dtype=np.uint8)
+    out += b"\x21\xf9\x04" + struct.pack("<BHBB", 0x08, 5, 0, 0)
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x80 | 0)  # LCT size 2
+    out += lct.tobytes()
+    out += bytes([2]) + _subblocks(
+        _lzw_compress(np.ones((h, w), dtype=np.uint8), 2)
+    )
+    # frame 1: single pixel so the restored canvas is observable
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, 1, 1, 0)
+    out += bytes([2]) + _subblocks(
+        _lzw_compress(np.zeros((1, 1), dtype=np.uint8), 2)
+    )
+    out += b"\x3b"
+    frames = gif_frames(bytes(out))
+    assert frames.shape == (2, h, w, 3)
+    assert np.array_equal(frames[0], np.broadcast_to(lct[1], (h, w, 3)))
+    # after disposal=2 the region is gct[3], then (0,0) repainted gct[0]
+    want = np.broadcast_to(gct[3], (h, w, 3)).copy()
+    want[0, 0] = gct[0]
+    assert np.array_equal(frames[1], want)
+
+
+def test_animated_gray_frames_three_pixels_wide():
+    """ADVICE r6 (low): an (n,h,3) stack of GRAYSCALE frames that
+    happen to be 3 px wide must not be misread as RGB — round-trips
+    losslessly through the identity gray palette."""
+    frames = np.random.default_rng(5).integers(0, 256, (4, 5, 3)).astype(np.uint8)
+    data = gif_encode_animated(frames, delay_ms=20)
+    got = gif_frames(data)
+    assert got.shape == (4, 5, 3, 3)
+    assert np.array_equal(got[..., 0], frames)
+    assert np.array_equal(got[..., 1], frames)
+
+
+def test_image_decoder_raw_meta_wins_over_bm_magic():
+    """ADVICE r6 (low): a declared format='raw' frame whose first two
+    bytes happen to be 'BM' must route to raw_decoder, not the BMP
+    sniffer."""
+    frame = np.full((2, 4), 7, dtype=np.uint8)
+    frame[0, 0], frame[0, 1] = 0x42, 0x4D  # 'B', 'M'
+    got = image_decoder(
+        frame.tobytes(), {"format": "raw", "height": 2, "width": 4}
+    )
+    assert np.array_equal(got, frame)

@@ -340,95 +340,12 @@ def _served_hybrid(
     sem_fields = spec.get("semantic_search") or {}
     ft_fields = spec.get("full_text_search") or {}
 
-    # per-field (col, doc_ids, scores) components — all numpy; the
-    # Python-per-doc merge this replaces was ~80% of the 27 ms r4
-    # served-hybrid latency (5k-element listcomp + sum() + list.sort
-    # per query)
-    components: list[tuple[str, "np.ndarray", "np.ndarray"]] = []
-    sem_meta: list[tuple[int, str, dict]] = []  # (component idx, field, fcfg)
-    allowed_docs = None
-    for field, fcfg in sem_fields.items():
-        boost = float(fcfg.get("boost", 1.0))
-        idx = pipeline.served_index(field)
-        if filt is not None and allowed_docs is None:
-            # resolve the metadata filter ONCE against the resident
-            # metadata; both score sides honor the same document set
-            allowed_docs = idx._allowed_doc_ids(filt)
-        if semantic_mode == "candidate":
-            docs, scores = idx.candidate_chunk_scores(
-                fcfg["query"],
-                n_candidates=int(fcfg.get("candidates",
-                                          max(16 * limit, 100))),
-                filter=filt,
-            )
-        else:
-            docs, scores = idx.best_chunk_scores(fcfg["query"], filter=filt)
-        sem_meta.append((len(components), field, fcfg))
-        components.append((f"score_sem_{field}", docs, scores * boost))
-    ft_start = len(components)
-    for field, fcfg in ft_fields.items():
-        boost = float(fcfg.get("boost", 1.0))
-        ft_idx = pipeline.served_text_index(field)
-        terms = [t for t in fcfg["query"].lower().split() if t]
-        docs, scores = ft_idx.best_chunk_scores(
-            terms, allowed_docs=allowed_docs
-        )
-        components.append((f"score_ft_{field}", docs, scores * boost))
-
-    if semantic_mode == "candidate" and len(components) > ft_start:
-        # Augment each semantic shortlist with EVERY full-text-matched
-        # doc: a doc that scores on ft but sits outside the ANN beam
-        # would otherwise sum with semantic 0 and mis-rank vs the exact
-        # plan (measured at 20k chunks: agreement@10 0.88 without this,
-        # 1-term-tf-1 tie bands being the dominant miss; a 2048-doc
-        # ft-score-ranked cap re-measured 0.83 at 1M chunks because the
-        # cut lands inside tie bands wider than any fixed cap). The
-        # targeted gather is O(|ft docs|·chunks_per_doc·d) — bounded by
-        # the POSTING sizes of the query terms, not the corpus: the
-        # WAND-family guarantee. No cap: for stopword-scale postings
-        # the gather degrades gracefully TOWARD (never past) the exact
-        # mode's full-matvec cost, so candidate mode is uniformly
-        # cheaper-or-equal while staying rank-complete over every doc
-        # either side scored.
-        ft_all = [components[i] for i in range(ft_start, len(components))]
-        ft_docs = np.unique(np.concatenate([d for _, d, _ in ft_all if d.size]))\
-            if any(d.size for _, d, _ in ft_all) else np.empty(0, dtype=np.int64)
-        if ft_docs.size:
-            aug_docs = ft_docs
-            for ci, field, fcfg in sem_meta:
-                col, docs, scores = components[ci]
-                missing = np.setdiff1d(aug_docs, docs)
-                if not missing.size:
-                    continue
-                idx = pipeline.served_index(field)
-                mdocs, mscores = idx.best_chunk_scores_for_docs(
-                    fcfg["query"], missing
-                )
-                if not mdocs.size:
-                    continue
-                boost = float(fcfg.get("boost", 1.0))
-                merged_docs = np.concatenate([docs, mdocs])
-                merged_scores = np.concatenate([scores, mscores * boost])
-                order = np.argsort(merged_docs, kind="stable")
-                components[ci] = (
-                    col, merged_docs[order], merged_scores[order]
-                )
-    score_cols = [c for c, _, _ in components]
-
-    # doc payload map: reuse any resident index's doc_json (both index
-    # kinds are rebuilt on the same version token as documents)
-    any_idx = (
-        pipeline.served_index(next(iter(sem_fields)))
-        if sem_fields
-        else None
-    )
-
     search_id = str(uuid.uuid4())
     buf = getattr(collection, "_search_log_buffer", None)
     if buf is None:
         buf = collection._search_log_buffer = []
 
-    def _buffer(results):
+    def _buffer(results, candidates_exhausted=False):
         # exact-path parity: a searches row is logged even for zero-hit
         # queries (e.g. a filter matching nothing), so served/exact
         # telemetry stay row-for-row comparable
@@ -439,45 +356,206 @@ def _served_hybrid(
                 "created_at": time.time(),
                 "query": query,
                 "results": results,
+                "candidates_exhausted": candidates_exhausted,
             }
         )
 
+    # doc payload map: reuse any resident index's doc_json (both index
+    # kinds are rebuilt on the same version token as documents)
+    any_idx = (
+        pipeline.served_index(next(iter(sem_fields)))
+        if sem_fields
+        else None
+    )
     if any_idx is None:
         _buffer([])
         return []
     doc_json = any_idx.doc_json
-
-    nonempty = [d for _, d, _ in components if d.size]
-    if not nonempty:
-        _buffer([])
-        return []
-    universe = (
-        nonempty[0]
-        if len(nonempty) == 1
-        else np.unique(np.concatenate(nonempty))
+    allowed_docs = (
+        # resolve the metadata filter ONCE against the resident
+        # metadata; both score sides honor the same document set
+        any_idx._allowed_doc_ids(filt) if filt is not None else None
     )
-    total = np.zeros(universe.size)
-    positions: list["np.ndarray | None"] = []
-    for _, docs, scores in components:
-        if not docs.size:
-            positions.append(None)
-            continue
-        pos = np.searchsorted(universe, docs)
-        positions.append(pos)
-        total[pos] += scores
 
-    # exact top-`limit` by (score desc, doc_id asc): threshold at the
-    # k-th largest score, keep the (usually tiny) tie-inclusive
-    # candidate set, lexsort only that
-    k = min(limit, universe.size)
-    kth = (
-        np.partition(total, universe.size - k)[universe.size - k]
-        if universe.size > k
-        else -np.inf
-    )
-    cand = np.flatnonzero(total >= kth)
-    order = np.lexsort((universe[cand], -total[cand]))
-    top_pos = cand[order[:k]]
+    # full-text components — exact and complete over their postings, so
+    # they are built ONCE: candidate-mode escalation only re-gathers the
+    # ANN-bounded semantic side
+    ft_components: list[tuple[str, "np.ndarray", "np.ndarray"]] = []
+    for field, fcfg in ft_fields.items():
+        boost = float(fcfg.get("boost", 1.0))
+        ft_idx = pipeline.served_text_index(field)
+        terms = [t for t in fcfg["query"].lower().split() if t]
+        docs, scores = ft_idx.best_chunk_scores(
+            terms, allowed_docs=allowed_docs
+        )
+        ft_components.append((f"score_ft_{field}", docs, scores * boost))
+
+    def _gather(mult):
+        """Per-field (col, doc_ids, scores) components — all numpy; the
+        Python-per-doc merge this replaces was ~80% of the 27 ms r4
+        served-hybrid latency. ``mult`` scales the candidate overfetch
+        AND the index probe width (ivfflat nprobe / hnsw ef) — the
+        adaptive-escalation lever. Returns (components, safety infos):
+        one (boost, info) per semantic field in candidate mode."""
+        comps: list[tuple[str, "np.ndarray", "np.ndarray"]] = []
+        sem_meta: list[tuple[int, str, dict]] = []
+        infos: list[tuple[float, dict]] = []
+        for field, fcfg in sem_fields.items():
+            boost = float(fcfg.get("boost", 1.0))
+            idx = pipeline.served_index(field)
+            if semantic_mode == "candidate":
+                docs, scores, info = idx.candidate_chunk_scores(
+                    fcfg["query"],
+                    n_candidates=int(fcfg.get("candidates",
+                                              max(16 * limit, 100))) * mult,
+                    filter=filt,
+                    widen=mult,
+                    return_info=True,
+                )
+                infos.append((boost, info))
+            else:
+                docs, scores = idx.best_chunk_scores(fcfg["query"],
+                                                     filter=filt)
+            sem_meta.append((len(comps), field, fcfg))
+            comps.append((f"score_sem_{field}", docs, scores * boost))
+        comps.extend(ft_components)
+        if semantic_mode == "candidate" and sem_meta:
+            # Augment each semantic shortlist with every doc ANY other
+            # component scored (full-text matches + other fields' ANN
+            # shortlists): a doc that scores elsewhere but sits outside
+            # this field's beam would otherwise sum with semantic 0 and
+            # mis-rank vs the exact plan (measured at 20k chunks:
+            # agreement@10 0.88 without this, 1-term-tf-1 tie bands the
+            # dominant miss; a 2048-doc ft-score-ranked cap re-measured
+            # 0.83 at 1M chunks — the cut lands inside tie bands wider
+            # than any fixed cap). After this fill, EVERY universe doc
+            # carries exact scores in every component, so only docs in
+            # no shortlist at all are uncertain — which is what the
+            # escalation bound below reasons about. The targeted gather
+            # is O(|docs|·chunks_per_doc·d) — bounded by posting and
+            # shortlist sizes, not the corpus: the WAND-family
+            # guarantee. For stopword-scale postings it degrades
+            # gracefully TOWARD (never past) the exact mode's
+            # full-matvec cost.
+            sized = [d for _, d, _ in comps if d.size]
+            aug_docs = (
+                np.unique(np.concatenate(sized))
+                if sized else np.empty(0, dtype=np.int64)
+            )
+            if aug_docs.size:
+                for ci, field, fcfg in sem_meta:
+                    col, docs, scores = comps[ci]
+                    missing = np.setdiff1d(aug_docs, docs)
+                    if not missing.size:
+                        continue
+                    idx = pipeline.served_index(field)
+                    mdocs, mscores = idx.best_chunk_scores_for_docs(
+                        fcfg["query"], missing
+                    )
+                    if not mdocs.size:
+                        continue
+                    boost = float(fcfg.get("boost", 1.0))
+                    merged_docs = np.concatenate([docs, mdocs])
+                    merged_scores = np.concatenate([scores, mscores * boost])
+                    order = np.argsort(merged_docs, kind="stable")
+                    comps[ci] = (col, merged_docs[order],
+                                 merged_scores[order])
+        return comps, infos
+
+    # Adaptive overfetch (VERDICT r6 next #1): gather, merge, then
+    # PROVE the top-k safe — a doc in no shortlist scores at most
+    # sum_f max(0, boost_f·min_raw_f) over the non-exhausted semantic
+    # fields (its full-text and exhausted-field contributions are
+    # exactly 0). If the k-th winner doesn't clear that bound by the
+    # margin (the slack for ANN shortlists not being exact top-n —
+    # OOD queries compress scores into tie bands thinner than ANN
+    # recall error), escalate candidates AND probe width 4x and
+    # re-gather, bounded at 64x; still-unsafe queries surface
+    # candidates_exhausted through telemetry + _last_search_info.
+    mult = 1
+    candidates_exhausted = False
+    while True:
+        components, infos = _gather(mult)
+        nonempty = [d for _, d, _ in components if d.size]
+        if not nonempty:
+            _buffer([])
+            if semantic_mode == "candidate":
+                collection._last_search_info = {
+                    "search_id": search_id,
+                    "candidate_mult": mult,
+                    "candidates_exhausted": False,
+                }
+            return []
+        universe = (
+            nonempty[0]
+            if len(nonempty) == 1
+            else np.unique(np.concatenate(nonempty))
+        )
+        total = np.zeros(universe.size)
+        positions: list["np.ndarray | None"] = []
+        for _, docs, scores in components:
+            if not docs.size:
+                positions.append(None)
+                continue
+            pos = np.searchsorted(universe, docs)
+            positions.append(pos)
+            total[pos] += scores
+
+        # exact top-`limit` by (score desc, doc_id asc): threshold at
+        # the k-th largest score, keep the (usually tiny) tie-inclusive
+        # candidate set, lexsort only that
+        k = min(limit, universe.size)
+        kth = (
+            np.partition(total, universe.size - k)[universe.size - k]
+            if universe.size > k
+            else -np.inf
+        )
+        cand = np.flatnonzero(total >= kth)
+        order = np.lexsort((universe[cand], -total[cand]))
+        top_pos = cand[order[:k]]
+
+        if semantic_mode != "candidate" or not infos:
+            break
+        open_fields = [(b, i) for b, i in infos if not i["exhausted"]]
+        if not open_fields:
+            break  # every shortlist covers its (filtered) corpus: exact
+        unseen_bound = sum(
+            max(0.0, b * i["min_score"]) for b, i in open_fields
+        )
+        boundary = float(total[top_pos[-1]]) if k >= limit else -np.inf
+        # Two conditions prove the top-k: (a) the k-th winner clears
+        # the unseen-doc bound, and (b) every open field's shortlist is
+        # TRUSTWORTHY as a top-n — either provably (all lists probed)
+        # or because the index router is confident (the best found
+        # chunk aligns with a centroid; an off-codebook query's probing
+        # order is noise and misses chunks inside the observed score
+        # range — measured at 100k: agreement 0.7 on exactly those).
+        trusted = all(
+            i["router_confident"] for _, i in open_fields
+        )
+        if boundary > unseen_bound and trusted:
+            break
+        if mult >= 64:
+            candidates_exhausted = True
+            break
+        if not trusted:
+            # jump straight to the full probe sweep: intermediate
+            # probe rounds re-ask an uninformative router
+            mult = min(
+                64,
+                max(mult * 4,
+                    max(i["full_probe_mult"] for _, i in open_fields
+                        if not i["router_confident"])),
+            )
+        else:
+            mult *= 4
+    if semantic_mode == "candidate":
+        collection._last_search_info = {
+            "search_id": search_id,
+            "candidate_mult": mult,
+            "candidates_exhausted": candidates_exhausted,
+        }
+    score_cols = [c for c, _, _ in components]
 
     # per-field component values for just the k winners
     comp_vals: list[dict[int, float]] = []
@@ -511,7 +589,8 @@ def _served_hybrid(
             (did, {c: cols.get(c, 0.0) for c in score_cols} | {"score": s},
              i + 1)
             for i, (s, did, cols) in enumerate(top)
-        ]
+        ],
+        candidates_exhausted=candidates_exhausted,
     )
     return [
         {

@@ -609,7 +609,9 @@ class ServedPipelineIndex:
         n_candidates: int,
         filter: dict | None = None,
         ef: int | None = None,
-    ) -> tuple[np.ndarray, np.ndarray]:
+        widen: int = 1,
+        return_info: bool = False,
+    ):
         """(doc_ids, best_cosine) over an ANN CANDIDATE SHORTLIST —
         the scale path for hybrid's semantic side (VERDICT r5 next #1).
 
@@ -632,15 +634,26 @@ class ServedPipelineIndex:
         (top-10 agreement pinned ≥0.95 in tests)."""
         qv = np.asarray(self._embed(query_text), dtype=np.float64)
         qn = float(np.linalg.norm(qv))
+
+        def _ret(docs, scores, info):
+            return (docs, scores, info) if return_info else (docs, scores)
+
+        # empty returns are SAFE (exhausted): the exact plan finds
+        # nothing there either (zero query norm / empty corpus / filter
+        # matching no rows), so no unseen doc can out-rank the merge
+        empty = (np.empty(0, dtype=np.int64), np.empty(0))
+        safe_info = {"min_score": float("-inf"), "max_score": float("-inf"),
+                     "exhausted": True, "exact_topn": True,
+                     "router_confident": True, "full_probe_mult": 1}
         if not len(self.mat64) or qn == 0.0:
-            return np.empty(0, dtype=np.int64), np.empty(0)
+            return _ret(*empty, safe_info)
         idx = self.hnsw
         allowed = None
         if filter is not None:
             ent = self._filter_entry(filter)
             payload_mask = self._row_mask_for_filter(filter)
             if not payload_mask.any():
-                return np.empty(0, dtype=np.int64), np.empty(0)
+                return _ret(*empty, safe_info)
             if self.kind == "ivfflat":  # cached translation, same as search()
                 cached = ent.get("ann_mask")
                 if cached is None or cached[1] != id(idx):
@@ -652,15 +665,42 @@ class ServedPipelineIndex:
                 allowed = cached[0]
             else:
                 allowed = payload_mask
+        avail = (
+            len(self.chunk_ids) if allowed is None else int(allowed.sum())
+        )
         n_cand = min(int(n_candidates), len(self.chunk_ids))
+        exact_topn = False
+        router_max = float("inf")
+        full_probe_mult = 1
         if self.kind == "ivfflat":
-            found = idx.search(qv, k=n_cand, allowed=allowed)
+            base_probes = int(self._params.get("probes", 4))
+            probes_used = base_probes * max(1, int(widen))
+            found = idx.search(
+                qv, k=n_cand, allowed=allowed,
+                nprobe=probes_used if widen > 1 else None,
+            )
+            if idx.centroids is None:
+                exact_topn = True
+            else:
+                nlist_eff = len(idx.centroids)
+                # probes >= nlist means every list was scanned: the
+                # shortlist is PROVABLY the exact top-n_cand, so the
+                # min-score bound below is a true bound, not a heuristic
+                exact_topn = probes_used >= nlist_eff
+                q32 = qv.astype(np.float32)
+                q32n = float(np.linalg.norm(q32))
+                if q32n:
+                    q32 = q32 / q32n
+                router_max = float(np.max(idx.centroids @ q32))
+                full_probe_mult = -(-nlist_eff // base_probes)
         else:
             found = idx.search(
-                qv, k=n_cand, ef=ef or max(2 * n_cand, 64), allowed=allowed
+                qv, k=n_cand,
+                ef=(ef or max(2 * n_cand, 64)) * max(1, int(widen)),
+                allowed=allowed,
             )
         if not found:
-            return np.empty(0, dtype=np.int64), np.empty(0)
+            return _ret(*empty, safe_info)
         rows = np.asarray([self.row_of[int(cid)] for cid, _ in found])
         dots = self.mat64[rows] @ qv
         denom = self.norms64[rows] * qn
@@ -670,7 +710,32 @@ class ServedPipelineIndex:
         perm = np.argsort(cand_docs, kind="stable")
         uniq, starts = np.unique(cand_docs[perm], return_index=True)
         best = np.maximum.reduceat(scores[perm], starts)
-        return uniq.astype(np.int64), best
+        mx = float(scores.max())
+        info = {
+            # exact-rescored boundary of the RAW shortlist: under the
+            # exact-top-n reading of the shortlist, any unseen chunk
+            # scores <= min_score — the adaptive-overfetch safety bound
+            "min_score": float(scores.min()),
+            "max_score": mx,
+            "exhausted": len(found) >= avail,
+            # the min-score bound is only as good as the index's
+            # routing. IVF routing is informative when the best found
+            # chunk aligns with SOME centroid (in-distribution query);
+            # a query whose observed matches beat every centroid
+            # alignment is off-codebook — probing order is noise and
+            # the shortlist may miss better chunks INSIDE its own score
+            # range (measured: OOD misses at 100k sat between min and
+            # max). exact_topn (all lists probed) restores the bound.
+            "exact_topn": exact_topn,
+            "router_confident": (
+                exact_topn or mx <= 0.0 or router_max >= 0.8 * mx
+            ),
+            # widen multiplier at which every list is probed — the
+            # escalation target when the router is unconfident (skips
+            # the useless intermediate probe rounds)
+            "full_probe_mult": full_probe_mult,
+        }
+        return _ret(uniq.astype(np.int64), best, info)
 
 
 class ServedTextIndex:
@@ -807,6 +872,30 @@ class ServedTextIndex:
         return {int(d): float(s) for d, s in zip(docs, scores)}
 
 
+def _shard_pool(owner, n: int):
+    """Lazily-created per-index thread pool for the scatter phase.
+    Shards are independent and the per-shard work is numpy/BLAS (GIL
+    released), so a thread fan-out makes scatter latency
+    max(shard) + merge instead of sum(shards) (VERDICT r6 next #2).
+    Cached on the owner: pool creation (~ms of thread spawns) would
+    dominate a sub-ms serve if paid per query."""
+    pool = getattr(owner, "_pool", None)
+    if pool is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = owner._pool = ThreadPoolExecutor(
+            max_workers=n, thread_name_prefix="shard-scatter"
+        )
+    return pool
+
+
+def _scatter(owner, shards, fn):
+    """Run fn over every shard concurrently; preserves shard order."""
+    if len(shards) == 1:
+        return [fn(shards[0])]
+    return list(_shard_pool(owner, len(shards)).map(fn, shards))
+
+
 class ShardedPipelineIndex:
     """Scatter-gather serving across N doc-hash resident shards — the
     multi-host layout the 100 TB capacity math has always assumed, now
@@ -883,13 +972,15 @@ class ShardedPipelineIndex:
 
     def search(self, query_text: str, limit: int = 10, boost: float = 1.0,
                ef: int | None = None, filter: dict | None = None) -> list[dict]:
-        """Scatter to every shard, gather-merge by (-score, doc_id)."""
+        """Scatter to every shard (concurrently — see _scatter),
+        gather-merge by (-score, doc_id)."""
         merged: list[dict] = []
-        for s in self.shards:
-            merged.extend(
-                s.search(query_text, limit=limit, boost=boost, ef=ef,
-                         filter=filter)
-            )
+        for part in _scatter(
+            self, self.shards,
+            lambda s: s.search(query_text, limit=limit, boost=boost,
+                               ef=ef, filter=filter),
+        ):
+            merged.extend(part)
         merged.sort(key=lambda r: (-r["score"], r["document_id"]))
         return merged[:limit]
 
@@ -904,26 +995,54 @@ class ShardedPipelineIndex:
 
     def best_chunk_scores(self, query_text: str, filter: dict | None = None):
         return self._gather(
-            [s.best_chunk_scores(query_text, filter=filter)
-             for s in self.shards]
+            _scatter(self, self.shards,
+                     lambda s: s.best_chunk_scores(query_text, filter=filter))
         )
 
     def candidate_chunk_scores(self, query_text: str, n_candidates: int,
                                filter: dict | None = None,
-                               ef: int | None = None):
+                               ef: int | None = None,
+                               widen: int = 1,
+                               return_info: bool = False):
         # per-shard overfetch: each shard contributes up to the full
         # candidate budget; the hybrid merge takes care of ranking
         per = max(1, -(-int(n_candidates) // self.n_shards))
-        return self._gather(
-            [s.candidate_chunk_scores(query_text, per, filter=filter, ef=ef)
-             for s in self.shards]
+        parts = _scatter(
+            self, self.shards,
+            lambda s: s.candidate_chunk_scores(query_text, per, filter=filter,
+                                               ef=ef, widen=widen,
+                                               return_info=True),
         )
+        docs, scores = self._gather([(d, s) for d, s, _ in parts])
+        if not return_info:
+            return docs, scores
+        # an unseen doc lives in exactly ONE shard, so the global bound
+        # is the max of the NON-exhausted shards' boundaries (exhausted
+        # shards hide nothing)
+        open_infos = [i for _, _, i in parts if not i["exhausted"]]
+        info = {
+            "min_score": max(
+                (i["min_score"] for i in open_infos), default=float("-inf")
+            ),
+            "max_score": max(
+                (i["max_score"] for _, _, i in parts), default=float("-inf")
+            ),
+            "exhausted": not open_infos,
+            "exact_topn": all(i["exact_topn"] for i in open_infos),
+            "router_confident": all(
+                i["router_confident"] for i in open_infos
+            ),
+            "full_probe_mult": max(
+                (i["full_probe_mult"] for i in open_infos), default=1
+            ),
+        }
+        return docs, scores, info
 
     def best_chunk_scores_for_docs(self, query_text: str, docs):
         # non-resident docs drop shard-locally, so routing is implicit
         return self._gather(
-            [s.best_chunk_scores_for_docs(query_text, docs)
-             for s in self.shards]
+            _scatter(self, self.shards,
+                     lambda s: s.best_chunk_scores_for_docs(query_text, docs))
         )
 
 
@@ -942,10 +1061,10 @@ class ShardedTextIndex:
         return any(s.is_stale() for s in self.shards)
 
     def best_chunk_scores(self, terms, allowed_docs=None):
-        parts = [
-            s.best_chunk_scores(terms, allowed_docs=allowed_docs)
-            for s in self.shards
-        ]
+        parts = _scatter(
+            self, self.shards,
+            lambda s: s.best_chunk_scores(terms, allowed_docs=allowed_docs),
+        )
         parts = [(d, sc) for d, sc in parts if d.size]
         if not parts:
             return np.empty(0, dtype=np.int64), np.empty(0)

@@ -989,7 +989,10 @@ class ResidentANN:
         )
         return np.isin(self.ids, arr)
 
-    def search(self, query_vec, k: int = 10, allowed=None) -> list[tuple]:
+    def search(
+        self, query_vec, k: int = 10, allowed=None,
+        nprobe: int | None = None,
+    ) -> list[tuple]:
         """Top-k (id, cosine) — pure numpy, ~µs-to-ms per call.
 
         ``allowed`` (optional boolean mask over this index's rows — see
@@ -999,7 +1002,11 @@ class ResidentANN:
         the pgvector 0.8 iterative-index-scan discipline, so a filter
         never silently under-fills the result the way fixed-nprobe
         filtered ANN does. Unfiltered searches take exactly the
-        pre-existing single-round path."""
+        pre-existing single-round path.
+
+        ``nprobe`` overrides the build-time probe count for THIS call —
+        the adaptive-overfetch hook (candidate-bounded hybrid escalates
+        probes when its shortlist boundary can't prove top-k safety)."""
         q = np.asarray(query_vec, dtype=np.float32)
         qn = np.linalg.norm(q)
         if qn:
@@ -1024,7 +1031,7 @@ class ResidentANN:
             nlist = len(self.centroids)
             score_parts: list[np.ndarray] = []
             id_parts: list[np.ndarray] = []
-            pos, batch, found = 0, self.nprobe, 0
+            pos, batch, found = 0, int(nprobe or self.nprobe), 0
             while pos < nlist:
                 probe = np.sort(order[pos : pos + batch])
                 pos += batch

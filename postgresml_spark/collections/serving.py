@@ -439,8 +439,14 @@ class ServedPipelineIndex:
         boost: float = 1.0,
         ef: int | None = None,
         filter: dict | None = None,
+        candidates: int | None = None,
     ) -> list[dict]:
         """Top-`limit` results, exact-rescored. No Spark job.
+
+        ``candidates`` overrides the ANN shortlist size (default
+        max(4·limit, limit+10)) — the explicit overfetch knob the
+        rerank path threads through so `num_documents_to_rerank`
+        controls the candidate bound, not just the final cut.
 
         ``filter`` (the SDK metadata-filter DSL) is honored ON the
         index: the resident metadata resolves to an allowed-row mask
@@ -476,7 +482,11 @@ class ServedPipelineIndex:
         # beam for extra candidates, then float64 exact re-score: the
         # approximate layer only GENERATES, the exact layer RANKS — so
         # float32 graph error can't perturb the returned ordering.
-        n_cand = min(max(4 * limit, limit + 10), len(self.chunk_ids))
+        n_cand = min(
+            int(candidates) if candidates is not None
+            else max(4 * limit, limit + 10),
+            len(self.chunk_ids),
+        )
         if self.kind == "ivfflat":
             found = idx.search(qv, k=n_cand, allowed=allowed)
         else:
@@ -971,14 +981,15 @@ class ShardedPipelineIndex:
     # -- serving -------------------------------------------------------------
 
     def search(self, query_text: str, limit: int = 10, boost: float = 1.0,
-               ef: int | None = None, filter: dict | None = None) -> list[dict]:
+               ef: int | None = None, filter: dict | None = None,
+               candidates: int | None = None) -> list[dict]:
         """Scatter to every shard (concurrently — see _scatter),
         gather-merge by (-score, doc_id)."""
         merged: list[dict] = []
         for part in _scatter(
             self, self.shards,
             lambda s: s.search(query_text, limit=limit, boost=boost,
-                               ef=ef, filter=filter),
+                               ef=ef, filter=filter, candidates=candidates),
         ):
             merged.extend(part)
         merged.sort(key=lambda r: (-r["score"], r["document_id"]))

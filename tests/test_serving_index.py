@@ -1682,3 +1682,41 @@ def test_four_shard_scatter_identity_and_parallel_pool(shard_setup):
     assert [(r["document_id"], round(r["score"], 9)) for r in one_hy] == [
         (r["document_id"], round(r["score"], 9)) for r in got_hy
     ]
+
+
+def test_rerank_over_candidate_equals_rerank_over_exact(shard_setup):
+    """VERDICT r6 next #5: vector_search(method='candidate') bounds the
+    rerank overfetch to an explicit ANN candidate shortlist. On the
+    closure config (ivfflat probes == lists — shard_setup's pipeline)
+    the shortlist is provably the exact top-N, so rerank-over-candidate
+    must EQUAL rerank-over-exact: same documents, same rerank scores,
+    same order, for the ValidRerank dict shape with
+    num_documents_to_rerank overfetch."""
+    coll, pipe, *_ = shard_setup
+    for qt in QUERIES[:3]:
+        spec = {"query": {"fields": {"text": {"query": qt}}}, "limit": 5}
+        rr = {"query": qt, "num_documents_to_rerank": 30}
+        exact = coll.vector_search(dict(spec), pipe, method="exact",
+                                   rerank=dict(rr))
+        cand = coll.vector_search(dict(spec), pipe, method="candidate",
+                                  rerank=dict(rr))
+        assert [
+            (r["document_id"], round(r["rerank_score"], 9),
+             round(r["score"], 6))
+            for r in exact
+        ] == [
+            (r["document_id"], round(r["rerank_score"], 9),
+             round(r["score"], 6))
+            for r in cand
+        ], f"rerank candidate/exact divergence for {qt!r}"
+    # the per-field candidates knob bounds the shortlist: a tiny bound
+    # still returns sane, correctly-ranked rows (never a crash)
+    spec = {
+        "query": {"fields": {"text": {"query": QUERIES[0],
+                                      "candidates": 8}}},
+        "limit": 5,
+    }
+    rows = coll.vector_search(spec, pipe, method="candidate",
+                              rerank={"query": QUERIES[0],
+                                      "num_documents_to_rerank": 8})
+    assert rows and all(r["rerank_score"] == r["rerank_score"] for r in rows)

@@ -260,6 +260,68 @@ def main() -> int:
     if t_dedup and n_docs:
         derived["exact_dedup_docs_per_sec"] = round(n_docs / t_dedup, 1)
 
+    # Incremental-sync throughput (VERDICT r6 next #7): a 100k-doc
+    # synced collection, then 1% changed docs re-upserted — the
+    # change-log sync must chunk/embed/write ONLY the 1% (count
+    # asserted), and a no-op sync must be a watermark compare (~0 s).
+    # NOTE (SCALE.md): with the deterministic hash embedder, embedding
+    # is ~free, so the measured full/incremental ratio is
+    # orchestration-bound; with the reference's real embedder
+    # (17-30 ms/row) the same plans differ ~100x.
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from postgresml_spark.collections import Collection, Pipeline
+
+        base_docs = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .filter(F.col("text").isNotNull()).select("doc_id", "text", "lang")
+        )
+        nb = base_docs.count()
+        K = max(1, 100_000 // max(nb, 1))
+        big = base_docs.crossJoin(
+            spark.range(K).withColumnRenamed("id", "rep")
+        ).select((F.col("doc_id") * K + F.col("rep")).alias("id"),
+                 "text", "lang")
+        n_big = nb * K
+        wh = tempfile.mkdtemp(prefix="bench_incsync_")
+        coll = Collection("incsync", spark, warehouse=wh)
+        coll.upsert_documents_df(big)
+        pipe = Pipeline("p", {"text": {
+            "semantic_search": {"model": "hash:1024"},
+            "full_text_search": {"configuration": "english"},
+        }})
+        coll.add_pipeline(pipe)  # initial full build (not timed)
+        t0 = time.perf_counter()
+        pipe.resync()
+        t_full = time.perf_counter() - t0
+        coll._pipelines.pop("p")  # manual sync control for the timing
+        changed = big.filter(F.pmod(F.col("id"), F.lit(100)) == 0) \
+            .withColumn("text", F.concat(F.lit("UPDATED "), F.col("text")))
+        n_chg = changed.count()
+        coll.upsert_documents_df(changed)
+        t0 = time.perf_counter()
+        counts = pipe.sync()
+        t_inc = time.perf_counter() - t0
+        assert counts["text_chunks"] == n_chg, (
+            f"incremental sync re-derived {counts['text_chunks']} chunks "
+            f"for {n_chg} changed docs"
+        )
+        t0 = time.perf_counter()
+        noop = pipe.sync()
+        t_noop = time.perf_counter() - t0
+        assert all(v == 0 for v in noop.values()), "no-op sync not empty"
+        derived["full_resync_docs_per_sec"] = round(n_big / t_full, 1)
+        derived["incremental_sync_docs_per_sec"] = round(n_big / t_inc, 1)
+        derived["incremental_sync_changed_chunks"] = counts["text_chunks"]
+        derived["noop_sync_ms"] = round(t_noop * 1000, 2)
+        shutil.rmtree(wh, ignore_errors=True)
+    except Exception as e:
+        print(f"bench incremental-sync error: {e}", file=sys.stderr)
+
     # Sparse-index serving: build the bucket-pruned posting store once,
     # then measure warm repeated-query latency (the sparsevec serving
     # path; like the BM25/IVF stores, build cost amortizes over the

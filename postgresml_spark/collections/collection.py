@@ -79,6 +79,45 @@ class Collection:
             key="source_uuid", n_buckets=32,
         )
         self._pipelines: dict[str, "Pipeline"] = {}
+        # change log (the reference's trigger-queue analog,
+        # pipeline.rs:591-775): every upsert/delete writes the touched
+        # ids AND the new payloads (NULL payload = replaced/deleted id)
+        # into a seq=<documents version> partition dir, so
+        # pipeline.sync() detects changes, fetches changed payloads,
+        # and re-derives in O(changed) — no corpus scan, and the
+        # seq-partitioned layout file-prunes the log read itself.
+        # Retention is O(churn payload), the same class as the
+        # versioned tables' keep_versions window; resync() prunes
+        # consumed partitions.
+        self._changes_path = os.path.join(self.root, "_changes")
+
+    def _log_changes(self, rows_df: DataFrame) -> None:
+        seq = self.documents._current_version()
+        rows_df.select(
+            F.col("id").cast("long"),
+            F.col("source_uuid").cast("string"),
+            F.col("document").cast("string"),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self._changes_path, f"seq={seq}")
+        )
+
+    def _prune_changes(self, upto_seq: int) -> None:
+        """Drop change-log partitions every pipeline has consumed
+        (seq <= upto_seq) — called with the MIN watermark across
+        pipelines so no pending change is lost."""
+        import shutil
+
+        if not os.path.isdir(self._changes_path):
+            return
+        for name in os.listdir(self._changes_path):
+            if not name.startswith("seq="):
+                continue
+            try:
+                if int(name.split("=", 1)[1]) <= upto_seq:
+                    shutil.rmtree(os.path.join(self._changes_path, name),
+                                  ignore_errors=True)
+            except ValueError:
+                continue
 
     # -- ingest ---------------------------------------------------------------
 
@@ -147,6 +186,7 @@ class Collection:
             try:
                 n = new.count()
                 self.documents.overwrite(new)
+                self._log_changes(new.select("id", "source_uuid", "document"))
             finally:
                 new.unpersist()
             self._mark_pipelines_stale()
@@ -186,12 +226,26 @@ class Collection:
         # persist: count + the version write both consume `new`; without
         # it the incoming DAG (incl. the merge UDF join) runs twice
         new = new.persist()
+        # replaced docs' OLD ids (they get fresh ids below) — logged so
+        # the incremental sync tombstones their derived rows; bound to
+        # the pre-write version paths, still on disk post-write
+        # (keep_versions=2)
+        replaced = cur_touched.join(
+            incoming.select("source_uuid"), "source_uuid", "left_semi"
+        ).select(
+            "id", "source_uuid",
+            F.lit(None).cast("string").alias("document"),
+        )
         try:
             n = new.count()
             merged = keep.select(
                 "id", "source_uuid", "version", "document"
             ).unionByName(new)
             self.documents.partial_overwrite(merged, touched)
+            self._log_changes(
+                new.select("id", "source_uuid", "document")
+                .unionByName(replaced)
+            )
         finally:
             new.unpersist()
         self._mark_pipelines_stale()
@@ -257,8 +311,13 @@ class Collection:
         df = self.documents.read()
         pred = compile_filter(filter, json_resolver("document"))
         kept = df.filter(~pred | pred.isNull())
+        deleted = df.filter(pred).select(
+            "id", "source_uuid",
+            F.lit(None).cast("string").alias("document"),
+        )
         n = df.count() - kept.count()
         self.documents.overwrite(kept)
+        self._log_changes(deleted)
         self._mark_pipelines_stale()
         return n
 
@@ -278,9 +337,15 @@ class Collection:
         n = self.delete_documents(filter)
         for p in self._pipelines.values():
             p.resync()
+        # the change log carries upsert payloads — purge must forget
+        # those bytes too; every pipeline was just resynced (watermark
+        # = current version), so the whole log is consumed
+        self._prune_changes(self.documents._current_version())
         self.documents.vacuum(keep_versions=1)
         for p in self._pipelines.values():
-            for t in p._tables.values():
+            for t in list(p._tables.values()) + list(
+                getattr(p, "_state", {}).values()
+            ):
                 t.vacuum(keep_versions=1)
         return n
 
@@ -322,9 +387,12 @@ class Collection:
             return
         import shutil
 
-        for tbl in p._tables.values():
+        for tbl in list(p._tables.values()) + list(
+            getattr(p, "_state", {}).values()
+        ):
             shutil.rmtree(tbl.path, ignore_errors=True)
         p._tables.clear()
+        getattr(p, "_state", {}).clear()
         p._served.clear()
         p.collection = None
 

@@ -42,7 +42,10 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from postgresml_spark.collections.storage import VersionedTable
+from postgresml_spark.collections.storage import (
+    BucketedVersionedTable,
+    VersionedTable,
+)
 from postgresml_spark.functions.embed import (
     embed_udf,
     hash_embed,
@@ -57,6 +60,13 @@ from postgresml_spark.functions.text import chunk_udf, tokenize
 _CHUNK_SCHEMA = "chunk_id long, document_id long, chunk_index int, chunk string"
 _EMB_SCHEMA = "chunk_id long, embedding array<double>"
 _TSV_SCHEMA = "chunk_id long, tokens array<string>"
+def _doc_key_of_chunk():
+    """Bucket key for chunk_id-only tables: the document id encoded in
+    the deterministic chunk id (document_id * 2^20 + chunk_index), cast
+    to the same string the chunks table hashes — so every derived
+    table of a pipeline shares one bucket assignment and an
+    incremental sync rewrites the SAME bucket set across all of them."""
+    return F.expr("CAST(chunk_id DIV 1048576 AS STRING)")
 
 
 class Pipeline:
@@ -71,18 +81,26 @@ class Pipeline:
     def attach(self, collection) -> None:
         self.collection = collection
         root = os.path.join(collection.root, f"pipeline_{self.name}")
+        # derived tables are doc-hash bucketed so the incremental sync
+        # rewrites only the buckets of changed/deleted documents
+        # (partition-granular copy-on-write — storage.py); every table
+        # of a field shares the chunks table's bucket assignment
         for field, cfg in self.schema.items():
-            self._tables[f"{field}_chunks"] = VersionedTable(
-                collection.spark, os.path.join(root, f"{field}_chunks"), _CHUNK_SCHEMA
+            self._tables[f"{field}_chunks"] = BucketedVersionedTable(
+                collection.spark, os.path.join(root, f"{field}_chunks"),
+                _CHUNK_SCHEMA, key="document_id"
             )
             if "semantic_search" in cfg:
-                self._tables[f"{field}_embeddings"] = VersionedTable(
-                    collection.spark, os.path.join(root, f"{field}_embeddings"), _EMB_SCHEMA
+                self._tables[f"{field}_embeddings"] = BucketedVersionedTable(
+                    collection.spark, os.path.join(root, f"{field}_embeddings"),
+                    _EMB_SCHEMA, key=_doc_key_of_chunk
                 )
             if "full_text_search" in cfg:
-                self._tables[f"{field}_tsvectors"] = VersionedTable(
-                    collection.spark, os.path.join(root, f"{field}_tsvectors"), _TSV_SCHEMA
+                self._tables[f"{field}_tsvectors"] = BucketedVersionedTable(
+                    collection.spark, os.path.join(root, f"{field}_tsvectors"),
+                    _TSV_SCHEMA, key=_doc_key_of_chunk
                 )
+        self._root = root
 
     def table(self, name: str) -> DataFrame:
         return self._tables[name].read()
@@ -124,67 +142,196 @@ class Pipeline:
 
     def sync(self, full: bool = False) -> dict[str, int]:
         """Incremental (or full=resync, pipeline.rs:777-934) rebuild of
-        derived tables. Returns per-stage changed-row counts."""
+        derived tables. Returns per-stage changed-row counts.
+
+        Incremental path (VERDICT r6 next #7 — the reference's core
+        ingest contract, pipeline.rs:591-775): the collection's change
+        log (appended by every upsert/delete — the trigger-queue
+        analog) names exactly the document ids touched since this
+        field's sync watermark, so detection, re-chunking and
+        re-embedding are all O(changed); derived-table writes are
+        delta versions (hardlinked base + tombstones + compacted
+        delta — storage.py), O(changed) bytes. A no-op sync is a
+        watermark == documents-version file compare: ZERO Spark jobs,
+        zero writes. At 100 TB, re-chunking and re-embedding the
+        unchanged 99% per sync is the difference between an ingest
+        pipeline and a nightly rebuild."""
         assert self.collection is not None, "attach() first"
-        docs = self.collection.documents.read()
+        import os as _os
+
+        docs_version = self.collection.documents._current_version()
         out: dict[str, int] = {}
         for field, cfg in self.schema.items():
-            # persist: the chunk DAG (docs scan → JSON extract → split)
-            # feeds the chunks write, the changed-count, the embed UDF
-            # and the tsvector build — without a cache it re-executes
-            # once per consumer (measured 3× the sync cost at sf0.1)
-            new_chunks = self._chunks_for(field, cfg, docs).persist()
             tbl = self._tables[f"{field}_chunks"]
-            changed = new_chunks
-            try:
-                if full or not tbl.exists():
-                    changed = new_chunks
-                    tbl.overwrite(new_chunks)
-                    n_changed = changed.count()
-                else:
-                    old = tbl.read()
-                    # change detection (queries.rs:325-339): a chunk is
-                    # changed iff (document_id, chunk_index, chunk) is new.
-                    changed = new_chunks.join(
-                        old, ["document_id", "chunk_index", "chunk"], "left_anti"
-                    ).persist()
-                    n_changed = changed.count()
-                    tbl.overwrite(new_chunks)  # also drops orphans (queries.rs:284-299)
-                out[f"{field}_chunks"] = n_changed
+            stages = [f"{field}_chunks"] + [
+                k for k in (f"{field}_embeddings", f"{field}_tsvectors")
+                if k in self._tables
+            ]
+            wm = self._get_watermark(field)
+            if not full and wm is not None and wm >= docs_version \
+                    and tbl.exists():
+                for k in stages:  # no-op: nothing upserted since last sync
+                    out[k] = 0
+                continue
+            st = tbl.stats()
+            # compaction: when accumulated tombstones outgrow a quarter
+            # of the base, fold the delta back with one full rebuild so
+            # the read-side anti-join stays cheap
+            needs_compaction = st.get("tomb_rows", 0) > max(
+                10_000, 0.25 * st.get("base_rows", float("inf"))
+            )
+            incremental = (
+                not full
+                and not needs_compaction
+                and wm is not None
+                and tbl.exists()
+                and tbl.has_bucketed_current()
+                and _os.path.isdir(self.collection._changes_path)
+            )
+            if incremental:
+                self._sync_incremental(field, cfg, out, wm, docs_version)
+            else:
+                self._sync_full(field, cfg,
+                                self.collection.documents.read(), out)
+                self._set_watermark(field, docs_version)
+        return out
 
-                chunk_ids = new_chunks.select("chunk_id")
-                if f"{field}_embeddings" in self._tables:
-                    etbl = self._tables[f"{field}_embeddings"]
-                    model = (cfg.get("semantic_search") or {}).get("model", "hash:16")
-                    new_emb = self._embed(changed, model)
-                    if full or not etbl.exists():
-                        emb = new_emb
-                    else:
-                        kept = etbl.read().join(chunk_ids, "chunk_id", "left_semi").join(
-                            new_emb.select("chunk_id"), "chunk_id", "left_anti"
-                        )
-                        emb = kept.unionByName(new_emb)
-                    etbl.overwrite(emb)
-                    out[f"{field}_embeddings"] = n_changed
-                if f"{field}_tsvectors" in self._tables:
-                    ttbl = self._tables[f"{field}_tsvectors"]
-                    new_tsv = changed.select(
+    def _wm_path(self, field: str) -> str:
+        return os.path.join(self._root, f"{field}_watermark.json")
+
+    def _get_watermark(self, field: str) -> int | None:
+        import json
+
+        try:
+            with open(self._wm_path(field)) as f:
+                return int(json.load(f)["last_seq"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return None
+
+    def _set_watermark(self, field: str, seq: int) -> None:
+        import json
+
+        with open(self._wm_path(field), "w") as f:
+            json.dump({"last_seq": int(seq)}, f)
+
+    def _sync_full(self, field: str, cfg: dict, docs: DataFrame,
+                   out: dict[str, int]) -> None:
+        """Full rebuild of one field's derived tables + sync state."""
+        # persist: the chunk DAG (docs scan → JSON extract → split)
+        # feeds the chunks write, the changed-count, the embed UDF
+        # and the tsvector build — without a cache it re-executes
+        # once per consumer (measured 3× the sync cost at sf0.1)
+        new_chunks = self._chunks_for(field, cfg, docs).persist()
+        tbl = self._tables[f"{field}_chunks"]
+        try:
+            tbl.overwrite(new_chunks)
+            n_changed = new_chunks.count()
+            out[f"{field}_chunks"] = n_changed
+            tbl.write_stats(base_rows=n_changed, tomb_rows=0)
+            if f"{field}_embeddings" in self._tables:
+                model = (cfg.get("semantic_search") or {}).get("model", "hash:16")
+                etbl = self._tables[f"{field}_embeddings"]
+                etbl.overwrite(self._embed(new_chunks, model))
+                etbl.write_stats(base_rows=n_changed, tomb_rows=0)
+                out[f"{field}_embeddings"] = n_changed
+            if f"{field}_tsvectors" in self._tables:
+                ttbl = self._tables[f"{field}_tsvectors"]
+                ttbl.overwrite(
+                    new_chunks.select(
                         "chunk_id", tokenize(F.col("chunk")).alias("tokens")
                     )
-                    if full or not ttbl.exists():
-                        tsv = new_tsv
-                    else:
-                        kept = ttbl.read().join(chunk_ids, "chunk_id", "left_semi").join(
-                            new_tsv.select("chunk_id"), "chunk_id", "left_anti"
-                        )
-                        tsv = kept.unionByName(new_tsv)
-                    ttbl.overwrite(tsv)
-                    out[f"{field}_tsvectors"] = n_changed
-            finally:
-                new_chunks.unpersist()
-                if changed is not new_chunks:
-                    changed.unpersist()
-        return out
+                )
+                ttbl.write_stats(base_rows=n_changed, tomb_rows=0)
+                out[f"{field}_tsvectors"] = n_changed
+        finally:
+            new_chunks.unpersist()
+
+    def _sync_incremental(self, field: str, cfg: dict, out: dict[str, int],
+                          wm: int, docs_version: int) -> None:
+        """Log-driven rebuild of one field — O(changed) end to end.
+
+        The change log carries the touched ids AND the new payloads
+        (NULL payload = replaced/deleted id), seq-partitioned by the
+        documents version, so the pending read file-prunes to exactly
+        the unsynced batches: detection, chunking, embedding and the
+        delta writes all scale with the change set, never the corpus.
+        Upserts re-id documents (fresh surrogate id per upsert), so a
+        pending id's chunks are ALWAYS new — the (doc, idx, chunk)
+        anti-join of the scan-based path is provably empty here and is
+        skipped. Orphans (deleted/replaced ids, shrunk chunk lists,
+        nulled fields) drop via the doc-key tombstones
+        (queries.rs:284-299)."""
+        spark = self.collection.spark
+        tbl = self._tables[f"{field}_chunks"]
+        stages = [f"{field}_chunks"] + [
+            k for k in (f"{field}_embeddings", f"{field}_tsvectors")
+            if k in self._tables
+        ]
+        pend = spark.read.parquet(self.collection._changes_path).filter(
+            F.col("seq") > F.lit(int(wm))
+        )
+        # ONE detection job: pending ids, liveness and derived-table
+        # buckets in a single bounded collect (past 100k pending rows
+        # the limit trips and the full rebuild is the faster plan)
+        pend_rows = (
+            pend.select(
+                "id",
+                F.col("document").isNotNull().alias("live"),
+                tbl.bucket_of(F.col("id")).alias("__db"),
+            )
+            .limit(100_001)
+            .collect()
+        )
+        n_touched = len(pend_rows)
+        if not n_touched:  # no-op sync: zero counts, ZERO writes
+            for k in stages:
+                out[k] = 0
+            self._set_watermark(field, docs_version)
+            return
+        if n_touched > 100_000:
+            self._sync_full(field, cfg, self.collection.documents.read(), out)
+            self._set_watermark(field, docs_version)
+            return
+        touched_keys = [str(int(r["id"])) for r in pend_rows]
+        # ids are never reused, so an id with any NULL-payload row is
+        # dead; live ids carry their payload in exactly one log row
+        dead = [int(r["id"]) for r in pend_rows if not r["live"]]
+        changed_docs = pend.filter(F.col("document").isNotNull())
+        if dead:
+            changed_docs = changed_docs.join(
+                F.broadcast(
+                    spark.createDataFrame([(d,) for d in dead], "id long")
+                ),
+                "id", "left_anti",
+            )
+        new_chunks = self._chunks_for(field, cfg, changed_docs).persist()
+        try:
+            n_changed = new_chunks.count()
+            out[f"{field}_chunks"] = n_changed
+            # delta write: a doc-key tombstone kills every old row of a
+            # touched doc; the delta re-emits the doc's CURRENT rows —
+            # O(changed docs) bytes, untouched buckets hardlink
+            # through. The three tables share one tombstone history, so
+            # the chunks write produces the file and the siblings link.
+            tomb_dir = tbl.delta_overwrite(new_chunks, touched_keys)
+            if f"{field}_embeddings" in self._tables:
+                etbl = self._tables[f"{field}_embeddings"]
+                model = (cfg.get("semantic_search") or {}).get("model", "hash:16")
+                etbl.delta_overwrite(self._embed(new_chunks, model),
+                                     touched_keys, tomb_link=tomb_dir)
+                out[f"{field}_embeddings"] = n_changed
+            if f"{field}_tsvectors" in self._tables:
+                ttbl = self._tables[f"{field}_tsvectors"]
+                ttbl.delta_overwrite(
+                    new_chunks.select(
+                        "chunk_id", tokenize(F.col("chunk")).alias("tokens")
+                    ),
+                    touched_keys, tomb_link=tomb_dir,
+                )
+                out[f"{field}_tsvectors"] = n_changed
+            self._set_watermark(field, docs_version)
+        finally:
+            new_chunks.unpersist()
 
     def resync(self) -> dict[str, int]:
         return self.sync(full=True)

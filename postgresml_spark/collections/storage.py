@@ -119,6 +119,19 @@ class BucketedVersionedTable(VersionedTable):
         self.key = key
         self.n_buckets = n_buckets
 
+    def _key_col(self):
+        """Bucket-key column: `key` is a column name, or a callable
+        returning a Column for DERIVED keys (the pipeline's
+        embeddings/tsvectors tables bucket by the document id encoded
+        in chunk_id, so all derived tables share the chunks table's
+        bucket assignment). The expression must cast to string before
+        hashing so derived and direct keys bucket identically."""
+        from pyspark.sql import functions as F
+
+        if callable(self.key):
+            return self.key()
+        return F.col(self.key).cast("string")
+
     def _bucketed(self, df: DataFrame) -> DataFrame:
         from pyspark.sql import functions as F
 
@@ -126,7 +139,7 @@ class BucketedVersionedTable(VersionedTable):
             return df
         return df.withColumn(
             "__bucket",
-            F.pmod(F.xxhash64(F.col(self.key).cast("string")), F.lit(self.n_buckets)).cast("int"),
+            F.pmod(F.xxhash64(self._key_col()), F.lit(self.n_buckets)).cast("int"),
         )
 
     def _clustered(self, df: DataFrame) -> DataFrame:
@@ -147,22 +160,241 @@ class BucketedVersionedTable(VersionedTable):
 
         return F.pmod(F.xxhash64(col.cast("string")), F.lit(self.n_buckets)).cast("int")
 
+    def has_bucketed_current(self) -> bool:
+        """True when the current version was written with __bucket
+        partitioning — the precondition for partial_overwrite (a flat
+        legacy version has no bucket dirs to hardlink, so callers must
+        fall back to a full overwrite once to migrate the layout)."""
+        v = self._current_version()
+        if v == 0:
+            return False
+        vdir = os.path.join(self.path, f"v_{v}")
+        try:
+            return any(n.startswith("__bucket=") for n in os.listdir(vdir))
+        except FileNotFoundError:
+            return False
+
+    # -- delta versions (O(changed) incremental writes) ----------------------
+    #
+    # A delta version carries the previous version's bucket files via
+    # hardlink plus two underscore-hidden (invisible to Spark's file
+    # listing) small datasets: `_delta` (all live rows whose bucket key
+    # was changed since the last full write, COMPACTED each time) and
+    # `_tombstones` (the accumulated changed/deleted string keys).
+    # Logical content = base minus tombstoned keys, union delta — the
+    # deletion-vector pattern Delta Lake formalizes, so a 1%-changed
+    # sync writes O(changed) bytes instead of rewriting every touched
+    # bucket (with uniformly hashed keys, 1% of docs touches ~every
+    # bucket). `_stats.json` records base/tombstone row counts so the
+    # caller can trigger compaction (a plain overwrite) before the
+    # read-side anti-join grows past its budget.
+
+    def _vdir(self, v: int) -> str:
+        return os.path.join(self.path, f"v_{v}")
+
+    def _extra(self, vdir: str, name: str):
+        p = os.path.join(vdir, name)
+        return self.spark.read.parquet(p) if os.path.isdir(p) else None
+
+    def stats(self) -> dict:
+        import json
+
+        v = self._current_version()
+        try:
+            with open(os.path.join(self._vdir(v), "_stats.json")) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {}
+
+    def write_stats(self, **kw) -> None:
+        import json
+
+        v = self._current_version()
+        if v == 0:
+            return
+        with open(os.path.join(self._vdir(v), "_stats.json"), "w") as f:
+            json.dump(kw, f)
+
+    def _apply_delta(self, base: DataFrame, vdir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        tomb = self._extra(vdir, "_tombstones")
+        delta = self._extra(vdir, "_delta")
+        out = base
+        if tomb is not None:
+            out = out.join(
+                tomb, self._key_col() == F.col("__key"), "left_anti"
+            )
+        if delta is not None:
+            out = out.unionByName(delta.select(*out.columns))
+        return out
+
     def read(self) -> DataFrame:
-        df = super().read()
+        v = self._current_version()
+        if v == 0:
+            return self.spark.createDataFrame([], self.schema)
+        vdir = self._vdir(v)
+        df = self._apply_delta(self.spark.read.parquet(vdir), vdir)
         return df.drop("__bucket") if "__bucket" in df.columns else df
 
     def read_buckets(self, buckets: list[int]) -> DataFrame:
         """Scan only the requested buckets — partition pruning at file
-        listing (PartitionFilters), so an upsert reads O(touched)."""
+        listing (PartitionFilters), so an upsert reads O(touched).
+        Delta/tombstones apply bucket-filtered (the delta carries
+        __bucket for exactly this)."""
         v = self._current_version()
         if v == 0:
             return self.spark.createDataFrame([], self.schema)
         from pyspark.sql import functions as F
 
-        df = self.spark.read.parquet(os.path.join(self.path, f"v_{v}"))
-        return df.filter(F.col("__bucket").isin([int(b) for b in buckets])).drop(
-            "__bucket"
+        vdir = self._vdir(v)
+        bl = [int(b) for b in buckets]
+        df = self.spark.read.parquet(vdir).filter(F.col("__bucket").isin(bl))
+        tomb = self._extra(vdir, "_tombstones")
+        if tomb is not None:
+            df = df.join(tomb, self._key_col() == F.col("__key"), "left_anti")
+        delta = self._extra(vdir, "_delta")
+        if delta is not None:
+            df = df.unionByName(
+                delta.filter(F.col("__bucket").isin(bl)).select(*df.columns)
+            )
+        return df.drop("__bucket")
+
+    def _link_buckets(self, prev: str, out: str, skip: set | None = None):
+        import shutil
+
+        for name in os.listdir(prev):
+            if not name.startswith("__bucket="):
+                continue
+            if skip and int(name.split("=", 1)[1]) in skip:
+                continue
+            src, dst = os.path.join(prev, name), os.path.join(out, name)
+            os.makedirs(dst, exist_ok=True)
+            for fn in os.listdir(src):
+                if not fn.endswith(".parquet"):
+                    continue
+                try:
+                    os.link(os.path.join(src, fn), os.path.join(dst, fn))
+                except OSError:
+                    shutil.copy2(os.path.join(src, fn), os.path.join(dst, fn))
+
+    def delta_overwrite(self, new_rows: DataFrame, replaced_keys: DataFrame,
+                        keep_versions: int = 2,
+                        tomb_hint: int | None = None,
+                        tomb_link: str | None = None) -> str:
+        """New version = every base bucket hardlinked + compacted delta
+        + accumulated tombstones. `replaced_keys` is a 1-column DF of
+        key values whose base rows are dead (their replacement rows, if
+        any, are in `new_rows`).
+
+        `tomb_hint` (an upper bound on the accumulated tombstone count,
+        e.g. previous stats + batch size) skips the exact count job.
+        `tomb_link` hardlinks an already-written _tombstones dir from a
+        SIBLING table whose tombstone history is identical (a field's
+        chunks/embeddings/tsvectors always sync together), skipping the
+        union+write entirely. Returns this version's _tombstones path
+        so siblings can link it."""
+        import json
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        cur = self._current_version()
+        if cur == 0:
+            raise ValueError("delta_overwrite needs an existing version")
+        prev, v = self._vdir(cur), cur + 1
+        out = self._vdir(v)
+        os.makedirs(out, exist_ok=True)
+        tomb_dir = os.path.join(out, "_tombstones")
+        n_tomb = None
+        if isinstance(replaced_keys, (list, tuple, set)):
+            # driver-side tombstone accumulation: the key set is
+            # bounded by the compaction threshold, so union+write via
+            # pyarrow costs ZERO Spark jobs and yields an exact count.
+            # The delta-compaction anti-join below uses the BATCH keys
+            # only — anti-joining against the accumulated set would
+            # drop earlier syncs' still-live delta rows (their keys
+            # are tombstoned for the BASE, not for the delta).
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            batch = sorted({str(k) for k in replaced_keys})
+            key_set = set(batch)
+            prev_tomb = os.path.join(prev, "_tombstones")
+            if os.path.isdir(prev_tomb):
+                for fn in os.listdir(prev_tomb):
+                    if fn.endswith(".parquet"):
+                        key_set.update(
+                            pq.read_table(
+                                os.path.join(prev_tomb, fn)
+                            ).column("__key").to_pylist()
+                        )
+            n_tomb = len(key_set)
+            keys = (
+                self.spark.createDataFrame([(k,) for k in batch],
+                                           "__key string")
+                if batch else None
+            )
+            if tomb_link is None:
+                os.makedirs(tomb_dir, exist_ok=True)
+                pq.write_table(
+                    pa.table({"__key": pa.array(sorted(key_set),
+                                                pa.string())}),
+                    os.path.join(tomb_dir, "part-00000.parquet"),
+                )
+        else:
+            keys = replaced_keys.select(
+                F.col(replaced_keys.columns[0]).cast("string").alias("__key")
+            ).distinct()
+        if tomb_link is not None:
+            os.makedirs(tomb_dir, exist_ok=True)
+            for fn in os.listdir(tomb_link):
+                src = os.path.join(tomb_link, fn)
+                if not os.path.isfile(src):
+                    continue
+                try:
+                    os.link(src, os.path.join(tomb_dir, fn))
+                except OSError:
+                    shutil.copy2(src, os.path.join(tomb_dir, fn))
+        elif not isinstance(replaced_keys, (list, tuple, set)):
+            old_tomb = self._extra(prev, "_tombstones")
+            tomb = (
+                keys if old_tomb is None
+                else old_tomb.unionByName(keys).distinct()
+            )
+            tomb.coalesce(1).write.mode("overwrite").parquet(tomb_dir)
+            if tomb_hint is None:
+                n_tomb = self.spark.read.parquet(tomb_dir).count()
+        delta = self._bucketed(new_rows)
+        old_delta = self._extra(prev, "_delta")
+        if old_delta is not None and keys is not None:
+            surviving = old_delta.join(
+                keys, self._key_col() == F.col("__key"), "left_anti"
+            )
+            delta = surviving.unionByName(delta.select(*surviving.columns))
+        elif old_delta is not None:
+            delta = old_delta.unionByName(delta.select(*old_delta.columns))
+        delta.coalesce(4).write.mode("overwrite").parquet(
+            os.path.join(out, "_delta")
         )
+        self._link_buckets(prev, out)
+        st = {}
+        try:
+            with open(os.path.join(prev, "_stats.json")) as f:
+                st = json.load(f)
+        except (FileNotFoundError, ValueError):
+            pass
+        st["tomb_rows"] = int(
+            n_tomb if n_tomb is not None
+            else (tomb_hint if tomb_hint is not None
+                  else st.get("tomb_rows", 0))
+        )
+        with open(os.path.join(out, "_stats.json"), "w") as f:
+            json.dump(st, f)
+        with open(self._pointer(), "w") as f:
+            f.write(str(v))
+        self.vacuum(keep_versions)
+        return tomb_dir
 
     def overwrite(self, df: DataFrame, keep_versions: int = 2) -> None:
         v = self._current_version() + 1
@@ -175,10 +407,19 @@ class BucketedVersionedTable(VersionedTable):
     def partial_overwrite(self, touched_df: DataFrame, touched: list[int],
                           keep_versions: int = 2) -> None:
         """New version = touched buckets from touched_df + every other
-        bucket hardlinked from the current version (copy fallback)."""
+        bucket hardlinked from the current version (copy fallback).
+        Not composable with delta versions (a bucket rewrite can't see
+        which delta rows belong to it) — a table is maintained through
+        EITHER partial_overwrite (documents) or delta_overwrite
+        (pipeline derived tables), never both."""
         import shutil
 
         cur = self._current_version()
+        if cur and os.path.isdir(os.path.join(self._vdir(cur), "_delta")):
+            raise ValueError(
+                "partial_overwrite on a delta version would drop the "
+                "delta; compact first (overwrite(self.read()))"
+            )
         v = cur + 1
         out = os.path.join(self.path, f"v_{v}")
         self._clustered(touched_df).write.mode("overwrite").partitionBy(

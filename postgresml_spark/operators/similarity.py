@@ -1064,7 +1064,14 @@ class ResidentANN:
                         score_parts.append(self.mat[lo:hi][sub] @ q)
                         id_parts.append(self.ids[lo:hi][sub])
                         found += sub.size
-                if allowed is None or found >= k:
+                # Unfiltered searches take one probe round — but ONLY
+                # if it scored anything: Lloyd leaves empty cells, and
+                # a query whose top-nprobe centroids are all empty
+                # would return zero results on a non-empty index
+                # (surfaced when the bucketed table layout changed the
+                # fit-sample row order). Keep expanding until some
+                # candidates exist, like the filtered iterative scan.
+                if (allowed is None and score_parts) or found >= k:
                     break
             if not score_parts:
                 return []

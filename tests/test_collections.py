@@ -562,3 +562,64 @@ def test_pipeline_management_surface(spark, tmp_path):
     assert coll.get_pipelines() == []
     assert all(not _os.path.exists(r) for r in roots)
     assert coll.documents.read().count() == 3
+
+
+def test_incremental_sync_noop_writes_nothing(coll, pipe):
+    """VERDICT r6 next #7: a sync with no document changes must leave
+    every derived table's version UNTOUCHED (the no-op set is not
+    rewritten), and a changed-doc sync must rewrite only the touched
+    buckets (untouched buckets hardlink to the previous version)."""
+    import os
+
+    coll._pipelines.pop("p1")  # manual sync control
+
+    def versions():
+        return {k: t._current_version() for k, t in pipe._tables.items()}
+
+    before = versions()
+    assert pipe.sync() == {"body_chunks": 0, "body_embeddings": 0,
+                           "body_tsvectors": 0}
+    assert versions() == before, "no-op sync must not write new versions"
+
+    # one changed doc: counts say 1, versions bump exactly once, and the
+    # new chunks version hardlinks (st_nlink > 1) the untouched buckets
+    coll.upsert_documents(
+        [{"id": 2, "title": "postgres ml", "body": "rewritten body text",
+          "meta": {"tag": "ml", "level": 2}}]
+    )
+    counts = pipe.sync()
+    assert counts["body_chunks"] == 1
+    after = versions()
+    assert all(after[k] == before[k] + 1 for k in after)
+    tbl = pipe._tables["body_chunks"]
+    vdir = os.path.join(tbl.path, f"v_{after['body_chunks']}")
+    bucket_dirs = [d for d in os.listdir(vdir) if d.startswith("__bucket=")]
+    linked = sum(
+        1 for d in bucket_dirs
+        for f in os.listdir(os.path.join(vdir, d))
+        if f.endswith(".parquet")
+        and os.stat(os.path.join(vdir, d, f)).st_nlink > 1
+    )
+    assert linked >= len(bucket_dirs) - 1, "untouched buckets must hardlink"
+    # derived rows stayed consistent: 4 docs, 4 chunks, updated text wins
+    rows = {r["document_id"]: r["chunk"]
+            for r in pipe.table("body_chunks").collect()}
+    assert len(rows) == 4
+    assert "rewritten body text" in rows[
+        [r["id"] for r in coll.documents.read().select("id", "source_uuid")
+         .collect() if r["source_uuid"] == "2"][0]
+    ]
+
+
+def test_incremental_sync_deleted_doc_drops_orphans(coll, pipe):
+    """Deleting a document and syncing drops its chunks/embeddings/
+    tsvectors via the touched-bucket rewrite (orphan cleanup,
+    queries.rs:284-299)."""
+    coll._pipelines.pop("p1")
+    coll.delete_documents({"meta": {"tag": "food"}})
+    pipe.sync()
+    chunks = pipe.table("body_chunks").collect()
+    assert len(chunks) == 3
+    ids = {r["chunk_id"] for r in chunks}
+    assert {r["chunk_id"] for r in pipe.table("body_embeddings").collect()} == ids
+    assert {r["chunk_id"] for r in pipe.table("body_tsvectors").collect()} == ids

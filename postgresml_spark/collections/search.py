@@ -95,6 +95,23 @@ def _tsrank_col(tokens_col, query_terms: list[str], normalization: int = 32):
     return rank
 
 
+class SearchResults(list):
+    """Result list + per-search quality metadata (VERDICT r7 next #8).
+
+    Behaves exactly like the plain list of result dicts the SDK has
+    always returned; `search_info` additionally carries
+    {"search_id", "candidates_exhausted", "candidate_mult"} so a
+    caller of the candidate-bounded path can see IN THE PAYLOAD when
+    the adaptive overfetch hit its escalation cap and the top-k is
+    best-effort rather than proven (the reference stores per-result
+    quality via search_results ranks, search_query_builder.rs:509 —
+    this is the served-path analog without a telemetry read)."""
+
+    def __init__(self, rows=(), search_info: dict | None = None):
+        super().__init__(rows)
+        self.search_info = search_info or {}
+
+
 def _served_applicable(spec: dict) -> bool:
     """The resident-index path serves semantic queries INCLUDING
     metadata-filtered ones — the filter DSL evaluates against the
@@ -378,6 +395,20 @@ def _served_hybrid(
             }
         )
 
+    def _results(rows, mult=None, exhausted=False):
+        # payload-level quality surface: same rows as ever, plus
+        # search_info for callers that need the exhaustion flag
+        # without reading telemetry
+        return SearchResults(
+            rows,
+            {
+                "search_id": search_id,
+                "semantic_mode": semantic_mode,
+                "candidate_mult": mult,
+                "candidates_exhausted": bool(exhausted),
+            },
+        )
+
     # doc payload map: reuse any resident index's doc_json (both index
     # kinds are rebuilt on the same version token as documents)
     any_idx = (
@@ -387,7 +418,7 @@ def _served_hybrid(
     )
     if any_idx is None:
         _buffer([])
-        return []
+        return _results([])
     doc_json = any_idx.doc_json
     allowed_docs = (
         # resolve the metadata filter ONCE against the resident
@@ -503,7 +534,7 @@ def _served_hybrid(
                     "candidate_mult": mult,
                     "candidates_exhausted": False,
                 }
-            return []
+            return _results([], mult=mult)
         universe = (
             nonempty[0]
             if len(nonempty) == 1
@@ -537,19 +568,54 @@ def _served_hybrid(
         open_fields = [(b, i) for b, i in infos if not i["exhausted"]]
         if not open_fields:
             break  # every shortlist covers its (filtered) corpus: exact
-        unseen_bound = sum(
-            max(0.0, b * i["min_score"]) for b, i in open_fields
-        )
+
+        def _field_bound(i):
+            # Geometric certificate (VERDICT r7 next #5): when the IVF
+            # scan exposed its full probe round, an unseen doc's best
+            # chunk is EITHER a scanned chunk of a non-universe doc
+            # (its f32 score is known — take the max over those) OR
+            # lives in an unprobed cell (<= q·c + R_c, Cauchy-Schwarz).
+            # Unlike min_score this skips the dense score band the
+            # shortlist truncates into — the common-term escalation
+            # trigger — and it is UNCONDITIONAL, so it needs no router
+            # trust. Falls back to the shortlist-min heuristic when the
+            # index carries no geometry (HNSW / pre-r8 saved graphs).
+            sd = i.get("scanned_docs")
+            if sd is None or i.get("unscanned_bound") is None:
+                return i["min_score"], False
+            ub = i["unscanned_bound"]
+            if sd.size:
+                pos = np.searchsorted(universe, sd)
+                posc = np.clip(pos, 0, max(universe.size - 1, 0))
+                outside = (
+                    universe[posc] != sd if universe.size
+                    else np.ones(sd.size, dtype=bool)
+                )
+                if outside.any():
+                    m = float(i["scanned_best32"][outside].max())
+                    ub = max(ub, m + 1e-5 * max(1.0, abs(m)))
+            # both bounds are valid when the router is confident —
+            # take the tighter (tiny clustered corpora have covering
+            # radii spanning the space, where the shortlist-min wins;
+            # dense common-term bands are where the geometry wins)
+            if i["router_confident"]:
+                ub = min(ub, i["min_score"])
+            return ub, True
+
+        bounds = [(b, *_field_bound(i)) for b, i in open_fields]
+        unseen_bound = sum(max(0.0, b * ub) for b, ub, _ in bounds)
         boundary = float(total[top_pos[-1]]) if k >= limit else -np.inf
         # Two conditions prove the top-k: (a) the k-th winner clears
-        # the unseen-doc bound, and (b) every open field's shortlist is
-        # TRUSTWORTHY as a top-n — either provably (all lists probed)
-        # or because the index router is confident (the best found
-        # chunk aligns with a centroid; an off-codebook query's probing
-        # order is noise and misses chunks inside the observed score
-        # range — measured at 100k: agreement 0.7 on exactly those).
+        # the unseen-doc bound, and (b) every open field's bound is
+        # TRUSTWORTHY — geometrically certified fields always are;
+        # heuristic (shortlist-min) fields need all lists probed or a
+        # confident index router (the best found chunk aligns with a
+        # centroid; an off-codebook query's probing order is noise and
+        # misses chunks inside the observed score range — measured at
+        # 100k: agreement 0.7 on exactly those).
         trusted = all(
-            i["router_confident"] for _, i in open_fields
+            geo or i["router_confident"]
+            for (_, i), (_, _, geo) in zip(open_fields, bounds)
         )
         if boundary > unseen_bound and trusted:
             break
@@ -610,16 +676,20 @@ def _served_hybrid(
         ],
         candidates_exhausted=candidates_exhausted,
     )
-    return [
-        {
-            "document_id": did,
-            "document": json.loads(doc_json[did]),
-            "score": s,
-            **{c: cols.get(c) for c in score_cols},
-            "search_id": search_id,
-        }
-        for s, did, cols in top
-    ]
+    return _results(
+        [
+            {
+                "document_id": did,
+                "document": json.loads(doc_json[did]),
+                "score": s,
+                **{c: cols.get(c) for c in score_cols},
+                "search_id": search_id,
+            }
+            for s, did, cols in top
+        ],
+        mult=mult if semantic_mode == "candidate" else None,
+        exhausted=candidates_exhausted,
+    )
 
 
 def flush_search_telemetry(collection) -> int:

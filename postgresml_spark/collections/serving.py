@@ -613,6 +613,20 @@ class ServedPipelineIndex:
         order = np.argsort(hit_docs, kind="stable")
         return hit_docs[order], best[order]
 
+    def _ann_doc_ids(self, idx) -> np.ndarray:
+        """doc id per ANN-internal row (the IVF build clusters rows by
+        centroid, so its row order differs from this index's): one
+        O(n log n) searchsorted build, cached per ANN identity — the
+        probe_scan per-doc aggregation would otherwise pay a Python
+        dict lookup per scanned chunk."""
+        cached = getattr(self, "_ann_doc_cache", None)
+        if cached is None or cached[1] != id(idx):
+            order = np.argsort(self.chunk_ids, kind="stable")
+            pos = np.searchsorted(self.chunk_ids[order], idx.ids)
+            cached = (self.doc_ids[order[pos]], id(idx))
+            self._ann_doc_cache = cached
+        return cached[0]
+
     def candidate_chunk_scores(
         self,
         query_text: str,
@@ -691,13 +705,46 @@ class ServedPipelineIndex:
         exact_topn = False
         router_max = float("inf")
         full_probe_mult = 1
+        scanned_docs = scanned_best32 = None
+        unscanned_bound = None
         if self.kind == "ivfflat":
             base_probes = int(self._params.get("probes", 4))
             probes_used = base_probes * max(1, int(widen))
-            found = idx.search(
-                qv, k=n_cand, allowed=allowed,
-                nprobe=probes_used if widen > 1 else None,
+            scan = (
+                idx.probe_scan(
+                    qv, k=n_cand, allowed=allowed,
+                    nprobe=probes_used if widen > 1 else None,
+                )
+                if hasattr(idx, "probe_scan") else None
             )
+            if scan is not None:
+                # geometric-certificate path (VERDICT r7 next #5): the
+                # probe round scored EVERY chunk of the probed cells —
+                # expose the per-doc f32 bests of the whole scan plus
+                # the unscanned-cell bound, so the hybrid proof no
+                # longer hangs on the shortlist-min inside a dense
+                # score band (the common-term escalation trigger).
+                scan_rows, scan_s32, unscanned_bound = scan
+                if not scan_rows.size:
+                    return _ret(*empty, safe_info)
+                kk = min(n_cand, len(scan_s32))
+                top = np.argpartition(-scan_s32, kk - 1)[:kk]
+                top = top[np.argsort(-scan_s32[top], kind="stable")]
+                found = [(idx.ids[scan_rows[i]].item(),
+                          float(scan_s32[i])) for i in top]
+                sdocs = self._ann_doc_ids(idx)[scan_rows]
+                sperm = np.argsort(sdocs, kind="stable")
+                scanned_docs, sstarts = np.unique(
+                    sdocs[sperm], return_index=True
+                )
+                scanned_best32 = np.maximum.reduceat(
+                    scan_s32[sperm], sstarts
+                )
+            else:  # exact index or pre-r8 saved graph: no geometry
+                found = idx.search(
+                    qv, k=n_cand, allowed=allowed,
+                    nprobe=probes_used if widen > 1 else None,
+                )
             if idx.centroids is None:
                 exact_topn = True
             else:
@@ -730,11 +777,19 @@ class ServedPipelineIndex:
         uniq, starts = np.unique(cand_docs[perm], return_index=True)
         best = np.maximum.reduceat(scores[perm], starts)
         mx = float(scores.max())
+        # fp32 slack (ADVICE r7): the shortlist was SELECTED by
+        # float32 index scores but this bound is float64-rescored —
+        # an unseen chunk u satisfies s32(u) <= min s32(shortlist),
+        # which only gives s64(u) <= min s64(shortlist) + 2e where e
+        # bounds fp32 dot rounding (~sqrt(d)*eps32 for BLAS order);
+        # without the slack a boundary-straddling doc can defeat the
+        # strict `boundary > unseen_bound` proof
+        fp32_eps = 1e-5 * max(1.0, abs(float(scores.min())))
         info = {
             # exact-rescored boundary of the RAW shortlist: under the
             # exact-top-n reading of the shortlist, any unseen chunk
             # scores <= min_score — the adaptive-overfetch safety bound
-            "min_score": float(scores.min()),
+            "min_score": float(scores.min()) + fp32_eps,
             "max_score": mx,
             "exhausted": len(found) >= avail,
             # the min-score bound is only as good as the index's
@@ -753,6 +808,13 @@ class ServedPipelineIndex:
             # escalation target when the router is unconfident (skips
             # the useless intermediate probe rounds)
             "full_probe_mult": full_probe_mult,
+            # geometric-certificate fields (None on non-IVF paths):
+            # per-doc f32 bests over the WHOLE probed scan + the
+            # unconditional q·c + R_c bound on every unprobed cell —
+            # search.py's proof prefers these over min_score
+            "scanned_docs": scanned_docs,
+            "scanned_best32": scanned_best32,
+            "unscanned_bound": unscanned_bound,
         }
         return _ret(uniq.astype(np.int64), best, info)
 
@@ -1040,6 +1102,35 @@ class ShardedPipelineIndex:
         # is the max of the NON-exhausted shards' boundaries (exhausted
         # shards hide nothing)
         open_infos = [i for _, _, i in parts if not i["exhausted"]]
+        # geometric certificate merge: shards are doc-disjoint, so the
+        # scanned per-doc bests concatenate and the unscanned bound is
+        # the max over OPEN shards. Usable only when every open shard
+        # carries geometry (a pre-r8 shard degrades the whole merge to
+        # the min_score heuristic).
+        geo_ok = all(
+            i.get("unscanned_bound") is not None for i in open_infos
+        ) and bool(open_infos)
+        sdocs = sbest = None
+        unscanned = None
+        if geo_ok:
+            with_scan = [
+                i for _, _, i in parts if i.get("scanned_docs") is not None
+            ]
+            if with_scan:
+                sdocs = np.concatenate(
+                    [i["scanned_docs"] for i in with_scan]
+                )
+                sbest = np.concatenate(
+                    [i["scanned_best32"] for i in with_scan]
+                )
+                order = np.argsort(sdocs, kind="stable")
+                sdocs, sbest = sdocs[order], sbest[order]
+            else:
+                sdocs = np.empty(0, dtype=np.int64)
+                sbest = np.empty(0)
+            unscanned = max(
+                i["unscanned_bound"] for i in open_infos
+            )
         info = {
             "min_score": max(
                 (i["min_score"] for i in open_infos), default=float("-inf")
@@ -1055,6 +1146,9 @@ class ShardedPipelineIndex:
             "full_probe_mult": max(
                 (i["full_probe_mult"] for i in open_infos), default=1
             ),
+            "scanned_docs": sdocs,
+            "scanned_best32": sbest,
+            "unscanned_bound": unscanned,
         }
         return docs, scores, info
 

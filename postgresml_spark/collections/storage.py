@@ -237,6 +237,22 @@ class BucketedVersionedTable(VersionedTable):
         df = self._apply_delta(self.spark.read.parquet(vdir), vdir)
         return df.drop("__bucket") if "__bucket" in df.columns else df
 
+    def read_version(self, version: int) -> DataFrame:
+        """Time-travel read that is delta-aware (ADVICE r7): a plain
+        parquet scan of a delta version sees only the hardlinked
+        bucket files (underscore-prefixed `_delta`/`_tombstones` are
+        invisible to Spark's listing), so delta rows would be missing
+        and tombstoned rows would resurface. Apply the version's own
+        delta/tombstones, exactly like read()."""
+        if version not in self.versions():
+            raise ValueError(
+                f"version {version} not retained (have {self.versions()}; "
+                f"raise keep_versions on writes to retain more)"
+            )
+        vdir = self._vdir(version)
+        df = self._apply_delta(self.spark.read.parquet(vdir), vdir)
+        return df.drop("__bucket") if "__bucket" in df.columns else df
+
     def read_buckets(self, buckets: list[int]) -> DataFrame:
         """Scan only the requested buckets — partition pruning at file
         listing (PartitionFilters), so an upsert reads O(touched).

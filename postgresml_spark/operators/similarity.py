@@ -965,11 +965,12 @@ class ResidentANN:
             cn[cn == 0.0] = 1.0
             self.centroids = (cent / cn).astype(np.float32)
             self.assign = np.empty(len(self.mat), dtype=np.int64)
+            best = np.empty(len(self.mat), dtype=np.float32)
             step = max(1, 2**24 // max(nlist, 1))
             for lo in range(0, len(self.mat), step):
-                self.assign[lo : lo + step] = np.argmax(
-                    self.mat[lo : lo + step] @ self.centroids.T, axis=1
-                )
+                blk = self.mat[lo : lo + step] @ self.centroids.T
+                self.assign[lo : lo + step] = np.argmax(blk, axis=1)
+                best[lo : lo + step] = np.max(blk, axis=1)
             order = np.argsort(self.assign, kind="stable")
             # cluster rows by centroid for contiguous probe slices
             self.ids, self.mat = self.ids[order], self.mat[order]
@@ -977,6 +978,127 @@ class ResidentANN:
             self.offsets = np.searchsorted(
                 self.assign, np.arange(nlist + 1)
             )
+            # Per-cell covering radius R_c = max ||x - c|| over members
+            # (unit rows and unit centroid: ||x-c||^2 = 2 - 2 x·c, and
+            # x·c is the assignment score already computed). Gives the
+            # UNCONDITIONAL unscanned-cell bound the candidate-hybrid
+            # proof uses: any chunk in an unprobed cell scores
+            # q·x <= q·c + R_c (Cauchy-Schwarz on the residual) — a
+            # geometric certificate, not a router heuristic. Empty
+            # cells get -2 so their bound (q·c - 2 <= -1) never binds.
+            best = best[order]
+            self.cell_radius = np.full(nlist, -2.0, dtype=np.float32)
+            for c in range(nlist):
+                lo, hi = int(self.offsets[c]), int(self.offsets[c + 1])
+                if lo < hi:
+                    worst = float(best[lo:hi].min())
+                    # 1e-4 slack absorbs fp32 rounding in x·c and q·c
+                    self.cell_radius[c] = (
+                        2.0 * max(0.0, 1.0 - worst)
+                    ) ** 0.5 + 1e-4
+
+    def _ivf_probe(self, q, k, allowed, nprobe):
+        """Shared IVF probing loop: probe cells in centroid-score
+        order, score every (allowed) chunk in the probed cells.
+        Returns (score_parts, id_parts, row_parts, probed_mask,
+        cent_scores) — search() consumes the first two; probe_scan()
+        additionally uses the row indices and the probe geometry for
+        the unconditional unscanned-cell bound."""
+        cent_scores = self.centroids @ q
+        order = np.argsort(-cent_scores)
+        nlist = len(self.centroids)
+        probed = np.zeros(nlist, dtype=bool)
+        score_parts: list[np.ndarray] = []
+        id_parts: list[np.ndarray] = []
+        row_parts: list[np.ndarray] = []
+        pos, batch, found = 0, int(nprobe or self.nprobe), 0
+        while pos < nlist:
+            probe = np.sort(order[pos : pos + batch])
+            probed[probe] = True
+            pos += batch
+            batch *= 2  # iterative-scan growth (filtered rounds only)
+            # Rows are clustered by centroid, so each probed cell is
+            # a CONTIGUOUS slice: merge adjacent cells into maximal
+            # runs and matmul each run as a VIEW. A fancy-index
+            # gather copied nprobe/nlist of the corpus per query
+            # (~640 MB at 5M x 1024, nprobe=64/2048 — measured
+            # 503 ms median, slower than the exact full matvec);
+            # view-sliced BLAS only touches score/id arrays, never
+            # re-materializes vectors.
+            runs: list[list[int]] = []
+            for c in probe:
+                lo, hi = int(self.offsets[c]), int(self.offsets[c + 1])
+                if lo == hi:
+                    continue
+                if runs and runs[-1][1] == lo:
+                    runs[-1][1] = hi
+                else:
+                    runs.append([lo, hi])
+            for lo, hi in runs:
+                if allowed is None:
+                    score_parts.append(self.mat[lo:hi] @ q)
+                    id_parts.append(self.ids[lo:hi])
+                    row_parts.append(np.arange(lo, hi))
+                else:
+                    sub = np.flatnonzero(allowed[lo:hi])
+                    if not sub.size:
+                        continue
+                    score_parts.append(self.mat[lo:hi][sub] @ q)
+                    id_parts.append(self.ids[lo:hi][sub])
+                    row_parts.append(lo + sub)
+                    found += sub.size
+            # Unfiltered searches take one probe round — but ONLY
+            # if it scored anything: Lloyd leaves empty cells, and
+            # a query whose top-nprobe centroids are all empty
+            # would return zero results on a non-empty index
+            # (surfaced when the bucketed table layout changed the
+            # fit-sample row order). Keep expanding until some
+            # candidates exist, like the filtered iterative scan.
+            if (allowed is None and score_parts) or found >= k:
+                break
+        return score_parts, id_parts, row_parts, probed, cent_scores
+
+    def probe_scan(self, query_vec, k: int = 10, allowed=None,
+                   nprobe: int | None = None):
+        """Candidate-proof scan (VERDICT r7 next #5): every f32 score
+        the probe round ALREADY computed, plus a geometric certificate
+        for everything it didn't.
+
+        Returns (rows, scores, unscanned_bound) — `rows` are THIS
+        index's internal row indices for every scored chunk, `scores`
+        their f32 cosines, and `unscanned_bound` the maximum possible
+        cosine of any chunk in an UNPROBED cell:
+        max_c∉probed (q·c + R_c), with R_c the cell's covering radius
+        (build-time). Unlike the shortlist-min heuristic this bound is
+        UNCONDITIONAL (Cauchy-Schwarz, not router trust), and unlike
+        the shortlist it exposes the scored-but-not-returned chunks,
+        so the hybrid's unseen-doc bound can skip the dense score band
+        the top-n_cand shortlist truncates into.
+
+        None when the index has no IVF geometry (exact/HNSW, or a
+        pre-r8 saved index without cell_radius)."""
+        if self.centroids is None or getattr(self, "cell_radius", None) \
+                is None:
+            return None
+        q = np.asarray(query_vec, dtype=np.float32)
+        qn = np.linalg.norm(q)
+        if qn:
+            q = q / qn
+        score_parts, _, row_parts, probed, cs = self._ivf_probe(
+            q, k, allowed, nprobe
+        )
+        if score_parts:
+            scores = np.concatenate(score_parts)
+            rows = np.concatenate(row_parts)
+        else:
+            scores = np.empty(0, dtype=np.float32)
+            rows = np.empty(0, dtype=np.int64)
+        un = ~probed
+        bound = (
+            float(np.max(cs[un] + self.cell_radius[un]))
+            if un.any() else float("-inf")
+        )
+        return rows, scores, bound
 
     def row_mask(self, allowed_ids) -> np.ndarray:
         """Boolean mask in THIS index's row order (rows are clustered
@@ -1027,52 +1149,9 @@ class ResidentANN:
                 ids = self.ids
                 scores = self.mat @ q
         else:
-            order = np.argsort(-(self.centroids @ q))
-            nlist = len(self.centroids)
-            score_parts: list[np.ndarray] = []
-            id_parts: list[np.ndarray] = []
-            pos, batch, found = 0, int(nprobe or self.nprobe), 0
-            while pos < nlist:
-                probe = np.sort(order[pos : pos + batch])
-                pos += batch
-                batch *= 2  # iterative-scan growth (filtered rounds only)
-                # Rows are clustered by centroid, so each probed cell is
-                # a CONTIGUOUS slice: merge adjacent cells into maximal
-                # runs and matmul each run as a VIEW. A fancy-index
-                # gather copied nprobe/nlist of the corpus per query
-                # (~640 MB at 5M x 1024, nprobe=64/2048 — measured
-                # 503 ms median, slower than the exact full matvec);
-                # view-sliced BLAS only touches score/id arrays, never
-                # re-materializes vectors.
-                runs: list[list[int]] = []
-                for c in probe:
-                    lo, hi = int(self.offsets[c]), int(self.offsets[c + 1])
-                    if lo == hi:
-                        continue
-                    if runs and runs[-1][1] == lo:
-                        runs[-1][1] = hi
-                    else:
-                        runs.append([lo, hi])
-                for lo, hi in runs:
-                    if allowed is None:
-                        score_parts.append(self.mat[lo:hi] @ q)
-                        id_parts.append(self.ids[lo:hi])
-                    else:
-                        sub = np.flatnonzero(allowed[lo:hi])
-                        if not sub.size:
-                            continue
-                        score_parts.append(self.mat[lo:hi][sub] @ q)
-                        id_parts.append(self.ids[lo:hi][sub])
-                        found += sub.size
-                # Unfiltered searches take one probe round — but ONLY
-                # if it scored anything: Lloyd leaves empty cells, and
-                # a query whose top-nprobe centroids are all empty
-                # would return zero results on a non-empty index
-                # (surfaced when the bucketed table layout changed the
-                # fit-sample row order). Keep expanding until some
-                # candidates exist, like the filtered iterative scan.
-                if (allowed is None and score_parts) or found >= k:
-                    break
+            score_parts, id_parts, _, _, _ = self._ivf_probe(
+                q, k, allowed, nprobe
+            )
             if not score_parts:
                 return []
             scores = np.concatenate(score_parts)
@@ -1118,6 +1197,7 @@ class ResidentANN:
                     "centroids": self.centroids,
                     "assign": self.assign,
                     "offsets": self.offsets,
+                    "cell_radius": self.cell_radius,
                 }
             ),
         )
@@ -1132,6 +1212,9 @@ class ResidentANN:
         idx.nprobe = int(meta["nprobe"])
         idx.centroids = arrays.get("centroids")
         idx.assign = arrays.get("assign")
+        # pre-r8 saved indexes lack cell geometry: probe_scan returns
+        # None and callers fall back to the shortlist-min bound
+        idx.cell_radius = arrays.get("cell_radius")
         if "offsets" in arrays:
             idx.offsets = arrays["offsets"]
         return idx

@@ -611,6 +611,142 @@ def test_incremental_sync_noop_writes_nothing(coll, pipe):
     ]
 
 
+def test_read_version_delta_aware(coll, pipe):
+    """ADVICE r7: time-travel onto a DELTA version must apply that
+    version's _delta/_tombstones — a plain parquet scan would miss the
+    delta rows and resurrect tombstoned ones."""
+    coll._pipelines.pop("p1")
+    pipe.sync()
+    tbl = pipe._tables["body_chunks"]
+    coll.upsert_documents([{"id": 1, "body": "travelled body text"}])
+    pipe.sync()
+    v = tbl._current_version()
+    import os
+
+    assert os.path.isdir(os.path.join(tbl.path, f"v_{v}", "_delta"))
+    snap = {r["chunk"] for r in tbl.read_version(v).collect()}
+    assert "travelled body text" in snap, "delta rows must be visible"
+    assert "spark is a distributed analytics engine for big data processing" \
+        not in snap, "tombstoned rows must stay dead in time-travel"
+    assert snap == {r["chunk"] for r in tbl.read().collect()}
+
+
+def test_tombstone_foldback_compaction(coll, pipe, monkeypatch):
+    """VERDICT r7 next #6: when accumulated tombstones cross the
+    threshold, sync must fold the delta chain back via a full rebuild
+    — reads identical before/after modulo the new change, stats reset,
+    and the folded version is a plain bucketed write (no _delta)."""
+    import os
+
+    coll._pipelines.pop("p1")
+    pipe.sync()
+    tbl = pipe._tables["body_chunks"]
+
+    def chunk_texts():
+        return {r["chunk"] for r in pipe.table("body_chunks").collect()}
+
+    # two incremental syncs accumulate doc-key tombstones
+    for i, txt in ((1, "first rewritten body"), (2, "second rewritten body")):
+        coll.upsert_documents([{"id": i, "body": txt}])
+        pipe.sync()
+    assert tbl.stats().get("tomb_rows", 0) >= 2
+    assert os.path.isdir(
+        os.path.join(tbl.path, f"v_{tbl._current_version()}", "_delta")
+    ), "precondition: delta chain exists"
+    before = chunk_texts()
+
+    # force the fold on the next changed sync
+    monkeypatch.setattr(pipe, "COMPACTION_MIN_TOMBS", 0)
+    coll.upsert_documents([{"id": 3, "body": "third rewritten body"}])
+    counts = pipe.sync()
+    # (a) the fold-back full rebuild fired: counts cover the whole
+    # corpus and the new version carries no _delta
+    assert counts["body_chunks"] == 4
+    vdir = os.path.join(tbl.path, f"v_{tbl._current_version()}")
+    assert not os.path.isdir(os.path.join(vdir, "_delta"))
+    # (b) reads are identical across the fold modulo the new change
+    after = chunk_texts()
+    assert after == (before - {"cosine similarity search over dense vector embeddings"}) | {
+        "third rewritten body"
+    }
+    # (c) stats reset
+    st = tbl.stats()
+    assert st.get("tomb_rows") == 0 and st.get("base_rows") == 4
+    # and the derived siblings folded with it (shared tombstone history)
+    assert pipe.table("body_embeddings").count() == 4
+    assert pipe.table("body_tsvectors").count() == 4
+
+
+def _log_seqs(coll):
+    import os
+
+    if not os.path.isdir(coll._changes_path):
+        return set()
+    return {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(coll._changes_path)
+        if d.startswith("seq=")
+    }
+
+
+def test_change_log_pruned_after_sync(coll, pipe):
+    """ADVICE r7: sync() must prune change-log partitions every
+    pipeline has consumed — retention is O(churn window), not
+    unbounded accumulation of upsert payloads."""
+    coll._pipelines.pop("p1")
+    # add_pipeline's initial sync already pruned the bootstrap
+    # partition — retention is in effect from the very first sync
+    assert _log_seqs(coll) == set(), "initial sync must already prune"
+    coll.upsert_documents([{"id": 9, "body": "fresh body text"}])
+    new_seqs = _log_seqs(coll)
+    assert new_seqs, "new upsert logs a fresh partition"
+    pipe.sync()
+    assert _log_seqs(coll) == set()
+    # and the prune high-water marker reflects what is gone
+    assert coll._pruned_upto() >= max(new_seqs)
+
+
+def test_pruned_log_gap_forces_full_sync(coll, pipe):
+    """A watermark BEHIND the prune marker means the log is gapped for
+    this pipeline — sync must take the full-rebuild path (counts cover
+    the whole corpus), never a silent partial incremental."""
+    coll._pipelines.pop("p1")
+    pipe.sync()
+    coll.upsert_documents([{"id": 5, "body": "brand new doc body"}])
+    # simulate purge-style compliance pruning that outruns the
+    # pipeline's watermark (purge prunes to the current version
+    # regardless of unattached pipelines)
+    coll._prune_changes(coll.documents._current_version())
+    assert coll._pruned_upto() > pipe._get_watermark("body")
+    counts = pipe.sync()
+    # full rebuild re-derives every live doc (4 originals + 1 new),
+    # not just the changed one — and the result is complete
+    assert counts["body_chunks"] == 5
+    assert pipe.table("body_chunks").count() == 5
+
+
+def test_removed_pipeline_unpins_change_log(coll, pipe):
+    """remove_pipeline must delete the pipeline root (incl. its sync
+    watermarks) so a dead pipeline's stale watermark can't pin
+    change-log retention forever; a second attached pipeline that
+    hasn't consumed a partition still holds it back."""
+    from postgresml_spark.collections import Pipeline
+
+    coll._pipelines.pop("p1")
+    p2 = Pipeline("p2", {"body": {"full_text_search": {}}})
+    coll.add_pipeline(p2)
+    coll._pipelines.pop("p2")
+    pipe.sync()
+    p2.sync()
+    coll.upsert_documents([{"id": 6, "body": "only p1 will see this"}])
+    pipe.sync()  # p2's older on-disk watermark pins the new partition
+    assert _log_seqs(coll), "unconsumed-by-p2 partition must survive"
+    coll._pipelines["p2"] = p2  # re-register so remove_pipeline finds it
+    coll.remove_pipeline("p2")
+    pipe.sync()  # no-op, but retention re-evaluates without p2
+    assert _log_seqs(coll) == set()
+
+
 def test_incremental_sync_deleted_doc_drops_orphans(coll, pipe):
     """Deleting a document and syncing drops its chunks/embeddings/
     tsvectors via the touched-bucket rewrite (orphan cleanup,

@@ -499,6 +499,42 @@ def test_hybrid_candidate_mode_agreement(hybrid_setup, spark):
     assert rows and all(r["score"] == r["score"] for r in rows)  # no NaN
 
 
+def test_search_results_payload_carries_search_info(hybrid_setup):
+    """VERDICT r7 next #8: the served hybrid payload itself surfaces
+    the candidate path's quality flags — a SearchResults list (drop-in
+    list of dicts) with `search_info` carrying search_id /
+    candidate_mult / candidates_exhausted, so callers don't need
+    telemetry or _last_search_info to see a best-effort top-k."""
+    from postgresml_spark.collections.search import SearchResults
+
+    coll, pipe = hybrid_setup
+    res = coll.search(
+        _hq("distributed query engine", "spark stream"), pipe,
+        method="candidate",
+    )
+    assert isinstance(res, SearchResults) and isinstance(res, list)
+    info = res.search_info
+    assert info["search_id"] == res[0]["search_id"]
+    assert info["semantic_mode"] == "candidate"
+    assert info["candidates_exhausted"] is False
+    assert info["candidate_mult"] >= 1
+    # matches the telemetry-side record for the same search
+    assert info["candidates_exhausted"] == \
+        coll._last_search_info["candidates_exhausted"]
+    # the exact-matvec served mode carries the surface too (trivially
+    # not exhausted), and plain-list semantics are untouched
+    res_ix = coll.search(
+        _hq("distributed query engine", "spark stream"), pipe,
+        method="index",
+    )
+    assert isinstance(res_ix, SearchResults)
+    assert res_ix.search_info["candidates_exhausted"] is False
+    assert res_ix.search_info["candidate_mult"] is None
+    assert [r["document_id"] for r in res_ix] == [
+        r["document_id"] for r in list(res_ix)
+    ]
+
+
 def test_served_hybrid_filtered_matches_exact(hybrid_setup):
     """Metadata-filtered HYBRID search serves from the resident tier
     (both score sides mask to the same filtered document set) and must

@@ -36,11 +36,81 @@ from postgresml_spark.operators.similarity import ResidentANN
 from postgresml_spark.session import get_spark
 
 
+def _run_hnsw_sweeps(out, hnsw, queries, truth, hefs) -> None:
+    # one build, an ef sweep per search: recall/latency trade-off
+    # on the same graph (ef is pgvector's hnsw.ef_search knob).
+    # Swept twice query-side: the multi-seed descent default and
+    # upper_ef=1 (the hnswlib-classic greedy descent) — same graph,
+    # so the delta isolates the routing fix.
+    def ef_sweep(upper_ef):
+        sweep = {}
+        for hef in hefs:
+            hnsw.search(queries[0], k=10, ef=hef, upper_ef=upper_ef)
+            ts = []
+            hrec = []
+            for j, q in enumerate(queries):
+                t0 = time.perf_counter()
+                got = hnsw.search(q, k=10, ef=hef, upper_ef=upper_ef)
+                ts.append(time.perf_counter() - t0)
+                hrec.append(len(truth[j] & {i for i, _ in got}) / 10)
+            ts.sort()
+            sweep[hef] = {
+                "median_ms": round(ts[len(ts) // 2] * 1000, 3),
+                "recall_at_10": round(float(np.mean(hrec)), 4),
+            }
+        return sweep
+
+    sweep = ef_sweep(None)  # adaptive multi-seed default
+    out["hnsw_ef_sweep"] = sweep
+    out["hnsw_ef_sweep_greedy_descent"] = ef_sweep(1)
+    best = max(hefs)
+    out["hnsw_ef_search"] = best
+    out["hnsw_median_ms"] = sweep[best]["median_ms"]
+    out["hnsw_recall_at_10"] = sweep[best]["recall_at_10"]
+
+
+def _sweep_from_checkpoint(ckpt_dir: str) -> int:
+    """Solo re-sweep off a persisted graph: no Spark, no synthesis,
+    no exact rebuild — load graph + queries + truth, time the sweep.
+    Optional ANNBENCH_EF overrides the saved ef list."""
+    import json
+
+    from postgresml_spark.operators.similarity import ResidentHNSW
+
+    with open(os.path.join(ckpt_dir, "state.json")) as fh:
+        state = json.load(fh)
+    out = state["out"]
+    truth = [set(t) for t in state["truth"]]
+    hefs = (
+        [int(x) for x in os.environ["ANNBENCH_EF"].split(",")]
+        if os.environ.get("ANNBENCH_EF")
+        else state["hefs"]
+    )
+    queries = list(np.load(os.path.join(ckpt_dir, "queries.npy")))
+    t0 = time.perf_counter()
+    hnsw = ResidentHNSW.load(os.path.join(ckpt_dir, "hnsw"))
+    out["load_hnsw_s"] = round(time.perf_counter() - t0, 2)
+    out["sweep_source"] = "checkpoint_solo"
+    _run_hnsw_sweeps(out, hnsw, queries, truth, hefs)
+    print(json.dumps(out))
+    return 0
+
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     nlist = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
     nprobe = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+
+    # Checkpoint/resume for the multi-hour HNSW leg (mode 1): a 5M
+    # graph build is ~3 h, and the serving-latency sweep is garbage
+    # under concurrent load (SCALE.md noise-burst section) — so the
+    # build run persists the graph + queries + ground truth with
+    # ANNBENCH_SAVE_HNSW=<dir>, and a later SOLO slot re-runs just the
+    # ef sweep in minutes with ANNBENCH_LOAD_HNSW=<dir>.
+    load_dir = os.environ.get("ANNBENCH_LOAD_HNSW")
+    if load_dir:
+        return _sweep_from_checkpoint(load_dir)
 
     # serving-host config: the index build intentionally moves O(corpus)
     # bytes to the driver once, so size the result cap — and the local
@@ -258,36 +328,30 @@ def main() -> int:
         out["hnsw_ef_construction"] = hefc
         out["hnsw_keep_pruned"] = kp
         out["hnsw_shrink"] = shrink
-        # one build, an ef sweep per search: recall/latency trade-off
-        # on the same graph (ef is pgvector's hnsw.ef_search knob).
-        # Swept twice query-side: the multi-seed descent default and
-        # upper_ef=1 (the hnswlib-classic greedy descent) — same graph,
-        # so the delta isolates the routing fix.
-        def ef_sweep(upper_ef):
-            sweep = {}
-            for hef in hefs:
-                hnsw.search(queries[0], k=10, ef=hef, upper_ef=upper_ef)
-                ts = []
-                hrec = []
-                for j, q in enumerate(queries):
-                    t0 = time.perf_counter()
-                    got = hnsw.search(q, k=10, ef=hef, upper_ef=upper_ef)
-                    ts.append(time.perf_counter() - t0)
-                    hrec.append(len(truth[j] & {i for i, _ in got}) / 10)
-                ts.sort()
-                sweep[hef] = {
-                    "median_ms": round(ts[len(ts) // 2] * 1000, 3),
-                    "recall_at_10": round(float(np.mean(hrec)), 4),
-                }
-            return sweep
 
-        sweep = ef_sweep(None)  # adaptive multi-seed default
-        out["hnsw_ef_sweep"] = sweep
-        out["hnsw_ef_sweep_greedy_descent"] = ef_sweep(1)
-        best = max(hefs)
-        out["hnsw_ef_search"] = best
-        out["hnsw_median_ms"] = sweep[best]["median_ms"]
-        out["hnsw_recall_at_10"] = sweep[best]["recall_at_10"]
+        save_dir = os.environ.get("ANNBENCH_SAVE_HNSW")
+        if save_dir:
+            import json as _json
+
+            os.makedirs(save_dir, exist_ok=True)
+            t0 = time.perf_counter()
+            hnsw.save(os.path.join(save_dir, "hnsw"))
+            out["save_hnsw_s"] = round(time.perf_counter() - t0, 2)
+            np.save(
+                os.path.join(save_dir, "queries.npy"),
+                np.asarray(queries, dtype=np.float64),
+            )
+            with open(os.path.join(save_dir, "state.json"), "w") as fh:
+                _json.dump(
+                    {
+                        "out": out,
+                        "truth": [sorted(int(i) for i in t) for t in truth],
+                        "hefs": hefs,
+                    },
+                    fh,
+                )
+
+        _run_hnsw_sweeps(out, hnsw, queries, truth, hefs)
 
     import json
 

@@ -622,14 +622,18 @@ def _served_hybrid(
         if mult >= 64:
             candidates_exhausted = True
             break
-        if not trusted:
+        unconf = [i for _, i in open_fields if not i["router_confident"]]
+        if unconf:
             # jump straight to the full probe sweep: intermediate
-            # probe rounds re-ask an uninformative router
+            # probe rounds re-ask an uninformative router. This is an
+            # escalation STRATEGY, not a trust condition — a
+            # geometrically-certified field can still be
+            # router-unconfident (OOD query), and stepping 1→4→16
+            # there wastes a probe round vs jumping to the sweep.
             mult = min(
                 64,
                 max(mult * 4,
-                    max(i["full_probe_mult"] for _, i in open_fields
-                        if not i["router_confident"])),
+                    max(i["full_probe_mult"] for i in unconf)),
             )
         else:
             mult *= 4

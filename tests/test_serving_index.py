@@ -1593,6 +1593,103 @@ def test_ef_search_parameter_passes_through(hybrid_setup, monkeypatch):
     assert seen["ef"] is None
 
 
+def test_candidate_geometric_certificate_fields_and_filtered_parity():
+    """VERDICT r7 next #5: the IVF candidate path must expose its
+    geometric certificate — per-doc f32 bests over the WHOLE probed
+    scan plus the q·c + R_c bound on unprobed cells — and on a
+    clustered corpus that bound must be TIGHTER than the shortlist-min
+    heuristic (the dense-band escalation trigger). Filtered candidate
+    search through the geometry path must still match exact."""
+    import numpy as np
+
+    from postgresml_spark.collections.search import _served_hybrid
+    from postgresml_spark.collections.serving import (
+        ServedPipelineIndex,
+        ServedTextIndex,
+    )
+
+    rng = np.random.default_rng(17)
+    # canonical dense-band shape: a 3200-chunk near-duplicate band at
+    # one center (the common-term regime where the shortlist-min sits
+    # inside the band) + 15 far tight clusters. Noise scale 0.01 keeps
+    # per-cell covering radii ~0.2 (||noise|| ≈ 0.01·sqrt(384)), so
+    # the unprobed-cell bound lands far below the band.
+    dim, n_chunks = 384, 6200
+    centers = rng.normal(size=(16, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    cl = np.concatenate([np.zeros(3200, dtype=int),
+                         1 + np.arange(3000) % 15])
+    mat = (centers[cl] + rng.normal(scale=0.01, size=(n_chunks, dim))
+           ).astype(np.float32)
+    chunk_ids = np.arange(n_chunks, dtype=np.int64)
+    doc_ids = rng.integers(0, n_chunks // 3, size=n_chunks)
+    qv = centers[0] + rng.normal(scale=0.02, size=dim)
+    import json as _json
+
+    payloads = {
+        int(d): _json.dumps({"id": int(d),
+                             "lang": "en" if d % 2 else "fr"})
+        for d in np.unique(doc_ids)
+    }
+    idx = ServedPipelineIndex.from_arrays(
+        chunk_ids, doc_ids, mat, lambda q: qv,
+        kind="ivfflat", params={"lists": 16, "probes": 4},
+        doc_json=payloads,
+    )
+    docs, scores, info = idx.candidate_chunk_scores(
+        "q", n_candidates=80, return_info=True
+    )
+    assert info["scanned_docs"] is not None
+    assert info["scanned_best32"] is not None
+    assert info["scanned_docs"].size >= docs.size, (
+        "the scan must cover at least the returned shortlist's docs"
+    )
+    # clustered regime: the unscanned-cell geometry bound sits BELOW
+    # the dense shortlist-min — that gap is what stops the common-term
+    # escalation
+    assert info["unscanned_bound"] < info["min_score"]
+    # every returned doc appears in the scan with a consistent f32 best
+    pos = np.searchsorted(info["scanned_docs"], docs)
+    assert np.array_equal(info["scanned_docs"][pos], docs)
+    assert np.allclose(info["scanned_best32"][pos], scores, atol=1e-4)
+
+    # filtered candidate parity end-to-end through the hybrid merge
+    toks = [[f"t{t}" for t in rng.integers(0, 400, size=5)]
+            for _ in range(n_chunks)]
+    ft = ServedTextIndex.from_tokens(chunk_ids, doc_ids, toks)
+
+    class _Pipe:
+        name = "geom_test"
+
+        def served_index(self, field):
+            return idx
+
+        def served_text_index(self, field):
+            return ft
+
+    class _Coll:
+        def __init__(self):
+            self._search_log_buffer = []
+
+    coll = _Coll()
+    hq = {
+        "query": {
+            "semantic_search": {"text": {"query": "q", "boost": 1.5}},
+            "full_text_search": {"text": {"query": "t3 t47",
+                                          "boost": 0.8}},
+            "filter": {"lang": {"$eq": "en"}},
+        },
+        "limit": 10,
+    }
+    exact = _served_hybrid(coll, _Pipe(), hq, semantic_mode="exact")
+    cand = _served_hybrid(coll, _Pipe(), hq, semantic_mode="candidate")
+    assert [r["document_id"] for r in cand] == [
+        r["document_id"] for r in exact
+    ]
+    for c, e in zip(cand, exact):
+        assert abs(c["score"] - e["score"]) < 1e-9
+
+
 def test_candidate_adaptive_overfetch_recovers_ood_queries():
     """VERDICT r6 next #1: the candidate-bounded hybrid escalates its
     overfetch when it can't PROVE the top-k safe. Off-codebook queries

@@ -205,6 +205,12 @@ def run(n_chunks: int, dim: int = 256) -> dict:
                 float(np.max(deltas)) if deltas else 0.0, 8),
             "hybrid_exact_ms": round(t_exact[len(t_exact) // 2] * 1000, 2),
             "hybrid_candidate_ms": round(t_cand[len(t_cand) // 2] * 1000, 2),
+            # means carry the escalation cost the medians skip (the
+            # OOD tail pays the full probe sweep by design)
+            "hybrid_exact_mean_ms": round(
+                float(np.mean(t_exact)) * 1000, 2),
+            "hybrid_candidate_mean_ms": round(
+                float(np.mean(t_cand)) * 1000, 2),
             # adaptive-overfetch telemetry (VERDICT r6 next #1): which
             # escalation multiplier each query settled at, and how many
             # hit the cap without proving safety

@@ -258,31 +258,56 @@ class Collection:
         incoming = incoming.dropDuplicates(["source_uuid"])
         # fresh collection: no stored version yet → skip the max-id agg
         # entirely (a Spark job against an empty local relation still
-        # costs ~1.8 s of scheduling; the pointer file answers it free)
+        # costs ~1.8 s of scheduling; the pointer file answers it free).
+        # Non-fresh: the previous upsert parked max_id in the version's
+        # stats file, so the common repeated-upsert pattern pays ZERO
+        # jobs for id continuity (agg fallback after deletes/vacuums,
+        # whose versions don't carry stats).
         max_id = None
         if self.documents.exists():
-            max_id = self.documents.read().agg(F.max("id")).head()[0]
+            max_id = self.documents.stats().get("max_id")
+            if max_id is None:
+                max_id = self.documents.read().agg(F.max("id")).head()[0]
         if max_id is None:
             new = incoming.withColumn(
                 "id", F.monotonically_increasing_id() + F.lit(1)
             ).select("id", "source_uuid", "version", "document")
             new = new.persist()  # count + write share one computation
             try:
-                n = new.count()
+                r = new.agg(
+                    F.count("*").alias("n"), F.max("id").alias("m")
+                ).head()
+                n = int(r["n"])
                 self.documents.overwrite(new)
+                self.documents.write_stats(
+                    max_id=int(r["m"]) if r["m"] is not None else 0
+                )
                 self._log_changes_linked()  # zero-job initial log
             finally:
                 new.unpersist()
             self._mark_pipelines_stale()
             return n
-        touched = [
-            int(r["b"])
-            for r in incoming.select(
-                self.documents.bucket_of(F.col("source_uuid")).alias("b")
+        # ONE detection collect: touched buckets AND the batch's uuids
+        # (small batches turn the keep/replaced joins into literal
+        # filters below — each saved broadcast materialization is a
+        # whole Spark job on the lifecycle hot path). Bounded: past the
+        # cap only the distinct buckets are fetched and the join path
+        # below handles membership.
+        tb = incoming.select(
+            "source_uuid",
+            self.documents.bucket_of(F.col("source_uuid")).alias("b"),
+        ).limit(4097).collect()
+        if len(tb) > 4096:
+            uuids = None  # bulk ingest: joins amortize, don't ship uuids
+            touched = sorted(
+                int(r["b"])
+                for r in incoming.select(
+                    self.documents.bucket_of(F.col("source_uuid")).alias("b")
+                ).distinct().collect()
             )
-            .distinct()
-            .collect()
-        ]
+        else:
+            touched = sorted({int(r["b"]) for r in tb})
+            uuids = [r["source_uuid"] for r in tb]
         cur_touched = self.documents.read_buckets(touched)
         if merge:
             # overlap can only live in touched buckets (bucket is a
@@ -297,9 +322,21 @@ class Collection:
                 )
                 .drop("__base")
             )
-        keep = cur_touched.join(
-            incoming.select("source_uuid"), "source_uuid", "left_anti"
-        )
+        # batch-membership predicate: literal In() for small batches
+        # (no broadcast-exchange job; 256 keeps the py4j literal cost
+        # ~10 ms — giant literals are a DRIVER cost, SCALE.md), join
+        # fallback for bulk ingest where the joins amortize
+        if uuids is not None and len(uuids) <= 256:
+            in_batch = F.col("source_uuid").isin(uuids)
+            keep = cur_touched.filter(~in_batch)
+            replaced_src = cur_touched.filter(in_batch)
+        else:
+            keep = cur_touched.join(
+                incoming.select("source_uuid"), "source_uuid", "left_anti"
+            )
+            replaced_src = cur_touched.join(
+                incoming.select("source_uuid"), "source_uuid", "left_semi"
+            )
         # Dense ids via a global row_number would single-partition sort the
         # batch; sparse-but-ordered ids from monotonically_increasing_id
         # keep the id assignment shuffle-free (ids only need uniqueness +
@@ -314,18 +351,23 @@ class Collection:
         # the incremental sync tombstones their derived rows; bound to
         # the pre-write version paths, still on disk post-write
         # (keep_versions=2)
-        replaced = cur_touched.join(
-            incoming.select("source_uuid"), "source_uuid", "left_semi"
-        ).select(
+        replaced = replaced_src.select(
             "id", "source_uuid",
             F.lit(None).cast("string").alias("document"),
         )
         try:
-            n = new.count()
+            r = new.agg(
+                F.count("*").alias("n"), F.max("id").alias("m")
+            ).head()
+            n = int(r["n"])
             merged = keep.select(
                 "id", "source_uuid", "version", "document"
             ).unionByName(new)
             self.documents.partial_overwrite(merged, touched)
+            self.documents.write_stats(
+                max_id=max(int(max_id),
+                           int(r["m"]) if r["m"] is not None else 0)
+            )
             self._log_changes(
                 new.select("id", "source_uuid", "document")
                 .unionByName(replaced)

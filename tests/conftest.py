@@ -19,3 +19,16 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def jobs_snapshot(spark):
+    """Default-group job ids with the listener bus DRAINED first.
+
+    statusTracker() is fed by the async listener bus: under heavy host
+    load a PREVIOUS action's job can register seconds late and land
+    between a test's before/after snapshots (observed round 8 — the
+    'new' job's callsite was the prior test's exact-path collect).
+    Draining on BOTH snapshots also closes the false-pass window where
+    a genuinely-launched job hasn't registered yet."""
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    return spark.sparkContext.statusTracker().getJobIdsForGroup(None)

@@ -13,6 +13,8 @@ import tempfile
 import time
 
 import pytest
+
+from tests.conftest import jobs_snapshot
 from pyspark.sql import functions as F
 
 from postgresml_spark.collections import Collection, Pipeline
@@ -92,12 +94,12 @@ def test_served_path_latency_and_no_spark_job(served_setup, spark):
     coll, pipe = served_setup
     coll.vector_search(_q(QUERIES[0]), pipe, method="index")  # build + warm
     sc = spark.sparkContext
-    before = sc.statusTracker().getJobIdsForGroup(None)
+    before = jobs_snapshot(spark)
     t0 = time.perf_counter()
     for qt in QUERIES:
         coll.vector_search(_q(qt), pipe, method="index")
     dt = (time.perf_counter() - t0) / len(QUERIES)
-    after = sc.statusTracker().getJobIdsForGroup(None)
+    after = jobs_snapshot(spark)
     assert after == before, "served path must not launch Spark jobs"
     assert dt < 0.1, f"served query {dt*1000:.1f} ms"
 
@@ -165,10 +167,9 @@ def test_filtered_query_served_no_spark_job(served_setup, spark):
         "limit": 5,
     }
     coll.vector_search(q, pipe, method="index")  # warm (lazy ANN build)
-    sc = spark.sparkContext
-    before = sc.statusTracker().getJobIdsForGroup(None)
+    before = jobs_snapshot(spark)
     res = coll.vector_search(q, pipe, method="index")
-    assert sc.statusTracker().getJobIdsForGroup(None) == before, (
+    assert jobs_snapshot(spark) == before, (
         "filtered served query must not launch a Spark job"
     )
     assert res and all(r["document"]["lang"] in ("en", "de") for r in res)
@@ -254,9 +255,9 @@ def test_default_method_routing_table(served_setup, spark):
     sc = spark.sparkContext
 
     coll.vector_search(_q(QUERIES[0]), pipe)  # warm/build via default
-    before = sc.statusTracker().getJobIdsForGroup(None)
+    before = jobs_snapshot(spark)
     res = coll.vector_search(_q(QUERIES[2]), pipe)  # no method kwarg
-    assert sc.statusTracker().getJobIdsForGroup(None) == before, (
+    assert jobs_snapshot(spark) == before, (
         "default (auto) must serve unfiltered queries from the "
         "resident tier with no Spark job"
     )
@@ -270,9 +271,9 @@ def test_default_method_routing_table(served_setup, spark):
         "limit": 5,
     }
     coll.vector_search(fq, pipe)  # warm the filtered path
-    before = sc.statusTracker().getJobIdsForGroup(None)
+    before = jobs_snapshot(spark)
     got = coll.vector_search(fq, pipe)
-    assert sc.statusTracker().getJobIdsForGroup(None) == before
+    assert jobs_snapshot(spark) == before
     assert got and all(r["document"]["lang"] == "en" for r in got)
 
     # full_text_filter → exact fallback (the served tier can't see it;
@@ -411,12 +412,12 @@ def test_served_hybrid_no_spark_job_and_telemetry_buffer(hybrid_setup, spark):
 
     coll, pipe = hybrid_setup
     coll.search(_hq("warm up", "warm"), pipe, method="index")  # build+warm
-    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    before = jobs_snapshot(spark)
     t0 = time.perf_counter()
     res = coll.search(_hq("distributed query engine", "spark stream"),
                       pipe, method="index")
     dt = time.perf_counter() - t0
-    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    after = jobs_snapshot(spark)
     assert after == before, "served hybrid must not launch Spark jobs"
     assert dt < 0.2 and res and "search_id" in res[0]
     # buffered telemetry flushes into the same tables the exact path uses
@@ -474,7 +475,7 @@ def test_hybrid_candidate_mode_agreement(hybrid_setup, spark):
     ]
     coll.search(_hq(*cases[0]), pipe, method="candidate")  # build + warm
     agree = 0.0
-    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    before = jobs_snapshot(spark)
     for sem, ft in cases:
         exact = coll.search(_hq(sem, ft), pipe, method="index")
         cand = coll.search(_hq(sem, ft), pipe, method="candidate")
@@ -489,7 +490,7 @@ def test_hybrid_candidate_mode_agreement(hybrid_setup, spark):
                 assert r["score_sem_text"] == pytest.approx(
                     e_sem[r["document_id"]], abs=1e-9
                 )
-    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    after = jobs_snapshot(spark)
     assert after == before, "candidate hybrid must not launch Spark jobs"
     assert agree / len(cases) >= 0.95, f"top-10 agreement {agree/len(cases)}"
     # per-field overfetch knob: tiny candidates still returns sane rows
@@ -701,9 +702,9 @@ def test_rag_through_served_index(served_setup, spark):
     }
     exact = coll.rag(dict(q), pipe, method="exact")
     coll.rag(dict(q), pipe, method="index")  # warm (refresh if stale)
-    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    before = jobs_snapshot(spark)
     served = coll.rag(dict(q), pipe, method="index")
-    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    after = jobs_snapshot(spark)
     assert after == before
     assert served["prompt"] == exact["prompt"]
     assert [r["document_id"] for r in served["sources"]["CONTEXT"]] == [
@@ -1252,9 +1253,9 @@ def test_auto_does_not_build_undeclared_index(spark, sf_dir):
 
         q = {"query": {"fields": {"text": {"query": QUERIES[0]}}}, "limit": 5}
         sc = spark.sparkContext
-        before = sc.statusTracker().getJobIdsForGroup(None)
+        before = jobs_snapshot(spark)
         exact_default = coll.vector_search(q, pipe)  # default = auto
-        after = sc.statusTracker().getJobIdsForGroup(None)
+        after = jobs_snapshot(spark)
         assert after != before, (
             "auto on an undeclared-index pipeline must run the exact "
             "Spark plan (a Spark job), not silently build an index"
@@ -1270,9 +1271,9 @@ def test_auto_does_not_build_undeclared_index(spark, sf_dir):
         # explicit opt-in builds; auto reuses the live index afterwards
         served = coll.vector_search(q, pipe, method="index")
         assert pipe.has_live_index("text")
-        before = sc.statusTracker().getJobIdsForGroup(None)
+        before = jobs_snapshot(spark)
         again = coll.vector_search(q, pipe)
-        assert sc.statusTracker().getJobIdsForGroup(None) == before
+        assert jobs_snapshot(spark) == before
         assert [r["document_id"] for r in again] == [
             r["document_id"] for r in served
         ]

@@ -6,6 +6,8 @@ candidate shuffle)."""
 import pandas as pd
 from pyspark.sql import functions as F
 
+from tests.conftest import jobs_snapshot
+
 from postgresml_spark.operators import corpus as CO
 from postgresml_spark.operators import sparse as SP
 from postgresml_spark.session import load_table
@@ -356,11 +358,11 @@ def test_served_sparse_index_parity_and_no_job(spark, sf_dir):
         for (gd, gs), (wd, ws) in zip(got, want):
             assert round(gs, 6) == round(ws, 6)
     # no Spark job on the warm path
-    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    before = jobs_snapshot(spark)
     t0 = time.perf_counter()
     for _ in range(5):
         idx.search(["vector", "merge"], k=10)
     dt = (time.perf_counter() - t0) / 5
-    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    after = jobs_snapshot(spark)
     assert after == before
     assert dt < 0.05, f"served sparse query {dt*1000:.2f} ms"

@@ -14,7 +14,7 @@ import time
 
 import pytest
 
-from tests.conftest import jobs_snapshot
+from tests.conftest import assert_no_spark_jobs, jobs_snapshot
 from pyspark.sql import functions as F
 
 from postgresml_spark.collections import Collection, Pipeline
@@ -93,14 +93,11 @@ def test_recall_and_score_parity(served_setup):
 def test_served_path_latency_and_no_spark_job(served_setup, spark):
     coll, pipe = served_setup
     coll.vector_search(_q(QUERIES[0]), pipe, method="index")  # build + warm
-    sc = spark.sparkContext
-    before = jobs_snapshot(spark)
-    t0 = time.perf_counter()
-    for qt in QUERIES:
-        coll.vector_search(_q(qt), pipe, method="index")
-    dt = (time.perf_counter() - t0) / len(QUERIES)
-    after = jobs_snapshot(spark)
-    assert after == before, "served path must not launch Spark jobs"
+    with assert_no_spark_jobs(spark, "served path"):
+        t0 = time.perf_counter()
+        for qt in QUERIES:
+            coll.vector_search(_q(qt), pipe, method="index")
+        dt = (time.perf_counter() - t0) / len(QUERIES)
     assert dt < 0.1, f"served query {dt*1000:.1f} ms"
 
 
@@ -167,11 +164,8 @@ def test_filtered_query_served_no_spark_job(served_setup, spark):
         "limit": 5,
     }
     coll.vector_search(q, pipe, method="index")  # warm (lazy ANN build)
-    before = jobs_snapshot(spark)
-    res = coll.vector_search(q, pipe, method="index")
-    assert jobs_snapshot(spark) == before, (
-        "filtered served query must not launch a Spark job"
-    )
+    with assert_no_spark_jobs(spark, "filtered served query"):
+        res = coll.vector_search(q, pipe, method="index")
     assert res and all(r["document"]["lang"] in ("en", "de") for r in res)
 
 
@@ -255,12 +249,8 @@ def test_default_method_routing_table(served_setup, spark):
     sc = spark.sparkContext
 
     coll.vector_search(_q(QUERIES[0]), pipe)  # warm/build via default
-    before = jobs_snapshot(spark)
-    res = coll.vector_search(_q(QUERIES[2]), pipe)  # no method kwarg
-    assert jobs_snapshot(spark) == before, (
-        "default (auto) must serve unfiltered queries from the "
-        "resident tier with no Spark job"
-    )
+    with assert_no_spark_jobs(spark, "default (auto) unfiltered serve"):
+        res = coll.vector_search(_q(QUERIES[2]), pipe)  # no method kwarg
     assert res == coll.vector_search(_q(QUERIES[2]), pipe, method="index")
 
     # metadata filter → STILL SERVED (filtered ANN, r4), filter honored,
@@ -271,9 +261,8 @@ def test_default_method_routing_table(served_setup, spark):
         "limit": 5,
     }
     coll.vector_search(fq, pipe)  # warm the filtered path
-    before = jobs_snapshot(spark)
-    got = coll.vector_search(fq, pipe)
-    assert jobs_snapshot(spark) == before
+    with assert_no_spark_jobs(spark, "default (auto) filtered serve"):
+        got = coll.vector_search(fq, pipe)
     assert got and all(r["document"]["lang"] == "en" for r in got)
 
     # full_text_filter → exact fallback (the served tier can't see it;
@@ -412,13 +401,11 @@ def test_served_hybrid_no_spark_job_and_telemetry_buffer(hybrid_setup, spark):
 
     coll, pipe = hybrid_setup
     coll.search(_hq("warm up", "warm"), pipe, method="index")  # build+warm
-    before = jobs_snapshot(spark)
-    t0 = time.perf_counter()
-    res = coll.search(_hq("distributed query engine", "spark stream"),
-                      pipe, method="index")
-    dt = time.perf_counter() - t0
-    after = jobs_snapshot(spark)
-    assert after == before, "served hybrid must not launch Spark jobs"
+    with assert_no_spark_jobs(spark, "served hybrid"):
+        t0 = time.perf_counter()
+        res = coll.search(_hq("distributed query engine", "spark stream"),
+                          pipe, method="index")
+        dt = time.perf_counter() - t0
     assert dt < 0.2 and res and "search_id" in res[0]
     # buffered telemetry flushes into the same tables the exact path uses
     n = flush_search_telemetry(coll)
@@ -475,7 +462,8 @@ def test_hybrid_candidate_mode_agreement(hybrid_setup, spark):
     ]
     coll.search(_hq(*cases[0]), pipe, method="candidate")  # build + warm
     agree = 0.0
-    before = jobs_snapshot(spark)
+    nojob = assert_no_spark_jobs(spark, "candidate hybrid")
+    nojob.__enter__()
     for sem, ft in cases:
         exact = coll.search(_hq(sem, ft), pipe, method="index")
         cand = coll.search(_hq(sem, ft), pipe, method="candidate")
@@ -490,8 +478,7 @@ def test_hybrid_candidate_mode_agreement(hybrid_setup, spark):
                 assert r["score_sem_text"] == pytest.approx(
                     e_sem[r["document_id"]], abs=1e-9
                 )
-    after = jobs_snapshot(spark)
-    assert after == before, "candidate hybrid must not launch Spark jobs"
+    nojob.__exit__(None, None, None)
     assert agree / len(cases) >= 0.95, f"top-10 agreement {agree/len(cases)}"
     # per-field overfetch knob: tiny candidates still returns sane rows
     q = _hq("distributed query engine", "spark stream")
@@ -702,10 +689,8 @@ def test_rag_through_served_index(served_setup, spark):
     }
     exact = coll.rag(dict(q), pipe, method="exact")
     coll.rag(dict(q), pipe, method="index")  # warm (refresh if stale)
-    before = jobs_snapshot(spark)
-    served = coll.rag(dict(q), pipe, method="index")
-    after = jobs_snapshot(spark)
-    assert after == before
+    with assert_no_spark_jobs(spark, "served rag"):
+        served = coll.rag(dict(q), pipe, method="index")
     assert served["prompt"] == exact["prompt"]
     assert [r["document_id"] for r in served["sources"]["CONTEXT"]] == [
         r["document_id"] for r in exact["sources"]["CONTEXT"]
@@ -1271,9 +1256,8 @@ def test_auto_does_not_build_undeclared_index(spark, sf_dir):
         # explicit opt-in builds; auto reuses the live index afterwards
         served = coll.vector_search(q, pipe, method="index")
         assert pipe.has_live_index("text")
-        before = jobs_snapshot(spark)
-        again = coll.vector_search(q, pipe)
-        assert jobs_snapshot(spark) == before
+        with assert_no_spark_jobs(spark, "auto reuse of live index"):
+            again = coll.vector_search(q, pipe)
         assert [r["document_id"] for r in again] == [
             r["document_id"] for r in served
         ]

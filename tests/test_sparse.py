@@ -6,7 +6,7 @@ candidate shuffle)."""
 import pandas as pd
 from pyspark.sql import functions as F
 
-from tests.conftest import jobs_snapshot
+from tests.conftest import assert_no_spark_jobs
 
 from postgresml_spark.operators import corpus as CO
 from postgresml_spark.operators import sparse as SP
@@ -358,11 +358,9 @@ def test_served_sparse_index_parity_and_no_job(spark, sf_dir):
         for (gd, gs), (wd, ws) in zip(got, want):
             assert round(gs, 6) == round(ws, 6)
     # no Spark job on the warm path
-    before = jobs_snapshot(spark)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        idx.search(["vector", "merge"], k=10)
-    dt = (time.perf_counter() - t0) / 5
-    after = jobs_snapshot(spark)
-    assert after == before
+    with assert_no_spark_jobs(spark, "served sparse query"):
+        t0 = time.perf_counter()
+        for _ in range(5):
+            idx.search(["vector", "merge"], k=10)
+        dt = (time.perf_counter() - t0) / 5
     assert dt < 0.05, f"served sparse query {dt*1000:.2f} ms"

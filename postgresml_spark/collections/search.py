@@ -573,17 +573,21 @@ def _served_hybrid(
             # Geometric certificate (VERDICT r7 next #5): when the IVF
             # scan exposed its full probe round, an unseen doc's best
             # chunk is EITHER a scanned chunk of a non-universe doc
-            # (its f32 score is known — take the max over those) OR
-            # lives in an unprobed cell (<= q·c + R_c, Cauchy-Schwarz).
-            # Unlike min_score this skips the dense score band the
-            # shortlist truncates into — the common-term escalation
-            # trigger — and it is UNCONDITIONAL, so it needs no router
-            # trust. Falls back to the shortlist-min heuristic when the
-            # index carries no geometry (HNSW / pre-r8 saved graphs).
-            sd = i.get("scanned_docs")
+            # (its f32 score is known — masked max over the CHUNK
+            # arrays, O(scanned), no per-doc sort) OR lives in an
+            # unprobed cell (<= q·c + R_c, Cauchy-Schwarz). It is
+            # UNCONDITIONAL, so it needs no router trust. Falls back
+            # to the shortlist-min heuristic when the index carries no
+            # geometry (HNSW / pre-r8 saved graphs / full sweeps,
+            # where exact_topn already makes min_score unconditional).
+            sd = i.get("scan_chunk_docs")
             if sd is None or i.get("unscanned_bound") is None:
-                return i["min_score"], False
+                return i["min_score"], bool(i.get("exact_topn"))
             ub = i["unscanned_bound"]
+            # scanned chunks below the handed-off top-T score at most
+            # scan_floor (the T-th scan score) — valid and O(T)
+            m = i.get("scan_floor")
+            m = float("-inf") if m is None else float(m)
             if sd.size:
                 pos = np.searchsorted(universe, sd)
                 posc = np.clip(pos, 0, max(universe.size - 1, 0))
@@ -592,12 +596,13 @@ def _served_hybrid(
                     else np.ones(sd.size, dtype=bool)
                 )
                 if outside.any():
-                    m = float(i["scanned_best32"][outside].max())
-                    ub = max(ub, m + 1e-5 * max(1.0, abs(m)))
+                    m = max(m, float(i["scan_chunk_s32"][outside].max()))
+            if m > float("-inf"):
+                ub = max(ub, m + 1e-5 * max(1.0, abs(m)))
             # both bounds are valid when the router is confident —
             # take the tighter (tiny clustered corpora have covering
             # radii spanning the space, where the shortlist-min wins;
-            # dense common-term bands are where the geometry wins)
+            # ft-covered dense bands are where the geometry wins)
             if i["router_confident"]:
                 ub = min(ub, i["min_score"])
             return ub, True

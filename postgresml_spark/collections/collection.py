@@ -327,9 +327,17 @@ class Collection:
         # ~10 ms — giant literals are a DRIVER cost, SCALE.md), join
         # fallback for bulk ingest where the joins amortize
         if uuids is not None and len(uuids) <= 256:
+            # NULL-safe (ADVICE r8 #2): a stored NULL source_uuid makes
+            # isin() evaluate to NULL, which would drop the row from
+            # BOTH keep and replaced — silent deletion. The join path
+            # retains it (left_anti keeps NULL keys); mirror that here.
             in_batch = F.col("source_uuid").isin(uuids)
-            keep = cur_touched.filter(~in_batch)
-            replaced_src = cur_touched.filter(in_batch)
+            keep = cur_touched.filter(
+                F.col("source_uuid").isNull() | ~in_batch
+            )
+            replaced_src = cur_touched.filter(
+                F.coalesce(in_batch, F.lit(False))
+            )
         else:
             keep = cur_touched.join(
                 incoming.select("source_uuid"), "source_uuid", "left_anti"

@@ -285,6 +285,15 @@ class Pipeline:
             k for k in (f"{field}_embeddings", f"{field}_tsvectors")
             if k in self._tables
         ]
+        # COLUMN CONTRACT (ADVICE r8 #4): every change-log partition
+        # carries at least (id, source_uuid, document); hardlinked
+        # initial partitions (_log_changes_linked) carry an EXTRA
+        # `version` column that later plain partitions lack. Readers
+        # must therefore select only the three contract columns and
+        # must NOT enable mergeSchema — Spark's sampled-schema
+        # inference is only safe because every selected column exists
+        # in every file. A mixed linked+plain read is regression-tested
+        # in tests/test_collections.py (mixed change-log schema test).
         pend = spark.read.parquet(self.collection._changes_path).filter(
             F.col("seq") > F.lit(int(wm))
         )

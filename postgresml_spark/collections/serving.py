@@ -185,6 +185,12 @@ class ServedPipelineIndex:
                 self.kind = "ivfflat"
                 self._params = {"lists": 100, "probes": 4}
         self._hnsw = None
+        # monotonic ANN build counter: caches derived from the ANN's
+        # internal row order (_ann_doc_cache, ann_mask) key on THIS,
+        # not id(idx) — CPython reuses freed addresses, so an id()
+        # key can validate a stale cache after refresh() rebuilds the
+        # index (ADVICE r8 #1)
+        self._ann_build = 0
         self._doc_meta = None  # lazily-parsed metadata for filtered serving
         self._doc_grp = None  # (perm, starts, uniq, n_rows) for segment-max
         # filter-JSON -> {doc_ids, mask} bitmap cache (the partial-index
@@ -240,6 +246,7 @@ class ServedPipelineIndex:
         self._hnsw_pinned = True  # caller chose; never reroute
         self.routed_fraction = None
         self._hnsw = None
+        self._ann_build = 0
         self._doc_meta = None
         self._doc_grp = None
         self._filter_cache = {}
@@ -268,6 +275,7 @@ class ServedPipelineIndex:
                     m=self._params["m"],
                     ef_construction=self._params["ef_construction"],
                 )
+            self._ann_build += 1  # new row order: invalidate derived caches
         return self._hnsw
 
     # -- staleness ---------------------------------------------------------
@@ -372,6 +380,9 @@ class ServedPipelineIndex:
                 # search rebuilds from the already-appended resident
                 # arrays — driver-side only, no Spark job
                 self._hnsw = None
+            # either way the ANN's row set changed: derived caches
+            # (_ann_doc_cache, ann_mask) must not survive (ADVICE r8 #1)
+            self._ann_build += 1
 
         # payload map: metadata-only upserts must surface
         docs = self.collection.documents.read().select("id", "document")
@@ -470,10 +481,10 @@ class ServedPipelineIndex:
             # was O(n log n) per query on the filtered hot path
             if self.kind == "ivfflat":
                 cached = ent.get("ann_mask")
-                if cached is None or cached[1] != id(idx):
+                if cached is None or cached[1] != self._ann_build:
                     cached = (
                         idx.row_mask(self.chunk_ids[payload_mask]),
-                        id(idx),
+                        self._ann_build,
                     )
                     ent["ann_mask"] = cached
                 allowed = cached[0]
@@ -620,10 +631,10 @@ class ServedPipelineIndex:
         probe_scan per-doc aggregation would otherwise pay a Python
         dict lookup per scanned chunk."""
         cached = getattr(self, "_ann_doc_cache", None)
-        if cached is None or cached[1] != id(idx):
+        if cached is None or cached[1] != self._ann_build:
             order = np.argsort(self.chunk_ids, kind="stable")
             pos = np.searchsorted(self.chunk_ids[order], idx.ids)
-            cached = (self.doc_ids[order[pos]], id(idx))
+            cached = (self.doc_ids[order[pos]], self._ann_build)
             self._ann_doc_cache = cached
         return cached[0]
 
@@ -689,10 +700,10 @@ class ServedPipelineIndex:
                 return _ret(*empty, safe_info)
             if self.kind == "ivfflat":  # cached translation, same as search()
                 cached = ent.get("ann_mask")
-                if cached is None or cached[1] != id(idx):
+                if cached is None or cached[1] != self._ann_build:
                     cached = (
                         idx.row_mask(self.chunk_ids[payload_mask]),
-                        id(idx),
+                        self._ann_build,
                     )
                     ent["ann_mask"] = cached
                 allowed = cached[0]

@@ -759,3 +759,122 @@ def test_incremental_sync_deleted_doc_drops_orphans(coll, pipe):
     ids = {r["chunk_id"] for r in chunks}
     assert {r["chunk_id"] for r in pipe.table("body_embeddings").collect()} == ids
     assert {r["chunk_id"] for r in pipe.table("body_tsvectors").collect()} == ids
+
+
+def test_mixed_linked_plain_change_log_schema(spark, warehouse):
+    """ADVICE r8 #4: hardlinked initial change-log partitions carry an
+    extra `version` column that later plain partitions lack. The reader
+    contract (pipeline.py _sync_incremental) selects only
+    (id, source_uuid, document) with no mergeSchema — pin that a mixed
+    linked+plain directory reads correctly under sampled inference."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    c = Collection("mixedlog", spark, warehouse=warehouse)
+    c.upsert_documents(DOCS)  # initial build: hardlinked partition
+    c.upsert_documents([{"id": 9, "body": "late plain-logged doc"}])
+    seq_dirs = sorted(
+        d for d in os.listdir(c._changes_path) if d.startswith("seq=")
+    )
+    assert len(seq_dirs) == 2
+    cols_by_seq = {}
+    for d in seq_dirs:
+        dd = os.path.join(c._changes_path, d)
+        f = next(f for f in sorted(os.listdir(dd)) if f.endswith(".parquet"))
+        cols_by_seq[d] = set(pq.read_schema(os.path.join(dd, f)).names)
+    # the asymmetry this test exists to document:
+    assert any("version" in v for v in cols_by_seq.values()), "linked"
+    assert any("version" not in v for v in cols_by_seq.values()), "plain"
+    # every file carries the three contract columns
+    for v in cols_by_seq.values():
+        assert {"id", "source_uuid", "document"} <= v
+    # the reader pattern over the MIX: contract columns only
+    pend = spark.read.parquet(c._changes_path).filter(F.col("seq") > -1)
+    rows = pend.select("id", "source_uuid", "document").collect()
+    assert len(rows) == 5  # 4 initial + 1 late upsert
+    assert sum(r["document"] is None for r in rows) == 0
+    # end-to-end: incremental sync across the mixed log (watermark -1
+    # so BOTH partitions are pending) derives every live doc
+    p = Pipeline("pm", {"body": {"full_text_search": {}}})
+    c.add_pipeline(p)
+    assert p.table("body_chunks").count() == 5
+
+
+def test_small_batch_upsert_keeps_null_source_uuid(spark, warehouse):
+    """ADVICE r8 #2: a stored doc with NULL source_uuid in a touched
+    bucket must survive the small-batch literal In() path — plain
+    ~isin() evaluates to NULL on NULL keys and silently deleted the
+    row, where the left_anti join path retains it."""
+    from pyspark.sql import functions as F
+
+    c = Collection("nullsuid", spark, warehouse=warehouse)
+    df = spark.createDataFrame(
+        [(None, "null-id doc body"), ("a", "doc a body")],
+        "id string, body string",
+    )
+    c.upsert_documents_df(df)
+    assert c.documents.read().count() == 2
+    # find a literal id landing in the NULL row's bucket so the
+    # touched-bucket scan includes the NULL row
+    null_bucket = (
+        spark.range(1)
+        .select(c.documents.bucket_of(F.lit(None)).alias("b"))
+        .head()["b"]
+    )
+    probe = next(
+        s
+        for s in (f"k{i}" for i in range(200))
+        if spark.range(1)
+        .select(c.documents.bucket_of(F.lit(s)).alias("b"))
+        .head()["b"]
+        == null_bucket
+    )
+    c.upsert_documents_df(
+        spark.createDataFrame([(probe, "probe body")], "id string, body string")
+    )
+    docs = c.documents.read().collect()
+    assert len(docs) == 3, "NULL-source_uuid row silently deleted"
+    assert sum(r["source_uuid"] is None for r in docs) == 1
+
+
+def test_change_log_bounded_under_sustained_churn(coll, pipe):
+    """VERDICT r8 next #7: N upsert+sync cycles keep the on-disk
+    `_changes` directory O(churn window). With every pipeline current,
+    each sync prunes to zero; with one lagging pipeline the partition
+    count equals exactly the laggard's unconsumed window (never more),
+    and catches up to zero once the laggard syncs."""
+    from postgresml_spark.collections import Pipeline
+
+    coll._pipelines.pop("p1")
+    # phase 1: no laggard — every cycle ends with an empty log
+    for i in range(5):
+        coll.upsert_documents(
+            [{"id": 100 + i, "body": f"churn cycle {i} body"}]
+        )
+        pipe.sync()
+        assert _log_seqs(coll) == set(), f"cycle {i}: log not pruned"
+    # phase 2: attach a second pipeline, sync it once (on-disk
+    # watermark), then let it lag (popped from the registry ==
+    # attached from another session)
+    p2 = Pipeline("lag", {"body": {"full_text_search": {}}})
+    coll.add_pipeline(p2)
+    coll._pipelines.pop("lag")
+    sizes = []
+    for i in range(10):
+        coll.upsert_documents(
+            [{"id": 200 + i, "body": f"lagged churn {i} body"}]
+        )
+        pipe.sync()
+        sizes.append(len(_log_seqs(coll)))
+    # the window grows 1 per unconsumed cycle — bounded by the lag,
+    # with no extra partitions beyond it
+    assert sizes == list(range(1, 11))
+    # laggard catches up: retention immediately reclaims everything
+    coll._pipelines["lag"] = p2
+    p2.sync()
+    assert _log_seqs(coll) == set()
+    # and both pipelines see the full corpus (4 fixture + 15 churn)
+    assert pipe.table("body_chunks").count() == 19
+    assert p2.table("body_chunks").count() == 19

@@ -462,23 +462,24 @@ def test_hybrid_candidate_mode_agreement(hybrid_setup, spark):
     ]
     coll.search(_hq(*cases[0]), pipe, method="candidate")  # build + warm
     agree = 0.0
-    nojob = assert_no_spark_jobs(spark, "candidate hybrid")
-    nojob.__enter__()
-    for sem, ft in cases:
-        exact = coll.search(_hq(sem, ft), pipe, method="index")
-        cand = coll.search(_hq(sem, ft), pipe, method="candidate")
-        e_ids = [r["document_id"] for r in exact]
-        c_ids = [r["document_id"] for r in cand]
-        agree += len(set(e_ids) & set(c_ids)) / max(len(e_ids), 1)
-        # any doc whose semantic score the shortlist DID cover must
-        # carry the identical float64 exact-rescored value
-        e_sem = {r["document_id"]: r["score_sem_text"] for r in exact}
-        for r in cand:
-            if r["score_sem_text"] is not None and r["document_id"] in e_sem:
-                assert r["score_sem_text"] == pytest.approx(
-                    e_sem[r["document_id"]], abs=1e-9
-                )
-    nojob.__exit__(None, None, None)
+    # with-statement (ADVICE r8 #3): a failing assertion inside the
+    # loop must still pop the job group off the SparkContext thread
+    with assert_no_spark_jobs(spark, "candidate hybrid"):
+        for sem, ft in cases:
+            exact = coll.search(_hq(sem, ft), pipe, method="index")
+            cand = coll.search(_hq(sem, ft), pipe, method="candidate")
+            e_ids = [r["document_id"] for r in exact]
+            c_ids = [r["document_id"] for r in cand]
+            agree += len(set(e_ids) & set(c_ids)) / max(len(e_ids), 1)
+            # any doc whose semantic score the shortlist DID cover must
+            # carry the identical float64 exact-rescored value
+            e_sem = {r["document_id"]: r["score_sem_text"] for r in exact}
+            for r in cand:
+                if (r["score_sem_text"] is not None
+                        and r["document_id"] in e_sem):
+                    assert r["score_sem_text"] == pytest.approx(
+                        e_sem[r["document_id"]], abs=1e-9
+                    )
     assert agree / len(cases) >= 0.95, f"top-10 agreement {agree/len(cases)}"
     # per-field overfetch knob: tiny candidates still returns sane rows
     q = _hq("distributed query engine", "spark stream")
@@ -1845,3 +1846,49 @@ def test_rerank_over_candidate_equals_rerank_over_exact(shard_setup):
                               rerank={"query": QUERIES[0],
                                       "num_documents_to_rerank": 8})
     assert rows and all(r["rerank_score"] == r["rerank_score"] for r in rows)
+
+
+def test_refresh_invalidates_ann_row_order_caches(spark, tmp_path):
+    """ADVICE r8 #1: caches derived from the ANN's internal row order
+    (_ann_doc_cache, ann_mask) key on a monotonic build counter, not
+    id(idx) — CPython reuses freed addresses, so an id() key can
+    validate a stale (shorter, differently-ordered) doc-id array after
+    refresh() lazily rebuilds the ivfflat index, corrupting the
+    geometric certificate or raising IndexError on the hot path."""
+    wh = str(tmp_path / "wh")
+    coll = Collection("annbuild", spark, warehouse=wh)
+    coll.upsert_documents(
+        [{"id": i, "text": f"seed document number {i} about topic {i % 7}"}
+         for i in range(40)]
+    )
+    pipe = Pipeline(
+        "p",
+        {"text": {"semantic_search": {"model": "hash:32",
+                                      "ivfflat": {"lists": 4, "probes": 2}}}},
+    )
+    coll.add_pipeline(pipe)
+    idx = pipe.served_index("text")
+    n0 = len(idx.chunk_ids)
+    docs0 = idx._ann_doc_ids(idx.hnsw)
+    b0 = idx._ann_build
+    assert b0 >= 1 and len(docs0) == n0
+    assert idx._ann_doc_cache[1] == b0
+    # append-only upsert: refresh() drops the ivfflat (_hnsw = None →
+    # lazy rebuild) and MUST bump the build counter so the doc-id
+    # cache re-derives at the new length
+    coll.upsert_documents(
+        [{"id": 41, "text": "fresh zebra payload after refresh"}]
+    )
+    idx2 = pipe.served_index("text")
+    assert idx2 is idx, "append must refresh in place"
+    docs1 = idx._ann_doc_ids(idx.hnsw)
+    assert idx._ann_build > b0, "refresh must invalidate ANN-derived caches"
+    assert len(docs1) == n0 + 1, "stale doc-id cache survived the rebuild"
+    assert idx._ann_doc_cache[1] == idx._ann_build
+    # the rebuilt mapping is consistent: every ANN row's doc id matches
+    # the payload arrays through chunk_id lookup
+    import numpy as np
+
+    ann = idx.hnsw
+    rows = np.asarray([idx.row_of[int(c)] for c in ann.ids])
+    assert (idx.doc_ids[rows] == docs1).all()

@@ -105,6 +105,83 @@ def _run_serving_probes(coll, pipe, pipe2) -> tuple[dict, dict]:
     return derived, variance
 
 
+def _run_store_probes(spark, sf_dir, sparse_path, bm25_path):
+    """sparse_served / bm25_served / knn_served medians + variance —
+    the three Spark-job-per-query serving metrics (VERDICT r8 next
+    #5: they were the last `*_served_ms` outside the fresh-process
+    probe, so their drift had no variance channel and was
+    uninterpretable). Callable in-process (fallback) or from
+    `bench.py --serving-probe` with store paths."""
+    derived: dict = {}
+    variance: dict = {}
+
+    def med(key, calls, digits=1):
+        # 3 warm reps: these are Spark-JOB latencies — a fresh
+        # process's first executions carry codegen + JIT that the
+        # steady state (the number the drift table compares) does not
+        for _ in range(3):
+            calls[0]()
+        ts = []
+        for c in calls:
+            t0 = time.perf_counter()
+            c()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        v = round(ts[len(ts) // 2] * 1000, digits)
+        derived[key] = v
+        derived[key.replace("_ms", "_qps")] = (
+            round(1000.0 / v, 2) if v else None
+        )
+        variance[key] = {
+            "median": v,
+            "min": round(ts[0] * 1000, digits),
+            "max": round(ts[-1] * 1000, digits),
+            "n": len(ts),
+        }
+
+    try:
+        from postgresml_spark.operators.sparse import sparse_search_index
+
+        probes = [["vector", "merge"], ["stream"], ["hash", "table"],
+                  ["spark", "row"], ["value"]]
+        med("sparse_served_ms",
+            [lambda p=p: sparse_search_index(spark, sparse_path, p,
+                                             k=10).collect()
+             for p in probes])
+    except Exception as e:
+        print(f"probe sparse-served error: {e}", file=sys.stderr)
+    try:
+        from postgresml_spark.functions.text import bm25_search_index
+
+        tprobes = [["vector", "merge"], ["stream", "hash"],
+                   ["table", "scan"], ["spark", "row"], ["sort", "value"]]
+        med("bm25_served_ms",
+            [lambda p=p: bm25_search_index(spark, bm25_path, p,
+                                           k=10).collect()
+             for p in tprobes])
+    except Exception as e:
+        print(f"probe bm25-served error: {e}", file=sys.stderr)
+    try:
+        from postgresml_spark.operators.similarity import ServedIndex
+        from postgresml_spark.session import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qvs = [
+            [float(x) for x in r["embedding"]]
+            for r in emb.orderBy("vec_id").limit(8).collect()
+        ]
+        idx = ServedIndex(emb)
+        try:
+            med("knn_served_ms",
+                [lambda qv=qv: idx.search(qv, k=10).collect()
+                 for qv in qvs])
+        finally:
+            idx.close()
+    except Exception as e:
+        print(f"probe knn-served error: {e}", file=sys.stderr)
+    return derived, variance
+
+
 def _bench_pipelines():
     from postgresml_spark.collections import Pipeline
 
@@ -121,11 +198,15 @@ def _bench_pipelines():
     return pipe, pipe2
 
 
-def serving_probe_main(wh: str) -> int:
-    """`bench.py --serving-probe <warehouse>`: fresh process, rebuild
-    the served indexes from the stores the parent just wrote (attach =
-    no-op sync — watermarks are current), probe, print ONE JSON line.
-    """
+def serving_probe_main(wh: str, sf_dir: str | None = None,
+                       sparse_path: str | None = None,
+                       bm25_path: str | None = None) -> int:
+    """`bench.py --serving-probe <warehouse> [sf_dir sparse bm25]`:
+    fresh process, rebuild the served indexes from the stores the
+    parent just wrote (attach = no-op sync — watermarks are current),
+    probe, print ONE JSON line. With the optional store paths the
+    probe also covers the three Spark-job serving metrics
+    (sparse/bm25/knn `*_served_ms`, VERDICT r8 next #5)."""
     from postgresml_spark.collections import Collection
 
     spark = get_spark("bench-serving-probe")
@@ -134,6 +215,10 @@ def serving_probe_main(wh: str) -> int:
     coll.add_pipeline(pipe)
     coll.add_pipeline(pipe2)
     derived, variance = _run_serving_probes(coll, pipe, pipe2)
+    if sf_dir and sparse_path and bm25_path:
+        d2, v2 = _run_store_probes(spark, sf_dir, sparse_path, bm25_path)
+        derived.update(d2)
+        variance.update(v2)
     print(json.dumps({"derived": derived, "variance": variance}))
     spark.stop()
     return 0
@@ -285,12 +370,39 @@ def main() -> int:
         t0 = time.perf_counter()
         pipe.served_index("text")  # Arrow hop + graph build
         derived["vector_search_index_build_sec"] = round(time.perf_counter() - t0, 3)
+        # store BUILDS for the Spark-job serving metrics (timed here;
+        # their queries are probed in the fresh process below so all
+        # nine `*_ms` serving medians share one variance channel —
+        # VERDICT r8 next #5)
+        spath = bpath = None
+        try:
+            from postgresml_spark.functions.text import build_text_index
+            from postgresml_spark.operators.sparse import build_sparse_index
+
+            d_stores = spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            )
+            spath = tempfile.mkdtemp(prefix="bench_sidx_")
+            t0 = time.perf_counter()
+            build_sparse_index(d_stores, spath)
+            derived["sparse_index_build_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            bpath = tempfile.mkdtemp(prefix="bench_bm25_")
+            t0 = time.perf_counter()
+            build_text_index(d_stores, bpath, "text", "doc_id")
+            derived["bm25_build_sec"] = round(time.perf_counter() - t0, 3)
+        except Exception as e:
+            print(f"bench store-build error: {e}", file=sys.stderr)
         probe_out = None
         try:
+            extra = (
+                [sf_dir, spath, bpath] if spath and bpath else []
+            )
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
-                 "--serving-probe", wh],
-                capture_output=True, text=True, timeout=900,
+                 "--serving-probe", wh, *extra],
+                capture_output=True, text=True, timeout=1200,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             if proc.returncode == 0 and proc.stdout.strip():
@@ -305,12 +417,20 @@ def main() -> int:
             pd_, pv_ = _run_serving_probes(coll, pipe, pipe2)
             probe_out = {"derived": pd_, "variance": pv_,
                          "probe_mode": "in_process_fallback"}
+            if spath and bpath:
+                pd2, pv2 = _run_store_probes(spark, sf_dir, spath, bpath)
+                probe_out["derived"].update(pd2)
+                probe_out["variance"].update(pv2)
         else:
             probe_out["probe_mode"] = "fresh_process"
         derived.update(probe_out["derived"])
         derived["serving_probe_mode"] = probe_out["probe_mode"]
         variance.update(probe_out["variance"])
         shutil.rmtree(wh, ignore_errors=True)
+        if spath:
+            shutil.rmtree(spath, ignore_errors=True)
+        if bpath:
+            shutil.rmtree(bpath, ignore_errors=True)
     except Exception as e:
         print(f"bench vector-indexed error: {e}", file=sys.stderr)
 
@@ -387,42 +507,16 @@ def main() -> int:
     except Exception as e:
         print(f"bench incremental-sync error: {e}", file=sys.stderr)
 
-    # Sparse-index serving: build the bucket-pruned posting store once,
-    # then measure warm repeated-query latency (the sparsevec serving
-    # path; like the BM25/IVF stores, build cost amortizes over the
-    # query stream).
+    # Resident sparse tier (ServedSparseIndex): same scores, no
+    # Spark job per query — the GIN-in-shared-buffers analog. (The
+    # Spark-job sparse/bm25/knn serving medians moved into the
+    # fresh-process probe above — VERDICT r8 next #5.)
     try:
-        import shutil
-        import tempfile
-
-        from postgresml_spark.operators.sparse import (
-            build_sparse_index,
-            sparse_search_index,
-        )
-
-        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        spath = tempfile.mkdtemp(prefix="bench_sidx_")
-        t0 = time.perf_counter()
-        build_sparse_index(d, spath)
-        derived["sparse_index_build_sec"] = round(time.perf_counter() - t0, 3)
-        probes = [["vector", "merge"], ["stream"], ["hash", "table"],
-                  ["spark", "row"], ["value"]]
-        sparse_search_index(spark, spath, probes[0], k=10).collect()  # warm
-        ts = []
-        for p in probes:
-            t0 = time.perf_counter()
-            sparse_search_index(spark, spath, p, k=10).collect()
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        v = round(ts[len(ts) // 2] * 1000, 1)
-        derived["sparse_served_ms"] = v
-        derived["sparse_served_qps"] = round(1000.0 / v, 2) if v else None
-        shutil.rmtree(spath, ignore_errors=True)
-
-        # resident sparse tier (ServedSparseIndex): same scores, no
-        # Spark job per query — the GIN-in-shared-buffers analog
         from postgresml_spark.operators.sparse import ServedSparseIndex
 
+        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        probes = [["vector", "merge"], ["stream"], ["hash", "table"],
+                  ["spark", "row"], ["value"]]
         t0 = time.perf_counter()
         sidx = ServedSparseIndex(d)
         derived["sparse_resident_build_sec"] = round(time.perf_counter() - t0, 3)
@@ -437,40 +531,7 @@ def main() -> int:
         derived["sparse_resident_ms"] = v
         derived["sparse_resident_qps"] = round(1000.0 / v, 1) if v else None
     except Exception as e:
-        print(f"bench sparse-served error: {e}", file=sys.stderr)
-
-    # BM25 served index, build/serve split (VERDICT r2 #4): q109's
-    # catalog timing bundles the index build+write with the query; the
-    # honest serving number is the warm term-bucket-pruned read alone.
-    try:
-        import shutil
-        import tempfile
-
-        from postgresml_spark.functions.text import (
-            bm25_search_index,
-            build_text_index,
-        )
-
-        d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        bpath = tempfile.mkdtemp(prefix="bench_bm25_")
-        t0 = time.perf_counter()
-        build_text_index(d, bpath, "text", "doc_id")
-        derived["bm25_build_sec"] = round(time.perf_counter() - t0, 3)
-        tprobes = [["vector", "merge"], ["stream", "hash"], ["table", "scan"],
-                   ["spark", "row"], ["sort", "value"]]
-        bm25_search_index(spark, bpath, tprobes[0], k=10).collect()  # warm
-        ts = []
-        for p in tprobes:
-            t0 = time.perf_counter()
-            bm25_search_index(spark, bpath, p, k=10).collect()
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        v = round(ts[len(ts) // 2] * 1000, 1)
-        derived["bm25_served_ms"] = v
-        derived["bm25_served_qps"] = round(1000.0 / v, 2) if v else None
-        shutil.rmtree(bpath, ignore_errors=True)
-    except Exception as e:
-        print(f"bench bm25-served error: {e}", file=sys.stderr)
+        print(f"bench sparse-resident error: {e}", file=sys.stderr)
 
     # Batched sparse retrieval: the amortized form — N queries share
     # one corpus pass (broadcast union of query postings), so per-query
@@ -497,35 +558,6 @@ def main() -> int:
         derived["sparse_batch_qps"] = round(64 / dt, 1)
     except Exception as e:
         print(f"bench sparse-batch error: {e}", file=sys.stderr)
-
-    # Served-index latency: the reference's 18-31 ms ivfflat number is
-    # against a RESIDENT index, so serve from a persisted corpus — the
-    # honest apples-to-apples warm-path metric.
-    try:
-        from postgresml_spark.operators.similarity import ServedIndex
-        from postgresml_spark.session import load_table
-
-        emb = load_table(spark, sf_dir, "embeddings")
-        qvs = [
-            [float(x) for x in r["embedding"]]
-            for r in emb.orderBy("vec_id").limit(8).collect()
-        ]
-        idx = ServedIndex(emb)
-        try:
-            idx.search(qvs[0], k=10).collect()  # warm codegen
-            ts = []
-            for qv in qvs:
-                t0 = time.perf_counter()
-                idx.search(qv, k=10).collect()
-                ts.append(time.perf_counter() - t0)
-            ts.sort()
-            v = round(ts[len(ts) // 2] * 1000, 1)
-            derived["knn_served_ms"] = v
-            derived["knn_served_qps"] = round(1000.0 / v, 2) if v else None
-        finally:
-            idx.close()
-    except Exception as e:
-        print(f"bench served error: {e}", file=sys.stderr)
 
     # Resident IVF at 100k x 128 (clustered synth): a same-ballpark
     # datapoint against the reference's warm ivfflat 18-31 ms —
@@ -655,5 +687,5 @@ def main() -> int:
 
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--serving-probe":
-        raise SystemExit(serving_probe_main(sys.argv[2]))
+        raise SystemExit(serving_probe_main(*sys.argv[2:6]))
     raise SystemExit(main())

@@ -468,48 +468,42 @@ def _served_hybrid(
             sem_meta.append((len(comps), field, fcfg))
             comps.append((f"score_sem_{field}", docs, scores * boost))
         comps.extend(ft_components)
+        pend: list[dict] = []
         if semantic_mode == "candidate" and sem_meta:
-            # Augment each semantic shortlist with every doc ANY other
-            # component scored (full-text matches + other fields' ANN
-            # shortlists): a doc that scores elsewhere but sits outside
-            # this field's beam would otherwise sum with semantic 0 and
-            # mis-rank vs the exact plan (measured at 20k chunks:
-            # agreement@10 0.88 without this, 1-term-tf-1 tie bands the
-            # dominant miss; a 2048-doc ft-score-ranked cap re-measured
-            # 0.83 at 1M chunks — the cut lands inside tie bands wider
-            # than any fixed cap). After this fill, EVERY universe doc
-            # carries exact scores in every component, so only docs in
-            # no shortlist at all are uncertain — which is what the
-            # escalation bound below reasons about. The targeted gather
-            # is O(|docs|·chunks_per_doc·d) — bounded by posting and
-            # shortlist sizes, not the corpus: the WAND-family
-            # guarantee. For stopword-scale postings it degrades
-            # gracefully TOWARD (never past) the exact mode's
-            # full-matvec cost.
+            # Every doc ANY other component scored (full-text matches +
+            # other fields' ANN shortlists) that sits outside this
+            # field's beam needs its exact semantic score — it would
+            # otherwise sum with semantic 0 and mis-rank vs the exact
+            # plan (measured at 20k chunks: agreement@10 0.88 without
+            # the fill; a 2048-doc ft-score-ranked cap re-measured 0.83
+            # at 1M — tie bands are wider than any fixed cap). Round 8
+            # gathered ALL of them eagerly, which made stopword-scale
+            # postings degrade to ~the exact matvec cost (the 1M
+            # common-term 0.93× floor). Round 9 defers the gather: the
+            # outer merge computes the fully-covered top-k boundary
+            # first, PRUNES missing docs that provably cannot reach it
+            # (WAND/max-score style — a certificate bound, then an f32
+            # screening gather at half the bytes), and pays the exact
+            # f64 gather only for survivors. Every cut is proven, so
+            # results stay exactly the eager plan's (see the staged
+            # augmentation in the merge loop below).
             sized = [d for _, d, _ in comps if d.size]
             aug_docs = (
                 np.unique(np.concatenate(sized))
                 if sized else np.empty(0, dtype=np.int64)
             )
             if aug_docs.size:
-                for ci, field, fcfg in sem_meta:
+                for (ci, field, fcfg), (_, info) in zip(sem_meta, infos):
                     col, docs, scores = comps[ci]
                     missing = np.setdiff1d(aug_docs, docs)
                     if not missing.size:
                         continue
-                    idx = pipeline.served_index(field)
-                    mdocs, mscores = idx.best_chunk_scores_for_docs(
-                        fcfg["query"], missing
-                    )
-                    if not mdocs.size:
-                        continue
-                    boost = float(fcfg.get("boost", 1.0))
-                    merged_docs = np.concatenate([docs, mdocs])
-                    merged_scores = np.concatenate([scores, mscores * boost])
-                    order = np.argsort(merged_docs, kind="stable")
-                    comps[ci] = (col, merged_docs[order],
-                                 merged_scores[order])
-        return comps, infos
+                    pend.append({
+                        "ci": ci, "field": field, "fcfg": fcfg,
+                        "missing": missing, "info": info,
+                        "boost": float(fcfg.get("boost", 1.0)),
+                    })
+        return comps, infos, pend
 
     # Adaptive overfetch (VERDICT r6 next #1): gather, merge, then
     # PROVE the top-k safe — a doc in no shortlist scores at most
@@ -523,18 +517,11 @@ def _served_hybrid(
     # candidates_exhausted through telemetry + _last_search_info.
     mult = 1
     candidates_exhausted = False
-    while True:
-        components, infos = _gather(mult)
+
+    def _merge(components):
         nonempty = [d for _, d, _ in components if d.size]
         if not nonempty:
-            _buffer([])
-            if semantic_mode == "candidate":
-                collection._last_search_info = {
-                    "search_id": search_id,
-                    "candidate_mult": mult,
-                    "candidates_exhausted": False,
-                }
-            return _results([], mult=mult)
+            return None, None, None
         universe = (
             nonempty[0]
             if len(nonempty) == 1
@@ -549,6 +536,116 @@ def _served_hybrid(
             pos = np.searchsorted(universe, docs)
             positions.append(pos)
             total[pos] += scores
+        return universe, total, positions
+
+    def _pend_sem_ub(i) -> float | None:
+        """Upper bound on the best-chunk s64 of any doc OUTSIDE the
+        field's shortlist (the stage-A prune of the deferred
+        augmentation). Scanned chunks of non-shortlist docs score at
+        most the shortlist min (they ranked past n_cand in the same
+        f32 scan; min_score already carries the fp32→f64 slack);
+        unscanned chunks obey the geometric cell bound. Without
+        geometry the shortlist-min is only trustworthy under
+        exact_topn or router confidence — None disables the prune."""
+        if i.get("exhausted"):
+            return 0.0  # shortlist covers the field: missing ⇒ no chunks
+        if i.get("exact_topn"):
+            return float(i["min_score"])
+        if i.get("unscanned_bound") is not None:
+            if i.get("router_confident"):
+                return float(i["min_score"])
+            return max(float(i["unscanned_bound"]), float(i["min_score"]))
+        if i.get("router_confident"):
+            return float(i["min_score"])
+        return None
+
+    while True:
+        components, infos, pend = _gather(mult)
+        universe, total, positions = _merge(components)
+        if universe is None:
+            _buffer([])
+            if semantic_mode == "candidate":
+                collection._last_search_info = {
+                    "search_id": search_id,
+                    "candidate_mult": mult,
+                    "candidates_exhausted": False,
+                }
+            return _results([], mult=mult)
+
+        if pend:
+            # Staged augmentation (VERDICT r8 next #3 — WAND/max-score
+            # pruning for the ft-side fill). Stage A: certificate
+            # bound per field, no gather. Stage B: f32 screening
+            # gather (half the bytes) → per-doc tight bound. Stage C:
+            # exact f64 gather only for docs whose bound reaches the
+            # fully-covered top-k boundary. Every excluded doc's TRUE
+            # total is provably < boundary0 <= the final k-th score,
+            # so the returned top-k is exactly the eager plan's.
+            miss_mask = np.zeros(universe.size, dtype=bool)
+            extra_a = np.zeros(universe.size)
+            for p_ in pend:
+                pos = np.searchsorted(universe, p_["missing"])
+                p_["pos"] = pos
+                miss_mask[pos] = True
+                ub = _pend_sem_ub(p_["info"])
+                b = p_["boost"]
+                if ub is None:
+                    extra_a[pos] += np.inf
+                else:
+                    extra_a[pos] += (b * ub) if b >= 0 else -b
+            cov = ~miss_mask
+            ncov = int(cov.sum())
+            if ncov >= limit > 0:
+                covt = total[cov]
+                boundary0 = float(
+                    np.partition(covt, ncov - limit)[ncov - limit]
+                )
+            else:
+                boundary0 = -np.inf
+            surv = miss_mask & (total + extra_a >= boundary0)
+            did_gather = False
+            if surv.any():
+                extra_b = np.zeros(universe.size)
+                for p_ in pend:
+                    sel = p_["missing"][surv[p_["pos"]]]
+                    p_["surv"] = sel
+                    if not sel.size:
+                        continue
+                    idx = pipeline.served_index(p_["field"])
+                    adocs, as32, aerr = idx.approx_chunk_scores_for_docs(
+                        p_["fcfg"]["query"], sel
+                    )
+                    if adocs.size:
+                        apos = np.searchsorted(universe, adocs)
+                        b = p_["boost"]
+                        extra_b[apos] += b * as32 + abs(b) * aerr
+                need = surv & (total + extra_b >= boundary0)
+                if need.any():
+                    for p_ in pend:
+                        sel = p_["surv"]
+                        if not sel.size:
+                            continue
+                        sel = sel[need[np.searchsorted(universe, sel)]]
+                        if not sel.size:
+                            continue
+                        idx = pipeline.served_index(p_["field"])
+                        gdocs, gscores = idx.best_chunk_scores_for_docs(
+                            p_["fcfg"]["query"], sel
+                        )
+                        if not gdocs.size:
+                            continue
+                        col, docs, scores = components[p_["ci"]]
+                        md = np.concatenate([docs, gdocs])
+                        ms = np.concatenate(
+                            [scores, gscores * p_["boost"]]
+                        )
+                        order = np.argsort(md, kind="stable")
+                        components[p_["ci"]] = (
+                            col, md[order], ms[order]
+                        )
+                        did_gather = True
+            if did_gather:
+                universe, total, positions = _merge(components)
 
         # exact top-`limit` by (score desc, doc_id asc): threshold at
         # the k-th largest score, keep the (usually tiny) tie-inclusive

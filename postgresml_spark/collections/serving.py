@@ -451,6 +451,7 @@ class ServedPipelineIndex:
         ef: int | None = None,
         filter: dict | None = None,
         candidates: int | None = None,
+        widen: float = 1.0,
     ) -> list[dict]:
         """Top-`limit` results, exact-rescored. No Spark job.
 
@@ -458,6 +459,14 @@ class ServedPipelineIndex:
         max(4·limit, limit+10)) — the explicit overfetch knob the
         rerank path threads through so `num_documents_to_rerank`
         controls the candidate bound, not just the final cut.
+
+        ``widen`` (>= 1) multiplies the probe count (ivfflat) / ef
+        (hnsw) for THIS call — the per-shard recall-normalization
+        knob (VERDICT r8 next #1): a sharded deployment scales
+        per-shard lists ~1/sqrt(n), which silently also cuts the
+        probe COUNT ~1/sqrt(n); the scatter path passes
+        widen=sqrt(n) so each shard probes as many cells as the
+        single index would, at (still) ~1/sqrt(n) of its scan cost.
 
         ``filter`` (the SDK metadata-filter DSL) is honored ON the
         index: the resident metadata resolves to an allowed-row mask
@@ -499,10 +508,18 @@ class ServedPipelineIndex:
             len(self.chunk_ids),
         )
         if self.kind == "ivfflat":
-            found = idx.search(qv, k=n_cand, allowed=allowed)
+            npv = None
+            if widen and widen > 1.0:
+                npv = int(np.ceil(
+                    int(self._params.get("probes", 4)) * float(widen)
+                ))
+            found = idx.search(qv, k=n_cand, allowed=allowed, nprobe=npv)
         else:
+            base_ef = ef or max(4 * n_cand, 64)
             found = idx.search(
-                qv, k=n_cand, ef=ef or max(4 * n_cand, 64), allowed=allowed
+                qv, k=n_cand,
+                ef=int(np.ceil(base_ef * max(1.0, float(widen)))),
+                allowed=allowed,
             )
         rows = np.asarray([self.row_of[int(cid)] for cid, _ in found])
         dots = self.mat64[rows] @ qv
@@ -623,6 +640,64 @@ class ServedPipelineIndex:
         best = np.maximum.reduceat(scores, seg_starts)
         order = np.argsort(hit_docs, kind="stable")
         return hit_docs[order], best[order]
+
+    def _norm32(self) -> np.ndarray:
+        """Row-normalized float32 copy of the resident matrix, built
+        lazily for the candidate-hybrid's two-phase augmentation
+        (VERDICT r8 next #3): the f32 screening pass halves the gather
+        bytes vs the f64 exact gather; invalidated by length change on
+        append-refresh (same discipline as _doc_groups)."""
+        cached = getattr(self, "_mat32n_cache", None)
+        if cached is None or cached[1] != len(self.mat64):
+            norms = np.where(self.norms64 == 0.0, 1.0, self.norms64)
+            cached = (
+                (self.mat64 / norms[:, None]).astype(np.float32),
+                len(self.mat64),
+            )
+            self._mat32n_cache = cached
+        return cached[0]
+
+    def approx_chunk_scores_for_docs(
+        self, query_text: str, docs: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, float]:
+        """(hit_docs, best_cosine_f32, err) — float32 twin of
+        best_chunk_scores_for_docs for the WAND-style augmentation
+        screen (VERDICT r8 next #3): |f32 − f64| <= err for every
+        returned value, so `s32 + err` is a per-doc upper bound the
+        hybrid merge can prune with before paying the exact f64
+        gather. Non-resident docs drop from the returned arrays, same
+        as the exact gather."""
+        qv = np.asarray(self._embed(query_text), dtype=np.float64)
+        qn = float(np.linalg.norm(qv))
+        docs = np.asarray(docs, dtype=np.int64)
+        if not len(self.mat64) or qn == 0.0 or not docs.size:
+            return np.empty(0, dtype=np.int64), np.empty(0), 0.0
+        q32 = (qv / qn).astype(np.float32)
+        perm, starts, uniq, n = self._doc_groups()
+        ends = np.append(starts[1:], n)
+        pos = np.searchsorted(uniq, docs)
+        valid = pos < uniq.size
+        valid[valid] &= uniq[pos[valid]] == docs[valid]
+        hit_docs = docs[valid]
+        if not hit_docs.size:
+            return np.empty(0, dtype=np.int64), np.empty(0), 0.0
+        p = pos[valid]
+        counts = ends[p] - starts[p]
+        seg_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        flat = (
+            np.repeat(starts[p] - seg_starts, counts)
+            + np.arange(int(counts.sum()))
+        )
+        rows = perm[flat]
+        scores = self._norm32()[rows] @ q32
+        best = np.maximum.reduceat(scores, seg_starts)
+        order = np.argsort(hit_docs, kind="stable")
+        # worst-case f32 error for unit-vector dots: input rounding
+        # (~2 eps) + accumulation (<= d·eps conservative; BLAS blocked
+        # sums are far tighter but not guaranteed)
+        err = float(max(1e-5, 2.0 * self.mat64.shape[1]
+                        * np.finfo(np.float32).eps))
+        return hit_docs[order], best[order].astype(np.float64), err
 
     def _ann_doc_ids(self, idx) -> np.ndarray:
         """doc id per ANN-internal row (the IVF build clusters rows by
@@ -1080,12 +1155,23 @@ class ShardedPipelineIndex:
                ef: int | None = None, filter: dict | None = None,
                candidates: int | None = None) -> list[dict]:
         """Scatter to every shard (concurrently — see _scatter),
-        gather-merge by (-score, doc_id)."""
+        gather-merge by (-score, doc_id).
+
+        Each shard searches with widen=sqrt(n_shards) (VERDICT r8
+        next #1): per-shard ANN configs scale lists ~1/sqrt(n), which
+        also cuts the probe COUNT ~1/sqrt(n) — measured as a recall
+        cliff at 4 shards (0.854 vs 0.95 single, tools/
+        shard_scatter_latency.json r8). Restoring the probe count
+        keeps per-shard recall at the single-index level while each
+        shard still scans ~1/sqrt(n) of the single index's chunks, so
+        the scatter stays a strict latency win."""
+        w = float(np.sqrt(self.n_shards)) if self.n_shards > 1 else 1.0
         merged: list[dict] = []
         for part in _scatter(
             self, self.shards,
             lambda s: s.search(query_text, limit=limit, boost=boost,
-                               ef=ef, filter=filter, candidates=candidates),
+                               ef=ef, filter=filter, candidates=candidates,
+                               widen=w),
         ):
             merged.extend(part)
         merged.sort(key=lambda r: (-r["score"], r["document_id"]))
@@ -1188,6 +1274,17 @@ class ShardedPipelineIndex:
             _scatter(self, self.shards,
                      lambda s: s.best_chunk_scores_for_docs(query_text, docs))
         )
+
+    def approx_chunk_scores_for_docs(self, query_text: str, docs):
+        """f32 screening gather across shards (doc-disjoint concat);
+        err is the max over shards so the bound stays valid."""
+        parts = _scatter(
+            self, self.shards,
+            lambda s: s.approx_chunk_scores_for_docs(query_text, docs),
+        )
+        err = max((e for _, _, e in parts), default=0.0)
+        d, s = self._gather([(d, s) for d, s, _ in parts])
+        return d, s, err
 
 
 class ShardedTextIndex:

@@ -94,7 +94,10 @@ def warn_if_pinned_hnsw_clustered(
         "(tools/annbench_1m1024_r6.json): recall@10 0.88@ef=400 / "
         "0.97@ef=800 with the multi-seed descent default (the classic "
         "greedy descent capped at 0.56-0.78 here), while ivfflat "
-        "measured recall 1.00 at 11.0 ms on the same corpus. The "
+        "measured recall 1.00 at 11.0 ms on the same corpus; at "
+        "5M×1024 (tools/annbench_5m_r8.json) the hnsw multi-seed "
+        "curve PLATEAUS at 0.93 recall from clique saturation — no "
+        "ef recovers it — while ivfflat holds 1.00 at 13.4 ms. The "
         "pinned index builds as declared; keep ef_search >= 800 on "
         "corpora like this, or consider `semantic_search.ivfflat "
         "{lists, probes}` / removing the pin so the router chooses "

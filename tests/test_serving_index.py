@@ -1892,3 +1892,217 @@ def test_refresh_invalidates_ann_row_order_caches(spark, tmp_path):
     ann = idx.hnsw
     rows = np.asarray([idx.row_of[int(c)] for c in ann.ids])
     assert (idx.doc_ids[rows] == docs1).all()
+
+
+def test_sharded_scatter_recall_floor_with_widen():
+    """VERDICT r8 next #1: sharded configs scale per-shard probes
+    ~1/sqrt(n), which cuts the per-shard probe COUNT — measured as a
+    0.096 recall cliff at 4 shards/1M (tools/shard_scatter_latency
+    r8). ShardedPipelineIndex.search must pass widen=sqrt(n) so each
+    shard probes the single-index cell count at ~1/n of its scanned
+    rows. Pins (a) the widen plumbing mechanically, (b) recall@10 vs
+    float64 brute truth: widen beats the no-widen counterfactual by a
+    measurable margin AND the 4-shard scatter stays within 0.02 of
+    the single index (deterministic seeds; measured 0.85 / 0.80 /
+    0.725 at authoring time)."""
+    import numpy as np
+
+    from postgresml_spark.collections.serving import (
+        ServedPipelineIndex,
+        ShardedPipelineIndex,
+    )
+
+    rng = np.random.default_rng(23)
+    n_chunks, dim, n_clusters = 40_000, 64, 400
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    cl = rng.integers(0, n_clusters, size=n_chunks)
+    mat = (centers[cl] + rng.normal(scale=0.05, size=(n_chunks, dim))
+           ).astype(np.float32)
+    doc_ids = rng.integers(0, n_chunks // 4, size=n_chunks)
+    chunk_ids = np.arange(n_chunks, dtype=np.int64)
+    # noise 0.22: hard enough that the single index is NOT saturated
+    # (recall ~0.73), so shard-vs-single comparisons measure probe
+    # behavior instead of a ceiling
+    qs = centers[rng.integers(0, n_clusters, size=24)] + rng.normal(
+        scale=0.22, size=(24, dim))
+    embed = lambda q: qs[int(q[1:])]  # noqa: E731
+
+    single = ServedPipelineIndex.from_arrays(
+        chunk_ids, doc_ids, mat, embed,
+        kind="ivfflat", params={"lists": 128, "probes": 8},
+    )
+
+    # shipped discipline (VERDICT r8 next #1): per-shard lists KEEP
+    # the single-index cell count (rows/1000-style rule — the r8
+    # artifact's 1/sqrt(n) lists scaling compounds the trap); base
+    # probes scale 1/sqrt(n) and the scatter's auto widen=sqrt(n)
+    # restores the single-index probe count
+    shard_of = doc_ids % 4
+    shards = [
+        ServedPipelineIndex.from_arrays(
+            chunk_ids[shard_of == i], doc_ids[shard_of == i],
+            mat[shard_of == i], embed,
+            kind="ivfflat", params={"lists": 128, "probes": 4},
+        )
+        for i in range(4)
+    ]
+    sharded4 = ShardedPipelineIndex.__new__(ShardedPipelineIndex)
+    sharded4.n_shards, sharded4.field = 4, "_arrays_"
+    sharded4.shards = shards
+
+    # (a) mechanical: the scatter path hands widen=2.0 to each shard
+    seen = []
+    orig = ServedPipelineIndex.search
+
+    def spy(self, *a, **kw):
+        seen.append(kw.get("widen", 1.0))
+        return orig(self, *a, **kw)
+
+    ServedPipelineIndex.search = spy
+    try:
+        sharded4.search("q0", limit=10)
+    finally:
+        ServedPipelineIndex.search = orig
+    assert seen and all(w == pytest.approx(2.0) for w in seen), seen
+
+    # (b) behavioral: recall@10 vs float64 brute truth
+    norms = np.linalg.norm(mat.astype(np.float64), axis=1)
+    norms[norms == 0.0] = 1.0
+    perm = np.argsort(doc_ids, kind="stable")
+    uniq, starts = np.unique(doc_ids[perm], return_index=True)
+
+    def truth(i):
+        q64 = qs[i].astype(np.float64)
+        s = (mat.astype(np.float64) @ q64) / (
+            norms * (np.linalg.norm(q64) or 1.0))
+        best = np.maximum.reduceat(s[perm], starts)
+        return {int(d) for d in uniq[np.lexsort((uniq, -best))[:10]]}
+
+    truths = [truth(i) for i in range(24)]
+
+    def recall_scatter():
+        return float(np.mean([
+            len({r["document_id"]
+                 for r in sharded4.search(f"q{i}", limit=10)} & truths[i])
+            / 10 for i in range(24)
+        ]))
+
+    def recall_no_widen():
+        rs = []
+        for i in range(24):
+            merged = []
+            for s in shards:
+                merged.extend(s.search(f"q{i}", limit=10, widen=1.0))
+            merged.sort(key=lambda r: (-r["score"], r["document_id"]))
+            rs.append(
+                len({r["document_id"] for r in merged[:10]} & truths[i])
+                / 10
+            )
+        return float(np.mean(rs))
+
+    def recall_single():
+        return float(np.mean([
+            len({r["document_id"]
+                 for r in single.search(f"q{i}", limit=10)} & truths[i])
+            / 10 for i in range(24)
+        ]))
+
+    r_w, r_nw, r_s = recall_scatter(), recall_no_widen(), recall_single()
+    assert r_w >= r_nw + 0.02, f"widen {r_w:.4f} vs no-widen {r_nw:.4f}"
+    assert r_w >= r_s - 0.02, f"widen {r_w:.4f} vs single {r_s:.4f}"
+
+
+def test_candidate_staged_augmentation_exactness():
+    """VERDICT r8 next #3: the deferred (WAND/max-score) augmentation
+    must return EXACTLY the eager plan's hybrid top-k — the prune is a
+    proof, not a heuristic. Corpus sits above the 2M-element exact
+    crossover so candidate mode genuinely runs shortlists + staged
+    gather; common terms create wide tf=1 tie bands (the regime the
+    r8 eager gather paid full price for). Also pins the f32 screening
+    gather's error bound against the f64 exact gather."""
+    import numpy as np
+
+    from postgresml_spark.collections.search import _served_hybrid
+    from postgresml_spark.collections.serving import (
+        ServedPipelineIndex,
+        ServedTextIndex,
+    )
+
+    rng = np.random.default_rng(5)
+    n_chunks, dim = 60_000, 48  # 2.88M elements > 2M crossover
+    n_docs = n_chunks // 4
+    n_clusters = 200
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    cl = rng.integers(0, n_clusters, size=n_chunks)
+    mat = (centers[cl] + rng.normal(scale=0.05, size=(n_chunks, dim))
+           ).astype(np.float32)
+    doc_ids = rng.integers(0, n_docs, size=n_chunks)
+    chunk_ids = np.arange(n_chunks, dtype=np.int64)
+    lens = rng.integers(4, 20, size=n_chunks)
+    flat = np.minimum(rng.zipf(1.5, size=int(lens.sum())), 512) - 1
+    bounds = np.concatenate([[0], np.cumsum(lens)])
+    token_lists = [
+        [f"t{t}" for t in flat[bounds[i]:bounds[i + 1]]]
+        for i in range(n_chunks)
+    ]
+    qs = np.empty((12, dim))
+    qs[:10] = centers[rng.integers(0, n_clusters, size=10)] + rng.normal(
+        scale=0.15, size=(10, dim))
+    qs[10:] = rng.normal(size=(2, dim))  # OOD
+    embed = lambda q: qs[int(q[1:])]  # noqa: E731
+
+    idx = ServedPipelineIndex.from_arrays(
+        chunk_ids, doc_ids, mat, embed,
+        kind="ivfflat", params={"lists": 128, "probes": 16},
+    )
+    ft = ServedTextIndex.from_tokens(chunk_ids, doc_ids, token_lists)
+
+    class _P:
+        name = "staged_test"
+
+        def served_index(self, f):
+            return idx
+
+        def served_text_index(self, f):
+            return ft
+
+    class _C:
+        _search_log_buffer: list = []
+
+    pipe, coll = _P(), _C()
+
+    # f32 screen vs f64 exact: error within the declared bound
+    probe_docs = np.unique(rng.integers(0, n_docs, size=500))
+    for qi in (0, 3, 10):
+        ed, es = idx.best_chunk_scores_for_docs(f"q{qi}", probe_docs)
+        ad, as32, err = idx.approx_chunk_scores_for_docs(
+            f"q{qi}", probe_docs)
+        assert np.array_equal(ed, ad)
+        assert float(np.max(np.abs(es - as32))) <= err, (
+            float(np.max(np.abs(es - as32))), err)
+
+    # staged candidate == exact plan, ids AND scores, common + rare
+    for terms in ("t45 t60", "t300 t410", "t50 t51"):
+        for qi in range(12):
+            hq = {
+                "query": {
+                    "semantic_search": {"text": {"query": f"q{qi}",
+                                                 "boost": 1.5}},
+                    "full_text_search": {"text": {"query": terms,
+                                                  "boost": 0.8}},
+                },
+                "limit": 10,
+            }
+            ex = _served_hybrid(coll, pipe, hq, semantic_mode="exact")
+            ca = _served_hybrid(coll, pipe, hq, semantic_mode="candidate")
+            exhausted = getattr(coll, "_last_search_info", {}).get(
+                "candidates_exhausted")
+            if exhausted:
+                continue  # best-effort result is surfaced, not proven
+            assert [r["document_id"] for r in ca] == [
+                r["document_id"] for r in ex
+            ], f"terms={terms} q{qi}"
+            for a, b in zip(ca, ex):
+                assert a["score"] == pytest.approx(b["score"], abs=1e-12)

@@ -103,18 +103,19 @@ def build(n_chunks=1_000_000, dim=256, n_shards=4, seed=11):
     )
     single.hnsw
     # doc-hash split: the same modular placement ShardedPipelineIndex
-    # applies inside its Spark build plan. Per-shard lists KEEP the
-    # single-index cell count (the rows/1000-style rule applies to the
-    # shard like any corpus — pgvector guidance); the r8 tool scaled
-    # lists ~1/sqrt(n), which silently also cut the probe COUNT and
-    # measured a 0.096 recall cliff at 4 shards (VERDICT r8 next #1).
-    # Base probes scale ~1/sqrt(n) so the scatter's auto
-    # widen=sqrt(n) (ShardedPipelineIndex.search) restores the
-    # single-index probe count at ~1/n of its scanned rows per shard.
+    # applies inside its Spark build plan. Per-shard lists/probes scale
+    # ~1/sqrt(shards) (cell SIZE stays within ~2x of the single
+    # index's — a lists=256-per-shard variant with the same probe
+    # count measured WORSE recall from finer/noisier cells, r9). The
+    # 1/sqrt probe-count cut is what the r8 run showed as a 0.096
+    # recall cliff at 4 shards (VERDICT r8 next #1); the scatter's
+    # auto widen=sqrt(n) (ShardedPipelineIndex.search) restores the
+    # single-index probe COUNT while each shard still scans ~1/sqrt(n)
+    # of the single index's rows.
     sharded = build_sharded(chunk_ids, doc_ids, mat, embed, n_shards,
-                            lists=256, probes=16)
+                            lists=128, probes=16)
     sharded2 = build_sharded(chunk_ids, doc_ids, mat, embed, 2,
-                             lists=256, probes=23)
+                             lists=192, probes=24)
     truth = exact_doc_top10(mat, doc_ids, qs)
     return single, sharded, sharded2, truth, len(qs)
 

@@ -517,6 +517,45 @@ def _served_hybrid(
     # candidates_exhausted through telemetry + _last_search_info.
     mult = 1
     candidates_exhausted = False
+    # f32 screening scores are (query, field)-deterministic and
+    # independent of the escalation multiplier, so escalated rounds
+    # reuse the first round's gather instead of re-reading the matrix:
+    # field -> (sorted doc ids, s32 bound values, err)
+    screen_cache: dict[str, tuple] = {}
+
+    def _screen(field, fcfg, sel):
+        """f32 upper-bound values for `sel` (sorted doc ids) through
+        the cross-round cache. Non-resident docs are cached as 0.0 —
+        their true contribution is exactly 0 (absent component)."""
+        idx = pipeline.served_index(field)
+        cd, cv, cerr = screen_cache.get(field, (None, None, 0.0))
+        if cd is not None:
+            lp = np.searchsorted(cd, sel)
+            okc = lp < cd.size
+            okc[okc] &= cd[lp[okc]] == sel[okc]
+            new_sel = sel[~okc]
+        else:
+            new_sel = sel
+        if new_sel.size:
+            adocs, as32, aerr = idx.approx_chunk_scores_for_docs(
+                fcfg["query"], new_sel
+            )
+            vals = np.zeros(new_sel.size)
+            if adocs.size:
+                pn = np.searchsorted(new_sel, adocs)
+                vals[pn] = as32
+            if cd is None:
+                cd, cv, cerr = new_sel, vals, aerr
+            else:
+                md = np.concatenate([cd, new_sel])
+                mv = np.concatenate([cv, vals])
+                o = np.argsort(md, kind="stable")
+                cd, cv, cerr = md[o], mv[o], max(cerr, aerr)
+            screen_cache[field] = (cd, cv, cerr)
+        if cd is None:
+            return np.zeros(sel.size), 0.0
+        lp = np.searchsorted(cd, sel)
+        return cv[lp], cerr
 
     def _merge(components):
         nonempty = [d for _, d, _ in components if d.size]
@@ -587,12 +626,50 @@ def _served_hybrid(
                 pos = np.searchsorted(universe, p_["missing"])
                 p_["pos"] = pos
                 miss_mask[pos] = True
-                ub = _pend_sem_ub(p_["info"])
+                i = p_["info"]
                 b = p_["boost"]
-                if ub is None:
-                    extra_a[pos] += np.inf
+                # per-doc geometric bound when the IVF scan handoff is
+                # present — UNCONDITIONAL (no router trust): a missing
+                # doc's chunks are (a) in the top-T handoff → value
+                # known, (b) scanned beyond top-T → <= scan_floor, or
+                # (c) unscanned → <= the q·c + R_c cell bound. For
+                # in-distribution queries this is far below the
+                # shortlist-min scalar, so stage A alone prunes the
+                # single-term tf tie bands that stage B would
+                # otherwise gather.
+                ub_arr = None
+                if (i.get("unscanned_bound") is not None
+                        and not i.get("exhausted")
+                        and not i.get("exact_topn")):
+                    base = float(i["unscanned_bound"])
+                    if i.get("scan_floor") is not None:
+                        base = max(base, float(i["scan_floor"]))
+                    base += 1e-5 * max(1.0, abs(base))
+                    ub_arr = np.full(pos.size, base)
+                    sd = i.get("scan_chunk_docs")
+                    ss = i.get("scan_chunk_s32")
+                    if sd is not None and sd.size:
+                        so = np.argsort(sd, kind="stable")
+                        sds, sss = sd[so], ss[so]
+                        u, st = np.unique(sds, return_index=True)
+                        mx = np.maximum.reduceat(sss, st)
+                        lp = np.searchsorted(u, p_["missing"])
+                        ok = lp < u.size
+                        ok[ok] &= u[lp[ok]] == p_["missing"][ok]
+                        if ok.any():
+                            v = mx[lp[ok]].astype(np.float64)
+                            v += 1e-5 * np.maximum(1.0, np.abs(v))
+                            ub_arr[ok] = np.maximum(ub_arr[ok], v)
+                    if i.get("router_confident"):
+                        ub_arr = np.minimum(ub_arr, float(i["min_score"]))
+                if ub_arr is not None:
+                    extra_a[pos] += (b * ub_arr) if b >= 0 else -b
                 else:
-                    extra_a[pos] += (b * ub) if b >= 0 else -b
+                    ub = _pend_sem_ub(i)
+                    if ub is None:
+                        extra_a[pos] += np.inf
+                    else:
+                        extra_a[pos] += (b * ub) if b >= 0 else -b
             cov = ~miss_mask
             ncov = int(cov.sum())
             if ncov >= limit > 0:
@@ -611,14 +688,10 @@ def _served_hybrid(
                     p_["surv"] = sel
                     if not sel.size:
                         continue
-                    idx = pipeline.served_index(p_["field"])
-                    adocs, as32, aerr = idx.approx_chunk_scores_for_docs(
-                        p_["fcfg"]["query"], sel
-                    )
-                    if adocs.size:
-                        apos = np.searchsorted(universe, adocs)
-                        b = p_["boost"]
-                        extra_b[apos] += b * as32 + abs(b) * aerr
+                    vals, aerr = _screen(p_["field"], p_["fcfg"], sel)
+                    spos = np.searchsorted(universe, sel)
+                    b = p_["boost"]
+                    extra_b[spos] += b * vals + abs(b) * aerr
                 need = surv & (total + extra_b >= boundary0)
                 if need.any():
                     for p_ in pend:

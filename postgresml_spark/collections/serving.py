@@ -641,20 +641,29 @@ class ServedPipelineIndex:
         order = np.argsort(hit_docs, kind="stable")
         return hit_docs[order], best[order]
 
-    def _norm32(self) -> np.ndarray:
-        """Row-normalized float32 copy of the resident matrix, built
-        lazily for the candidate-hybrid's two-phase augmentation
-        (VERDICT r8 next #3): the f32 screening pass halves the gather
-        bytes vs the f64 exact gather; invalidated by length change on
+    def _norm32d(self) -> np.ndarray:
+        """DOC-SORTED row-normalized float32 copy of the resident
+        matrix (rows permuted by _doc_groups' perm), built lazily for
+        the candidate-hybrid's screening gather (VERDICT r8 next #3).
+        Two wins over a payload-order f32 copy: half the bytes of the
+        f64 gather, and — because the missing-doc lists arrive SORTED —
+        the gather indices are ascending runs of contiguous per-doc
+        blocks, so the read is prefetch-friendly instead of
+        random-access latency-bound (profiled ~3 µs/doc random vs
+        sequential-class when sorted). Built in row blocks to avoid a
+        full-matrix f64 temporary; invalidated by length change on
         append-refresh (same discipline as _doc_groups)."""
-        cached = getattr(self, "_mat32n_cache", None)
-        if cached is None or cached[1] != len(self.mat64):
+        perm, _, _, n = self._doc_groups()
+        cached = getattr(self, "_mat32d_cache", None)
+        if cached is None or cached[1] != n:
             norms = np.where(self.norms64 == 0.0, 1.0, self.norms64)
-            cached = (
-                (self.mat64 / norms[:, None]).astype(np.float32),
-                len(self.mat64),
-            )
-            self._mat32n_cache = cached
+            out = np.empty((n, self.mat64.shape[1]), dtype=np.float32)
+            step = 1 << 18
+            for lo in range(0, n, step):
+                pr = perm[lo:lo + step]
+                out[lo:lo + step] = self.mat64[pr] / norms[pr, None]
+            cached = (out, n)
+            self._mat32d_cache = cached
         return cached[0]
 
     def approx_chunk_scores_for_docs(
@@ -684,12 +693,14 @@ class ServedPipelineIndex:
         p = pos[valid]
         counts = ends[p] - starts[p]
         seg_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        # `flat` indexes DOC-SORTED row order directly (the _norm32d
+        # matrix shares _doc_groups' perm), so a sorted doc list reads
+        # as ascending contiguous per-doc blocks — no perm gather
         flat = (
             np.repeat(starts[p] - seg_starts, counts)
             + np.arange(int(counts.sum()))
         )
-        rows = perm[flat]
-        scores = self._norm32()[rows] @ q32
+        scores = self._norm32d()[flat] @ q32
         best = np.maximum.reduceat(scores, seg_starts)
         order = np.argsort(hit_docs, kind="stable")
         # worst-case f32 error for unit-vector dots: input rounding

@@ -167,30 +167,66 @@ def run(n_chunks: int, dim: int = 256) -> dict:
         _served_hybrid(coll, pipe, hq(0), semantic_mode="exact")  # warm
         _served_hybrid(coll, pipe, hq(0), semantic_mode="candidate")
 
-        agree, deltas, t_exact, t_cand = [], [], [], []
+        agree, deltas = [], []
+        t_exact = [float("inf")] * len(qs)
+        t_cand = [float("inf")] * len(qs)
         mult_dist: dict[int, int] = {}
         exhausted = 0
-        for i in range(len(qs)):
-            t0 = time.perf_counter()
-            ex = _served_hybrid(coll, pipe, hq(i), semantic_mode="exact")
-            t_exact.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            ca = _served_hybrid(coll, pipe, hq(i), semantic_mode="candidate")
-            t_cand.append(time.perf_counter() - t0)
-            inf = getattr(coll, "_last_search_info", {})
-            m = int(inf.get("candidate_mult", 1))
-            mult_dist[m] = mult_dist.get(m, 0) + 1
-            exhausted += bool(inf.get("candidates_exhausted"))
-            e_ids = [r["document_id"] for r in ex]
-            c_ids = [r["document_id"] for r in ca]
-            agree.append(len(set(e_ids) & set(c_ids)) / max(len(e_ids), 1))
-            e_sc = {r["document_id"]: r["score"] for r in ex}
-            deltas.extend(
-                abs(r["score"] - e_sc[r["document_id"]])
-                for r in ca if r["document_id"] in e_sc
-            )
+        # TWO timing passes, per-query MINIMUM (timeit discipline):
+        # this host shows multi-second noise bursts that inflate a
+        # whole 50-query sweep 2-3x (r9 measured back-to-back 1M runs
+        # flip-flopping 17.9 <-> 36 ms on identical code); a per-query
+        # min across passes reports the noise floor instead of
+        # whichever sweep the burst landed on. Agreement/mult stats
+        # come from the first pass (they are deterministic).
+        for rep in range(2):
+            for i in range(len(qs)):
+                t0 = time.perf_counter()
+                ex = _served_hybrid(coll, pipe, hq(i), semantic_mode="exact")
+                t_exact[i] = min(t_exact[i], time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                ca = _served_hybrid(coll, pipe, hq(i),
+                                    semantic_mode="candidate")
+                t_cand[i] = min(t_cand[i], time.perf_counter() - t0)
+                if rep:
+                    continue
+                inf = getattr(coll, "_last_search_info", {})
+                m = int(inf.get("candidate_mult", 1))
+                mult_dist[m] = mult_dist.get(m, 0) + 1
+                exhausted += bool(inf.get("candidates_exhausted"))
+                e_ids = [r["document_id"] for r in ex]
+                c_ids = [r["document_id"] for r in ca]
+                agree.append(
+                    len(set(e_ids) & set(c_ids)) / max(len(e_ids), 1)
+                )
+                e_sc = {r["document_id"]: r["score"] for r in ex}
+                deltas.extend(
+                    abs(r["score"] - e_sc[r["document_id"]])
+                    for r in ca if r["document_id"] in e_sc
+                )
+        # back-to-back candidate sweep (no exact call in between): the
+        # interleaved loop above measures candidate in the exact
+        # matvec's OpenBLAS spin-wait shadow (32 worker threads
+        # busy-wait after each 2 GB exact scan and steal cycles from
+        # the immediately-following candidate call — profiled r9:
+        # interleaved medians 2-3x the back-to-back ones on identical
+        # code). Interleaved numbers stay (r8-comparable methodology);
+        # the solo number is what a serving process that never runs
+        # the exact plan actually pays.
+        t_solo = [float("inf")] * len(qs)
+        for rep in range(2):
+            for i in range(len(qs)):
+                t0 = time.perf_counter()
+                _served_hybrid(coll, pipe, hq(i),
+                               semantic_mode="candidate")
+                t_solo[i] = min(t_solo[i], time.perf_counter() - t0)
+        t_solo.sort()
         t_exact.sort(), t_cand.sort()
         out[regime] = {
+            "hybrid_candidate_solo_ms": round(
+                t_solo[len(t_solo) // 2] * 1000, 2),
+            "hybrid_candidate_solo_mean_ms": round(
+                float(np.mean(t_solo)) * 1000, 2),
             "agreement_at_10": round(float(np.mean(agree)), 4),
             # queries 0-39 are perturbed cluster centers (real queries
             # look like the corpus); 40-49 are pure-random directions —

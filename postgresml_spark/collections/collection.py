@@ -31,7 +31,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from postgresml_spark.collections.storage import BucketedVersionedTable
+from postgresml_spark.collections.storage import (
+    BucketedVersionedTable,
+    parquet_dir_stats,
+)
 from postgresml_spark.operators.filter_dsl import (
     compile_filter,
     compile_order_by,
@@ -92,13 +95,19 @@ class Collection:
         # dropping partitions all attached pipelines have consumed.
         self._changes_path = os.path.join(self.root, "_changes")
 
-    def _log_changes(self, rows_df: DataFrame) -> None:
-        seq = self.documents._current_version()
+    def _log_changes(self, rows_df: DataFrame, seq: int | None = None) -> None:
+        """Write one change-log partition. ``seq`` defaults to the
+        documents table's CURRENT version; the upsert tail passes the
+        about-to-be-written version explicitly so the log write can run
+        BEFORE the version flip (its footer stats then answer the
+        count/max-id aggregation for free — see _upsert_incoming)."""
+        if seq is None:
+            seq = self.documents._current_version()
         rows_df.select(
             F.col("id").cast("long"),
             F.col("source_uuid").cast("string"),
             F.col("document").cast("string"),
-        ).coalesce(1).write.mode("overwrite").parquet(
+        ).write.mode("overwrite").parquet(
             os.path.join(self._changes_path, f"seq={seq}")
         )
 
@@ -255,6 +264,7 @@ class Collection:
         Partition-granular: only the hash buckets containing incoming
         source_uuids are read (pruned scan) and rewritten; every other
         bucket's files carry over to the new version untouched."""
+        raw = incoming  # pre-dedup: detection runs on the narrow plan
         incoming = incoming.dropDuplicates(["source_uuid"])
         # fresh collection: no stored version yet → skip the max-id agg
         # entirely (a Spark job against an empty local relation still
@@ -272,19 +282,25 @@ class Collection:
             new = incoming.withColumn(
                 "id", F.monotonically_increasing_id() + F.lit(1)
             ).select("id", "source_uuid", "version", "document")
-            new = new.persist()  # count + write share one computation
-            try:
-                r = new.agg(
-                    F.count("*").alias("n"), F.max("id").alias("m")
-                ).head()
-                n = int(r["n"])
-                self.documents.overwrite(new)
-                self.documents.write_stats(
-                    max_id=int(r["m"]) if r["m"] is not None else 0
-                )
-                self._log_changes_linked()  # zero-job initial log
-            finally:
-                new.unpersist()
+            # ONE job: the version write is the only computation of
+            # `new`; count and max(id) come from the written files'
+            # parquet footers (guide §1.2 — don't spend a whole local
+            # job on numbers the writer just recorded). No persist: the
+            # DAG executes exactly once, so the monotonic ids are the
+            # on-disk truth by construction.
+            self.documents.overwrite(new)
+            st = parquet_dir_stats(
+                self.documents._vdir(self.documents._current_version()),
+                column="id",
+            )
+            n = st["rows"]
+            mx = st["max"]
+            if not st["stats_ok"] or (n and mx is None):
+                mx = self.documents.read().agg(F.max("id")).head()[0]
+            self.documents.write_stats(
+                max_id=int(mx) if mx is not None else 0, n_rows=n
+            )
+            self._log_changes_linked()  # zero-job initial log
             self._mark_pipelines_stale()
             return n
         # ONE detection collect: touched buckets AND the batch's uuids
@@ -292,8 +308,11 @@ class Collection:
         # filters below — each saved broadcast materialization is a
         # whole Spark job on the lifecycle hot path). Bounded: past the
         # cap only the distinct buckets are fetched and the join path
-        # below handles membership.
-        tb = incoming.select(
+        # below handles membership. Runs on the PRE-dedup frame — a
+        # narrow plan whose take is one job (the dedup exchange would
+        # add an AQE stage job); batch-internal duplicate uuids only
+        # repeat values we deduplicate driver-side.
+        tb = raw.select(
             "source_uuid",
             self.documents.bucket_of(F.col("source_uuid")).alias("b"),
         ).limit(4097).collect()
@@ -307,7 +326,8 @@ class Collection:
             )
         else:
             touched = sorted({int(r["b"]) for r in tb})
-            uuids = [r["source_uuid"] for r in tb]
+            uuids = sorted({r["source_uuid"] for r in tb
+                            if r["source_uuid"] is not None})
         cur_touched = self.documents.read_buckets(touched)
         if merge:
             # overlap can only live in touched buckets (bucket is a
@@ -352,36 +372,63 @@ class Collection:
         new = incoming.withColumn(
             "id", F.monotonically_increasing_id() + F.lit(max_id + 1)
         ).select("id", "source_uuid", "version", "document")
-        # persist: count + the version write both consume `new`; without
-        # it the incoming DAG (incl. the merge UDF join) runs twice
-        new = new.persist()
         # replaced docs' OLD ids (they get fresh ids below) — logged so
-        # the incremental sync tombstones their derived rows; bound to
-        # the pre-write version paths, still on disk post-write
-        # (keep_versions=2)
+        # the incremental sync tombstones their derived rows
         replaced = replaced_src.select(
             "id", "source_uuid",
             F.lit(None).cast("string").alias("document"),
         )
-        try:
-            r = new.agg(
-                F.count("*").alias("n"), F.max("id").alias("m")
+        # Log-first tail (one job fewer than the agg → write → log
+        # sequence, and no persist): the change-log partition for the
+        # about-to-be-written version is new ∪ replaced, so write it
+        # FIRST — its parquet footers answer the count/max-id
+        # aggregation for free (new rows are exactly those with a
+        # non-null document; replaced rows carry OLD ids <= max_id, so
+        # the footer max over all rows is the max NEW id whenever the
+        # batch is non-empty) — and the version write below re-reads
+        # `new` from the just-written log files instead of recomputing
+        # the ingest DAG (which also pins the monotonic ids to the
+        # on-disk truth).
+        seq = self.documents._current_version() + 1
+        log_dir = os.path.join(self._changes_path, f"seq={seq}")
+        self._log_changes(
+            new.select("id", "source_uuid", "document").unionByName(replaced),
+            seq=seq,
+        )
+        st = parquet_dir_stats(log_dir, column="id", null_count_col="document")
+        _log_schema = "id long, source_uuid string, document string"
+        if st["stats_ok"]:
+            n = st["rows"] - int(st["nulls"] or 0)
+            new_max = st["max"]
+        else:  # writer omitted stats: one bounded agg over the tiny log
+            r = self.spark.read.schema(_log_schema).parquet(log_dir).agg(
+                F.count(F.col("document")).alias("n"),
+                F.max("id").alias("m"),
             ).head()
-            n = int(r["n"])
-            merged = keep.select(
-                "id", "source_uuid", "version", "document"
-            ).unionByName(new)
-            self.documents.partial_overwrite(merged, touched)
-            self.documents.write_stats(
-                max_id=max(int(max_id),
-                           int(r["m"]) if r["m"] is not None else 0)
+            n, new_max = int(r["n"]), r["m"]
+        new_from_log = (
+            # explicit schema: no schema-inference job on the re-read
+            self.spark.read.schema(_log_schema).parquet(log_dir)
+            .filter(F.col("document").isNotNull())
+            .select(
+                "id", "source_uuid",
+                F.lit(_VERSION_PAYLOAD).alias("version"), "document",
             )
-            self._log_changes(
-                new.select("id", "source_uuid", "document")
-                .unionByName(replaced)
-            )
-        finally:
-            new.unpersist()
+        )
+        merged = keep.select(
+            "id", "source_uuid", "version", "document"
+        ).unionByName(new_from_log)
+        self.documents.partial_overwrite(merged, touched)
+        # total row count = footer census of the new version (touched
+        # buckets fresh + untouched hardlinks) — O(n_buckets) footers
+        vstats = parquet_dir_stats(
+            self.documents._vdir(self.documents._current_version())
+        )
+        self.documents.write_stats(
+            max_id=max(int(max_id),
+                       int(new_max) if new_max is not None else 0),
+            n_rows=vstats["rows"],
+        )
         self._mark_pipelines_stale()
         return n
 
@@ -449,11 +496,28 @@ class Collection:
             "id", "source_uuid",
             F.lit(None).cast("string").alias("document"),
         )
-        n = df.count() - kept.count()
+        # 2 jobs, not 4: the upsert tail maintains n_rows in the stats
+        # sidecar, and the kept-count comes from the new version's
+        # parquet footers — both count aggregations were whole local
+        # Spark jobs of pure scheduling (guide §1.2).
+        st_prev = self.documents.stats()
+        total_before = st_prev.get("n_rows")
+        if total_before is None:  # legacy version without stats
+            total_before = df.count()
         self.documents.overwrite(kept)
+        kept_n = parquet_dir_stats(
+            self.documents._vdir(self.documents._current_version())
+        )["rows"]
+        stats_kw = {"n_rows": kept_n}
+        if st_prev.get("max_id") is not None:
+            # deletes only remove ids; the old bound stays valid
+            stats_kw["max_id"] = st_prev["max_id"]
+        self.documents.write_stats(**stats_kw)
+        # `deleted` is bound to the PRE-delete version's files, still on
+        # disk post-overwrite (keep_versions=2)
         self._log_changes(deleted)
         self._mark_pipelines_stale()
-        return n
+        return int(total_before) - kept_n
 
     def purge_documents(self, filter: dict) -> int:
         """Right-to-be-forgotten delete: remove matching documents, all

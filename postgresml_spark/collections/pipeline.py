@@ -235,24 +235,37 @@ class Pipeline:
     def _sync_full(self, field: str, cfg: dict, docs: DataFrame,
                    out: dict[str, int]) -> None:
         """Full rebuild of one field's derived tables + sync state."""
+        from postgresml_spark.collections.storage import parquet_dir_stats
+
         # persist: the chunk DAG (docs scan → JSON extract → split)
-        # feeds the chunks write, the changed-count, the embed UDF
-        # and the tsvector build — without a cache it re-executes
-        # once per consumer (measured 3× the sync cost at sf0.1)
+        # feeds the chunks write, the embed UDF and the tsvector build —
+        # without a cache it re-executes once per consumer (measured 3×
+        # the sync cost at sf0.1)
         new_chunks = self._chunks_for(field, cfg, docs).persist()
         tbl = self._tables[f"{field}_chunks"]
         try:
-            tbl.overwrite(new_chunks)
-            n_changed = new_chunks.count()
+            tbl.overwrite(new_chunks)  # materializes the cache
+            # changed-count from the written version's parquet footers —
+            # the count() here was a whole extra local job (guide §1.2)
+            n_changed = parquet_dir_stats(
+                tbl._vdir(tbl._current_version())
+            )["rows"]
             out[f"{field}_chunks"] = n_changed
             tbl.write_stats(base_rows=n_changed, tomb_rows=0)
-            if f"{field}_embeddings" in self._tables:
+
+            # embeddings and tsvectors are INDEPENDENT consumers of the
+            # cached chunks: run their writes concurrently (guide §2.6 —
+            # the second job's tasks back-fill the first's tail; on the
+            # lifecycle hot path this folds two sequential write walls
+            # into ~one)
+            def _write_emb():
                 model = (cfg.get("semantic_search") or {}).get("model", "hash:16")
                 etbl = self._tables[f"{field}_embeddings"]
                 etbl.overwrite(self._embed(new_chunks, model))
                 etbl.write_stats(base_rows=n_changed, tomb_rows=0)
                 out[f"{field}_embeddings"] = n_changed
-            if f"{field}_tsvectors" in self._tables:
+
+            def _write_tsv():
                 ttbl = self._tables[f"{field}_tsvectors"]
                 ttbl.overwrite(
                     new_chunks.select(
@@ -261,8 +274,31 @@ class Pipeline:
                 )
                 ttbl.write_stats(base_rows=n_changed, tomb_rows=0)
                 out[f"{field}_tsvectors"] = n_changed
+
+            writers = []
+            if f"{field}_embeddings" in self._tables:
+                writers.append(_write_emb)
+            if f"{field}_tsvectors" in self._tables:
+                writers.append(_write_tsv)
+            self._run_writers(writers)
         finally:
             new_chunks.unpersist()
+
+    @staticmethod
+    def _run_writers(writers) -> None:
+        """Run independent derived-table writes concurrently (2 is the
+        max fan-out: embeddings + tsvectors). Sequential when there is
+        one — no pool overhead on the common chunks-only schema."""
+        if len(writers) <= 1:
+            for w in writers:
+                w()
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(writers)) as pool:
+            futs = [pool.submit(w) for w in writers]
+            for f in futs:
+                f.result()
 
     def _sync_incremental(self, field: str, cfg: dict, out: dict[str, int],
                           wm: int, docs_version: int) -> None:
@@ -294,36 +330,40 @@ class Pipeline:
         # inference is only safe because every selected column exists
         # in every file. A mixed linked+plain read is regression-tested
         # in tests/test_collections.py (mixed change-log schema test).
-        pend = spark.read.parquet(self.collection._changes_path).filter(
+        # explicit schema (the log's column contract): skips the
+        # per-sync schema-inference Spark job; the hardlinked initial
+        # partitions' extra `version` column is simply not selected
+        pend = spark.read.schema(
+            "id long, source_uuid string, document string, seq int"
+        ).parquet(self.collection._changes_path).filter(
             F.col("seq") > F.lit(int(wm))
         )
-        # ONE detection job: pending ids and liveness in a single
-        # bounded collect (past 100k pending rows the limit trips and
-        # the full rebuild is the faster plan). Bucket scoping happens
+        # ZERO-job detection (guide §1.2): the pending log partitions
+        # are known directories (seq > wm) of O(changed) rows the
+        # driver just wrote — footer row counts decide the >100k
+        # full-rebuild bail WITHOUT reading payloads, and a pyarrow
+        # column read of (id, document-validity) replaces what was a
+        # whole Spark collect job (2-3 jobs under executeTake's
+        # incremental partition scaling). Bucket scoping happens
         # inside delta_overwrite off the touched keys — computing
-        # buckets here would be dead work (ADVICE r7).
-        pend_rows = (
-            pend.select(
-                "id",
-                F.col("document").isNotNull().alias("live"),
-            )
-            .limit(100_001)
-            .collect()
-        )
-        n_touched = len(pend_rows)
+        # buckets here would be dead work (ADVICE r7). Column
+        # contract (ADVICE r8 #4): only (id, document) are selected,
+        # present in every log file, linked or plain.
+        pend_ids, pend_live = self._pend_census(wm, cap=100_000)
+        if pend_ids is None:  # over the cap: rebuild, payloads unread
+            self._sync_full(field, cfg, self.collection.documents.read(), out)
+            self._set_watermark(field, docs_version)
+            return
+        n_touched = len(pend_ids)
         if not n_touched:  # no-op sync: zero counts, ZERO writes
             for k in stages:
                 out[k] = 0
             self._set_watermark(field, docs_version)
             return
-        if n_touched > 100_000:
-            self._sync_full(field, cfg, self.collection.documents.read(), out)
-            self._set_watermark(field, docs_version)
-            return
-        touched_keys = [str(int(r["id"])) for r in pend_rows]
+        touched_keys = [str(int(i)) for i in pend_ids]
         # ids are never reused, so an id with any NULL-payload row is
         # dead; live ids carry their payload in exactly one log row
-        dead = [int(r["id"]) for r in pend_rows if not r["live"]]
+        dead = [int(i) for i, lv in zip(pend_ids, pend_live) if not lv]
         changed_docs = pend.filter(F.col("document").isNotNull())
         if dead:
             changed_docs = changed_docs.join(
@@ -334,21 +374,37 @@ class Pipeline:
             )
         new_chunks = self._chunks_for(field, cfg, changed_docs).persist()
         try:
-            n_changed = new_chunks.count()
-            out[f"{field}_chunks"] = n_changed
-            # delta write: a doc-key tombstone kills every old row of a
-            # touched doc; the delta re-emits the doc's CURRENT rows —
-            # O(changed docs) bytes, untouched buckets hardlink
-            # through. The three tables share one tombstone history, so
-            # the chunks write produces the file and the siblings link.
+            # delta write FIRST (it materializes the cache): a doc-key
+            # tombstone kills every old row of a touched doc; the delta
+            # re-emits the doc's CURRENT rows — O(changed docs) bytes,
+            # untouched buckets hardlink through. The three tables share
+            # one tombstone history, so the chunks write produces the
+            # file and the siblings link.
             tomb_dir = tbl.delta_overwrite(new_chunks, touched_keys)
-            if f"{field}_embeddings" in self._tables:
+            # changed-count from the written _delta's footers/pages —
+            # driver-side pyarrow over O(changed) rows, zero Spark jobs
+            # (the count() here was a whole extra local job). The delta
+            # = surviving older rows (keys NOT in this batch, by the
+            # compaction anti-join) ∪ this batch's chunks, so counting
+            # rows whose doc key is in touched_keys is exactly
+            # new_chunks.count().
+            n_changed = self._count_delta_batch_rows(
+                os.path.join(os.path.dirname(tomb_dir), "_delta"),
+                touched_keys,
+            )
+            out[f"{field}_chunks"] = n_changed
+
+            # embeddings/tsvectors deltas are independent consumers of
+            # the cached chunks + hardlinked tombstones: run them
+            # concurrently (guide §2.6)
+            def _write_emb():
                 etbl = self._tables[f"{field}_embeddings"]
                 model = (cfg.get("semantic_search") or {}).get("model", "hash:16")
                 etbl.delta_overwrite(self._embed(new_chunks, model),
                                      touched_keys, tomb_link=tomb_dir)
                 out[f"{field}_embeddings"] = n_changed
-            if f"{field}_tsvectors" in self._tables:
+
+            def _write_tsv():
                 ttbl = self._tables[f"{field}_tsvectors"]
                 ttbl.delta_overwrite(
                     new_chunks.select(
@@ -357,9 +413,73 @@ class Pipeline:
                     touched_keys, tomb_link=tomb_dir,
                 )
                 out[f"{field}_tsvectors"] = n_changed
+
+            writers = []
+            if f"{field}_embeddings" in self._tables:
+                writers.append(_write_emb)
+            if f"{field}_tsvectors" in self._tables:
+                writers.append(_write_tsv)
+            self._run_writers(writers)
             self._set_watermark(field, docs_version)
         finally:
             new_chunks.unpersist()
+
+    def _pend_census(self, wm: int, cap: int = 100_000):
+        """Driver-side read of the pending change-log partitions
+        (seq > wm): returns (ids, live_flags) or (None, None) when the
+        footer row count exceeds `cap` (the full-rebuild bail — decided
+        from metadata alone, no payload bytes read). Zero Spark jobs."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        root = self.collection._changes_path
+        files: list[str] = []
+        for name in sorted(os.listdir(root)):
+            if not name.startswith("seq="):
+                continue
+            try:
+                seq = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if seq <= wm:
+                continue
+            d = os.path.join(root, name)
+            files.extend(
+                os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+        total = sum(pq.read_metadata(f).num_rows for f in files)
+        if total > cap:
+            return None, None
+        ids: list[int] = []
+        live: list[bool] = []
+        for f in files:
+            t = pq.read_table(f, columns=["id", "document"])
+            ids.extend(t.column("id").to_pylist())
+            live.extend(pc.is_valid(t.column("document")).to_pylist())
+        return ids, live
+
+    @staticmethod
+    def _count_delta_batch_rows(delta_dir: str, touched_keys: list[str]) -> int:
+        """Rows of a just-written _delta belonging to THIS batch's doc
+        keys — pyarrow column read of the small delta, zero Spark jobs.
+        The chunks delta stores document_id (long); derived-key tables
+        encode the doc id in chunk_id, but this is only ever called on
+        the chunks table."""
+        import pyarrow.parquet as pq
+
+        keys = {int(k) for k in touched_keys}
+        n = 0
+        for fn in sorted(os.listdir(delta_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            col = pq.read_table(
+                os.path.join(delta_dir, fn), columns=["document_id"]
+            ).column("document_id")
+            for v in col.to_pylist():
+                if v in keys:
+                    n += 1
+        return n
 
     def resync(self) -> dict[str, int]:
         return self.sync(full=True)

@@ -252,11 +252,19 @@ def vector_search(
                 "chunk",
                 (F.col("cosine") * boost).alias("score"),
             )
-            .orderBy(F.col("score").desc(), F.col("document_id"))
-            .limit(fetch)
         )
     if not per_field:
         return []
+    # Single terminal top-k: per-field intermediate orderBy().limit()
+    # nodes forced a range-partitioning Exchange (plus its sampling
+    # pass) and a single-partition GlobalLimit Exchange PER FIELD
+    # before the final sort — 5 AQE stage jobs for one exact search
+    # (guide §2.4: remove exchanges outright). The union's terminal
+    # orderBy().limit() compiles to TakeOrderedAndProject — per-
+    # partition partial top-k + driver merge, ZERO exchanges — and is
+    # result-identical: any row cut by a per-field top-`fetch` was
+    # outranked by `fetch` rows of its own field, so it can never
+    # appear in the global top-`fetch` either.
     un = per_field[0]
     for d in per_field[1:]:
         un = un.unionByName(d)  # UNION ALL (vector_search_query_builder.rs:287-296)

@@ -18,6 +18,63 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+def parquet_dir_stats(
+    path: str,
+    column: str | None = None,
+    null_count_col: str | None = None,
+) -> dict:
+    """Driver-side parquet-footer census of a written dataset dir:
+    total rows, optional max(column) and null-count(column) from the
+    files' column statistics. ZERO Spark jobs — on the lifecycle hot
+    path every count/max aggregation is otherwise a whole local job
+    (~0.2 s of pure scheduling), and the writer just produced footers
+    that already carry the numbers.
+
+    Walks partition subdirs (names containing '='), skips sidecar
+    stores (underscore/dot-prefixed names without '=': `_delta`,
+    `_tombstones`, `_stats.json`) — the same hidden-path rule Spark's
+    file listing applies. Returns {"rows", "max", "nulls",
+    "stats_ok"}; callers must fall back to a Spark aggregation when
+    stats_ok is False (a writer that omitted column statistics)."""
+    import pyarrow.parquet as pq
+
+    rows = 0
+    mx = None
+    nulls = 0
+    stats_ok = True
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [
+            d for d in dirs
+            if "=" in d or not (d.startswith("_") or d.startswith("."))
+        ]
+        for fn in files:
+            if not fn.endswith(".parquet") or fn.startswith((".", "_")):
+                continue
+            md = pq.read_metadata(os.path.join(root, fn))
+            rows += md.num_rows
+            if column is None and null_count_col is None:
+                continue
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                for ci in range(rgm.num_columns):
+                    col = rgm.column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    if column is not None and name == column:
+                        if st is None or not st.has_min_max:
+                            if rgm.num_rows:
+                                stats_ok = False
+                        else:
+                            v = st.max
+                            mx = v if mx is None else max(mx, v)
+                    if null_count_col is not None and name == null_count_col:
+                        if st is None or not st.has_null_count:
+                            stats_ok = False
+                        else:
+                            nulls += st.null_count
+    return {"rows": rows, "max": mx, "nulls": nulls, "stats_ok": stats_ok}
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, path: str, schema: str):
         self.spark = spark
@@ -27,6 +84,52 @@ class VersionedTable:
 
     def _pointer(self) -> str:
         return os.path.join(self.path, "_current")
+
+    # -- zero-job reads: schema sidecars --------------------------------------
+    #
+    # `spark.read.parquet(path)` runs a schema-INFERENCE Spark job on
+    # every fresh path (~0.1-0.3 s of local scheduling; measured — see
+    # OPTIMIZATION_r09.md). The writer knows the exact schema it just
+    # wrote, so each version write records it in `_schema.json` and
+    # readers pass it explicitly — no inference job, no drift risk
+    # (the sidecar IS the written schema, not the declared one).
+
+    def _save_schema(self, vdir: str, schema, delta_schema=None) -> None:
+        import json
+
+        payload = {}
+        if schema is not None:
+            payload["files"] = schema.json()
+        if delta_schema is not None:
+            payload["delta"] = delta_schema.json()
+        try:
+            with open(os.path.join(vdir, "_schema.json"), "w") as f:
+                json.dump(payload, f)
+        except OSError:
+            pass  # sidecar is an optimization; readers fall back to inference
+
+    def _load_schema(self, vdir: str, key: str = "files"):
+        import json
+
+        from pyspark.sql import types as T
+
+        try:
+            with open(os.path.join(vdir, "_schema.json")) as f:
+                payload = json.load(f)
+            if key not in payload:
+                return None
+            return T.StructType.fromJson(json.loads(payload[key]))
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _read_version_dir(self, vdir: str):
+        """Parquet read of a version dir with the recorded write-time
+        schema when available (zero-job), inference otherwise."""
+        sch = self._load_schema(vdir)
+        r = self.spark.read
+        if sch is not None:
+            r = r.schema(sch)
+        return r.parquet(vdir)
 
     def _current_version(self) -> int:
         try:
@@ -42,7 +145,7 @@ class VersionedTable:
         v = self._current_version()
         if v == 0:
             return self.spark.createDataFrame([], self.schema)
-        return self.spark.read.parquet(os.path.join(self.path, f"v_{v}"))
+        return self._read_version_dir(os.path.join(self.path, f"v_{v}"))
 
     def versions(self) -> list[int]:
         """Version numbers still on disk (ascending)."""
@@ -65,13 +168,14 @@ class VersionedTable:
                 f"version {version} not retained (have {self.versions()}; "
                 f"raise keep_versions on writes to retain more)"
             )
-        df = self.spark.read.parquet(os.path.join(self.path, f"v_{version}"))
+        df = self._read_version_dir(os.path.join(self.path, f"v_{version}"))
         return df.drop("__bucket") if "__bucket" in df.columns else df
 
     def overwrite(self, df: DataFrame, keep_versions: int = 2) -> None:
         v = self._current_version() + 1
         out = os.path.join(self.path, f"v_{v}")
         df.write.mode("overwrite").parquet(out)
+        self._save_schema(out, df.schema)
         with open(self._pointer(), "w") as f:
             f.write(str(v))
         self.vacuum(keep_versions)
@@ -194,7 +298,18 @@ class BucketedVersionedTable(VersionedTable):
 
     def _extra(self, vdir: str, name: str):
         p = os.path.join(vdir, name)
-        return self.spark.read.parquet(p) if os.path.isdir(p) else None
+        if not os.path.isdir(p):
+            return None
+        # sidecar stores have known write-time schemas too — skip the
+        # per-read schema-inference job (tombstones are always a
+        # 1-column string file; the delta schema is recorded at write)
+        if name == "_tombstones":
+            return self.spark.read.schema("__key string").parquet(p)
+        if name == "_delta":
+            sch = self._load_schema(vdir, key="delta")
+            if sch is not None:
+                return self.spark.read.schema(sch).parquet(p)
+        return self.spark.read.parquet(p)
 
     def stats(self) -> dict:
         import json
@@ -215,16 +330,58 @@ class BucketedVersionedTable(VersionedTable):
         with open(os.path.join(self._vdir(v), "_stats.json"), "w") as f:
             json.dump(kw, f)
 
-    def _apply_delta(self, base: DataFrame, vdir: str) -> DataFrame:
+    # literal-tombstone cutover: below this many keys the read-side
+    # anti-join becomes a codegen NOT-IN filter (no broadcast-exchange
+    # job per read); above it, the broadcast anti-join amortizes
+    _TOMB_LITERAL_MAX = 2048
+
+    def _tomb_filter(self, out: DataFrame, vdir: str):
+        """Anti-filter `out` by this version's tombstone keys.
+
+        Tombstones are driver-written (delta_overwrite's pyarrow path)
+        and bounded by the compaction threshold, so for small sets the
+        keys are read back driver-side and applied as a literal
+        `isNull() | ~isin(keys)` predicate — pure codegen, zero
+        broadcast jobs; the anti-join launched a broadcast-exchange
+        job on EVERY read of a delta version (guide §2.4). NULL keys
+        are retained, matching left_anti's NULL semantics. Falls back
+        to the broadcast anti-join for big tombstone sets or
+        stats-free files."""
         from pyspark.sql import functions as F
 
-        tomb = self._extra(vdir, "_tombstones")
+        tomb_dir = os.path.join(vdir, "_tombstones")
+        if not os.path.isdir(tomb_dir):
+            return out
+        keys = None
+        try:
+            import pyarrow.parquet as pq
+
+            files = [f for f in sorted(os.listdir(tomb_dir))
+                     if f.endswith(".parquet")]
+            if sum(
+                pq.read_metadata(os.path.join(tomb_dir, f)).num_rows
+                for f in files
+            ) <= self._TOMB_LITERAL_MAX:
+                keys = []
+                for f in files:
+                    keys.extend(
+                        pq.read_table(
+                            os.path.join(tomb_dir, f), columns=["__key"]
+                        ).column("__key").to_pylist()
+                    )
+        except Exception:
+            keys = None
+        if keys is not None:
+            if not keys:
+                return out
+            k = self._key_col()
+            return out.filter(k.isNull() | ~k.isin(sorted(set(keys))))
+        tomb = self.spark.read.schema("__key string").parquet(tomb_dir)
+        return out.join(tomb, self._key_col() == F.col("__key"), "left_anti")
+
+    def _apply_delta(self, base: DataFrame, vdir: str) -> DataFrame:
         delta = self._extra(vdir, "_delta")
-        out = base
-        if tomb is not None:
-            out = out.join(
-                tomb, self._key_col() == F.col("__key"), "left_anti"
-            )
+        out = self._tomb_filter(base, vdir)
         if delta is not None:
             out = out.unionByName(delta.select(*out.columns))
         return out
@@ -234,7 +391,7 @@ class BucketedVersionedTable(VersionedTable):
         if v == 0:
             return self.spark.createDataFrame([], self.schema)
         vdir = self._vdir(v)
-        df = self._apply_delta(self.spark.read.parquet(vdir), vdir)
+        df = self._apply_delta(self._read_version_dir(vdir), vdir)
         return df.drop("__bucket") if "__bucket" in df.columns else df
 
     def read_version(self, version: int) -> DataFrame:
@@ -250,7 +407,7 @@ class BucketedVersionedTable(VersionedTable):
                 f"raise keep_versions on writes to retain more)"
             )
         vdir = self._vdir(version)
-        df = self._apply_delta(self.spark.read.parquet(vdir), vdir)
+        df = self._apply_delta(self._read_version_dir(vdir), vdir)
         return df.drop("__bucket") if "__bucket" in df.columns else df
 
     def read_buckets(self, buckets: list[int]) -> DataFrame:
@@ -265,10 +422,8 @@ class BucketedVersionedTable(VersionedTable):
 
         vdir = self._vdir(v)
         bl = [int(b) for b in buckets]
-        df = self.spark.read.parquet(vdir).filter(F.col("__bucket").isin(bl))
-        tomb = self._extra(vdir, "_tombstones")
-        if tomb is not None:
-            df = df.join(tomb, self._key_col() == F.col("__key"), "left_anti")
+        df = self._read_version_dir(vdir).filter(F.col("__bucket").isin(bl))
+        df = self._tomb_filter(df, vdir)
         delta = self._extra(vdir, "_delta")
         if delta is not None:
             df = df.unionByName(
@@ -393,6 +548,10 @@ class BucketedVersionedTable(VersionedTable):
         delta.coalesce(4).write.mode("overwrite").parquet(
             os.path.join(out, "_delta")
         )
+        # version files are the prev version's (hardlinked) — carry its
+        # recorded schema; record this delta's own schema alongside
+        self._save_schema(out, self._load_schema(prev),
+                          delta_schema=delta.schema)
         self._link_buckets(prev, out)
         st = {}
         try:
@@ -415,7 +574,9 @@ class BucketedVersionedTable(VersionedTable):
     def overwrite(self, df: DataFrame, keep_versions: int = 2) -> None:
         v = self._current_version() + 1
         out = os.path.join(self.path, f"v_{v}")
-        self._clustered(df).write.mode("overwrite").partitionBy("__bucket").parquet(out)
+        clustered = self._clustered(df)
+        clustered.write.mode("overwrite").partitionBy("__bucket").parquet(out)
+        self._save_schema(out, clustered.schema)
         with open(self._pointer(), "w") as f:
             f.write(str(v))
         self.vacuum(keep_versions)
@@ -438,9 +599,9 @@ class BucketedVersionedTable(VersionedTable):
             )
         v = cur + 1
         out = os.path.join(self.path, f"v_{v}")
-        self._clustered(touched_df).write.mode("overwrite").partitionBy(
-            "__bucket"
-        ).parquet(out)
+        clustered = self._clustered(touched_df)
+        clustered.write.mode("overwrite").partitionBy("__bucket").parquet(out)
+        self._save_schema(out, clustered.schema)
         touched_set = {int(b) for b in touched}
         if cur:
             prev = os.path.join(self.path, f"v_{cur}")

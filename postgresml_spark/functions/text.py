@@ -566,7 +566,10 @@ def build_text_index(
              # empty corpus → avg is NULL; 0.0 bootstraps the
              # build-empty-then-append incremental pattern
              "avgdl": float(consts["avgdl"] or 0.0),
-             "n_buckets": n_buckets}
+             "n_buckets": n_buckets,
+             # write-time schema: served queries read with it and skip
+             # the per-query schema-inference Spark job
+             "schema": postings.schema.json()}
     with open(os.path.join(path, "_stats.json"), "w") as f:
         json.dump(stats, f)
     return path, stats
@@ -590,27 +593,27 @@ def bm25_search_index(
 
     from pyspark.sql import functions as F
 
+    from postgresml_spark.functions.hashing import spark_pmod_xxhash64
+
     with open(os.path.join(path, "_stats.json")) as f:
         stats = json.load(f)
     terms = sorted({t.lower() for t in query_terms})
-    # ONE job hashes all terms (a per-term collect would launch
-    # O(|terms|) jobs on the serving path)
+    # ZERO jobs hash the terms: the driver-side XXH64 twin replaces a
+    # whole createDataFrame+collect Spark job (~0.2 s of scheduling on
+    # every served query — guide §1.2); JVM parity is pinned by
+    # tests/test_hygiene.py::test_driver_xxhash64_matches_spark
     buckets = sorted(
-        {
-            r["b"]
-            for r in spark.createDataFrame(
-                [(t,) for t in terms], "term string"
-            )
-            .select(
-                F.pmod(F.xxhash64("term"), F.lit(stats["n_buckets"]))
-                .cast("int")
-                .alias("b")
-            )
-            .collect()
-        }
+        {spark_pmod_xxhash64(t, int(stats["n_buckets"])) for t in terms}
     )
+    reader = spark.read
+    if "schema" in stats:  # zero-job read (schema recorded at build)
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        reader = reader.schema(T.StructType.fromJson(_json.loads(stats["schema"])))
     post = (
-        spark.read.parquet(path)
+        reader.parquet(path)
         .filter(F.col("__bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
     )
@@ -773,7 +776,10 @@ def build_trigram_index(
     )
     postings.write.mode("overwrite").partitionBy("__bucket").parquet(path)
     with open(os.path.join(path, "_stats.json"), "w") as f:
-        json.dump({"n_buckets": n_buckets}, f)
+        # schema recorded at build: served queries skip the per-query
+        # schema-inference Spark job
+        json.dump({"n_buckets": n_buckets,
+                   "schema": postings.schema.json()}, f)
     return path
 
 
@@ -803,20 +809,22 @@ def trigram_fuzzy_search_index(
         qg = py_char_trigrams(qw)
         qrows.extend((qw, g, len(qg)) for g in qg)
     all_grams = sorted({g for _, g, _ in qrows})
+    # driver-side XXH64 twin — no Spark job to hash a handful of query
+    # grams (same fix as bm25_search_index; parity pinned in tests)
+    from postgresml_spark.functions.hashing import spark_pmod_xxhash64
+
     buckets = sorted(
-        {
-            r["b"]
-            for r in spark.createDataFrame([(g,) for g in all_grams], "gram string")
-            .select(
-                F.pmod(F.xxhash64("gram"), F.lit(stats["n_buckets"]))
-                .cast("int")
-                .alias("b")
-            )
-            .collect()
-        }
+        {spark_pmod_xxhash64(g, int(stats["n_buckets"])) for g in all_grams}
     )
+    reader = spark.read
+    if "schema" in stats:  # zero-job read (schema recorded at build)
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        reader = reader.schema(T.StructType.fromJson(_json.loads(stats["schema"])))
     post = (
-        spark.read.parquet(path)
+        reader.parquet(path)
         .filter(F.col("__bucket").isin(buckets))
         .filter(F.col("gram").isin(all_grams))
     )

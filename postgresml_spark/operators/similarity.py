@@ -1748,6 +1748,15 @@ class ResidentHNSW:
             idxs = np.flatnonzero(allowed)
             if not idxs.size:
                 return []
+            if idxs.size == len(self.mat):
+                # fully-permissive mask ≡ no filter: serve the
+                # unfiltered path instead of gathering a copy of the
+                # whole matrix — faster, and bit-identical to the
+                # unfiltered search by construction (a gathered-copy
+                # matvec and the beam's batched matvecs round their
+                # reductions differently on some BLAS kernels)
+                allowed = None
+        if allowed is not None:
             # Exact-scan crossover: the masked beam pays Python-heap
             # cost per visited node while a direct scan of the allowed
             # rows is one BLAS gather — below ~2M multiply-adds the

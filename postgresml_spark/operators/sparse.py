@@ -308,7 +308,10 @@ def build_sparse_index(
     )
     postings.write.mode("overwrite").partitionBy("__bucket").parquet(path)
     n_docs = df.count()
-    stats = {"n_docs": n_docs, "dim": dim, "n_buckets": n_buckets, "seed": str(seed)}
+    stats = {"n_docs": n_docs, "dim": dim, "n_buckets": n_buckets, "seed": str(seed),
+             # write-time schema: served queries read with it and skip
+             # the per-query schema-inference Spark job
+             "schema": postings.schema.json()}
     with open(os.path.join(path, "_stats.json"), "w") as f:
         json.dump(stats, f)
     return stats
@@ -350,8 +353,15 @@ def sparse_search_index(
     qrows = [(i, 1.0 + math.log(c)) for i, c in sorted(tf.items())]
     buckets = sorted({i % stats["n_buckets"] for i, _ in qrows})
     qdf = spark.createDataFrame(qrows, "idx bigint, qtflog double")
+    reader = spark.read
+    if "schema" in stats:  # zero-job read (schema recorded at build)
+        import json as _json
+
+        from pyspark.sql import types as T
+
+        reader = reader.schema(T.StructType.fromJson(_json.loads(stats["schema"])))
     post = (
-        spark.read.parquet(path)
+        reader.parquet(path)
         .filter(F.col("__bucket").isin(buckets))
         .join(F.broadcast(qdf), "idx")
     )

@@ -56,6 +56,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # bounded collects (detection limits, top-k takes) scan 1
+        # partition first by default and re-launch with 4x more until
+        # the limit fills — 2-3 scheduling round-trips per serve-path
+        # collect. Start at the session's parallelism: one job, all
+        # local. Scale-adaptive (derived from the core count), not a
+        # local[32] constant.
+        .config("spark.sql.limit.initialNumPartitions", str(cpus))
         .config("spark.ui.enabled", "false")
         # testdata events.parquet stores TIMESTAMP(NANOS) which the Spark
         # reader rejects; read as long and convert (see load_table).

@@ -534,22 +534,21 @@ def build_text_index(
     import json
     import os
 
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    # One tokenize pass: the stats agg and the postings shuffle both
-    # read the persisted tokenized frame (at cluster scale swap the
-    # persist for deriving (n_docs, avgdl) from the written index —
-    # one pass over the compact postings instead of the corpus).
-    base = (
-        df.select(
-            F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("t")
-        )
-        .select("doc_id", F.size("t").alias("dl"), "t")
-        .persist()
+    # ONE corpus pass, ONE Spark job (guide §1.2): the (n_docs, avgdl)
+    # stats ride the postings write as observed metrics on the
+    # pre-explode node — the separate agg job (and the persist that fed
+    # it) is gone. Metric values are identical to the old agg by
+    # construction: count is exact and avg(dl) partial-sums longs.
+    obs = Observation()
+    base_raw = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("t")
+    ).select("doc_id", F.size("t").alias("dl"), "t")
+    base = base_raw.observe(
+        obs, F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    consts = base.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).head()
     postings = (
         base.select("doc_id", "dl", F.explode("t").alias("term"))
         .groupBy("term", "doc_id")
@@ -561,7 +560,16 @@ def build_text_index(
         .repartition(n_buckets, F.col("__bucket"))
     )
     postings.write.mode("overwrite").partitionBy("__bucket").parquet(path)
-    base.unpersist()
+    try:
+        consts = obs.get
+    except Exception:
+        # statically-empty inputs: PropagateEmptyRelation removes the
+        # CollectMetrics node, so no metrics row exists — fall back to
+        # the direct agg (trivial on the degenerate plans that get here)
+        r = base_raw.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+        ).head()
+        consts = {"n_docs": r["n_docs"], "avgdl": r["avgdl"]}
     stats = {"n_docs": int(consts["n_docs"]),
              # empty corpus → avg is NULL; 0.0 bootstraps the
              # build-empty-then-append incremental pattern
@@ -660,14 +668,20 @@ def append_to_text_index(
     import json
     import os
 
+    from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
     with open(os.path.join(path, "_stats.json")) as f:
         stats = json.load(f)
-    base = df.select(
+    # batch stats observed on the append write itself — no separate
+    # agg job per ingest wave (guide §1.2; same fold as build)
+    obs = Observation()
+    base_raw = df.select(
         F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("t")
     ).select("doc_id", F.size("t").alias("dl"), "t")
-    consts = base.agg(F.count("*").alias("n"), F.avg("dl").alias("a")).head()
+    base = base_raw.observe(
+        obs, F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")
+    )
     postings = (
         base.select("doc_id", "dl", F.explode("t").alias("term"))
         .groupBy("term", "doc_id")
@@ -679,6 +693,14 @@ def append_to_text_index(
         .repartition(int(stats["n_buckets"]), F.col("__bucket"))
     )
     postings.write.mode("append").partitionBy("__bucket").parquet(path)
+    try:
+        consts = obs.get
+    except Exception:
+        # empty batch: CollectMetrics is pruned away (see build)
+        r = base_raw.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")
+        ).head()
+        consts = {"n": r["n"], "a": r["a"]}
     n_new = int(consts["n"])
     if n_new:
         n_tot = stats["n_docs"] + n_new

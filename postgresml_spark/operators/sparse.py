@@ -296,9 +296,17 @@ def build_sparse_index(
     import json
     import os
 
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokenize(F.col(text_col))).alias("__term"),
+    from pyspark.sql import Observation
+
+    # n_docs is observed on the pre-explode node of the postings write
+    # itself — the trailing df.count() was a whole second corpus scan
+    # job for a number the write pass already streams past (guide §1.2)
+    obs = Observation()
+    docs0 = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("__t")
+    ).observe(obs, F.count(F.lit(1)).alias("n"))
+    toks = docs0.select(
+        "doc_id", F.explode("__t").alias("__term")
     ).select("doc_id", _term_index(F.col("__term"), dim, seed).alias("idx"))
     postings = (
         toks.groupBy("doc_id", "idx")
@@ -307,7 +315,11 @@ def build_sparse_index(
         .repartition(n_buckets, F.col("__bucket"))
     )
     postings.write.mode("overwrite").partitionBy("__bucket").parquet(path)
-    n_docs = df.count()
+    try:
+        n_docs = int(obs.get["n"])
+    except Exception:
+        # statically-empty inputs prune the CollectMetrics node away
+        n_docs = df.count()
     stats = {"n_docs": n_docs, "dim": dim, "n_buckets": n_buckets, "seed": str(seed),
              # write-time schema: served queries read with it and skip
              # the per-query schema-inference Spark job
@@ -400,9 +412,17 @@ def append_to_sparse_index(
     with open(os.path.join(path, "_stats.json")) as f:
         stats = json.load(f)
     dim, seed, n_buckets = int(stats["dim"]), stats["seed"], int(stats["n_buckets"])
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokenize(F.col(text_col))).alias("__term"),
+    from pyspark.sql import Observation
+
+    # batch count observed on the append write — one job per ingest
+    # wave instead of two (guide §1.2; the streaming sink calls this
+    # every micro-batch)
+    obs = Observation()
+    docs0 = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("__t")
+    ).observe(obs, F.count(F.lit(1)).alias("n"))
+    toks = docs0.select(
+        "doc_id", F.explode("__t").alias("__term")
     ).select("doc_id", _term_index(F.col("__term"), dim, seed).alias("idx"))
     postings = (
         toks.groupBy("doc_id", "idx")
@@ -411,7 +431,11 @@ def append_to_sparse_index(
         .repartition(n_buckets, F.col("__bucket"))
     )
     postings.write.mode("append").partitionBy("__bucket").parquet(path)
-    stats["n_docs"] = int(stats["n_docs"]) + df.count()
+    try:
+        n_new = int(obs.get["n"])
+    except Exception:  # empty batch: CollectMetrics pruned away
+        n_new = df.count()
+    stats["n_docs"] = int(stats["n_docs"]) + n_new
     with open(os.path.join(path, "_stats.json"), "w") as f:
         json.dump(stats, f)
     return stats
@@ -545,16 +569,26 @@ class ServedSparseIndex:
                 rows[bounds[i]:bounds[i + 1]],
                 ws[bounds[i]:bounds[i + 1]],
             )
-        # vocabulary document frequencies (one distributed aggregate)
+        # vocabulary document frequencies (one distributed aggregate);
+        # n_docs rides the same job as an observed metric on the
+        # pre-explode node — the trailing df.count() was a second
+        # corpus-scan job (guide §1.2)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        pre = df.select(
+            F.array_distinct(tokenize(F.col(text_col))).alias("__t")
+        ).observe(obs, F.count(F.lit(1)).alias("n"))
         dft = (
-            df.select(
-                F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("t")
-            )
+            pre.select(F.explode("__t").alias("t"))
             .groupBy("t")
             .agg(F.count("*").alias("df"))
         )
         self.df_t = {r["t"]: int(r["df"]) for r in dft.collect()}
-        self.n_docs = df.count()
+        try:
+            self.n_docs = int(obs.get["n"])
+        except Exception:  # statically-empty input prunes CollectMetrics
+            self.n_docs = df.count()
 
     def _term_idx(self, term: str) -> int:
         import hashlib

@@ -108,6 +108,112 @@ def test_upsert_stats_and_delete_counts(spark, tmp_path):
     assert coll.documents.read().count() == 30 - expect
 
 
+def _jobs_for(spark, group_prefix, fn):
+    """Run fn under a unique job group; return the Spark job count."""
+    import uuid as _uuid
+
+    sc = spark.sparkContext
+    group = f"{group_prefix}-{_uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(group, group_prefix)
+    try:
+        out = fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    sc._jsc.sc().listenerBus().waitUntilEmpty()
+    return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_text_index_observed_stats(spark, tmp_path):
+    """build/append_to_text_index derive (n_docs, avgdl) from observed
+    metrics on the write job itself (guide §1.2 — the separate agg job
+    and its persist are gone). The stats must equal a direct
+    aggregation over the same corpus, and the build must be ONE job."""
+    from postgresml_spark.functions.text import (
+        append_to_text_index,
+        build_text_index,
+        tokenize,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"alpha beta doc {i} " + "pad " * (i % 4)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "ftidx")
+    (_, stats), n_jobs = _jobs_for(
+        spark, "obs-build", lambda: build_text_index(d, path)
+    )
+    truth = d.select(tokenize(F.col("text")).alias("t")).agg(
+        F.count("*").alias("n"), F.avg(F.size("t")).alias("a")
+    ).head()
+    assert stats["n_docs"] == truth["n"] == 40
+    assert stats["avgdl"] == float(truth["a"])  # bit-equal long-sum avg
+    # ONE action: the write (3 AQE stage jobs). The old separate agg
+    # job (+ its persist) would make this 4.
+    assert n_jobs <= 3, f"build_text_index grew an extra job: {n_jobs}"
+
+    d2 = spark.createDataFrame(
+        [(100 + i, f"gamma delta {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    stats2, n_jobs2 = _jobs_for(
+        spark, "obs-append", lambda: append_to_text_index(d2, path)
+    )
+    assert stats2["n_docs"] == 50
+    both = d.unionByName(d2).select(tokenize(F.col("text")).alias("t")).agg(
+        F.avg(F.size("t")).alias("a")
+    ).head()
+    assert abs(stats2["avgdl"] - float(both["a"])) < 1e-12
+    assert n_jobs2 <= 3, f"append_to_text_index grew an extra job: {n_jobs2}"
+
+    # empty corpus: count 0, avg NULL -> bootstrap 0.0 (unchanged)
+    e = spark.createDataFrame([], "doc_id long, text string")
+    _, stats0 = build_text_index(e, str(tmp_path / "empty"))
+    assert stats0["n_docs"] == 0 and stats0["avgdl"] == 0.0
+
+
+def test_sparse_index_observed_counts(spark, tmp_path):
+    """build/append_to_sparse_index and ServedSparseIndex count docs
+    via observed metrics on their existing jobs — no trailing
+    df.count() corpus scan (guide §1.2)."""
+    from postgresml_spark.operators.sparse import (
+        ServedSparseIndex,
+        append_to_sparse_index,
+        build_sparse_index,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"vector merge stream {i}") for i in range(25)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "sidx")
+    stats, n_jobs = _jobs_for(
+        spark, "obs-sparse", lambda: build_sparse_index(d, path)
+    )
+    assert stats["n_docs"] == 25
+    # write action only (3 AQE stage jobs); the old trailing
+    # df.count() corpus scan would make this 4
+    assert n_jobs <= 3, f"build_sparse_index grew an extra job: {n_jobs}"
+
+    d2 = spark.createDataFrame(
+        [(200 + i, f"hash table {i}") for i in range(7)],
+        "doc_id long, text string",
+    )
+    stats2, n_jobs2 = _jobs_for(
+        spark, "obs-sparse-app", lambda: append_to_sparse_index(d2, path)
+    )
+    assert stats2["n_docs"] == 32
+    assert n_jobs2 <= 3, f"append_to_sparse_index grew an extra job: {n_jobs2}"
+
+    idx, n_jobs3 = _jobs_for(
+        spark, "obs-served", lambda: ServedSparseIndex(d)
+    )
+    assert idx.n_docs == 25
+    # features toPandas + df_t collect (AQE stage jobs); the old
+    # trailing df.count() added one more
+    assert n_jobs3 <= 10, f"ServedSparseIndex grew an extra job: {n_jobs3}"
+    assert idx.search(["vector"], k=3)  # scoring still works
+
+
 def test_lifecycle_job_budget(spark, tmp_path):
     """Scheduling-overhead ceiling for the SDK lifecycle (VERDICT r8
     next #8): a 20-doc upsert + incremental sync on an attached

@@ -501,11 +501,19 @@ class BucketedVersionedTable(VersionedTable):
                             ).column("__key").to_pylist()
                         )
             n_tomb = len(key_set)
-            keys = (
-                self.spark.createDataFrame([(k,) for k in batch],
-                                           "__key string")
-                if batch else None
-            )
+            # small driver-known batches: the delta-compaction
+            # anti-join below becomes a literal NOT-isin filter
+            # (keys=None, batch_lits set) — no broadcast-exchange
+            # stage job per delta write (guide §2.4; same cutover as
+            # the read-side literal tombstones). NULL semantics match
+            # left_anti via the isNull() escape in the filter.
+            keys = batch_lits = None
+            if batch and len(batch) <= self._TOMB_LITERAL_MAX:
+                batch_lits = batch
+            elif batch:
+                keys = self.spark.createDataFrame(
+                    [(k,) for k in batch], "__key string"
+                )
             if tomb_link is None:
                 os.makedirs(tomb_dir, exist_ok=True)
                 pq.write_table(
@@ -538,7 +546,11 @@ class BucketedVersionedTable(VersionedTable):
                 n_tomb = self.spark.read.parquet(tomb_dir).count()
         delta = self._bucketed(new_rows)
         old_delta = self._extra(prev, "_delta")
-        if old_delta is not None and keys is not None:
+        if old_delta is not None and batch_lits is not None:
+            k = self._key_col()
+            surviving = old_delta.filter(k.isNull() | ~k.isin(batch_lits))
+            delta = surviving.unionByName(delta.select(*surviving.columns))
+        elif old_delta is not None and keys is not None:
             surviving = old_delta.join(
                 keys, self._key_col() == F.col("__key"), "left_anti"
             )

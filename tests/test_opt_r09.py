@@ -251,8 +251,25 @@ def test_lifecycle_job_budget(spark, tmp_path):
     # Was ~18 before round 9; headroom over the measured count (9)
     # absorbs AQE stage-count jitter without letting the old plan back.
     assert len(jobs) <= 14, sorted(jobs)
+    # SECOND incremental sync: the derived tables now carry a _delta,
+    # so this sync exercises the delta-compaction path. Small batches
+    # compact via a literal NOT-isin filter — the broadcast-exchange
+    # stage job per delta write is gone (guide §2.4), so the budget is
+    # the same as the first sync's.
+    group2 = f"jb2-{_uuid.uuid4().hex[:8]}"
+    sc.setJobGroup(group2, "job budget 2")
+    try:
+        coll.upsert_documents(
+            [{"id": i, "text": f"epsilon zeta doc {i}"} for i in range(10, 25)]
+        )
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    sc._jsc.sc().listenerBus().waitUntilEmpty()
+    jobs2 = sc.statusTracker().getJobIdsForGroup(group2)
+    assert len(jobs2) <= 14, sorted(jobs2)
     # and the derived tables are correct after the concurrent writes
     chunks = pipe.table("text_chunks")
-    assert chunks.filter(F.col("chunk").contains("gamma")).count() == 20
+    assert chunks.filter(F.col("chunk").contains("gamma")).count() == 10
+    assert chunks.filter(F.col("chunk").contains("epsilon")).count() == 15
     assert pipe.table("text_embeddings").count() == chunks.count()
     assert pipe.table("text_tsvectors").count() == chunks.count()

@@ -244,50 +244,56 @@ class Pipeline:
         new_chunks = self._chunks_for(field, cfg, docs).persist()
         tbl = self._tables[f"{field}_chunks"]
         try:
-            tbl.overwrite(new_chunks)  # materializes the cache
-            # changed-count from the written version's parquet footers —
-            # the count() here was a whole extra local job (guide §1.2)
-            n_changed = parquet_dir_stats(
-                tbl._vdir(tbl._current_version())
-            )["rows"]
-            out[f"{field}_chunks"] = n_changed
-            tbl.write_stats(base_rows=n_changed, tomb_rows=0)
+            # chunks, embeddings and tsvectors are three INDEPENDENT
+            # consumers of the cached chunk DAG with no cross-deps:
+            # run ALL THREE writes concurrently (guide §2.6 — each
+            # job's tasks back-fill the others' tails; this folds
+            # three sequential corpus-write walls into ~max of the
+            # three). Stats sidecars are written after the joins so
+            # the chunks footer census has a complete version to read.
+            def _write_chunks():
+                tbl.overwrite(new_chunks)  # materializes the cache
 
-            # embeddings and tsvectors are INDEPENDENT consumers of the
-            # cached chunks: run their writes concurrently (guide §2.6 —
-            # the second job's tasks back-fill the first's tail; on the
-            # lifecycle hot path this folds two sequential write walls
-            # into ~one)
             def _write_emb():
                 model = (cfg.get("semantic_search") or {}).get("model", "hash:16")
-                etbl = self._tables[f"{field}_embeddings"]
-                etbl.overwrite(self._embed(new_chunks, model))
-                etbl.write_stats(base_rows=n_changed, tomb_rows=0)
-                out[f"{field}_embeddings"] = n_changed
+                self._tables[f"{field}_embeddings"].overwrite(
+                    self._embed(new_chunks, model)
+                )
 
             def _write_tsv():
-                ttbl = self._tables[f"{field}_tsvectors"]
-                ttbl.overwrite(
+                self._tables[f"{field}_tsvectors"].overwrite(
                     new_chunks.select(
                         "chunk_id", tokenize(F.col("chunk")).alias("tokens")
                     )
                 )
-                ttbl.write_stats(base_rows=n_changed, tomb_rows=0)
-                out[f"{field}_tsvectors"] = n_changed
 
-            writers = []
+            writers = [_write_chunks]
             if f"{field}_embeddings" in self._tables:
                 writers.append(_write_emb)
             if f"{field}_tsvectors" in self._tables:
                 writers.append(_write_tsv)
             self._run_writers(writers)
+            # changed-count from the written version's parquet footers —
+            # the count() here was a whole extra local job (guide §1.2)
+            n_changed = parquet_dir_stats(
+                tbl._vdir(tbl._current_version())
+            )["rows"]
+            for stage in (f"{field}_chunks", f"{field}_embeddings",
+                          f"{field}_tsvectors"):
+                if stage in self._tables:
+                    out[stage] = n_changed
+                    self._tables[stage].write_stats(
+                        base_rows=n_changed, tomb_rows=0
+                    )
         finally:
             new_chunks.unpersist()
 
     @staticmethod
     def _run_writers(writers) -> None:
-        """Run independent derived-table writes concurrently (2 is the
-        max fan-out: embeddings + tsvectors). Sequential when there is
+        """Run independent derived-table writes concurrently (3 is the
+        max fan-out: chunks + embeddings + tsvectors on the full-sync
+        path; the delta path fans out 2 after the chunks write that
+        produces the shared tombstone file). Sequential when there is
         one — no pool overhead on the common chunks-only schema."""
         if len(writers) <= 1:
             for w in writers:

@@ -1064,6 +1064,29 @@ class ServedTextIndex:
         return {int(d): float(s) for d, s in zip(docs, scores)}
 
 
+def _build_shards(n: int, make):
+    """Construct/refresh N shard indexes CONCURRENTLY (guide §2.6).
+
+    Each shard build is two Spark collect actions (the Arrow hop for
+    its 1/n slice + the payload frame) followed by a DRIVER-side
+    numpy/BLAS index build (GIL mostly released). Sequential builds
+    serialize those phases end to end; a thread per shard lets shard
+    i's driver-side graph build overlap shard j's Spark fetch, and the
+    fetches' own scheduling gaps back-fill each other — the same
+    overlap argument as pipeline._run_writers. Order is preserved
+    (shard i of the result is make(i)). Results are identical to the
+    sequential build: shards never share mutable state (each holds its
+    own arrays; the Spark reads are stateless plan constructions)."""
+    if n == 1:
+        return [make(0)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(
+        max_workers=n, thread_name_prefix="shard-build"
+    ) as pool:
+        return list(pool.map(make, range(n)))
+
+
 def _shard_pool(owner, n: int):
     """Lazily-created per-index thread pool for the scatter phase.
     Shards are independent and the per-shard work is numpy/BLAS (GIL
@@ -1129,10 +1152,12 @@ class ShardedPipelineIndex:
             raise ValueError("n_shards must be >= 1")
         self.n_shards = n_shards
         self.field = field
-        self.shards = [
-            ServedPipelineIndex(collection, pipeline, field, shard=(i, n_shards))
-            for i in range(n_shards)
-        ]
+        self.shards = _build_shards(
+            n_shards,
+            lambda i: ServedPipelineIndex(
+                collection, pipeline, field, shard=(i, n_shards)
+            ),
+        )
 
     # -- staleness (delegates) ---------------------------------------------
 
@@ -1140,7 +1165,10 @@ class ShardedPipelineIndex:
         return any(s.is_stale() for s in self.shards)
 
     def refresh(self) -> "ShardedPipelineIndex":
-        self.shards = [s.refresh() for s in self.shards]
+        shards = self.shards
+        self.shards = _build_shards(
+            len(shards), lambda i: shards[i].refresh()
+        )
         return self
 
     # -- payload / filter views --------------------------------------------
@@ -1304,10 +1332,12 @@ class ShardedTextIndex:
 
     def __init__(self, collection, pipeline, field: str, n_shards: int):
         self.n_shards = n_shards
-        self.shards = [
-            ServedTextIndex(collection, pipeline, field, shard=(i, n_shards))
-            for i in range(n_shards)
-        ]
+        self.shards = _build_shards(
+            n_shards,
+            lambda i: ServedTextIndex(
+                collection, pipeline, field, shard=(i, n_shards)
+            ),
+        )
 
     def is_stale(self) -> bool:
         return any(s.is_stale() for s in self.shards)

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from postgresml_spark.ml.algorithms import make_estimator
 from postgresml_spark.ml.metrics import regression_metrics
 from postgresml_spark.ml.registry import Registry
+from postgresml_spark.ml.train import strip_training_summary
 from postgresml_spark.preprocess.snapshot import Snapshot
 
 
@@ -80,7 +81,10 @@ def train_joint(
     t0 = time.time()
     for y in y_columns:
         est, runtime = make_estimator("regression", algorithm, dict(hyperparams or {}))
-        fitted = est.fit(train_feat.withColumn("label", F.col(y).cast("double")))
+        fitted = strip_training_summary(
+            est.fit(train_feat.withColumn("label", F.col(y).cast("double"))),
+            spark,
+        )
         pred = fitted.transform(test_feat.withColumn("label", F.col(y).cast("double")))
         metrics[y] = regression_metrics(pred)
         fitted.write().overwrite().save(os.path.join(artifact, f"model_{y}"))

@@ -54,6 +54,29 @@ def group_fold(group_col: str, k: int, seed: int = 42):
     ).cast("int")
 
 
+def strip_training_summary(fitted, spark: SparkSession):
+    """Drop the JVM-side training summary from a freshly fitted model.
+
+    Spark 4.1 models extending HasTrainingSummary retain the summary —
+    whose predictions DataFrame pins the SparkSession — on the model
+    object. The session's ObservationManager is not serializable, and a
+    transform task closure can pick the model up through lazily
+    canonicalized expressions, dying with NotSerializableException in
+    an order-dependent way (seen as a cross-test flake on roc_auc).
+    None of our paths read `.summary` off models fitted here (queries.py
+    fits its own model where it wants a summary), so clear it eagerly.
+    `setSummary` is private[ml] in Scala, which compiles to a public
+    JVM method; models without the trait simply no-op.
+    """
+    jobj = getattr(fitted, "_java_obj", None)
+    if jobj is not None:
+        try:
+            jobj.setSummary(spark._jvm.scala.Option.empty())
+        except Exception:
+            pass
+    return fitted
+
+
 def _prep_ml_df(snap: Snapshot, which: str, task: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
@@ -135,6 +158,9 @@ def train(
     target_metric, higher_better = TASK_METRIC[task]
     cv = int((search_args or {}).get("cv", 0))
 
+    def _strip_summary(fitted):
+        return strip_training_summary(fitted, spark)
+
     def _eval(fitted, eval_df):
         if task == TASK_DECOMPOSITION:
             return decomposition_metrics(fitted)
@@ -177,7 +203,7 @@ def train(
             for k in range(cv):
                 tr = folded.filter(F.col("__fold") != k)
                 va = folded.filter(F.col("__fold") == k)
-                m = _eval(est.fit(tr), va)
+                m = _eval(_strip_summary(est.fit(tr)), va)
                 s = m.get(target_metric)
                 # empty validation folds (fewer distinct groups than
                 # cv under cv_group, or a hash gap) yield NaN from the
@@ -196,7 +222,7 @@ def train(
     best_fit = None  # (key, fitted, metrics, combo, runtime)
     for combo in combos:
         est, runtime = make_estimator(task, algorithm, combo)
-        fitted = est.fit(train_ml)
+        fitted = _strip_summary(est.fit(train_ml))
         m = _eval(
             fitted,
             test_ml

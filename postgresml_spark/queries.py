@@ -1449,9 +1449,18 @@ def q40_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("label"),
     )
     feat = li.withColumn("features_vec", array_to_vector(F.array(F.col("qty"))))
-    model = LinearRegression(
-        featuresCol="features_vec", labelCol="label", regParam=0.0, solver="normal"
-    ).fit(feat)
+    from postgresml_spark.ml.train import strip_training_summary
+
+    # the summary pins the SparkSession (→ non-serializable
+    # ObservationManager) and can leak into the transform closure via
+    # lazily canonicalized expressions — order-dependent flake
+    model = strip_training_summary(
+        LinearRegression(
+            featuresCol="features_vec", labelCol="label",
+            regParam=0.0, solver="normal",
+        ).fit(feat),
+        spark,
+    )
     return (
         model.transform(feat)
         .select("qty", F.round("prediction", 4).alias("prediction"))

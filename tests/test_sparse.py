@@ -290,7 +290,16 @@ def test_postings_to_vectors_trains_text_classifier(spark):
     post = SP.sparse_features(docs, "text", "doc_id", dim=dim)
     vec = SP.postings_to_vectors(post, dim)
     train = vec.join(docs.select("doc_id", "label"), "doc_id")
-    model = LogisticRegression(featuresCol="features_vec", labelCol="label").fit(train)
+    from postgresml_spark.ml.train import strip_training_summary
+
+    # direct fit outside pgml.train: strip the training summary like
+    # train() does — it pins the SparkSession (non-serializable
+    # ObservationManager) and flakes the transform closure when the
+    # session has seen observed metrics (order-dependent)
+    model = strip_training_summary(
+        LogisticRegression(featuresCol="features_vec", labelCol="label").fit(train),
+        spark,
+    )
     pred = model.transform(train)
     acc = pred.filter(F.col("prediction") == F.col("label")).count() / train.count()
     assert acc >= 0.99

@@ -609,7 +609,7 @@ def bm25_search_index(
     # ZERO jobs hash the terms: the driver-side XXH64 twin replaces a
     # whole createDataFrame+collect Spark job (~0.2 s of scheduling on
     # every served query — guide §1.2); JVM parity is pinned by
-    # tests/test_hygiene.py::test_driver_xxhash64_matches_spark
+    # tests/test_opt_r09.py::test_driver_xxhash64_matches_spark
     buckets = sorted(
         {spark_pmod_xxhash64(t, int(stats["n_buckets"])) for t in terms}
     )

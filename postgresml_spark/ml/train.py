@@ -73,8 +73,24 @@ def strip_training_summary(fitted, spark: SparkSession):
         try:
             jobj.setSummary(spark._jvm.scala.Option.empty())
         except Exception:
-            pass
+            # observable failure (ADVICE r9 #3): if a future Spark
+            # renames the package-private setSummary, the strip would
+            # otherwise silently stop protecting the transform paths
+            global _STRIP_WARNED
+            if not _STRIP_WARNED:
+                _STRIP_WARNED = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "strip_training_summary: setSummary unavailable on "
+                    "%s — training summaries are no longer stripped "
+                    "(serialization flake guard inactive)",
+                    type(fitted).__name__,
+                )
     return fitted
+
+
+_STRIP_WARNED = False
 
 
 def _prep_ml_df(snap: Snapshot, which: str, task: str) -> DataFrame:

@@ -51,6 +51,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # respect the advisory partition size instead of maximizing
+        # parallelism (the Spark-documented recommendation, guide §2.2/
+        # §9): with the default parallelismFirst=true, AQE refuses to
+        # coalesce below the core count, so every small shuffle runs
+        # `cpus` near-empty tasks — measured as the reason the r9
+        # catalog ran FASTER on 8 cores than 32 (VERDICT r9: all
+        # scaling ratios ~1, wall scheduling-bound). Scale-adaptive by
+        # construction: partitions grow back with data volume, and at
+        # 100 TB the advisory size (guide §9 batch-ETL baseline) is
+        # what sizes reducers into the 100 MB-1 GB band.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
@@ -60,9 +73,12 @@ def get_spark(
         # partition first by default and re-launch with 4x more until
         # the limit fills — 2-3 scheduling round-trips per serve-path
         # collect. Start at the session's parallelism: one job, all
-        # local. Scale-adaptive (derived from the core count), not a
-        # local[32] constant.
-        .config("spark.sql.limit.initialNumPartitions", str(cpus))
+        # local. Capped at 64 (VERDICT r9 next #6): on a 2000-core
+        # cluster an uncapped executeTake would scan 2000 partitions
+        # up front for a limit(10) — the inverse waste of the 1->4x
+        # relaunch ladder it removes; 64 keeps the common bounded
+        # collect a single round-trip without a cluster-wide scan.
+        .config("spark.sql.limit.initialNumPartitions", str(min(cpus, 64)))
         .config("spark.ui.enabled", "false")
         # testdata events.parquet stores TIMESTAMP(NANOS) which the Spark
         # reader rejects; read as long and convert (see load_table).

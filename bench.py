@@ -122,10 +122,18 @@ def _run_store_probes(spark, sf_dir, sparse_path, bm25_path):
         for _ in range(3):
             calls[0]()
         ts = []
-        for c in calls:
-            t0 = time.perf_counter()
-            c()
-            ts.append(time.perf_counter() - t0)
+        # n>=16 per metric (VERDICT r9 next #4): the r9 medians over
+        # n=5 were uninterpretable against 100-300 ms scheduler
+        # hiccups (sparse_served 662->962 ms on untouched code); four
+        # passes over the same probe set keeps the probe mix identical
+        # while the median converges. Same metric, better estimator —
+        # recorded here per the bench-contract note in
+        # OPTIMIZATION_r10.md.
+        for _ in range(4):
+            for c in calls:
+                t0 = time.perf_counter()
+                c()
+                ts.append(time.perf_counter() - t0)
         ts.sort()
         v = round(ts[len(ts) // 2] * 1000, digits)
         derived[key] = v

@@ -1415,12 +1415,16 @@ def set_similarity_join(
         ),
     )
     prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
-    # prefix feeds BOTH sides of the candidate self-join; materialized
-    # once, the df-rank window (sort + per-id row_number) and the
-    # global-df aggregation run a single time instead of twice
+    # prefix feeds BOTH sides of the candidate self-join but is NOT
+    # checkpointed: both branches prune the same 4 columns, so the
+    # df-rank window's exchange canonicalizes and ReusedExchange
+    # dedupes the sort+row_number at runtime — measured A/B (warm,
+    # sf0.1): checkpointing prefix too ran 7.3-7.6 s (the LogicalRDD
+    # hides stats from the candidate-join planner) vs 3.4 s with only
+    # `sh` materialized (OPTIMIZATION_r10.md q203).
     prefix = ranked.filter(F.col("pos") <= prefix_len).select(
         "id", "n", "pos", "shingle"
-    ).localCheckpoint()
+    )
     a = prefix.select(
         F.col("id").alias("id_a"),
         F.col("n").alias("n_a"),

@@ -51,18 +51,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # respect the advisory partition size instead of maximizing
-        # parallelism (the Spark-documented recommendation, guide §2.2/
-        # §9): with the default parallelismFirst=true, AQE refuses to
-        # coalesce below the core count, so every small shuffle runs
-        # `cpus` near-empty tasks — measured as the reason the r9
-        # catalog ran FASTER on 8 cores than 32 (VERDICT r9: all
-        # scaling ratios ~1, wall scheduling-bound). Scale-adaptive by
-        # construction: partitions grow back with data volume, and at
-        # 100 TB the advisory size (guide §9 batch-ETL baseline) is
-        # what sizes reducers into the 100 MB-1 GB band.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-                "false")
+        # advisory partition size: the guide §9 batch-ETL baseline —
+        # at 100 TB it sizes post-shuffle reducers into the §2.2
+        # 100 MB-1 GB band. parallelismFirst stays at its DEFAULT
+        # (true): an r10 experiment set it to false so tiny shuffles
+        # coalesce to the advisory, and the measured result was a
+        # REGRESSION — at sf0.1 many reducers are compute-bound, not
+        # byte-bound (sketch merges, stat aggregations, similarity
+        # scoring), and coalescing them to 1 partition serializes the
+        # work: warm A/B q196 3.61->6.04 s, q212 2.16->2.91 s,
+        # q210 0.69->0.90 s, q203 8.59->13.24 s (OPTIMIZATION_r10.md).
+        # With parallelismFirst=true the advisory only governs once
+        # bytes/cores exceed it — exactly the data-dominated regime
+        # it is meant for.
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -232,9 +232,10 @@ def test_sparse_search_literal_map_matches_join_form(spark, tmp_path):
 
 
 def test_set_similarity_checkpoint_identity(spark):
-    """q203's operator now localCheckpoints the shingle arrays and the
-    prefix postings (one UDF evaluation instead of six); pairs must
-    match the brute-force inverted-index join exactly."""
+    """q203's operator now localCheckpoints the shingle arrays (one
+    UDF evaluation instead of six; the prefix postings stay lazy so
+    ReusedExchange dedupes the window — OPTIMIZATION_r10.md q203);
+    pairs must match the brute-force inverted-index join exactly."""
     from postgresml_spark.operators.dedup import set_similarity_join
 
     rows = []

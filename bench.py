@@ -63,10 +63,18 @@ def _run_serving_probes(coll, pipe, pipe2) -> tuple[dict, dict]:
     def med(key, call, qps=False):
         call(_SERVING_PROBES[0])  # warm (incl. lazy index build)
         ts = []
-        for p in _SERVING_PROBES:
-            t0 = time.perf_counter()
-            call(p)
-            ts.append(time.perf_counter() - t0)
+        # n=32 per metric (4 passes over the 8-probe set — same
+        # hardening as the store probes, VERDICT r9 next #4): with
+        # n=8 a single multi-ms host-noise burst spanning one
+        # metric's probe window shifted its whole median (hybrid
+        # medians 1.5->4.0 ms on identical code+store in the r10 A/B
+        # while an idle re-probe read 1.45; OPTIMIZATION_r10.md).
+        # Probe mix unchanged; these calls are ~ms each.
+        for _ in range(4):
+            for p in _SERVING_PROBES:
+                t0 = time.perf_counter()
+                call(p)
+                ts.append(time.perf_counter() - t0)
         ts.sort()
         v = round(ts[len(ts) // 2] * 1000, 2)
         derived[key] = v

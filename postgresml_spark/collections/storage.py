@@ -18,6 +18,37 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _filter_keys_not_in(df: DataFrame, kcol, keys) -> DataFrame:
+    """`df` minus rows whose key is in `keys`; NULL keys kept (exact
+    left_anti parity — NULL never equals any key).
+
+    ONE py4j round-trip regardless of key count: `Column.isin(*keys)`
+    creates a py4j Literal PER KEY (~0.5 ms of driver chatter each —
+    a 2000-key sync batch × 3 derived tables measured 3.3 s of pure
+    py4j inside delta_overwrite_multi, the bulk of the 100k-doc
+    incremental-sync wall; SCALE.md round-4 documents the same
+    element-wise F.lit cost). Rendering the set into a single parsed
+    SQL `IN (...)` string keeps the driver cost O(len) string-build;
+    Catalyst converts the parsed In to the same InSet (hash set) past
+    10 elements that isin produced, so the executed plan is identical.
+    Keys are SQL-quoted with '' escaping; the temp column binds an
+    arbitrary key EXPRESSION (the derived tables key on an expression
+    over chunk_id, not a named column) and collapses away."""
+    from pyspark.sql import functions as F
+
+    quoted = ",".join(
+        "'" + str(k).replace("'", "''") + "'" for k in keys
+    )
+    tmp = "__in_set_key"
+    return (
+        df.withColumn(tmp, kcol)
+        .filter(
+            F.col(tmp).isNull() | ~F.expr(f"`{tmp}` IN ({quoted})")
+        )
+        .drop(tmp)
+    )
+
+
 def parquet_dir_stats(
     path: str,
     column: str | None = None,
@@ -391,8 +422,9 @@ class BucketedVersionedTable(VersionedTable):
             keys = [k for k in keys if k is not None]
             if not keys:
                 return out
-            k = self._key_col()
-            return out.filter(k.isNull() | ~k.isin(sorted(set(keys))))
+            return _filter_keys_not_in(
+                out, self._key_col(), sorted(set(keys))
+            )
         tomb = self.spark.read.schema("__key string").parquet(tomb_dir)
         return out.join(tomb, self._key_col() == F.col("__key"), "left_anti")
 
@@ -570,8 +602,9 @@ class BucketedVersionedTable(VersionedTable):
         delta = self._bucketed(new_rows)
         old_delta = self._extra(prev, "_delta")
         if old_delta is not None and batch_lits is not None:
-            k = self._key_col()
-            surviving = old_delta.filter(k.isNull() | ~k.isin(batch_lits))
+            surviving = _filter_keys_not_in(
+                old_delta, self._key_col(), batch_lits
+            )
             delta = surviving.unionByName(delta.select(*surviving.columns))
         elif old_delta is not None and keys is not None:
             surviving = old_delta.join(
@@ -775,8 +808,9 @@ def delta_overwrite_multi(
         if old_delta is not None and batch and (
             len(batch) <= tbl._TOMB_LITERAL_MAX
         ):
-            k = tbl._key_col()
-            surviving = old_delta.filter(k.isNull() | ~k.isin(batch))
+            surviving = _filter_keys_not_in(
+                old_delta, tbl._key_col(), batch
+            )
             delta = surviving.unionByName(delta.select(*surviving.columns))
         elif old_delta is not None and batch:
             keys = spark.createDataFrame(
@@ -794,7 +828,19 @@ def delta_overwrite_multi(
         delta_schemas.append(delta.schema)
     tagged = None
     for i, d in enumerate(deltas):
-        t = d.withColumn("__table", F.lit(i))
+        # PER-BRANCH coalesce(4), before the union: a union-level
+        # coalesce(4) collapsed the WHOLE upstream (persisted-chunk
+        # scan, embed UDF, every table's surviving-delta read) into 4
+        # tasks — measured 25% slower than r9's 3 thread-pooled
+        # per-table writes at the 100k-doc/1% sync; a union-level
+        # round-robin repartition recovered only half (it shuffles the
+        # 1024-dim embedding rows). Union is NARROW, so per-branch
+        # coalesce keeps each table's write width at exactly r9's
+        # per-job width (4), the single job runs all 3×4 tasks
+        # at once, every task holds one table's rows (same per-table
+        # file count as before), and there is no shuffle
+        # (OPTIMIZATION_r10.md multi-write).
+        t = d.coalesce(4).withColumn("__table", F.lit(i))
         tagged = t if tagged is None else tagged.unionByName(
             t, allowMissingColumns=True
         )
@@ -803,9 +849,7 @@ def delta_overwrite_multi(
         f".multi_delta_{_uuid.uuid4().hex[:8]}",
     )
     try:
-        tagged.coalesce(4).write.mode("overwrite").partitionBy(
-            "__table"
-        ).parquet(tmp)
+        tagged.write.mode("overwrite").partitionBy("__table").parquet(tmp)
         # accumulated tombstones: driver-side union+write once (zero
         # Spark jobs, exact count), hardlinked into every sibling
         key_set = set(batch)

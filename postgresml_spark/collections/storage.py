@@ -726,14 +726,22 @@ def overwrite_multi(
     tagged = None
     schemas = []
     for i, (tbl, df) in enumerate(entries):
-        b = tbl._bucketed(df)
+        # PER-TABLE clustering (same _clustered repartition the solo
+        # overwrite uses), THEN the narrow union: a union-level
+        # repartition(nb, __bucket) reduced the whole 3-table write to
+        # nb tasks — parquet encoding for every table serialized into
+        # a third of r9's aggregate width (full_resync measured 16%
+        # slower). With per-branch clustering the single job runs all
+        # 3×nb write tasks at once and each task holds exactly one
+        # (table, bucket) — one file per bucket dir, the same layout
+        # and shuffle bytes as three solo writes.
+        b = tbl._clustered(df)
         schemas.append(b.schema)
         t = b.withColumn("__table", F.lit(i))
         tagged = t if tagged is None else tagged.unionByName(
             t, allowMissingColumns=True
         )
-    nb = max(t.n_buckets for t, _ in entries)
-    clustered = tagged.repartition(nb, F.col("__bucket"))
+    clustered = tagged
     tmp = os.path.join(
         os.path.dirname(first.path.rstrip("/")),
         f".multi_write_{_uuid.uuid4().hex[:8]}",

@@ -4720,7 +4720,17 @@ def q117_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.array_distinct(F.collect_list("p_brand")).alias("items"))
     )
-    fp = FPGrowth(itemsCol="items", minSupport=0.02).fit(baskets)
+    # numPartitions pins the parallel-FP-growth work distribution at
+    # the session's cores: by default it inherits the basket frame's
+    # post-AQE partition count, which a small-bytes agg coalesces far
+    # below the core count — the FP-tree counting phase measured
+    # 9.6 s -> 2.9 s at sf1 with identical itemsets (hash-verified;
+    # PFP partitions work by item, counts are exact either way —
+    # OPTIMIZATION_r10.md q117).
+    fp = FPGrowth(
+        itemsCol="items", minSupport=0.02,
+        numPartitions=spark.sparkContext.defaultParallelism,
+    ).fit(baskets)
     return fp.freqItemsets.select(
         F.array_join(F.array_sort("items"), ",").alias("itemset"),
         F.col("freq").cast("bigint").alias("freq"),

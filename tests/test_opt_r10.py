@@ -269,3 +269,35 @@ def test_set_similarity_checkpoint_identity(spark):
             if union and inter / union >= 0.3:
                 want.add((a, b, round(inter / union, 6)))
     assert got == want
+
+
+def test_filter_keys_not_in_matches_isin_and_escapes(spark):
+    """storage._filter_keys_not_in builds the key set as ONE parsed
+    SQL IN (py4j round-trip per key removed — OPTIMIZATION_r10.md);
+    it must match the isin form exactly, keep NULL keys (left_anti
+    parity), and survive keys containing quotes."""
+    from postgresml_spark.collections.storage import _filter_keys_not_in
+
+    rows = [("a",), ("b",), (None,), ("o'brien",), ("z",)]
+    df = spark.createDataFrame(rows, "k string")
+    keys = ["b", "o'brien", "missing"]
+    got = sorted(
+        r["k"] or "<null>"
+        for r in _filter_keys_not_in(df, F.col("k"), keys).collect()
+    )
+    want = sorted(
+        r["k"] or "<null>"
+        for r in df.filter(
+            F.col("k").isNull() | ~F.col("k").isin(keys)
+        ).collect()
+    )
+    assert got == want == ["<null>", "a", "z"]
+    # derived-key expression (the embeddings/tsvectors tables key on
+    # an expression, not a named column)
+    got2 = sorted(
+        r["k"] or "<null>"
+        for r in _filter_keys_not_in(
+            df, F.upper(F.col("k")), ["B", "Z"]
+        ).collect()
+    )
+    assert got2 == ["<null>", "a", "o'brien"]
